@@ -1,0 +1,14 @@
+"""nospa_rdf_data_cube_validator_ray — a from-scratch, Ray-Data-native
+RDF Data Cube construction + validation engine with the query semantics of
+yyz1989/NoSPA-RDF-Data-Cube-Validator (reference at /root/reference,
+studied for behavior only; architecture is Dataset/map_batches-first).
+
+Public surface:
+    CubeValidator         — Validator facade (normalize / validateAll / export)
+    read_corpus, parse_corpus — corpus sources
+    fixtures              — deterministic cube corpora + expected violations
+"""
+
+from .pipelines.validate import CubeValidator, ALL_ICS  # noqa: F401
+from .sources.parse_stage import read_corpus, parse_corpus  # noqa: F401
+from .model import TRIPLE_SCHEMA, FINDINGS_SCHEMA  # noqa: F401

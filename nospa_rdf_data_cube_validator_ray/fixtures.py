@@ -1,0 +1,574 @@
+"""Deterministic cube fixtures (seedless — pure functions of constants).
+
+Two families:
+
+* ``all_cases()`` — a well-formed cube mirroring the reference's only
+  fixture (/root/reference/test.ttl: 1 dataset, 1 DSD, 3 dims of which 2
+  are Slice-attached, 1 measure, 1 required DataSet-attached attribute,
+  1 slice key, 6 slices, 24 observations) plus one minimal ill-formed
+  mutant per integrity constraint, each with its hand-derived expected
+  violation map (reference semantics, including the IC-14 measureType
+  quirk — ValidatorIC14.java:31-33 — and P1 type-closure ripples).
+
+* ``tpch_cube_corpus(sf_dir)`` — a cube corpus derived row-by-row from the
+  driver's lineitem table with violations injected as pure functions of
+  (l_orderkey, l_linenumber), so a DuckDB SQL oracle over lineitem can
+  independently predict every violation the Ray pipeline must emit.
+
+All cubes serialize to Turtle into the driver-mandated corpus table
+``(repo, path, commit, lang, content)``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+EX = "http://example.org/cube#"
+UNIT = "http://example.org/unit/Year"
+
+HEADER = """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix qb: <http://purl.org/linked-data/cube#> .
+@prefix ex: <http://example.org/cube#> .
+"""
+
+AREAS = ["areaA", "areaB", "areaC", "areaD"]
+PERIODS = ["p2004", "p2005", "p2006"]
+SEXES = ["sexM", "sexF"]
+
+
+def _t(name: str) -> str:
+    """term_str of an ex: IRI."""
+    return f"<{EX}{name}>"
+
+
+# ---------------------------------------------------------------------------
+# Well-formed cube + mutants
+# ---------------------------------------------------------------------------
+
+
+def wf_cube(mut: str | None = None) -> tuple[str, dict]:
+    """Build the well-formed cube, optionally applying one named mutation.
+
+    Returns (turtle_text, expected) where expected maps "IC1".."IC21" to
+    {subject_term: sorted detail term list}.
+    """
+    L: list[str] = [HEADER]
+    exp: dict[str, dict[str, list[str]]] = {}
+
+    def add_exp(ic: str, subject: str, detail: list[str]) -> None:
+        exp.setdefault(ic, {})[subject] = sorted(detail)
+
+    # dataset
+    ds_lines = [
+        "ex:ds a qb:DataSet ;",
+        "    qb:structure ex:dsd ;",
+    ]
+    if mut == "IC2":
+        ds_lines.append("    qb:structure ex:dsd2 ;")
+        add_exp("IC2", _t("ds"), [_t("dsd"), _t("dsd2")])
+    if mut != "IC13":  # IC13 mutant makes the attribute observation-attached
+        ds_lines.append("    ex:unit <" + UNIT + "> ;")
+    ds_lines.append(
+        "    qb:slice " + ", ".join(f"ex:slice{i}" for i in range(len(PERIODS) * len(SEXES))) + " ."
+    )
+    L.append("\n".join(ds_lines))
+
+    # DSD
+    dim_area_spec = "[ qb:dimension ex:area ; qb:order 1 "
+    if mut == "IC6":
+        dim_area_spec += '; qb:componentRequired "false"^^xsd:boolean '
+        add_exp("IC6", _t("area"), [])
+    dim_area_spec += "]"
+    comps = [
+        dim_area_spec,
+        "[ qb:dimension ex:period ; qb:order 2 ; qb:componentAttachment qb:Slice ]",
+        "[ qb:dimension ex:sex ; qb:order 3 ; qb:componentAttachment qb:Slice ]",
+    ]
+    if mut != "IC3":
+        comps.append("[ qb:measure ex:life ]")
+    else:
+        add_exp("IC3", _t("dsd"), [])
+    if mut == "IC14":
+        comps.append("[ qb:measure ex:life2 ]")
+    if mut == "IC13":
+        comps.append(
+            '[ qb:attribute ex:unitobs ; qb:componentRequired "true"^^xsd:boolean ]'
+        )
+    else:
+        comps.append(
+            '[ qb:attribute ex:unit ; qb:componentRequired "true"^^xsd:boolean ; '
+            "qb:componentAttachment qb:DataSet ]"
+        )
+    dsd_lines = ["ex:dsd a qb:DataStructureDefinition ;"]
+    dsd_lines.append("    qb:component " + ",\n        ".join(comps) + " ;")
+    dsd_lines.append("    qb:sliceKey ex:skey")
+    if mut == "IC8":
+        dsd_lines.append("    , ex:skey3")
+    dsd_lines.append("    .")
+    L.append("\n".join(dsd_lines))
+
+    L.append("ex:skey a qb:SliceKey ;\n    qb:componentProperty ex:period, ex:sex .")
+    if mut == "IC7":
+        L.append("ex:skey2 a qb:SliceKey .")
+        add_exp("IC7", _t("skey2"), [])
+    if mut == "IC8":
+        L.append("ex:skey3 a qb:SliceKey ;\n    qb:componentProperty ex:rogue .")
+        add_exp("IC8", _t("rogue"), [])
+
+    # property declarations
+    area_range = "" if mut == "IC4" else " ;\n    rdfs:range ex:Area"
+    if mut == "IC4":
+        add_exp("IC4", _t("area"), [])
+    L.append(f"ex:area a rdf:Property, qb:DimensionProperty{area_range} .")
+    L.append("ex:period a rdf:Property, qb:DimensionProperty ;\n    rdfs:range ex:Period .")
+    L.append("ex:sex a rdf:Property, qb:DimensionProperty ;\n    rdfs:range ex:Sex .")
+    L.append("ex:life a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+    if mut == "IC14":
+        L.append("ex:life2 a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+    if mut == "IC13":
+        L.append("ex:unitobs a rdf:Property, qb:AttributeProperty .")
+    else:
+        L.append("ex:unit a rdf:Property, qb:AttributeProperty .")
+    if mut == "IC5":
+        L.append("ex:cdim a qb:DimensionProperty ;\n    rdfs:range skos:Concept .")
+        add_exp("IC5", _t("cdim"), [])
+
+    # slices + observations
+    obs_names: list[str] = []
+    si = 0
+    for period in PERIODS:
+        for sex in SEXES:
+            slice_obs = [f"o{si}_{a}" for a in range(len(AREAS))]
+            obs_names.extend(slice_obs)
+            slice_lines = [
+                f"ex:slice{si} a qb:Slice ;",
+                "    qb:sliceStructure ex:skey ;",
+                f"    ex:period ex:{period} ;",
+                f"    ex:sex ex:{sex} ;",
+            ]
+            if mut == "IC9" and si == 0:
+                slice_lines.insert(2, "    qb:sliceStructure ex:skeyB ;")
+                add_exp("IC9", _t("slice0"), [_t("skey"), _t("skeyB")])
+            if mut == "IC18" and si == 0:
+                slice_obs = slice_obs + ["orphan_obs"]
+            slice_lines.append(
+                "    qb:observation " + ", ".join(f"ex:{o}" for o in slice_obs) + " ."
+            )
+            L.append("\n".join(slice_lines))
+            for ai, area in enumerate(AREAS):
+                name = f"o{si}_{ai}"
+                val = 70 + ((si * 7 + ai * 3) % 100) / 10.0
+                lines = [f"ex:{name} a qb:Observation ;", "    qb:dataSet ex:ds ;"]
+                if mut == "IC1" and name == "o0_0":
+                    lines.append("    qb:dataSet ex:ds2 ;")
+                    add_exp("IC1", _t(name), [_t("ds"), _t("ds2")])
+                    add_exp("IC2", _t("ds2"), [])
+                if not (mut == "IC11" and name == "o1_1"):
+                    lines.append(f"    ex:area ex:{area} ;")
+                else:
+                    add_exp("IC11", _t(name), [_t("area")])
+                if mut == "IC13" and name != "o2_0":
+                    lines.append("    ex:unitobs <" + UNIT + "> ;")
+                if mut == "IC13" and name == "o2_0":
+                    add_exp("IC13", _t(name), [_t("unitobs")])
+                if mut == "IC14":
+                    if name != "o3_0":
+                        lines.append("    ex:life2 %.1f ;" % (val + 1))
+                    else:
+                        add_exp("IC14", _t(name), [_t("life2")])
+                lines.append(f"    ex:life {val:.1f} .")
+                L.append("\n".join(lines))
+            si += 1
+
+    if mut == "IC1":
+        L.append("ex:onods a qb:Observation .")
+        add_exp("IC1", _t("onods"), [])
+    if mut == "IC10":
+        L.append(
+            "ex:sliceX a qb:Slice ;\n    qb:sliceStructure ex:skey ;\n    ex:period ex:p2004 ."
+        )
+        add_exp("IC10", _t("sliceX"), [_t("sex")])
+    if mut == "IC12":
+        # duplicate of o0_0 (same area; same slice-pushed period/sex)
+        L.append(
+            "ex:o0_0b a qb:Observation ;\n    qb:dataSet ex:ds ;\n"
+            "    ex:area ex:areaA ;\n    ex:life 1.1 ."
+        )
+        L.append("ex:slice0 qb:observation ex:o0_0b .")
+        add_exp("IC12", _t("o0_0b"), [])
+        # permuted-value pair: unordered value-set collision
+        # (ValidatorIC11_12.java:70-80 hashes the SET of first values)
+        L.append(
+            "ex:operm1 a qb:Observation ;\n    qb:dataSet ex:ds ;\n"
+            "    ex:area ex:permA ;\n    ex:period ex:permX ;\n"
+            "    ex:sex ex:permY ;\n    ex:life 2.1 ."
+        )
+        L.append(
+            "ex:operm2 a qb:Observation ;\n    qb:dataSet ex:ds ;\n"
+            "    ex:area ex:permA ;\n    ex:period ex:permY ;\n"
+            "    ex:sex ex:permX ;\n    ex:life 2.2 ."
+        )
+        add_exp("IC12", _t("operm2"), [])
+    if mut == "IC18":
+        L.append("ex:ds_b a qb:DataSet ;\n    qb:structure ex:dsd ;\n    ex:unit <" + UNIT + "> .")
+        L.append(
+            "ex:orphan_obs a qb:Observation ;\n    qb:dataSet ex:ds_b ;\n"
+            "    ex:area ex:areaA ;\n    ex:life 3.3 ."
+        )
+        add_exp("IC18", _t("orphan_obs"), [_t("ds")])
+
+    return "\n\n".join(L) + "\n", exp
+
+
+def mt_cube(mut: str | None = None) -> tuple[str, dict]:
+    """Measure-dimension (qb:measureType) cube for IC-15/16/17.
+
+    NOTE the reference's IC-14 quirk (ValidatorIC14.java:31-33): when the
+    DSD's component properties include qb:measureType the set is NOT
+    filtered to measures, so every observation is required to carry a value
+    for EVERY component property — including the other measure.  Every
+    measureType cube therefore fails IC-14 on every observation; the
+    expected maps below reproduce that faithfully.
+    """
+    L = [HEADER]
+    exp: dict[str, dict[str, list[str]]] = {}
+
+    def add_exp(ic, subject, detail):
+        exp.setdefault(ic, {})[subject] = sorted(detail)
+
+    L.append("ex:mds a qb:DataSet ;\n    qb:structure ex:mdsd .")
+    L.append(
+        "ex:mdsd a qb:DataStructureDefinition ;\n"
+        "    qb:component [ qb:dimension ex:area ; qb:order 1 ],\n"
+        "        [ qb:dimension qb:measureType ; qb:order 2 ],\n"
+        "        [ qb:measure ex:life ], [ qb:measure ex:life2 ] ."
+    )
+    L.append("ex:area a rdf:Property, qb:DimensionProperty ;\n    rdfs:range ex:Area .")
+    L.append(
+        "<http://purl.org/linked-data/cube#measureType> a qb:DimensionProperty ;\n"
+        "    rdfs:range qb:MeasureProperty ."
+    )
+    L.append("ex:life a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+    L.append("ex:life2 a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+
+    measures = ["life", "life2"]
+    obs = []
+    for ai, area in enumerate(AREAS):
+        for mi, m in enumerate(measures):
+            name = f"m{ai}_{mi}"
+            if mut == "IC17" and name == "m3_1":
+                continue  # drop one (area, measure) point
+            obs.append((name, area, m, 50 + ai + mi / 10.0))
+
+    n_obs = len(obs) + (1 if mut in ("IC16",) else 0)
+    for name, area, m, val in obs:
+        lines = [
+            f"ex:{name} a qb:Observation ;",
+            "    qb:dataSet ex:mds ;",
+            f"    ex:area ex:{area} ;",
+            f"    qb:measureType ex:{m} ;",
+        ]
+        if mut == "IC15" and name == "m0_0":
+            lines[-1] = lines[-1]  # keep measureType; omit the measure value
+            lines.append("    ex:ignore 0 .")
+            L.append("\n".join(lines))
+            add_exp("IC15", _t(name), [_t(m)])
+            # IC-14 quirk: missing its own measure value too
+            add_exp("IC14", _t(name), [_t("life"), _t("life2")])
+            continue
+        lines.append(f"    ex:{m} {val:.1f} .")
+        L.append("\n".join(lines))
+        other = measures[1 - measures.index(m)]
+        add_exp("IC14", _t(name), [_t(other)])
+
+    if mut == "IC16":
+        L.append(
+            "ex:mmulti a qb:Observation ;\n    qb:dataSet ex:mds ;\n"
+            "    ex:area ex:areaX ;\n    qb:measureType ex:life, ex:life2 ;\n"
+            "    ex:life 9.9 ."
+        )
+        add_exp("IC16", _t("mmulti"), [_t("life"), _t("life2")])
+        add_exp("IC14", _t("mmulti"), [_t("life2")])
+        # dedicated area point → group of 1 ≠ 2 measures (IC-17)
+        add_exp("IC17", _t("mmulti"), [str(n_obs - 1)])
+    if mut == "IC17":
+        # point areaD has only m3_0 → group size 1 ≠ numMeasures 2
+        add_exp("IC17", _t("m3_0"), [str(len(obs) - 1)])
+
+    return "\n\n".join(L) + "\n", exp
+
+
+def cl_cube(mut: str | None = None) -> tuple[str, dict]:
+    """Code-list cube: one ConceptScheme dim + one (nested) Collection dim
+    (shapes from ValidatorIC19.java:28-31,145-158)."""
+    L = [HEADER]
+    exp: dict[str, dict[str, list[str]]] = {}
+
+    def add_exp(ic, subject, detail):
+        exp.setdefault(ic, {})[subject] = sorted(detail)
+
+    L.append("ex:cds a qb:DataSet ;\n    qb:structure ex:cdsd .")
+    L.append(
+        "ex:cdsd a qb:DataStructureDefinition ;\n"
+        "    qb:component [ qb:dimension ex:cdim1 ; qb:order 1 ],\n"
+        "        [ qb:dimension ex:cdim2 ; qb:order 2 ],\n"
+        "        [ qb:measure ex:val ] ."
+    )
+    L.append(
+        "ex:cdim1 a rdf:Property, qb:DimensionProperty ;\n"
+        "    rdfs:range skos:Concept ;\n    qb:codeList ex:scheme ."
+    )
+    L.append(
+        "ex:cdim2 a rdf:Property, qb:DimensionProperty ;\n"
+        "    rdfs:range skos:Concept ;\n    qb:codeList ex:coll ."
+    )
+    L.append("ex:val a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+    L.append("ex:scheme a skos:ConceptScheme .")
+    L.append("ex:coll a skos:Collection ;\n    skos:member ex:c3, ex:subcoll .")
+    L.append("ex:subcoll skos:member ex:c4 .")
+    L.append("ex:c1 a skos:Concept ;\n    skos:inScheme ex:scheme .")
+    L.append("ex:c2 a skos:Concept ;\n    skos:inScheme ex:scheme .")
+    L.append("ex:c3 a skos:Concept .")
+    L.append("ex:c4 a skos:Concept .")
+
+    pairs = [("c1", "c3"), ("c2", "c4"), ("c1", "c4"), ("c2", "c3")]
+    for i, (a, b) in enumerate(pairs):
+        L.append(
+            f"ex:co{i} a qb:Observation ;\n    qb:dataSet ex:cds ;\n"
+            f"    ex:cdim1 ex:{a} ;\n    ex:cdim2 ex:{b} ;\n    ex:val {i}.5 ."
+        )
+    if mut == "IC19":
+        L.append("ex:cbad a skos:Concept .")  # typed but not in scheme
+        L.append("ex:coll skos:member ex:cnoc .")  # member but untyped
+        L.append(
+            "ex:cox a qb:Observation ;\n    qb:dataSet ex:cds ;\n"
+            "    ex:cdim1 ex:cbad ;\n    ex:cdim2 ex:cnoc ;\n    ex:val 9.5 ."
+        )
+        add_exp("IC19", _t("cbad"), [_t("scheme")])
+        add_exp("IC19", _t("cnoc"), [_t("coll")])
+    return "\n\n".join(L) + "\n", exp
+
+
+def hier_cube(mut: str | None = None) -> tuple[str, dict]:
+    """Hierarchical code-list cube with BOTH a direct parentChildProperty
+    and a blank-node inverse one (ValidatorIC20_21.java:165-192), plus both
+    edge sets, so IC-20 and IC-21 each pass on the well-formed variant."""
+    L = [HEADER]
+    exp: dict[str, dict[str, list[str]]] = {}
+
+    def add_exp(ic, subject, detail):
+        exp.setdefault(ic, {})[subject] = sorted(detail)
+
+    L.append("ex:hds a qb:DataSet ;\n    qb:structure ex:hdsd .")
+    L.append(
+        "ex:hdsd a qb:DataStructureDefinition ;\n"
+        "    qb:component [ qb:dimension ex:hdim ; qb:order 1 ],\n"
+        "        [ qb:measure ex:val ] ."
+    )
+    L.append(
+        "ex:hdim a rdf:Property, qb:DimensionProperty ;\n"
+        "    rdfs:range ex:Node ;\n    qb:codeList ex:hier ."
+    )
+    L.append("ex:val a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+    L.append(
+        "ex:hier a qb:HierarchicalCodeList ;\n"
+        "    qb:hierarchyRoot ex:nroot ;\n"
+        "    qb:parentChildProperty ex:contains, [ owl:inverseOf ex:within ] ."
+    )
+    L.append("ex:nroot ex:contains ex:n1 .")
+    L.append("ex:n1 ex:contains ex:n2 ;\n    ex:within ex:nroot .")
+    L.append("ex:n2 ex:within ex:n1 .")
+
+    values = ["nroot", "n1", "n2"]
+    for i, v in enumerate(values):
+        L.append(
+            f"ex:ho{i} a qb:Observation ;\n    qb:dataSet ex:hds ;\n"
+            f"    ex:hdim ex:{v} ;\n    ex:val {i}.5 ."
+        )
+    if mut == "IC20":
+        # reachable inverse (within-edge) but NOT direct → only IC-20 fires
+        L.append("ex:norphan ex:within ex:n1 .")
+        L.append(
+            "ex:hox a qb:Observation ;\n    qb:dataSet ex:hds ;\n"
+            "    ex:hdim ex:norphan ;\n    ex:val 8.5 ."
+        )
+        add_exp("IC20", _t("norphan"), [_t("hier")])
+    if mut == "IC21":
+        # reachable direct (contains-edge) but NOT inverse → only IC-21 fires
+        L.append("ex:n1 ex:contains ex:ndangle .")
+        L.append(
+            "ex:hoy a qb:Observation ;\n    qb:dataSet ex:hds ;\n"
+            "    ex:hdim ex:ndangle ;\n    ex:val 7.5 ."
+        )
+        add_exp("IC21", _t("ndangle"), [_t("hier")])
+    return "\n\n".join(L) + "\n", exp
+
+
+def abbrev_cube() -> tuple[str, dict]:
+    """Fully abbreviated cube (no rdf:type on observations / slices /
+    components) to pin the phase-1 closure (Normalizer.java:23-72)."""
+    L = [HEADER]
+    L.append("ex:ads qb:structure ex:adsd .")
+    L.append(
+        "ex:adsd qb:component [ qb:dimension ex:adim ],\n"
+        "    [ qb:measure ex:aval ] ."
+    )
+    L.append("ex:adim rdfs:range ex:Area .")
+    L.append("ex:ao1 qb:dataSet ex:ads ;\n    ex:adim ex:areaA ;\n    ex:aval 1.0 .")
+    L.append("ex:ao2 qb:dataSet ex:ads ;\n    ex:adim ex:areaB ;\n    ex:aval 2.0 .")
+    return "\n\n".join(L) + "\n", {}
+
+
+MUTANTS_WF = ["IC1", "IC2", "IC3", "IC4", "IC5", "IC6", "IC7", "IC8", "IC9", "IC10", "IC11", "IC12", "IC13", "IC14", "IC18"]
+MUTANTS_MT = ["IC15", "IC16", "IC17"]
+
+
+def all_cases() -> dict[str, tuple[str, dict]]:
+    cases: dict[str, tuple[str, dict]] = {"WF": wf_cube(None)}
+    for m in MUTANTS_WF:
+        cases[m] = wf_cube(m)
+    cases["WF-MT"] = mt_cube(None)
+    for m in MUTANTS_MT:
+        cases[m] = mt_cube(m)
+    cases["WF-CL"] = cl_cube(None)
+    cases["IC19"] = cl_cube("IC19")
+    cases["WF-H"] = hier_cube(None)
+    cases["IC20"] = hier_cube("IC20")
+    cases["IC21"] = hier_cube("IC21")
+    cases["ABBREV"] = abbrev_cube()
+    return cases
+
+
+def corpus_table(cases: dict[str, tuple[str, dict]] | None = None, *, with_noise: bool = True) -> pa.Table:
+    """Fixture cases → the driver-mandated corpus table.  ``with_noise``
+    adds non-RDF rows (lang="python" etc.) that the parser must skip."""
+    cases = cases or all_cases()
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for name, (content, _exp) in sorted(cases.items()):
+        rows["repo"].append("fixtures/cube-corpus")
+        rows["path"].append(f"cubes/{name}.ttl")
+        rows["commit"].append("c0ffee00" * 5)
+        rows["lang"].append("turtle")
+        rows["content"].append(content)
+    if with_noise:
+        rows["repo"].append("fixtures/cube-corpus")
+        rows["path"].append("src/main.py")
+        rows["commit"].append("c0ffee00" * 5)
+        rows["lang"].append("python")
+        rows["content"].append("print('not rdf')\n")
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-derived oracle corpus
+# ---------------------------------------------------------------------------
+
+TP = "http://example.org/tpch/"
+
+# Violation injection moduli — pure functions of l_orderkey so a DuckDB
+# oracle over lineitem predicts every finding (see __ray_entry__.oracle_sql).
+MOD_IC11 = 97    # K%97==0  → omit the supplier dimension
+MOD_IC12 = 101   # K%101==0 → duplicate of line 1
+MOD_IC13 = 103   # K%103==0 → omit the required obs-attached attribute
+MOD_IC1 = 107    # K%107==0 → line 1 gets a second qb:dataSet link
+MOD_IC14 = 109   # K%109==0 → omit the second measure
+
+
+def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> str:
+    """One cube file for one orderkey bucket.
+
+    rows: (l_orderkey, l_linenumber, l_suppkey, l_quantity), sorted.
+    """
+    out = [HEADER, f"@prefix tp: <{TP}> .\n"]
+    ds = f"tp:ds-{bucket}"
+    out.append(
+        f"{ds} a qb:DataSet ;\n    qb:structure tp:dsd ;\n"
+        f"    tp:a_unit <{UNIT}> ."
+    )
+    out.append(
+        "tp:dsd a qb:DataStructureDefinition ;\n"
+        "    qb:component [ qb:dimension tp:d_order ; qb:order 1 ],\n"
+        "        [ qb:dimension tp:d_line ; qb:order 2 ],\n"
+        "        [ qb:dimension tp:d_supp ; qb:order 3 ],\n"
+        "        [ qb:measure tp:m_qty ], [ qb:measure tp:m_price ],\n"
+        '        [ qb:attribute tp:a_status ; qb:componentRequired "true"^^xsd:boolean ],\n'
+        '        [ qb:attribute tp:a_unit ; qb:componentRequired "true"^^xsd:boolean ; '
+        "qb:componentAttachment qb:DataSet ] ."
+    )
+    out.append("tp:d_order a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:Order .")
+    out.append("tp:d_line a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:Line .")
+    out.append("tp:d_supp a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:Supp .")
+    out.append("tp:m_qty a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+    out.append("tp:m_price a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+    out.append("tp:a_status a rdf:Property, qb:AttributeProperty .")
+    out.append("tp:a_unit a rdf:Property, qb:AttributeProperty .")
+
+    def obs(key: int, line: int, supp: int, qty: float, suffix: str = "") -> str:
+        lines = [
+            f"<{TP}obs/{key}/{line}{suffix}> a qb:Observation ;",
+            f"    qb:dataSet {ds} ;",
+        ]
+        if line == 1 and key % MOD_IC1 == 0 and not suffix:
+            lines.append(f"    qb:dataSet <{TP}ds/extra/{key}> ;")
+        lines.append(f"    tp:d_order <{TP}order/{key}> ;")
+        lines.append(f"    tp:d_line <{TP}line/{line}{suffix}> ;")
+        if key % MOD_IC11 != 0:
+            lines.append(f"    tp:d_supp <{TP}supp/{supp}> ;")
+        if key % MOD_IC13 != 0:
+            lines.append('    tp:a_status "F" ;')
+        if key % MOD_IC14 != 0:
+            lines.append(f"    tp:m_price {qty * 2:.2f} ;")
+        lines.append(f"    tp:m_qty {qty:.2f} .")
+        return "\n".join(lines)
+
+    for key, line, supp, qty in rows:
+        out.append(obs(key, line, supp, qty))
+        if line == 1 and key % MOD_IC12 == 0:
+            # duplicate observation: same dimension values (d_line uses the
+            # ORIGINAL line IRI so the value set collides), own measures
+            dup = [
+                f"<{TP}obs/{key}/{line}dup> a qb:Observation ;",
+                f"    qb:dataSet {ds} ;",
+                f"    tp:d_order <{TP}order/{key}> ;",
+                f"    tp:d_line <{TP}line/{line}> ;",
+            ]
+            if key % MOD_IC11 != 0:
+                dup.append(f"    tp:d_supp <{TP}supp/{supp}> ;")
+            if key % MOD_IC13 != 0:
+                dup.append('    tp:a_status "F" ;')
+            if key % MOD_IC14 != 0:
+                dup.append(f"    tp:m_price {qty * 2:.2f} ;")
+            dup.append(f"    tp:m_qty {qty:.2f} .")
+            out.append("\n".join(dup))
+    return "\n\n".join(out) + "\n"
+
+
+def tpch_cube_corpus(sf_dir: str, n_files: int = 64) -> pa.Table:
+    """lineitem.parquet → corpus table of n_files Turtle cube files
+    (bucket = l_orderkey % n_files, so every observation lands in exactly
+    one file and IRIs are globally unique)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"],
+    )
+    keys = t.column("l_orderkey").to_pylist()
+    lines = t.column("l_linenumber").to_pylist()
+    supps = t.column("l_suppkey").to_pylist()
+    qtys = t.column("l_quantity").to_pylist()
+    buckets: dict[int, list[tuple[int, int, int, float]]] = {}
+    for k, ln, s, q in zip(keys, lines, supps, qtys):
+        buckets.setdefault(k % n_files, []).append((k, ln, s, q))
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for b in sorted(buckets):
+        rows["repo"].append("synthetic/tpch-cubes")
+        rows["path"].append(f"cubes/bucket{b:04d}.ttl")
+        rows["commit"].append("deadbeef" * 5)
+        rows["lang"].append("turtle")
+        rows["content"].append(tpch_cube_turtle(b, sorted(buckets[b])))
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})

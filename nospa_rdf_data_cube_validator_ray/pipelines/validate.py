@@ -1,0 +1,205 @@
+"""End-to-end validation pipeline and the Validator-style facade.
+
+Mirrors the reference lifecycle (Main.java:51-57 / NospaValidator.java):
+load → normalize → validateAll → results, re-expressed as:
+
+    read_parquet(corpus) → map_batches(parse) → union(phase-1 derivations)
+      → [schema-side collect → per-graph index → ray.put broadcast]
+      → map_batches(pivot input build; phase-2 pushdown fused map-side)
+      → groupby(bucket).map_groups(per-obs checks)
+      → second-stage groupbys (IC-12 / IC-17 / IC-19..21)
+      → findings Dataset
+
+The triple stream is materialized once (object store by default, Parquet
+checkpoint when ``checkpoint_dir`` is given — the resumable layout) since
+three consumers read it: the schema collector (twice, filtered) and the
+pivot.  Normalization phase 2 never materializes its fan-out as triples on
+the hot path: the pushed-down values ride the broadcast index and are
+emitted map-side into the pivot, which is what turns the reference's
+obs × component insert loop (Normalizer.java:197-206) into a shuffle-free
+transform.  ``export_model`` materializes them explicitly for parity with
+``NospaValidator.exportModel`` (NospaValidator.java:56-67).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..model import FINDINGS_SCHEMA, KIND_LITERAL, TRIPLE_SCHEMA, split_graph_id
+from ..model_terms import subj_term
+from ..sources.parse_stage import parse_corpus, read_corpus
+from ..stages.normalize import with_phase1
+from ..stages.pivot import run_pivot
+from ..stages.schema_index import build_schema_indexes
+from ..checks import finalize
+from .. import vocab as V
+
+_DETAIL_SEP = "\x1e"
+
+ALL_ICS = [f"IC{i}" for i in range(1, 22)]
+
+
+def _findings_table(df: pd.DataFrame) -> pa.Table:
+    details = [
+        [] if not d else d.split(_DETAIL_SEP) for d in df["detail"].tolist()
+    ]
+    return pa.Table.from_arrays(
+        [
+            pa.array(df["graph"].tolist(), pa.string()),
+            pa.array(df["file_sha256"].tolist(), pa.string()),
+            pa.array(df["ic"].tolist(), pa.string()),
+            pa.array(df["subject"].tolist(), pa.string()),
+            pa.array(details, pa.list_(pa.string())),
+        ],
+        schema=FINDINGS_SCHEMA,
+    )
+
+
+def _split_kind(pivot_out, kind: str):
+    return pivot_out.map_batches(
+        lambda df, kind=kind: df[df["kind"] == kind],
+        batch_format="pandas",
+    )
+
+
+class CubeValidator:
+    """Ray-Data-native analog of the reference ``Validator`` interface
+    (Validator.java:6-24: exportModel / normalize / validateAll) plus the
+    per-IC entry points of NospaValidator (README.md:53-73)."""
+
+    def __init__(
+        self,
+        corpus=None,
+        *,
+        corpus_path: str | None = None,
+        triples=None,
+        num_buckets: int = 64,
+        checkpoint_dir: str | None = None,
+        strict_parse: bool = False,
+        parse_concurrency=None,
+    ):
+        if corpus is None and corpus_path is not None:
+            corpus = read_corpus(corpus_path)
+        if corpus is None and triples is None:
+            raise ValueError("need corpus, corpus_path or triples")
+        if isinstance(corpus, pa.Table):
+            corpus = ray.data.from_arrow(corpus)
+        self._corpus = corpus
+        self._raw_triples = triples
+        self.num_buckets = num_buckets
+        self.checkpoint_dir = checkpoint_dir
+        self.strict_parse = strict_parse
+        self.parse_concurrency = parse_concurrency
+        self._triples = None        # normalized (phase 1) triple stream
+        self._indexes = None
+        self._index_ref = None
+        self._findings = None
+
+    # -- normalize --------------------------------------------------------
+
+    def normalize(self):
+        """Parse + phase-1 closure, materialized once for multi-consumer
+        reads (Parquet checkpoint if configured, else object store)."""
+        if self._triples is not None:
+            return self._triples
+        t = self._raw_triples
+        if t is None:
+            t = parse_corpus(
+                self._corpus,
+                strict=self.strict_parse,
+                concurrency=self.parse_concurrency,
+            )
+        t = with_phase1(t)
+        if self.checkpoint_dir:
+            t.write_parquet(self.checkpoint_dir)
+            t = ray.data.read_parquet(self.checkpoint_dir)
+        else:
+            t = t.materialize()
+        self._triples = t
+        return t
+
+    def _ensure_indexes(self):
+        if self._indexes is None:
+            self._indexes = build_schema_indexes(self.normalize())
+            self._index_ref = ray.put(self._indexes)
+        return self._indexes
+
+    # -- validate ---------------------------------------------------------
+
+    def validate_all(self):
+        """All 21 ICs; returns the findings Dataset
+        (graph, file_sha256, ic, subject, detail)."""
+        if self._findings is not None:
+            return self._findings
+        triples = self.normalize()
+        indexes = self._ensure_indexes()
+
+        pivot_out = run_pivot(triples, self._index_ref, self.num_buckets).materialize()
+
+        f_stream = _split_kind(pivot_out, "f").map_batches(
+            lambda df: df[["graph", "file_sha256", "ic", "subject", "detail"]],
+            batch_format="pandas",
+        )
+        ic12 = finalize.ic12_findings(_split_kind(pivot_out, "dup"))
+        vals = finalize.val_findings(_split_kind(pivot_out, "val"))
+
+        driver_dfs = [
+            finalize.schema_findings_df(indexes),
+            finalize.ic2_findings(
+                _split_kind(pivot_out, "dss")
+                .map_batches(
+                    lambda df: df[["graph", "dataset"]].drop_duplicates(),
+                    batch_format="pandas",
+                )
+                .take_all(),
+                indexes,
+            ),
+            finalize.ic17_findings(_split_kind(pivot_out, "pt"), indexes),
+        ]
+        driver_df = pd.concat(driver_dfs, ignore_index=True)
+
+        parts = [
+            ds.map_batches(
+                lambda df: _findings_table(df), batch_format="pandas"
+            )
+            for ds in (f_stream, ic12, vals)
+        ]
+        findings = parts[0].union(*parts[1:])
+        if len(driver_df):
+            findings = findings.union(
+                ray.data.from_arrow(_findings_table(driver_df))
+            )
+        self._findings = findings.materialize()
+        return self._findings
+
+    def validate(self, ics) -> "ray.data.Dataset":
+        """Selective validation (the reference's per-IC public methods) —
+        the engine amortizes all ICs over shared shuffles, so selection is
+        a filter on the findings."""
+        ics = set(ics)
+        return self.validate_all().filter(lambda r: r["ic"] in ics)
+
+    def findings_df(self) -> pd.DataFrame:
+        df = self.validate_all().to_pandas()
+        df["detail"] = df["detail"].map(lambda d: sorted(d))
+        return df
+
+    # -- export -----------------------------------------------------------
+
+    def normalized_triples(self):
+        """Phase-1 ∪ phase-2 triples (phase 2 materialized here only —
+        export parity with NospaValidator.exportModel)."""
+        triples = self.normalize()
+        self._ensure_indexes()
+        from ..stages.export import phase2_triples, exact_dedup_triples
+
+        p2 = phase2_triples(triples, self._index_ref)
+        return exact_dedup_triples(triples.union(p2), self.num_buckets)
+
+    def export_model(self, out_dir: str):
+        self.normalized_triples().write_parquet(out_dir)
+        return out_dir

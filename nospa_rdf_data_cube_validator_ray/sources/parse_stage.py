@@ -1,0 +1,118 @@
+"""Corpus → triple-table Ray Data stages.
+
+Input is the driver-mandated Parquet table of source-code repository files
+``(repo, path, commit, lang, content)``; the reference's whole-file
+``model.read`` (NospaValidator.java:40-48) becomes a stateless
+``map_batches`` transform that fans each file's content out into N triple
+rows (Arrow in / Arrow out, one parser instance per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+import ray.data
+
+from ..model import TRIPLE_SCHEMA, make_graph_id
+from .rdf_parser import format_for, parse_document, RDFSyntaxError
+
+
+def read_corpus(paths, *, columns=None) -> "ray.data.Dataset":
+    """Read the (repo, path, commit, lang, content) table; prune columns at
+    the read so only what the parser needs leaves storage."""
+    return ray.data.read_parquet(
+        paths, columns=columns or ["repo", "path", "commit", "lang", "content"]
+    )
+
+
+class ParseRDF:
+    """Actor-pool stage: one batch of corpus rows → triple rows.
+
+    Non-RDF rows (``lang`` not an RDF serialization and no RDF file
+    extension) are skipped silently, mirroring the reference CLI which is
+    only ever handed cube files.  Rows that fail to parse become zero
+    triples plus an error row in the side ``errors`` column handling —
+    kept simple: parse errors raise by default (strict=True) or skip.
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        graphs: list[str] = []
+        shas: list[str] = []
+        subjs: list[str] = []
+        preds: list[str] = []
+        okinds: list[int] = []
+        objs: list[str] = []
+        odts: list[str] = []
+        olangs: list[str] = []
+
+        repo_col = batch.column("repo").to_pylist()
+        path_col = batch.column("path").to_pylist()
+        commit_col = batch.column("commit").to_pylist()
+        lang_col = batch.column("lang").to_pylist()
+        content_col = batch.column("content").to_pylist()
+
+        for repo, path, commit, lang, content in zip(
+            repo_col, path_col, commit_col, lang_col, content_col
+        ):
+            fmt = format_for(lang, path)
+            if fmt is None or content is None:
+                continue
+            try:
+                triples = parse_document(content, fmt)
+            except RDFSyntaxError:
+                if self.strict:
+                    raise
+                continue
+            gid = make_graph_id(repo, path, commit)
+            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            n = len(triples)
+            graphs.extend([gid] * n)
+            shas.extend([sha] * n)
+            for s, p, k, o, dt, lg in triples:
+                subjs.append(s)
+                preds.append(p)
+                okinds.append(k)
+                objs.append(o)
+                odts.append(dt)
+                olangs.append(lg)
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(graphs, pa.string()),
+                pa.array(shas, pa.string()),
+                pa.array(subjs, pa.string()),
+                pa.array(preds, pa.string()),
+                pa.array(okinds, pa.int8()),
+                pa.array(objs, pa.string()),
+                pa.array(odts, pa.string()),
+                pa.array(olangs, pa.string()),
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
+
+def parse_corpus(
+    corpus: "ray.data.Dataset",
+    *,
+    strict: bool = True,
+    batch_size: int = 64,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """corpus Dataset → triple Dataset.
+
+    ``batch_size`` counts *files*; cube files are large (the reference
+    bench file averaged ~425 bytes/observation), so a small file batch
+    keeps the output blocks near the Arrow sweet spot without holding
+    many parsed documents in one heap.
+    """
+    return corpus.map_batches(
+        ParseRDF(strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

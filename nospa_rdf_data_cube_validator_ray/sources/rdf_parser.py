@@ -1,0 +1,484 @@
+"""Pure-Python RDF parsers: Turtle (+N3 subset) and N-Triples.
+
+The reference delegates parsing to Jena's ``model.read(stream, null, fmt)``
+with the format inferred from the file extension (Main.java:23-43,
+NospaValidator.java:40-48): .ttl → TURTLE, .nt → N-TRIPLE, .n3 → N3,
+.xml/.rdf → RDF/XML.  This module is a from-scratch implementation sized
+for the hot path of a Ray ``map_batches`` stage: one compiled master-regex
+tokenizer, no per-character Python loops, all state local to a document.
+
+Output triples are tuples ``(subj, pred, obj_kind, obj, obj_dt, obj_lang)``
+using the term encoding of :mod:`..model`.  Blank nodes are canonicalized
+per document: labelled nodes keep ``_:<label>``, anonymous ``[...]`` / ``()``
+nodes get ``_:a<n>`` in deterministic parse order (stable across Ray task
+retries because parsing is a pure function of the content string).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from ..vocab import (
+    PREFIX_RDF,
+    RDF_first,
+    RDF_nil,
+    RDF_rest,
+    RDF_type,
+    XSD_boolean,
+    XSD_decimal,
+    XSD_double,
+    XSD_integer,
+)
+from ..model import KIND_BNODE, KIND_IRI, KIND_LITERAL
+
+Triple = tuple[str, str, int, str, str, str]
+
+
+class RDFSyntaxError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<COMMENT>\#[^\n]*)
+  | (?P<STRING_LONG2>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
+  | (?P<STRING_LONG1>'''(?:[^'\\]|\\.|'(?!''))*''')
+  | (?P<STRING2>\"(?:[^"\\\n]|\\.)*\")
+  | (?P<STRING1>'(?:[^'\\\n]|\\.)*')
+  | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
+  | (?P<DOUBLE>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.?\d+[eE][+-]?\d+))
+  | (?P<DECIMAL>[+-]?\d*\.\d+)
+  | (?P<INTEGER>[+-]?\d+)
+  | (?P<PREFIX_DECL>@prefix|@base|(?i:PREFIX(?=\s))|(?i:BASE(?=\s)))
+  | (?P<LANGTAG>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
+  | (?P<DTSEP>\^\^)
+  | (?P<BNODE>_:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.\-]*)?:(?:[A-Za-z0-9_:%\-\\]|\.(?=[A-Za-z0-9_:%\-\\.])|[^\x00-\x7F])*|[A-Za-z_][A-Za-z0-9_\-]*)
+  | (?P<PUNCT>[.;,\[\]()])
+    """,
+    re.VERBOSE,
+)
+
+_ESCAPE_RE = re.compile(r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|[tbnrf\"'\\])")
+_ESCAPE_MAP = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
+_LOCAL_ESC_RE = re.compile(r"\\([_~.\-!$&'()*+,;=/?#@%])")
+
+
+def _unescape(s: str) -> str:
+    def repl(m: re.Match) -> str:
+        g = m.group(1)
+        if g[0] == "u":
+            return chr(int(g[1:], 16))
+        if g[0] == "U":
+            return chr(int(g[1:], 16))
+        return _ESCAPE_MAP[g]
+
+    return _ESCAPE_RE.sub(repl, s)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    append = tokens.append
+    pos = 0
+    n = len(text)
+    for m in _TOKEN_RE.finditer(text):
+        if m.start() != pos:
+            snippet = text[pos : pos + 40]
+            raise RDFSyntaxError(f"unrecognized input at offset {pos}: {snippet!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("WS", "COMMENT"):
+            continue
+        append((kind, m.group()))
+    if pos != n:
+        raise RDFSyntaxError(f"unrecognized input at offset {pos}: {text[pos:pos+40]!r}")
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Turtle parser
+# ---------------------------------------------------------------------------
+
+
+class TurtleParser:
+    """Recursive-descent parser over the token stream.
+
+    Supports the Turtle features the reference's inputs use (@prefix/@base,
+    prefixed names, 'a', object/predicate lists, anonymous and labelled
+    blank nodes, collections, numeric/boolean/string literals with language
+    tags and datatypes), which also covers machine-generated N3.
+    """
+
+    def __init__(self) -> None:
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.triples: list[Triple] = []
+        self._anon = 0
+        self._tokens: list[tuple[str, str]] = []
+        self._i = 0
+
+    # -- token helpers ----------------------------------------------------
+
+    def _peek(self) -> tuple[str, str]:
+        if self._i >= len(self._tokens):
+            return ("EOF", "")
+        return self._tokens[self._i]
+
+    def _next(self) -> tuple[str, str]:
+        tok = self._peek()
+        self._i += 1
+        return tok
+
+    def _expect_punct(self, ch: str) -> None:
+        kind, val = self._next()
+        if kind != "PUNCT" or val != ch:
+            raise RDFSyntaxError(f"expected {ch!r}, got {kind} {val!r} at token {self._i}")
+
+    def _new_anon(self) -> str:
+        self._anon += 1
+        return f"_:a{self._anon}"
+
+    # -- term production --------------------------------------------------
+
+    def _resolve_iri(self, raw: str) -> str:
+        iri = _unescape(raw[1:-1])
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            return self.base + iri
+        return iri
+
+    def _resolve_pname(self, raw: str) -> str:
+        if ":" not in raw:
+            raise RDFSyntaxError(f"bare word {raw!r} is not a valid term")
+        prefix, local = raw.split(":", 1)
+        ns = self.prefixes.get(prefix)
+        if ns is None:
+            raise RDFSyntaxError(f"undefined prefix {prefix!r}:")
+        return ns + _LOCAL_ESC_RE.sub(r"\1", local)
+
+    def _string_value(self, kind: str, val: str) -> str:
+        if kind in ("STRING_LONG2", "STRING_LONG1"):
+            return _unescape(val[3:-3])
+        return _unescape(val[1:-1])
+
+    def _parse_term(self, kind: str, val: str, as_subject: bool = False):
+        """Returns (kind, lex, dt, lang)."""
+        if kind == "IRIREF":
+            return (KIND_IRI, self._resolve_iri(val), "", "")
+        if kind == "PNAME":
+            if val == "a":
+                return (KIND_IRI, RDF_type, "", "")
+            if val == "true" or val == "false":
+                return (KIND_LITERAL, val, XSD_boolean, "")
+            return (KIND_IRI, self._resolve_pname(val), "", "")
+        if kind == "BNODE":
+            return (KIND_BNODE, "_:" + val[2:], "", "")
+        if kind == "INTEGER":
+            return (KIND_LITERAL, val, XSD_integer, "")
+        if kind == "DECIMAL":
+            return (KIND_LITERAL, val, XSD_decimal, "")
+        if kind == "DOUBLE":
+            return (KIND_LITERAL, val, XSD_double, "")
+        if kind.startswith("STRING"):
+            lex = self._string_value(kind, val)
+            nkind, nval = self._peek()
+            if nkind == "LANGTAG":
+                self._next()
+                return (KIND_LITERAL, lex, "", nval[1:])
+            if nkind == "DTSEP":
+                self._next()
+                dkind, dval = self._next()
+                if dkind == "IRIREF":
+                    dt = self._resolve_iri(dval)
+                elif dkind == "PNAME":
+                    dt = self._resolve_pname(dval)
+                else:
+                    raise RDFSyntaxError(f"bad datatype token {dkind}")
+                return (KIND_LITERAL, lex, dt, "")
+            return (KIND_LITERAL, lex, "", "")
+        if kind == "PUNCT" and val == "[":
+            node = self._new_anon()
+            nkind, nval = self._peek()
+            if nkind == "PUNCT" and nval == "]":
+                self._next()
+            else:
+                self._parse_predicate_object_list(node)
+                self._expect_punct("]")
+            return (KIND_BNODE, node, "", "")
+        if kind == "PUNCT" and val == "(":
+            return (KIND_BNODE, self._parse_collection(), "", "")
+        raise RDFSyntaxError(f"unexpected token {kind} {val!r}")
+
+    def _parse_collection(self) -> str:
+        items = []
+        while True:
+            kind, val = self._next()
+            if kind == "PUNCT" and val == ")":
+                break
+            items.append(self._parse_term(kind, val))
+        if not items:
+            return RDF_nil
+        head = self._new_anon()
+        cur = head
+        for idx, (k, lex, dt, lang) in enumerate(items):
+            self.triples.append((cur, RDF_first, k, lex, dt, lang))
+            if idx == len(items) - 1:
+                self.triples.append((cur, RDF_rest, KIND_IRI, RDF_nil, "", ""))
+            else:
+                nxt = self._new_anon()
+                self.triples.append((cur, RDF_rest, KIND_BNODE, nxt, "", ""))
+                cur = nxt
+        return head
+
+    # -- statement productions -------------------------------------------
+
+    def _parse_predicate_object_list(self, subj: str) -> None:
+        while True:
+            kind, val = self._next()
+            if kind == "PNAME" and val == "a":
+                pred = RDF_type
+            elif kind == "IRIREF":
+                pred = self._resolve_iri(val)
+            elif kind == "PNAME":
+                pred = self._resolve_pname(val)
+            else:
+                raise RDFSyntaxError(f"expected predicate, got {kind} {val!r}")
+            # object list
+            while True:
+                kind, val = self._next()
+                okind, olex, odt, olang = self._parse_term(kind, val)
+                self.triples.append((subj, pred, okind, olex, odt, olang))
+                nkind, nval = self._peek()
+                if nkind == "PUNCT" and nval == ",":
+                    self._next()
+                    continue
+                break
+            nkind, nval = self._peek()
+            if nkind == "PUNCT" and nval == ";":
+                self._next()
+                # allow trailing ; before . or ]
+                nkind, nval = self._peek()
+                if nkind == "PUNCT" and nval in (".", "]"):
+                    return
+                continue
+            return
+
+    def parse(self, text: str) -> list[Triple]:
+        self._tokens = _tokenize(text)
+        self._i = 0
+        while True:
+            kind, val = self._next()
+            if kind == "EOF":
+                break
+            if kind == "PREFIX_DECL":
+                decl = val.lower()
+                if decl in ("@prefix", "prefix"):
+                    pkind, pval = self._next()
+                    if pkind != "PNAME" or not pval.endswith(":"):
+                        # PNAME token for "p:" — prefix decl has empty local
+                        if pkind != "PNAME" or ":" not in pval:
+                            raise RDFSyntaxError(f"bad prefix declaration near {pval!r}")
+                    prefix = pval.split(":", 1)[0]
+                    ikind, ival = self._next()
+                    if ikind != "IRIREF":
+                        raise RDFSyntaxError("prefix declaration requires IRIREF")
+                    self.prefixes[prefix] = _unescape(ival[1:-1])
+                else:  # @base / BASE
+                    ikind, ival = self._next()
+                    if ikind != "IRIREF":
+                        raise RDFSyntaxError("base declaration requires IRIREF")
+                    self.base = _unescape(ival[1:-1])
+                if decl.startswith("@"):
+                    self._expect_punct(".")
+                continue
+            # subject
+            skind, slex, _, _ = self._parse_term(kind, val, as_subject=True)
+            if skind == KIND_LITERAL:
+                raise RDFSyntaxError("literal cannot be a subject")
+            nkind, nval = self._peek()
+            if not (nkind == "PUNCT" and nval == "."):
+                self._parse_predicate_object_list(slex)
+            self._expect_punct(".")
+        return self.triples
+
+
+# ---------------------------------------------------------------------------
+# N-Triples parser (fast line-based path)
+# ---------------------------------------------------------------------------
+
+_NT_LINE_RE = re.compile(
+    r"""^[ \t]*
+    (?:(?P<s_iri><[^>]*>)|(?P<s_bn>_:\S+))
+    [ \t]+<(?P<p>[^>]*)>[ \t]+
+    (?:(?P<o_iri><[^>]*>)
+      |(?P<o_bn>_:[^ \t]+)
+      |"(?P<o_lit>(?:[^"\\]|\\.)*)"
+        (?:\^\^<(?P<o_dt>[^>]*)>|@(?P<o_lang>[a-zA-Z0-9\-]+))?
+    )
+    [ \t]*\.[ \t]*(?:\#.*)?$""",
+    re.VERBOSE,
+)
+
+
+def parse_ntriples(text: str) -> list[Triple]:
+    triples: list[Triple] = []
+    append = triples.append
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = _NT_LINE_RE.match(line)
+        if m is None:
+            raise RDFSyntaxError(f"bad N-Triples line: {line[:80]!r}")
+        if m.group("s_iri"):
+            s = _unescape(m.group("s_iri")[1:-1])
+        else:
+            s = m.group("s_bn")
+        p = _unescape(m.group("p"))
+        if m.group("o_iri"):
+            append((s, p, KIND_IRI, _unescape(m.group("o_iri")[1:-1]), "", ""))
+        elif m.group("o_bn"):
+            append((s, p, KIND_BNODE, m.group("o_bn"), "", ""))
+        else:
+            append(
+                (
+                    s,
+                    p,
+                    KIND_LITERAL,
+                    _unescape(m.group("o_lit")),
+                    _unescape(m.group("o_dt") or ""),
+                    m.group("o_lang") or "",
+                )
+            )
+    return triples
+
+
+def parse_turtle(text: str) -> list[Triple]:
+    return TurtleParser().parse(text)
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML parser (subset)
+# ---------------------------------------------------------------------------
+
+_RDF_NS = PREFIX_RDF
+
+
+def parse_rdfxml(text: str) -> list[Triple]:
+    """Minimal RDF/XML reader: rdf:Description / typed node elements,
+    rdf:about / rdf:ID / rdf:nodeID / rdf:resource, nested node elements,
+    rdf:datatype, xml:lang, plain literal property elements.
+
+    Covers the serializations Jena emits for cube data (Main.java:23-28
+    maps .rdf/.xml here); exotic features (rdf:parseType="Collection",
+    reification, rdf:li) raise RDFSyntaxError.
+    """
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as exc:  # pragma: no cover
+        raise RDFSyntaxError(str(exc)) from exc
+
+    triples: list[Triple] = []
+    anon = [0]
+
+    def qname(tag: str) -> str:
+        if tag.startswith("{"):
+            ns, local = tag[1:].split("}", 1)
+            return ns + local
+        return tag
+
+    def new_anon() -> str:
+        anon[0] += 1
+        return f"_:a{anon[0]}"
+
+    def node_id(el) -> tuple[int, str]:
+        about = el.get(f"{{{_RDF_NS}}}about")
+        if about is not None:
+            return KIND_IRI, about
+        rid = el.get(f"{{{_RDF_NS}}}ID")
+        if rid is not None:
+            return KIND_IRI, "#" + rid
+        nid = el.get(f"{{{_RDF_NS}}}nodeID")
+        if nid is not None:
+            return KIND_BNODE, "_:" + nid
+        return KIND_BNODE, new_anon()
+
+    def walk_node(el) -> tuple[int, str]:
+        skind, s = node_id(el)
+        tag = qname(el.tag)
+        if tag != _RDF_NS + "Description":
+            triples.append((s, RDF_type, KIND_IRI, tag, "", ""))
+        for prop in el:
+            p = qname(prop.tag)
+            res = prop.get(f"{{{_RDF_NS}}}resource")
+            nid = prop.get(f"{{{_RDF_NS}}}nodeID")
+            dt = prop.get(f"{{{_RDF_NS}}}datatype")
+            lang = prop.get("{http://www.w3.org/XML/1998/namespace}lang", "")
+            children = list(prop)
+            if res is not None:
+                triples.append((s, p, KIND_IRI, res, "", ""))
+            elif nid is not None:
+                triples.append((s, p, KIND_BNODE, "_:" + nid, "", ""))
+            elif children:
+                okind, o = walk_node(children[0])
+                triples.append((s, p, okind, o, "", ""))
+            else:
+                triples.append((s, p, KIND_LITERAL, prop.text or "", dt or "", lang))
+        return skind, s
+
+    root_tag = qname(root.tag)
+    nodes = list(root) if root_tag == _RDF_NS + "RDF" else [root]
+    for el in nodes:
+        walk_node(el)
+    return triples
+
+
+_FORMAT_ALIASES = {
+    "turtle": "turtle",
+    "ttl": "turtle",
+    "n3": "turtle",
+    "ntriples": "ntriples",
+    "n-triples": "ntriples",
+    "nt": "ntriples",
+    "rdfxml": "rdfxml",
+    "rdf/xml": "rdfxml",
+    "rdf": "rdfxml",
+    "xml": "rdfxml",
+}
+
+
+def format_for(lang: str, path: str) -> str | None:
+    """Parser dispatch: the ``lang`` column first, then the file extension
+    (the reference's ext→format map, Main.java:23-43).  Returns None for
+    non-RDF rows (they are filtered out, not errors)."""
+    key = (lang or "").strip().lower()
+    if key in _FORMAT_ALIASES:
+        return _FORMAT_ALIASES[key]
+    dot = path.rfind(".")
+    if dot != -1:
+        ext = path[dot + 1 :].lower()
+        if ext in _FORMAT_ALIASES:
+            return _FORMAT_ALIASES[ext]
+    return None
+
+
+def parse_document(content: str, fmt: str) -> list[Triple]:
+    if fmt == "turtle":
+        return parse_turtle(content)
+    if fmt == "ntriples":
+        return parse_ntriples(content)
+    if fmt == "rdfxml":
+        return parse_rdfxml(content)
+    raise RDFSyntaxError(f"unsupported format {fmt!r}")
+
+
+def iter_documents(contents, fmts) -> Iterator[list[Triple]]:
+    for content, fmt in zip(contents, fmts):
+        yield parse_document(content, fmt)

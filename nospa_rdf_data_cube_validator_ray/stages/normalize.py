@@ -1,0 +1,95 @@
+"""Normalization phase 1 — type & property closure as a streaming transform.
+
+The reference's ``normalizePhase1`` (Normalizer.java:23-72) is six
+single-triple-pattern rules, each reading ONE triple and adding 1-2 derived
+triples.  That is an embarrassingly parallel per-batch emit: no shuffle, no
+state.  The derived triples may duplicate existing ones; the engine keeps
+*set semantics* downstream (all aggregations count distinct terms), so no
+global dedup shuffle is needed on the hot path — exact dedup happens only
+in the (optional) normalized-model export.
+
+Quirk preserved: the reference calls ``.asResource()`` on qb:slice objects
+without an ``isResource()`` guard (Normalizer.java:42-44), crashing on a
+literal object; the other rules guard.  We derive only for resource
+objects in all rules (the crash is not reproducible behavior worth
+matching — documented divergence).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA
+from .. import vocab as V
+
+# rule table: pred -> (type for subject, type for resource object,
+#                      also-emit (subj, componentProperty, obj))
+_P1_RULES = {
+    V.QB_observation: (None, V.QB_Observation, False),
+    V.QB_dataSet: (V.QB_Observation, V.QB_DataSet, False),
+    V.QB_slice: (None, V.QB_Slice, False),
+    V.QB_dimension: (None, V.QB_DimensionProperty, True),
+    V.QB_measure: (None, V.QB_MeasureProperty, True),
+    V.QB_attribute: (None, V.QB_AttributeProperty, True),
+}
+
+
+def phase1_derive(batch: pa.Table) -> pa.Table:
+    """One Arrow batch of triples → derived phase-1 triples (only)."""
+    preds = batch.column("pred")
+    mask = pc.is_in(preds, value_set=pa.array(list(_P1_RULES.keys())))
+    sub = batch.filter(mask)
+    if sub.num_rows == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+        )
+
+    graphs = sub.column("graph").to_pylist()
+    shas = sub.column("file_sha256").to_pylist()
+    subjs = sub.column("subj").to_pylist()
+    spreds = sub.column("pred").to_pylist()
+    okinds = sub.column("obj_kind").to_pylist()
+    objs = sub.column("obj").to_pylist()
+
+    og, osha, osubj, opred, okind, oobj = [], [], [], [], [], []
+
+    def emit(g, sha, s, p, k, o):
+        og.append(g)
+        osha.append(sha)
+        osubj.append(s)
+        opred.append(p)
+        okind.append(k)
+        oobj.append(o)
+
+    for g, sha, s, p, k, o in zip(graphs, shas, subjs, spreds, okinds, objs):
+        subj_type, obj_type, comp_prop = _P1_RULES[p]
+        if subj_type is not None:
+            emit(g, sha, s, V.RDF_type, KIND_IRI, subj_type)
+        if obj_type is not None and k != KIND_LITERAL:
+            emit(g, sha, o, V.RDF_type, KIND_IRI, obj_type)
+        if comp_prop:
+            # qb:componentProperty copies the object verbatim (any kind)
+            emit(g, sha, s, V.QB_componentProperty, k, o)
+
+    n = len(og)
+    return pa.Table.from_arrays(
+        [
+            pa.array(og, pa.string()),
+            pa.array(osha, pa.string()),
+            pa.array(osubj, pa.string()),
+            pa.array(opred, pa.string()),
+            pa.array(okind, pa.int8()),
+            pa.array(oobj, pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+        ],
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+def with_phase1(triples: "ray.data.Dataset") -> "ray.data.Dataset":  # noqa: F821
+    """triples ∪ phase-1 derivations (duplicates allowed; set semantics
+    downstream)."""
+    derived = triples.map_batches(phase1_derive, batch_format="pyarrow")
+    return triples.union(derived)
