@@ -481,7 +481,12 @@ MOD_IC14 = 109   # K%109==0 → omit the second measure
 def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> str:
     """One cube file for one orderkey bucket.
 
-    rows: (l_orderkey, l_linenumber, l_suppkey, l_quantity), sorted.
+    rows: (l_orderkey, row_rank, l_suppkey, l_quantity) where ``row_rank``
+    is the 1-based rank of the row within its order by
+    (l_linenumber, l_suppkey, round(l_quantity*100)) — the synthetic
+    lineitem table has duplicate (orderkey, linenumber) pairs, so the rank
+    is the row-unique dimension the obs IRI and tp:d_line are built from
+    (SQL twin: row_number() OVER (PARTITION BY l_orderkey ORDER BY ...)).
     """
     out = [HEADER, f"@prefix tp: <{TP}> .\n"]
     ds = f"tp:ds-{bucket}"
@@ -561,9 +566,16 @@ def tpch_cube_corpus(sf_dir: str, n_files: int = 64) -> pa.Table:
     lines = t.column("l_linenumber").to_pylist()
     supps = t.column("l_suppkey").to_pylist()
     qtys = t.column("l_quantity").to_pylist()
-    buckets: dict[int, list[tuple[int, int, int, float]]] = {}
+    # rank rows within each order by (linenumber, suppkey, qty-cents) —
+    # row-unique obs identity (exact ties interchangeable)
+    per_order: dict[int, list[tuple[int, int, int, float]]] = {}
     for k, ln, s, q in zip(keys, lines, supps, qtys):
-        buckets.setdefault(k % n_files, []).append((k, ln, s, q))
+        per_order.setdefault(k, []).append((ln, s, int(round(q * 100)), q))
+    buckets: dict[int, list[tuple[int, int, int, float]]] = {}
+    for k, order_rows in per_order.items():
+        order_rows.sort(key=lambda r: r[:3])
+        for rank, (_ln, s, _qc, q) in enumerate(order_rows, 1):
+            buckets.setdefault(k % n_files, []).append((k, rank, s, q))
     rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
     for b in sorted(buckets):
         rows["repo"].append("synthetic/tpch-cubes")

@@ -1,0 +1,210 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``knn_topk``          — brute-force cosine top-k: the (small) query
+  matrix is broadcast once via ``ray.put``; every data block computes a
+  block × query matmul and emits only its local top-k candidates, which a
+  final tiny driver-side merge reduces — the classic combiner pattern, so
+  the full similarity matrix never materializes anywhere.
+* ``cosine_threshold_pairs`` — all pairs with cosine ≥ τ against a
+  broadcast reference matrix (for near-dup detection the reference side is
+  the dataset itself; the broadcast is one ray.put, read zero-copy by
+  every task, never re-shipped per batch).
+* ``lsh_hyperplane_buckets`` — the 100 TB path: signed random projections
+  (seeded, deterministic) bucket vectors so candidate generation is a
+  groupby on the bucket key instead of an all-pairs matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _emb_matrix(df: pd.DataFrame, col: str) -> np.ndarray:
+    return np.array(df[col].tolist(), dtype=np.float64)
+
+
+class _BlockTopK:
+    """Actor stage: block rows × broadcast query matrix → local top-k."""
+
+    def __init__(self, query_ref, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.qids = q["ids"]
+        self.qmat = q["mat"]          # already L2-normalized
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(_emb_matrix(df, "embedding"))
+        ids = df["vec_id"].to_numpy()
+        sims = self.qmat @ mat.T                     # (n_query, n_block)
+        k = min(self.k + 1, sims.shape[1])           # +1: self may be in block
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            row = sims[qi]
+            top = np.argpartition(-row, k - 1)[:k]
+            for j in top:
+                if ids[j] != qid:
+                    out_q.append(qid)
+                    out_n.append(ids[j])
+                    out_s.append(row[j])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cos": out_s}
+        )
+
+
+def knn_topk(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k for ``query_ids`` (must be rows of ``ds``).
+
+    Returns (query_id, neighbor_id, rank) with rank 1..k, ties broken by
+    neighbor_id — deterministic across parallelism levels."""
+    qset = set(query_ids)
+    qrows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    order = {v: i for i, v in enumerate(query_ids)}
+    qrows.sort(key=lambda r: order[r[id_col]])
+    qmat = _normalize(np.array([r[emb_col] for r in qrows], dtype=np.float64))
+    qref = ray.put({"ids": [r[id_col] for r in qrows], "mat": qmat})
+
+    cands = ds.map_batches(
+        _BlockTopK,
+        fn_constructor_kwargs={"query_ref": qref, "k": k},
+        batch_format="pandas",
+        concurrency=4,
+    ).to_pandas()
+
+    cands = cands.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].astype("int64")
+
+
+class _ThresholdPairs:
+    def __init__(self, ref, threshold: float):
+        r = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.rids = np.asarray(r["ids"])
+        self.rmat = r["mat"]
+        self.threshold = threshold
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(_emb_matrix(df, "embedding"))
+        ids = df["vec_id"].to_numpy()
+        sims = mat @ self.rmat.T                     # (n_block, n_ref)
+        bi, rj = np.nonzero(sims >= self.threshold)
+        a = ids[bi]
+        b = self.rids[rj]
+        keep = a < b                                  # each unordered pair once
+        return pd.DataFrame(
+            {"vec_id_a": a[keep].astype("int64"), "vec_id_b": b[keep].astype("int64")}
+        )
+
+
+def cosine_threshold_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    threshold: float = 0.35,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """All unordered pairs with cosine ≥ threshold (embedding near-dup).
+
+    The reference matrix is the dataset itself, broadcast once — valid
+    while n_vectors × dim fits a worker heap (the small-side regime).  At
+    corpus scale swap the candidate generator for
+    ``lsh_hyperplane_buckets`` + per-bucket exact verification."""
+    rows = ds.select_columns([id_col, emb_col]).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    rmat = _normalize(np.array([r[emb_col] for r in rows], dtype=np.float64))
+    ref = ray.put({"ids": [r[id_col] for r in rows], "mat": rmat})
+    return ds.map_batches(
+        _ThresholdPairs,
+        fn_constructor_kwargs={"ref": ref, "threshold": threshold},
+        batch_format="pandas",
+        concurrency=4,
+    )
+
+
+class _HyperplaneHasher:
+    """Actor stage: seeded signed-random-projection bucket per vector."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+        self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        mat = _emb_matrix(df, "embedding")
+        signs = (mat @ self.planes.T) > 0
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "bucket": (signs @ self.weights).astype("int64"),
+            }
+        )
+
+
+def lsh_hyperplane_buckets(
+    ds: "ray.data.Dataset", *, dim: int, n_planes: int = 16, seed: int = 42
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        _HyperplaneHasher,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        batch_format="pandas",
+        concurrency=4,
+    )
+
+
+def lsh_cosine_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    dim: int,
+    threshold: float = 0.35,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Scale path: bucket by hyperplane signature, verify exact cosine only
+    within buckets (recall < 1 by construction — candidates missed when a
+    plane separates a near pair; raise recall with multiple tables)."""
+    with_bucket = ds.map_batches(
+        _BucketJoin(dim, n_planes, seed), batch_format="pandas", concurrency=4
+    )
+
+    def pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(_emb_matrix(grp, "embedding"))
+        ids = grp["vec_id"].to_numpy()
+        sims = mat @ mat.T
+        ai, bj = np.nonzero(sims >= threshold)
+        keep = ids[ai] < ids[bj]
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[ai][keep].astype("int64"),
+                "vec_id_b": ids[bj][keep].astype("int64"),
+            }
+        )
+
+    return with_bucket.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+class _BucketJoin(_HyperplaneHasher):
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:  # keep embedding col
+        mat = _emb_matrix(df, "embedding")
+        signs = (mat @ self.planes.T) > 0
+        out = df.copy()
+        out["bucket"] = (signs @ self.weights).astype("int64")
+        return out
