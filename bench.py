@@ -1,0 +1,164 @@
+"""Benchmark harness — prints ONE JSON line.
+
+    python bench.py               # headline suite at $GRAFT_SF_DIR (sf0.1)
+    python bench.py --scaling     # same headline at 8 and 32 CPUs in fresh
+                                  # processes → throughput + scaling efficiency
+
+Headline: full 21-IC cube validation (read → parse → normalize → pivot
+shuffle → findings) over the lineitem-derived Turtle corpus; secondary
+timings for the training-data pipelines (dedup, similarity, text stats).
+
+Corpus generation is input preparation (driver-side synthesis of the
+(repo, path, commit, lang, content) table) and is cached to /tmp and
+NOT counted in pipeline wall-clock.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR_DEFAULT = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def corpus_path(sf_dir: str) -> str:
+    """Generate (once) and cache the cube corpus parquet for sf_dir."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_cube_corpus_{tag}.parquet"
+    if not os.path.exists(out):
+        import pyarrow.parquet as pq
+
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
+
+        pq.write_table(tpch_cube_corpus(sf_dir), out + ".tmp")
+        os.rename(out + ".tmp", out)
+    return out
+
+
+def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.pipelines import training_data as td
+    from nospa_rdf_data_cube_validator_ray.pipelines.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_ray.stages import dedup as D
+    from nospa_rdf_data_cube_validator_ray.stages import embedding as E
+
+    cpath = corpus_path(sf_dir)
+    queries: dict[str, float] = {}
+
+    # -- headline: full validation ---------------------------------------
+    t0 = time.perf_counter()
+    v = CubeValidator(corpus_path=cpath, num_buckets=max(64, num_cpus * 4))
+    n_triples = v.normalize().count()
+    findings = v.validate_all()
+    n_findings = findings.count()
+    t_validate = time.perf_counter() - t0
+    queries["cube_validate_all"] = round(t_validate, 3)
+
+    out = {
+        "metric": "full 21-IC cube validation wall-clock over lineitem-derived Turtle corpus",
+        "value": round(t_validate, 3),
+        "unit": "sec",
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "triples": n_triples,
+        "findings": n_findings,
+        "triples_per_sec": round(n_triples / t_validate, 1),
+        "queries": queries,
+    }
+    if headline_only:
+        return out
+
+    # -- training-data pipelines ----------------------------------------
+    def timed(name: str, fn):
+        t = time.perf_counter()
+        fn()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    timed("dedup_exact", lambda: D.exact_dedup(docs).count())
+    timed("dedup_minhash_lsh", lambda: D.minhash_lsh_pairs(docs, threshold=0.7).count())
+    timed("dedup_simhash", lambda: D.simhash_pairs(docs).count())
+    timed(
+        "text_stats",
+        lambda: td.q_text_stats(sf_dir).aggregate(
+            __import__("ray.data.aggregate", fromlist=["Sum"]).Sum("n_tokens")
+        ),
+    )
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    timed("knn_cosine_topk", lambda: E.knn_topk(embs, query_ids=list(range(10)), k=5))
+    timed(
+        "embedding_dup_pairs",
+        lambda: E.cosine_threshold_pairs(embs, threshold=0.35).count(),
+    )
+    return out
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    corpus_path(sf_dir)  # warm the corpus cache before timing anything
+
+    def one(c: int) -> dict:
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(c)
+        env["RAY_DATA_DISABLE_PROGRESS_BARS"] = "1"
+        p = subprocess.run(
+            [sys.executable, __file__, "--headline-only", "--sf-dir", sf_dir],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo = one(cpus_lo)
+    hi = one(cpus_hi)
+    thr_lo = lo["triples_per_sec"]
+    thr_hi = hi["triples_per_sec"]
+    eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
+    return {
+        "metric": "scaling efficiency: headline validation at "
+        f"{cpus_lo} vs {cpus_hi} CPUs (fresh ray sessions, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": cpus_hi,
+        "queries": {
+            f"cube_validate_all@{cpus_lo}cpus": lo["value"],
+            f"cube_validate_all@{cpus_hi}cpus": hi["value"],
+        },
+        "triples_per_sec_lo": thr_lo,
+        "triples_per_sec_hi": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--sf-dir", default=SF_DIR_DEFAULT)
+    ap.add_argument(
+        "--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    )
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.sf_dir)
+    else:
+        out = run_suite(args.sf_dir, args.cpus, headline_only=args.headline_only)
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

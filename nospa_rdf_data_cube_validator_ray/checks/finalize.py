@@ -34,23 +34,52 @@ def _fdf(rows: list[tuple]) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_F_COLS)
 
 
+def _with_kb(ds, cols: list[str], num_buckets: int):
+    """Add a coarse shuffle-bucket column over a composite key: the actual
+    fine-grained grouping happens *inside* each bucket with vectorized
+    pandas group-transforms — Ray shuffles ``num_buckets`` groups instead
+    of one group per key (per-observation keys would mean one tiny pandas
+    frame per observation, the same trap as the reference's per-obs loop)."""
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df["kb"] = pd.Series(dtype="int64")
+            return df
+        key = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + "\x00" + df[c].astype(str)
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        df = df.copy()
+        df["kb"] = (h % num_buckets).astype("int64")
+        return df
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
 def _flag_dups(df: pd.DataFrame) -> pd.DataFrame:
-    rows = []
-    for (g, _d, _k), grp in df.groupby(["graph", "dataset", "key"], sort=False):
-        if len(grp) < 2:
-            continue
-        subjs = sorted(set(grp["subject"]))
-        if len(subjs) < 2:
-            continue
-        sha = grp["file_sha256"].iat[0]
-        for s in subjs[1:]:
-            rows.append((g, sha, "IC12", s, ""))
-    return _fdf(rows)
+    d2 = df.drop_duplicates(["graph", "dataset", "key", "subject"]).sort_values(
+        ["graph", "dataset", "key", "subject"]
+    )
+    # all but the (deterministic) min-subject member of each colliding group
+    flagged = d2[d2.duplicated(["graph", "dataset", "key"], keep="first")]
+    return pd.DataFrame(
+        {
+            "graph": flagged["graph"],
+            "file_sha256": flagged["file_sha256"],
+            "ic": "IC12",
+            "subject": flagged["subject"],
+            "detail": "",
+        },
+        columns=_F_COLS,
+    )
 
 
-def ic12_findings(dup_ds) -> "ray.data.Dataset":
-    return dup_ds.groupby(["graph", "dataset", "key"]).map_groups(
-        _flag_dups, batch_format="pandas"
+def ic12_findings(dup_ds, num_buckets: int = 64) -> "ray.data.Dataset":
+    return (
+        _with_kb(dup_ds, ["graph", "dataset", "key"], num_buckets)
+        .groupby("kb")
+        .map_groups(_flag_dups, batch_format="pandas")
     )
 
 
@@ -59,24 +88,27 @@ class _FlagPoints:
         self.nmeas = nmeas_by_graph_ds
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (g, d, _k), grp in df.groupby(["graph", "dataset", "key"], sort=False):
-            if (grp["detail"] == "w").any():
-                continue  # wildcard dataset handled in the fallback
-            nm = self.nmeas.get((g, d))
-            if nm is None:
-                continue
-            size = grp["subject"].nunique()
-            if size != nm:
-                sha = grp["file_sha256"].iat[0]
-                for s in sorted(set(grp["subject"])):
-                    rows.append((g, sha, d, s, size))
-        return pd.DataFrame(
-            rows, columns=["graph", "file_sha256", "dataset", "subject", "size"]
+        keys = ["graph", "dataset", "key"]
+        d2 = df.drop_duplicates(keys + ["subject"]).copy()
+        d2["_w"] = d2["detail"] == "w"
+        grp = d2.groupby(keys, sort=False)
+        size = grp["subject"].transform("size")
+        wild = grp["_w"].transform("max")
+        nm = pd.MultiIndex.from_frame(d2[["graph", "dataset"]]).map(self.nmeas)
+        flagged = d2[(~wild) & nm.notna() & (size != nm.to_numpy())]
+        out = pd.DataFrame(
+            {
+                "graph": flagged["graph"],
+                "file_sha256": flagged["file_sha256"],
+                "dataset": flagged["dataset"],
+                "subject": flagged["subject"],
+                "size": size[flagged.index],
+            }
         )
+        return out
 
 
-def ic17_findings(pt_ds, indexes: dict) -> pd.DataFrame:
+def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64) -> pd.DataFrame:
     """pt rows → IC-17 findings as a small pandas DataFrame (measureType
     datasets are schema-scale; per-dataset totals are tiny aggregates)."""
     nmeas = {
@@ -99,9 +131,12 @@ def ic17_findings(pt_ds, indexes: dict) -> pd.DataFrame:
     def flag_points_fn(df: pd.DataFrame) -> pd.DataFrame:
         return flag_points(df)
 
-    flagged = pt_ds.groupby(["graph", "dataset", "key"]).map_groups(
-        flag_points_fn, batch_format="pandas"
-    ).take_all()
+    flagged = (
+        _with_kb(pt_ds, ["graph", "dataset", "key"], num_buckets)
+        .groupby("kb")
+        .map_groups(flag_points_fn, batch_format="pandas")
+        .take_all()
+    )
 
     rows = []
     for r in flagged:
@@ -142,19 +177,139 @@ def ic17_findings(pt_ds, indexes: dict) -> pd.DataFrame:
 
 
 def _merge_vals(df: pd.DataFrame) -> pd.DataFrame:
-    rows = []
-    for (g, ic, v), grp in df.groupby(["graph", "ic", "subject"], sort=False):
-        cls: set[str] = set()
-        for d in grp["detail"]:
-            cls.update(x for x in d.split(_DETAIL_SEP) if x)
-        rows.append((g, grp["file_sha256"].iat[0], ic, v, _DETAIL_SEP.join(sorted(cls))))
+    keys = ["graph", "ic", "subject"]
+    sha = df.drop_duplicates(keys)[keys + ["file_sha256"]]
+    ex = df[keys + ["detail"]].copy()
+    ex["detail"] = ex["detail"].str.split(_DETAIL_SEP)
+    ex = ex.explode("detail")
+    ex = ex[ex["detail"].astype(bool)].drop_duplicates()
+    ex = ex.sort_values(keys + ["detail"])
+    agg = ex.groupby(keys, sort=False)["detail"].agg(_DETAIL_SEP.join).reset_index()
+    merged = sha.merge(agg, on=keys, how="left")
+    merged["detail"] = merged["detail"].fillna("")
+    return merged[_F_COLS]
+
+
+def val_findings(val_ds, num_buckets: int = 64) -> "ray.data.Dataset":
+    return (
+        _with_kb(val_ds, ["graph", "ic", "subject"], num_buckets)
+        .groupby("kb")
+        .map_groups(_merge_vals, batch_format="pandas")
+    )
+
+
+def _ic17_local(pt: pd.DataFrame, indexes: dict) -> pd.DataFrame:
+    """IC-17 on file-local pt rows (dim-point groups never cross a graph)."""
+    if not len(pt):
+        return _fdf([])
+    nmeas = {
+        (g, d): n
+        for g in pt["graph"].unique()
+        if (idx := indexes.get(g)) is not None
+        for d, n in idx.ic17_nmeas_by_ds.items()
+    }
+    if not nmeas:
+        return _fdf([])
+    keys = ["graph", "dataset", "key"]
+    d2 = pt.drop_duplicates(keys + ["subject"]).copy()
+    d2["_w"] = d2["detail"] == "w"
+    gd = d2.groupby(["graph", "dataset"], sort=False)
+    wild_ds = gd["_w"].transform("max")
+    totals = gd["subject"].transform("size")
+    grp = d2.groupby(keys, sort=False)
+    size = grp["subject"].transform("size")
+    nm = pd.MultiIndex.from_frame(d2[["graph", "dataset"]]).map(nmeas)
+    nm_arr = nm.to_numpy(dtype=object)
+    has_nm = pd.notna(nm_arr)
+    flagged = d2[(~wild_ds) & has_nm & (size.to_numpy() != nm_arr)]
+    rows = [
+        (r.graph, r.file_sha256, "IC17", r.subject, str(int(t) - int(s)))
+        for r, t, s in zip(
+            flagged.itertuples(), totals[flagged.index], size[flagged.index]
+        )
+    ]
+    # wildcard datasets: exact pairwise reference semantics (pathological)
+    wild_pairs = d2[wild_ds][["graph", "dataset"]].drop_duplicates()
+    for g, d in wild_pairs.itertuples(index=False):
+        drows = d2[(d2["graph"] == g) & (d2["dataset"] == d)]
+        if len(drows) > 100_000:
+            raise RuntimeError("IC-17 wildcard fallback exceeded cap")
+        nm1 = nmeas.get((g, d))
+        if nm1 is None:
+            continue
+        points = [
+            (r.subject, r.file_sha256,
+             dict(kv.split("=", 1) for kv in r.key.split(_DETAIL_SEP) if kv))
+            for r in drows.itertuples()
+        ]
+        n1 = len(points)
+        for s1, sha, v1 in points:
+            eq = 0
+            for _s2, _sh, v2 in points:
+                same = True
+                for dim, a in v1.items():
+                    b = v2.get(dim, "*")
+                    if a != "*" and b != "*" and a != b:
+                        same = False
+                        break
+                if same:
+                    eq += 1
+            if eq != nm1:
+                rows.append((g, sha, "IC17", s1, str(n1 - eq)))
     return _fdf(rows)
 
 
-def val_findings(val_ds) -> "ray.data.Dataset":
-    return val_ds.groupby(["graph", "ic", "subject"]).map_groups(
-        _merge_vals, batch_format="pandas"
-    )
+def _ic2_local(dss: pd.DataFrame, indexes: dict) -> pd.DataFrame:
+    """IC-2 for datasets discovered only via qb:dataSet edges (the typed
+    universe is covered driver-side by ``ic2_typed_findings``)."""
+    rows = []
+    for g, d in dss[["graph", "dataset"]].drop_duplicates().itertuples(index=False):
+        idx = indexes.get(g)
+        if idx is None:
+            continue
+        if d in idx.typed_datasets:
+            continue
+        vals = idx.structure_vals_by_ds.get(d, ())
+        if len(vals) != 1:
+            rows.append((g, idx.sha, "IC2", d, _DETAIL_SEP.join(vals)))
+    return _fdf(rows)
+
+
+def local_finalize(out: pd.DataFrame, indexes: dict) -> pd.DataFrame:
+    """Turn one file-local PivotCheck output frame into final findings.
+
+    Valid because every second-stage group key (IC-12 value-set, IC-17
+    dim-point, IC-19/20/21 value, IC-2 dataset) is scoped to one dataset ⊂
+    one graph ⊂ one file — the zero-shuffle path. Giant files that exceed
+    a block use the bucketed shuffle path instead (validate.py mode)."""
+    kinds = out["kind"]
+    parts = [out.loc[kinds == "f", _F_COLS]]
+    dup = out[kinds == "dup"]
+    if len(dup):
+        parts.append(_flag_dups(dup))
+    val = out[kinds == "val"]
+    if len(val):
+        parts.append(_merge_vals(val))
+    pt = out[kinds == "pt"]
+    if len(pt):
+        parts.append(_ic17_local(pt, indexes))
+    dss = out[kinds == "dss"]
+    if len(dss):
+        parts.append(_ic2_local(dss, indexes))
+    return pd.concat(parts, ignore_index=True)
+
+
+def ic2_typed_findings(indexes: dict) -> pd.DataFrame:
+    """Driver-side IC-2 over the explicitly typed dataset universe (covers
+    graphs with no observations at all — they never reach the local path)."""
+    rows = []
+    for g in sorted(indexes):
+        idx = indexes[g]
+        for d in sorted(idx.typed_datasets):
+            vals = idx.structure_vals_by_ds.get(d, ())
+            if len(vals) != 1:
+                rows.append((g, idx.sha, "IC2", d, _DETAIL_SEP.join(vals)))
+    return _fdf(rows)
 
 
 def ic2_findings(dss_rows: list[dict], indexes: dict) -> pd.DataFrame:

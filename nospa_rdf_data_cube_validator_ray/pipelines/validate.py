@@ -81,7 +81,20 @@ class CubeValidator:
         checkpoint_dir: str | None = None,
         strict_parse: bool = False,
         parse_concurrency=None,
+        mode: str = "auto",
     ):
+        """``mode="local"``: zero-shuffle per-file validation — valid
+        while no single file's triples exceed one Arrow block (the parser
+        keeps each file's triples in one block; see pivot.LocalCheck).
+        ``mode="shuffle"``: the bucketed pivot shuffle for giant single
+        files / triple Datasets whose blocks are not file-aligned (an
+        external triple Dataset or a Parquet checkpoint).  ``auto`` picks
+        shuffle in those two cases, local otherwise."""
+        if mode == "auto":
+            mode = "shuffle" if (checkpoint_dir or triples is not None) else "local"
+        if mode not in ("local", "shuffle"):
+            raise ValueError(mode)
+        self.mode = mode
         if corpus is None and corpus_path is not None:
             corpus = read_corpus(corpus_path)
         if corpus is None and triples is None:
@@ -138,14 +151,17 @@ class CubeValidator:
         triples = self.normalize()
         indexes = self._ensure_indexes()
 
+        if self.mode == "local":
+            return self._validate_local(triples, indexes)
+
         pivot_out = run_pivot(triples, self._index_ref, self.num_buckets).materialize()
 
         f_stream = _split_kind(pivot_out, "f").map_batches(
             lambda df: df[["graph", "file_sha256", "ic", "subject", "detail"]],
             batch_format="pandas",
         )
-        ic12 = finalize.ic12_findings(_split_kind(pivot_out, "dup"))
-        vals = finalize.val_findings(_split_kind(pivot_out, "val"))
+        ic12 = finalize.ic12_findings(_split_kind(pivot_out, "dup"), self.num_buckets)
+        vals = finalize.val_findings(_split_kind(pivot_out, "val"), self.num_buckets)
 
         driver_dfs = [
             finalize.schema_findings_df(indexes),
@@ -158,7 +174,9 @@ class CubeValidator:
                 .take_all(),
                 indexes,
             ),
-            finalize.ic17_findings(_split_kind(pivot_out, "pt"), indexes),
+            finalize.ic17_findings(
+                _split_kind(pivot_out, "pt"), indexes, self.num_buckets
+            ),
         ]
         driver_df = pd.concat(driver_dfs, ignore_index=True)
 
@@ -170,6 +188,31 @@ class CubeValidator:
         ]
         findings = parts[0].union(*parts[1:])
         if len(driver_df):
+            findings = findings.union(
+                ray.data.from_arrow(_findings_table(driver_df))
+            )
+        self._findings = findings.materialize()
+        return self._findings
+
+    def _validate_local(self, triples, indexes):
+        """Zero-shuffle path: one map_batches does pivot + all second-stage
+        groupings (file-local by construction); only the schema-side ICs
+        (3..10) and the typed-dataset half of IC-2 run on the driver."""
+        from ..stages.pivot import local_findings
+
+        f_local = local_findings(triples, self._index_ref)
+        driver_df = pd.concat(
+            [
+                finalize.schema_findings_df(indexes),
+                finalize.ic2_typed_findings(indexes),
+            ],
+            ignore_index=True,
+        )
+        findings = f_local
+        if len(driver_df):
+            driver_df["detail"] = driver_df["detail"].map(
+                lambda d: _DETAIL_SEP.join(d) if isinstance(d, list) else d
+            )
             findings = findings.union(
                 ray.data.from_arrow(_findings_table(driver_df))
             )

@@ -100,15 +100,15 @@ def parse_corpus(
     corpus: "ray.data.Dataset",
     *,
     strict: bool = True,
-    batch_size: int = 64,
+    batch_size: int = 1,
     concurrency=None,
 ) -> "ray.data.Dataset":
     """corpus Dataset → triple Dataset.
 
-    ``batch_size`` counts *files*; cube files are large (the reference
-    bench file averaged ~425 bytes/observation), so a small file batch
-    keeps the output blocks near the Arrow sweet spot without holding
-    many parsed documents in one heap.
+    ``batch_size`` counts *files* and defaults to 1: cube files are large
+    (a few MB of Turtle → ~10^5 triple rows each), so one file per task
+    maximizes parse parallelism and keeps output blocks near the Arrow
+    sweet spot without holding many parsed documents in one heap.
     """
     return corpus.map_batches(
         ParseRDF(strict),

@@ -88,8 +88,21 @@ def phase1_derive(batch: pa.Table) -> pa.Table:
     )
 
 
+def phase1_augment(batch: pa.Table) -> pa.Table:
+    """One batch → the same batch plus its phase-1 derivations.
+
+    Single-pass (the original ``union(triples, derived)`` formulation made
+    Ray execute the parse lineage twice — once per union branch) and
+    block-preserving: each input block maps to exactly one output block,
+    which keeps triple blocks file-aligned for the shuffle-free local
+    validation path (see pivot.LocalCheck)."""
+    derived = phase1_derive(batch)
+    if derived.num_rows == 0:
+        return batch
+    return pa.concat_tables([batch, derived]).combine_chunks()
+
+
 def with_phase1(triples: "ray.data.Dataset") -> "ray.data.Dataset":  # noqa: F821
     """triples ∪ phase-1 derivations (duplicates allowed; set semantics
     downstream)."""
-    derived = triples.map_batches(phase1_derive, batch_format="pyarrow")
-    return triples.union(derived)
+    return triples.map_batches(phase1_augment, batch_format="pyarrow")

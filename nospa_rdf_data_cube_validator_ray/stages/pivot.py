@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -74,81 +75,205 @@ class _IndexCache:
         return cls._cached[key]
 
 
+def _obj_term_vec(df: pd.DataFrame) -> np.ndarray:
+    """Vectorized term_str over (obj_kind, obj, obj_dt, obj_lang)."""
+    kind = df["obj_kind"].to_numpy()
+    o = df["obj"].astype(str)
+    out = np.empty(len(df), dtype=object)
+    m = kind == 0
+    if m.any():
+        out[m] = ("<" + o[m] + ">").to_numpy()
+    m = kind == 1
+    if m.any():
+        out[m] = o[m].to_numpy()
+    lit = kind == KIND_LITERAL
+    if lit.any():
+        ol = o[lit]
+        esc = ol.str.contains('"', regex=False) | ol.str.contains("\\", regex=False)
+        if esc.any():
+            ol = ol.where(
+                ~esc,
+                ol.str.replace("\\", "\\\\", regex=False).str.replace(
+                    '"', '\\"', regex=False
+                ),
+            )
+        dt = df["obj_dt"][lit].astype(str)
+        lg = df["obj_lang"][lit].astype(str)
+        base = '"' + ol + '"'
+        out[lit] = np.select(
+            [lg.ne("").to_numpy(), dt.ne("").to_numpy()],
+            [(base + "@" + lg).to_numpy(), (base + "^^<" + dt + ">").to_numpy()],
+            base.to_numpy(),
+        )
+    return out
+
+
 class PivotInputBuilder:
-    """Triple batch → pivot rows (Arrow in / Arrow out)."""
+    """Triple batch → pivot rows (Arrow in / pandas vector ops / Arrow out).
+
+    Fully vectorized: the broadcast per-graph index is flattened once per
+    actor into four small join tables — relevant (graph, pred) pairs, the
+    phase-2a dataset-attachment values, the phase-2b/c slice pushdown
+    values, and the slice→dataset edges (IC-18) — and each triple batch is
+    processed with boolean masks + C-level merges, no per-row Python.
+    """
 
     def __init__(self, index_ref, num_buckets: int):
         self.index_ref = index_ref
         self.num_buckets = num_buckets
         self._indexes = None
+        self._tables = None
+
+    def _ensure_tables(self):
+        if self._tables is not None:
+            return
+        rel, attach, push, sdv = [], [], [], []
+        for g, idx in self._indexes.items():
+            rel.extend((g, p) for p in idx.relevant_preds)
+            for dterm, by_prop in idx.ds_attach.items():
+                attach.extend(
+                    (g, dterm, prop, v) for prop, vs in by_prop.items() for v in vs
+                )
+            for sterm, by_prop in idx.slice_push.items():
+                push.extend(
+                    (g, sterm, prop, v) for prop, vs in by_prop.items() for v in vs
+                )
+            for sterm, dss in idx.slice_datasets.items():
+                sdv.extend((g, sterm, d) for d in dss)
+        self._tables = {
+            "rel": pd.DataFrame(rel, columns=["graph", "pred"]),
+            "attach": pd.DataFrame(
+                attach, columns=["graph", "obj_term", "pred_out", "val"]
+            ),
+            "push": pd.DataFrame(push, columns=["graph", "sterm", "pred_out", "val"]),
+            "sdv": pd.DataFrame(sdv, columns=["graph", "sterm", "dsterm"]),
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._indexes is None:
             self._indexes = _IndexCache.get(self.index_ref)
-        indexes = self._indexes
-        nb = self.num_buckets
+        self._ensure_tables()
+        tabs = self._tables
+        df = batch.to_pandas()
+        pred = df["pred"]
+        kind = df["obj_kind"].to_numpy()
+        parts: list[pd.DataFrame] = []
 
-        out = {k: [] for k in ("bucket", "graph", "file_sha256", "subj", "role", "pred", "obj_term")}
+        def mk(g, sha, subj, role, pred_out, oterm):
+            return pd.DataFrame(
+                {
+                    "graph": g,
+                    "file_sha256": sha,
+                    "subj": subj,
+                    "role": role,
+                    "pred": pred_out,
+                    "obj_term": oterm,
+                }
+            )
 
-        def emit(g, sha, s, role, pred, oterm):
-            out["bucket"].append(_bucket(g, s, nb))
-            out["graph"].append(g)
-            out["file_sha256"].append(sha)
-            out["subj"].append(s)
-            out["role"].append(role)
-            out["pred"].append(pred)
-            out["obj_term"].append(oterm)
+        # qb:dataSet edges → DS + TYPE rows + phase-2a attachment pushdown
+        dsm = (pred == V.QB_dataSet).to_numpy()
+        if dsm.any():
+            d = df[dsm]
+            dterm = _obj_term_vec(d)
+            parts.append(mk(d["graph"], d["file_sha256"], d["subj"], ROLE_DS, "", dterm))
+            parts.append(mk(d["graph"], d["file_sha256"], d["subj"], ROLE_TYPE, "", ""))
+            if len(tabs["attach"]):
+                j = pd.DataFrame(
+                    {
+                        "graph": d["graph"].to_numpy(),
+                        "file_sha256": d["file_sha256"].to_numpy(),
+                        "subj": d["subj"].to_numpy(),
+                        "obj_term": dterm,
+                    }
+                ).merge(tabs["attach"], on=["graph", "obj_term"])
+                if len(j):
+                    parts.append(
+                        mk(j["graph"], j["file_sha256"], j["subj"], ROLE_PROP,
+                           j["pred_out"], j["val"])
+                    )
 
-        cols = [
-            batch.column(c).to_pylist()
-            for c in ("graph", "file_sha256", "subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang")
-        ]
-        for g, sha, s, p, k, o, dt, lg_ in zip(*cols):
-            idx = indexes.get(g)
-            if p == V.QB_dataSet:
-                dterm = obj_term(k, o, dt, lg_)
-                emit(g, sha, s, ROLE_DS, "", dterm)
-                emit(g, sha, s, ROLE_TYPE, "", "")  # P1: subj a qb:Observation
-                if idx is not None:
-                    vals_by_prop = idx.ds_attach.get(dterm)
-                    if vals_by_prop:
-                        # phase 2a pushdown (Normalizer.java:90-116)
-                        for prop, vals in vals_by_prop.items():
-                            for v in vals:
-                                emit(g, sha, s, ROLE_PROP, prop, v)
-            elif p == V.QB_observation:
-                if k == KIND_LITERAL:
-                    continue
-                # P1: objects of qb:observation are typed qb:Observation
-                emit(g, sha, o, ROLE_TYPE, "", "")
-                if idx is not None:
-                    sterm = subj_term(s)
-                    for d in idx.slice_datasets.get(sterm, ()):
-                        emit(g, sha, o, ROLE_EXPLINK, "", d)  # IC-18 expected link
-                    push = idx.slice_push.get(sterm)
-                    if push:
-                        # phase 2b/2c pushdown (Normalizer.java:121-189)
-                        for prop, vals in push.items():
-                            for v in vals:
-                                emit(g, sha, o, ROLE_PROP, prop, v)
-            elif p == V.RDF_type:
-                if o == V.QB_Observation and k != KIND_LITERAL:
-                    emit(g, sha, s, ROLE_TYPE, "", "")
-            elif idx is not None and p in idx.relevant_preds:
-                emit(g, sha, s, ROLE_PROP, p, obj_term(k, o, dt, lg_))
+        # qb:observation edges → TYPE for the obs + IC-18 links + phase-2b/c
+        obm = ((pred == V.QB_observation).to_numpy()) & (kind != KIND_LITERAL)
+        if obm.any():
+            d = df[obm]
+            parts.append(mk(d["graph"], d["file_sha256"], d["obj"], ROLE_TYPE, "", ""))
+            if len(tabs["sdv"]) or len(tabs["push"]):
+                sterm = pd.Series(
+                    np.where(
+                        d["subj"].str.startswith("_:"), d["subj"], "<" + d["subj"] + ">"
+                    ),
+                    index=d.index,
+                )
+                base = pd.DataFrame(
+                    {
+                        "graph": d["graph"].to_numpy(),
+                        "file_sha256": d["file_sha256"].to_numpy(),
+                        "obs": d["obj"].to_numpy(),
+                        "sterm": sterm.to_numpy(),
+                    }
+                )
+                if len(tabs["sdv"]):
+                    j = base.merge(tabs["sdv"], on=["graph", "sterm"])
+                    if len(j):
+                        parts.append(
+                            mk(j["graph"], j["file_sha256"], j["obs"], ROLE_EXPLINK,
+                               "", j["dsterm"])
+                        )
+                if len(tabs["push"]):
+                    j = base.merge(tabs["push"], on=["graph", "sterm"])
+                    if len(j):
+                        parts.append(
+                            mk(j["graph"], j["file_sha256"], j["obs"], ROLE_PROP,
+                               j["pred_out"], j["val"])
+                        )
 
+        # explicit rdf:type qb:Observation
+        tym = (
+            (pred == V.RDF_type).to_numpy()
+            & (df["obj"] == V.QB_Observation).to_numpy()
+            & (kind != KIND_LITERAL)
+        )
+        if tym.any():
+            d = df[tym]
+            parts.append(mk(d["graph"], d["file_sha256"], d["subj"], ROLE_TYPE, "", ""))
+
+        # schema-relevant property values (per-graph predicate sets)
+        if len(tabs["rel"]):
+            d = df[~dsm & ~obm].merge(tabs["rel"], on=["graph", "pred"])
+            if len(d):
+                parts.append(
+                    mk(d["graph"], d["file_sha256"], d["subj"], ROLE_PROP,
+                       d["pred"], _obj_term_vec(d))
+                )
+
+        if parts:
+            out = pd.concat(parts, ignore_index=True)
+        else:
+            out = pd.DataFrame(
+                columns=["graph", "file_sha256", "subj", "role", "pred", "obj_term"]
+            )
+        h = pd.util.hash_pandas_object(
+            out["graph"].astype(str) + "\x00" + out["subj"].astype(str), index=False
+        ).to_numpy()
         return pa.Table.from_arrays(
             [
-                pa.array(out["bucket"], pa.int32()),
+                pa.array((h % self.num_buckets).astype(np.int32), pa.int32()),
                 pa.array(out["graph"], pa.string()),
                 pa.array(out["file_sha256"], pa.string()),
                 pa.array(out["subj"], pa.string()),
-                pa.array(out["role"], pa.int8()),
+                pa.array(out["role"].to_numpy(), pa.int8()),
                 pa.array(out["pred"], pa.string()),
                 pa.array(out["obj_term"], pa.string()),
             ],
             schema=_PIVOT_SCHEMA,
         )
+
+
+def _sterm_series(s: pd.Series) -> pd.Series:
+    """Vectorized subj_term: wrap IRIs in <>, keep bnode ids."""
+    is_b = s.str.startswith("_:")
+    return np.where(is_b, s, "<" + s + ">")
 
 
 class PivotCheck:
@@ -161,15 +286,274 @@ class PivotCheck:
                    marks a wildcard obs with a non-single-valued dimension)
       kind 'val' — IC-19/20/21 value flag: subject = value, detail = code lists
       kind 'dss' — dataset seen (IC-2 universe)
+
+    The hot path (IC-1/11/12/13/14/18 — everything a plain cube exercises)
+    is fully vectorized: per-dataset requirement tables are flattened from
+    the broadcast index once per actor, then evaluated with pandas joins /
+    group transforms over the whole bucket.  The reference's one-obs-at-a-
+    time HashMap loop (ValidatorIC11_12.java:61-85) survives only as the
+    fallback for datasets with measureType / code-list / hierarchy probes
+    (schema-gated, observation cohorts restricted to those datasets).
+
+    IC-12's duplicate key is the *unordered set* of first dimension values
+    (ValidatorIC11_12.java:70-80): value terms are deduplicated per
+    observation, hashed (deterministic 64-bit), and combined with an
+    order-insensitive wrapping sum + count — equality of (sum, count) is
+    the shuffle key downstream.
     """
 
     def __init__(self, index_ref):
         self.index_ref = index_ref
         self._indexes = None
+        self._req = None          # flattened requirement tables
+        self._special = None      # {(graph, dataset)} needing the slow path
+        self._slow = None
+
+    # -- per-actor flattening of the broadcast index --------------------
+
+    def _ensure_tables(self):
+        if self._req is not None:
+            return
+        indexes = self._indexes
+        dims, req13, req14 = [], [], []
+        special = set()
+        for g, idx in indexes.items():
+            for d, ps in idx.dims_by_ds.items():
+                dims.extend((g, d, p, i) for i, p in enumerate(ps))
+            for d, ps in idx.req13_by_ds.items():
+                req13.extend((g, d, p, i) for i, p in enumerate(ps))
+            for d, ps in idx.ic14_req_by_ds.items():
+                req14.extend((g, d, p, i) for i, p in enumerate(ps))
+            for d in idx.mt_measures_by_ds:
+                special.add((g, d))
+            for d in idx.ic19_by_ds:
+                special.add((g, d))
+            for d in idx.ic2021_by_ds:
+                special.add((g, d))
+        cols = ["graph", "dataset", "pred", "ord"]
+        self._req = {
+            "dims": pd.DataFrame(dims, columns=cols),
+            "req13": pd.DataFrame(req13, columns=cols),
+            "req14": pd.DataFrame(req14, columns=cols),
+        }
+        self._special = special
+        self._slow = _SlowChecker(indexes)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self._indexes is None:
             self._indexes = _IndexCache.get(self.index_ref)
+        self._ensure_tables()
+        parts: list[pd.DataFrame] = []
+
+        def fdf(graph, sha, ic, subject, detail, dataset="", key="", kind="f"):
+            return pd.DataFrame(
+                {
+                    "kind": kind,
+                    "graph": graph,
+                    "file_sha256": sha,
+                    "ic": ic,
+                    "subject": subject,
+                    "detail": detail,
+                    "dataset": dataset,
+                    "key": key,
+                },
+                columns=_OUT_COLUMNS,
+            )
+
+        roles = df["role"].to_numpy()
+        sha_by_graph = (
+            df[["graph", "file_sha256"]].drop_duplicates("graph")
+            .set_index("graph")["file_sha256"]
+        )
+
+        ds_pairs = df.loc[roles == ROLE_DS, ["graph", "subj", "obj_term"]].drop_duplicates()
+        typed = df.loc[roles == ROLE_TYPE, ["graph", "subj"]].drop_duplicates()
+        expl = df.loc[roles == ROLE_EXPLINK, ["graph", "subj", "obj_term"]].drop_duplicates()
+        prop = df.loc[
+            roles == ROLE_PROP, ["graph", "subj", "pred", "obj_term"]
+        ].drop_duplicates()
+
+        # -- IC-1 unique dataset (ValidatorIC1.java:24-36) ---------------
+        cnt = ds_pairs.groupby(["graph", "subj"], sort=False).size()
+        multi = cnt[cnt > 1]
+        if len(multi):
+            m = ds_pairs.set_index(["graph", "subj"]).loc[multi.index].reset_index()
+            m = m.sort_values(["graph", "subj", "obj_term"])
+            det = m.groupby(["graph", "subj"], sort=False)["obj_term"].agg(
+                _DETAIL_SEP.join
+            ).reset_index()
+            parts.append(
+                fdf(
+                    det["graph"],
+                    det["graph"].map(sha_by_graph),
+                    "IC1",
+                    _sterm_series(det["subj"]),
+                    det["obj_term"],
+                )
+            )
+        zero = typed.merge(
+            ds_pairs[["graph", "subj"]].drop_duplicates(),
+            on=["graph", "subj"],
+            how="left",
+            indicator=True,
+        )
+        zero = zero[zero["_merge"] == "left_only"]
+        if len(zero):
+            parts.append(
+                fdf(
+                    zero["graph"],
+                    zero["graph"].map(sha_by_graph),
+                    "IC1",
+                    _sterm_series(zero["subj"]),
+                    "",
+                )
+            )
+
+        # -- IC-18 consistent links (ValidatorIC18.java:25-39) -----------
+        if len(expl):
+            miss = expl.merge(
+                ds_pairs, on=["graph", "subj", "obj_term"], how="left", indicator=True
+            )
+            miss = miss[miss["_merge"] == "left_only"].sort_values(
+                ["graph", "subj", "obj_term"]
+            )
+            if len(miss):
+                parts.append(
+                    fdf(
+                        miss["graph"],
+                        miss["graph"].map(sha_by_graph),
+                        "IC18",
+                        _sterm_series(miss["subj"]),
+                        miss["obj_term"],
+                    )
+                )
+
+        # -- dataset universe for IC-2 -----------------------------------
+        dss = ds_pairs[~ds_pairs["obj_term"].str.startswith('"')][
+            ["graph", "obj_term"]
+        ].drop_duplicates()
+        if len(dss):
+            parts.append(
+                fdf(
+                    dss["graph"],
+                    dss["graph"].map(sha_by_graph),
+                    "",
+                    "",
+                    "",
+                    dataset=dss["obj_term"],
+                    kind="dss",
+                )
+            )
+
+        # -- per-dataset requirement checks ------------------------------
+        # cohort = (graph, subj, dataset) via qb:dataSet edges
+        cohort = ds_pairs.rename(columns={"obj_term": "dataset"})
+        present = prop[["graph", "subj", "pred"]].drop_duplicates()
+
+        def missing_findings(req: pd.DataFrame, ic: str):
+            """Anti-join (cohort × required preds) against present props,
+            emit one finding per (subj, dataset) with ord-ordered detail."""
+            rp = cohort.merge(req, on=["graph", "dataset"])
+            if not len(rp):
+                return None, None
+            hit = rp.merge(
+                present, on=["graph", "subj", "pred"], how="left", indicator=True
+            )
+            miss = hit[hit["_merge"] == "left_only"]
+            out = None
+            if len(miss):
+                miss = miss.sort_values(["graph", "subj", "dataset", "ord"])
+                agg = (
+                    miss.groupby(["graph", "subj", "dataset"], sort=False)["pred"]
+                    .agg(lambda p: _DETAIL_SEP.join(f"<{x}>" for x in p))
+                    .reset_index()
+                )
+                out = fdf(
+                    agg["graph"],
+                    agg["graph"].map(sha_by_graph),
+                    ic,
+                    _sterm_series(agg["subj"]),
+                    agg["pred"],
+                    dataset=agg["dataset"],
+                )
+            return out, miss[["graph", "subj", "dataset"]].drop_duplicates()
+
+        f11, miss11 = missing_findings(self._req["dims"], "IC11")
+        if f11 is not None:
+            parts.append(f11)
+        f13, _ = missing_findings(self._req["req13"], "IC13")
+        if f13 is not None:
+            parts.append(f13)
+        f14, _ = missing_findings(self._req["req14"], "IC14")
+        if f14 is not None:
+            parts.append(f14)
+
+        # -- IC-12 duplicate value-set keys ------------------------------
+        rp = cohort.merge(self._req["dims"], on=["graph", "dataset"])
+        if len(rp):
+            if miss11 is not None and len(miss11):
+                rp = rp.merge(
+                    miss11, on=["graph", "subj", "dataset"], how="left", indicator=True
+                )
+                rp = rp[rp["_merge"] == "left_only"].drop(columns="_merge")
+        if len(rp):
+            firsts = rp.merge(prop, on=["graph", "subj", "pred"])
+            # first value = min term per (obs, dim): sort + C-level dedup
+            # (groupby().min() on object dtype falls back to per-group Python)
+            firsts = firsts.sort_values(
+                ["graph", "subj", "dataset", "pred", "obj_term"]
+            ).drop_duplicates(["graph", "subj", "dataset", "pred"])
+            vals = firsts[["graph", "subj", "dataset", "obj_term"]].drop_duplicates()
+            h = pd.util.hash_pandas_object(vals["obj_term"], index=False)
+            vals = vals.assign(_h=h.to_numpy())
+            agg = vals.groupby(["graph", "subj", "dataset"], sort=False)["_h"].agg(
+                ["sum", "size"]
+            ).reset_index()
+            key = agg["sum"].astype("uint64").astype(str) + ":" + agg["size"].astype(str)
+            parts.append(
+                fdf(
+                    agg["graph"],
+                    agg["graph"].map(sha_by_graph),
+                    "",
+                    _sterm_series(agg["subj"]),
+                    "",
+                    dataset=agg["dataset"],
+                    key=key,
+                    kind="dup",
+                )
+            )
+
+        # -- slow path: measureType / code-list / hierarchy datasets -----
+        if self._special:
+            sp = cohort[
+                pd.MultiIndex.from_frame(cohort[["graph", "dataset"]]).isin(
+                    self._special
+                )
+            ]
+            if len(sp):
+                keys = sp[["graph", "subj"]].drop_duplicates()
+                sub = df.merge(keys, on=["graph", "subj"])
+                parts.append(self._slow(sub))
+
+        if not parts:
+            return pd.DataFrame(
+                {k: pd.Series(dtype=object) for k in _OUT_COLUMNS},
+                columns=_OUT_COLUMNS,
+            )
+        out = pd.concat(parts, ignore_index=True)
+        out["detail"] = out["detail"].fillna("")
+        return out[_OUT_COLUMNS]
+
+
+class _SlowChecker:
+    """Reference-shaped per-subject loop, used only for observations of
+    datasets with measureType / code-list / hierarchy probes (IC-15..21);
+    cohorts are restricted before entry so this never sees the bulk."""
+
+    def __init__(self, indexes):
+        self._indexes = indexes
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         indexes = self._indexes
 
         out = {k: [] for k in _OUT_COLUMNS}
@@ -184,19 +568,15 @@ class PivotCheck:
             out["dataset"].append(dataset)
             out["key"].append(key)
 
-        seen_ds: set[tuple[str, str]] = set()
-
         for (g, s), grp in df.groupby(["graph", "subj"], sort=False):
             idx = indexes.get(g)
+            if idx is None:
+                continue
             sha = grp["file_sha256"].iat[0]
             roles = grp["role"].to_numpy()
             sterm = subj_term(s)
 
             ds_values = sorted(set(grp["obj_term"][roles == ROLE_DS]))
-            is_obs = (roles == ROLE_TYPE).any()
-            explinks = set(grp["obj_term"][roles == ROLE_EXPLINK])
-            if not is_obs and not explinks and not ds_values:
-                continue  # non-observation subject that leaked via a shared pred
 
             props: dict[str, list[str]] = {}
             pm = roles == ROLE_PROP
@@ -204,55 +584,9 @@ class PivotCheck:
                 for pred, vals in grp[pm].groupby("pred", sort=False)["obj_term"]:
                     props[pred] = sorted(set(vals))
 
-            # IC-1 Unique DataSet (ValidatorIC1.java:24-36)
-            if is_obs and len(ds_values) != 1:
-                emit("f", g, sha, "IC1", sterm, _DETAIL_SEP.join(ds_values))
-
-            # IC-18 consistent dataset links (ValidatorIC18.java:25-39)
-            for d in sorted(explinks):
-                if d not in ds_values:
-                    emit("f", g, sha, "IC18", sterm, d)
-
+            # IC-1/11/12/13/14/18 + dss already emitted by the vectorized
+            # path; only the measureType / code-list checks run here.
             for d in ds_values:
-                seen = (g, d)
-                if seen not in seen_ds and not d.startswith('"'):
-                    seen_ds.add(seen)
-                    emit("dss", g, sha, dataset=d)
-                if idx is None:
-                    continue
-
-                # IC-11 / IC-12 (ValidatorIC11_12.java:61-85)
-                dims = idx.dims_by_ds.get(d)
-                if dims is not None:
-                    missing = [p for p in dims if p not in props]
-                    if missing:
-                        emit(
-                            "f", g, sha, "IC11", sterm,
-                            _DETAIL_SEP.join(f"<{p}>" for p in missing),
-                        )
-                    else:
-                        # unordered set of FIRST values across dims
-                        vset = sorted({props[p][0] for p in dims})
-                        emit("dup", g, sha, subject=sterm, dataset=d,
-                             key=_DETAIL_SEP.join(vset))
-
-                # IC-13 required attributes (ValidatorIC13.java:20-66)
-                req = idx.req13_by_ds.get(d)
-                if req:
-                    missing = [p for p in req if p not in props]
-                    if missing:
-                        emit("f", g, sha, "IC13", sterm,
-                             _DETAIL_SEP.join(f"<{p}>" for p in missing))
-
-                # IC-14 all measures present, incl. measureType quirk
-                # (ValidatorIC14.java:21-62)
-                req14 = idx.ic14_req_by_ds.get(d)
-                if req14:
-                    missing = [p for p in req14 if p not in props]
-                    if missing:
-                        emit("f", g, sha, "IC14", sterm,
-                             _DETAIL_SEP.join(f"<{p}>" for p in missing))
-
                 # IC-15/16 measure dimension (ValidatorIC15_16.java:25-70;
                 # split by detail-set size — NospaValidator.java:339-347)
                 measures = idx.mt_measures_by_ds.get(d)
@@ -310,6 +644,60 @@ class PivotCheck:
                             emit("val", g, sha, "IC21", v, _DETAIL_SEP.join(cls))
 
         return pd.DataFrame(out, columns=_OUT_COLUMNS)
+
+
+class LocalCheck:
+    """Zero-shuffle per-observation validation (the common case).
+
+    A graph (= one source file) never spans triple blocks: the parser
+    emits one file per batch and phase-1 / materialize preserve blocks, so
+    every second-stage group key — IC-12's (dataset, value-set), IC-17's
+    (dataset, dim-point), IC-19/20/21's value, IC-2's dataset — is local
+    to the block.  One ``map_batches(LocalCheck, batch_size=None)`` call
+    therefore replaces the pivot shuffle *and* both finalize shuffles.
+    Files whose triples exceed one block (~128 MB Arrow) must use the
+    bucketed shuffle path (CubeValidator(mode="shuffle")) instead.
+    """
+
+    def __init__(self, index_ref):
+        self.index_ref = index_ref
+        self._builder = PivotInputBuilder(index_ref, 1)
+        self._check = PivotCheck(index_ref)
+        self._indexes = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..checks.finalize import local_finalize
+        from ..model import FINDINGS_SCHEMA
+
+        if self._indexes is None:
+            self._indexes = _IndexCache.get(self.index_ref)
+        rows = self._builder(batch).to_pandas()
+        out = self._check(rows)
+        f = local_finalize(out, self._indexes)
+        details = [
+            [] if not d else d.split(_DETAIL_SEP) for d in f["detail"].tolist()
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(f["graph"].tolist(), pa.string()),
+                pa.array(f["file_sha256"].tolist(), pa.string()),
+                pa.array(f["ic"].tolist(), pa.string()),
+                pa.array(f["subject"].tolist(), pa.string()),
+                pa.array(details, pa.list_(pa.string())),
+            ],
+            schema=FINDINGS_SCHEMA,
+        )
+
+
+def local_findings(triples, index_ref):
+    """triples → findings Dataset with no shuffle at all."""
+    return triples.map_batches(
+        LocalCheck,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 32),
+    )
 
 
 def build_pivot_rows(triples, index_ref, num_buckets: int):

@@ -363,15 +363,16 @@ def _build_one(graph: str, sha: str, lg: LocalGraph) -> GraphIndex:
             cls = lg.objects_of(dim, V.QB_codeList)
             cset = tuple(sorted(cls & concept_schemes))
             oset = tuple(sorted(cls & collections))
-            entries = acc.setdefault(dim_prop, [])
+            entries = acc.get(dim_prop, ())
             if cset and not any(e[0] for e in entries):
                 al = frozenset().union(*(allowed_concept[c] for c in cset))
-                entries.append((True, cset, al))
+                acc.setdefault(dim_prop, []).append((True, cset, al))
             if oset and not any(not e[0] for e in entries):
                 al = frozenset().union(*(allowed_coll[c] for c in oset))
-                entries.append((False, oset, al))
-        if acc:
-            idx.ic19_by_ds[ds] = {d: list(es) for d, es in acc.items()}
+                acc.setdefault(dim_prop, []).append((False, oset, al))
+        probes = {d: list(es) for d, es in acc.items() if es}
+        if probes:
+            idx.ic19_by_ds[ds] = probes
 
     # ---- IC-20/21 hierarchy probes (no accumulation) ----------------------
     hcls = typed(V.QB_HierarchicalCodeList)

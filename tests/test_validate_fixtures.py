@@ -8,11 +8,11 @@ from nospa_rdf_data_cube_validator_ray import CubeValidator
 from nospa_rdf_data_cube_validator_ray import fixtures
 
 
-@pytest.fixture(scope="module")
-def findings_by_case():
+@pytest.fixture(scope="module", params=["local", "shuffle"])
+def findings_by_case(request):
     cases = fixtures.all_cases()
     corpus = fixtures.corpus_table(cases)
-    v = CubeValidator(ray.data.from_arrow(corpus), num_buckets=8)
+    v = CubeValidator(ray.data.from_arrow(corpus), num_buckets=8, mode=request.param)
     df = v.findings_df()
     out: dict[str, dict] = {name: {} for name in cases}
     for _, row in df.iterrows():
