@@ -25,17 +25,27 @@ import time
 SF_DIR_DEFAULT = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def corpus_path(sf_dir: str) -> str:
-    """Generate (once) and cache the cube corpus parquet for sf_dir."""
+def corpus_path(sf_dir: str, n_shards: int = 16) -> str:
+    """Generate (once) and cache the cube corpus as a DIRECTORY of parquet
+    shards — a single parquet file reads as one Ray task (serial, and it
+    gates the whole pipeline); sharding parallelizes the read."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/graft_cube_corpus_{tag}.parquet"
-    if not os.path.exists(out):
+    out = f"/tmp/graft_cube_corpus_{tag}"
+    if not os.path.isdir(out):
         import pyarrow.parquet as pq
 
         from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
 
-        pq.write_table(tpch_cube_corpus(sf_dir), out + ".tmp")
-        os.rename(out + ".tmp", out)
+        t = tpch_cube_corpus(sf_dir)
+        tmp = out + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        per = max(1, t.num_rows // n_shards)
+        for i in range(0, t.num_rows, per):
+            pq.write_table(
+                t.slice(i, per), f"{tmp}/part-{i // per:04d}.parquet",
+                row_group_size=1,
+            )
+        os.rename(tmp, out)
     return out
 
 

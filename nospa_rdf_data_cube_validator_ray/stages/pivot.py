@@ -689,14 +689,26 @@ class LocalCheck:
         )
 
 
+_LOCAL_CHECK_CACHE: dict = {}
+
+
 def local_findings(triples, index_ref):
-    """triples → findings Dataset with no shuffle at all."""
+    """triples → findings Dataset with no shuffle at all.
+
+    Task-based (not an actor pool): tasks fan out to every core instantly
+    with no pool ramp-up, and the per-worker LocalCheck (broadcast index +
+    flattened join tables) is cached per process keyed by the object ref."""
+
+    def check_block(batch: pa.Table) -> pa.Table:
+        key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)
+        lc = _LOCAL_CHECK_CACHE.get(key)
+        if lc is None:
+            _LOCAL_CHECK_CACHE.clear()
+            _LOCAL_CHECK_CACHE[key] = lc = LocalCheck(index_ref)
+        return lc(batch)
+
     return triples.map_batches(
-        LocalCheck,
-        fn_constructor_kwargs={"index_ref": index_ref},
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=(1, 32),
+        check_block, batch_format="pyarrow", batch_size=None
     )
 
 

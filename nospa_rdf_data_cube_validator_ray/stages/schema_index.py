@@ -117,6 +117,15 @@ class GraphIndex:
 # ---------------------------------------------------------------------------
 
 
+def _distinct(t: pa.Table) -> pa.Table:
+    """Map-side exact dedup (C-level group-by over all columns): phase-1
+    derives one identical `?ds a qb:DataSet` row per observation — without
+    this the schema collection would ship the whole observation count."""
+    if t.num_rows == 0:
+        return t
+    return t.group_by(t.column_names).aggregate([]).select(t.column_names)
+
+
 def _filter_pass1(batch: pa.Table) -> pa.Table:
     pred = batch.column("pred")
     m1 = pc.is_in(pred, value_set=pa.array(sorted(SCHEMA_PREDS)))
@@ -124,7 +133,7 @@ def _filter_pass1(batch: pa.Table) -> pa.Table:
         pc.equal(pred, V.RDF_type),
         pc.is_in(batch.column("obj"), value_set=pa.array(sorted(SCHEMA_CLASSES))),
     )
-    return batch.filter(pc.or_(m1, m2))
+    return _distinct(batch.filter(pc.or_(m1, m2)))
 
 
 class _FilterPass2:
@@ -144,7 +153,7 @@ class _FilterPass2:
             (g + "\x00" + s) in self.subj_keys or p in self.edge_preds
             for g, s, p in zip(graphs, subjs, preds)
         ]
-        return batch.filter(pa.array(keep))
+        return _distinct(batch.filter(pa.array(keep)))
 
 
 def collect_schema_tables(triples) -> list[pa.Table]:
