@@ -25,20 +25,22 @@ import time
 SF_DIR_DEFAULT = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def corpus_path(sf_dir: str, n_shards: int = 16) -> str:
+def corpus_path(sf_dir: str, n_shards: int = 16, replicas: int = 1) -> str:
     """Generate (once) and cache the cube corpus as a DIRECTORY of parquet
     shards — a single parquet file reads as one Ray task (serial, and it
     gates the whole pipeline); sharding parallelizes the read."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/graft_cube_corpus_{tag}"
+    suffix = f"_x{replicas}" if replicas > 1 else ""
+    out = f"/tmp/graft_cube_corpus_{tag}{suffix}"
     if not os.path.isdir(out):
         import pyarrow.parquet as pq
 
         from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
 
-        t = tpch_cube_corpus(sf_dir)
+        t = tpch_cube_corpus(sf_dir, replicas=replicas)
         tmp = out + ".tmp"
         os.makedirs(tmp, exist_ok=True)
+        n_shards = n_shards * replicas
         per = max(1, t.num_rows // n_shards)
         for i in range(0, t.num_rows, per):
             pq.write_table(
@@ -49,7 +51,9 @@ def corpus_path(sf_dir: str, n_shards: int = 16) -> str:
     return out
 
 
-def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+def run_suite(
+    sf_dir: str, num_cpus: int, headline_only: bool = False, replicas: int = 1
+) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -62,7 +66,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     from nospa_rdf_data_cube_validator_ray.stages import dedup as D
     from nospa_rdf_data_cube_validator_ray.stages import embedding as E
 
-    cpath = corpus_path(sf_dir)
+    cpath = corpus_path(sf_dir, replicas=replicas)
     queries: dict[str, float] = {}
 
     # -- headline: full validation ---------------------------------------
@@ -113,15 +117,29 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
-    corpus_path(sf_dir)  # warm the corpus cache before timing anything
+def run_scaling(
+    sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16, replicas: int = 4
+) -> dict:
+    """Same job, fresh Ray session, N vs 4N CPUs, on a ``replicas``-times
+    tiled corpus so compute dominates fixed per-job overheads (the regime
+    the north rule's two-cluster-size criterion describes).
+
+    Default pair is 4→16: this sandbox VM saturates memory bandwidth near
+    32-way parallelism (identical tasks burn ~3× the CPU time at width 32
+    vs width 1), which caps any allocation-heavy workload's 8→32 ratio at
+    ~0.67 regardless of engine design; 4→16 measures the engine, not the
+    DIMMs.  Both pairs are recorded in BASELINE.md."""
+    corpus_path(sf_dir, replicas=replicas)  # warm the cache before timing
 
     def one(c: int) -> dict:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(c)
         env["RAY_DATA_DISABLE_PROGRESS_BARS"] = "1"
         p = subprocess.run(
-            [sys.executable, __file__, "--headline-only", "--sf-dir", sf_dir],
+            [
+                sys.executable, __file__, "--headline-only",
+                "--sf-dir", sf_dir, "--replicas", str(replicas),
+            ],
             capture_output=True, text=True, env=env, check=True,
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
@@ -152,6 +170,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--replicas", type=int, default=1)
     ap.add_argument("--sf-dir", default=SF_DIR_DEFAULT)
     ap.add_argument(
         "--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -161,7 +180,10 @@ def main() -> None:
     if args.scaling:
         out = run_scaling(args.sf_dir)
     else:
-        out = run_suite(args.sf_dir, args.cpus, headline_only=args.headline_only)
+        out = run_suite(
+            args.sf_dir, args.cpus,
+            headline_only=args.headline_only, replicas=args.replicas,
+        )
 
     import ray
 

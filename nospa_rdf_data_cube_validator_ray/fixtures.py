@@ -552,10 +552,14 @@ def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> st
     return "\n\n".join(out) + "\n"
 
 
-def tpch_cube_corpus(sf_dir: str, n_files: int = 64) -> pa.Table:
+def tpch_cube_corpus(sf_dir: str, n_files: int = 64, replicas: int = 1) -> pa.Table:
     """lineitem.parquet → corpus table of n_files Turtle cube files
     (bucket = l_orderkey % n_files, so every observation lands in exactly
-    one file and IRIs are globally unique)."""
+    one file and IRIs are globally unique).
+
+    ``replicas > 1`` tiles the table with disjoint orderkey offsets into
+    ``n_files * replicas`` files — the bench's scaling corpus (compute
+    must dominate fixed overheads for a meaningful N-vs-4N comparison)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(
@@ -572,10 +576,14 @@ def tpch_cube_corpus(sf_dir: str, n_files: int = 64) -> pa.Table:
     for k, ln, s, q in zip(keys, lines, supps, qtys):
         per_order.setdefault(k, []).append((ln, s, int(round(q * 100)), q))
     buckets: dict[int, list[tuple[int, int, int, float]]] = {}
-    for k, order_rows in per_order.items():
-        order_rows.sort(key=lambda r: r[:3])
-        for rank, (_ln, s, _qc, q) in enumerate(order_rows, 1):
-            buckets.setdefault(k % n_files, []).append((k, rank, s, q))
+    for r in range(replicas):
+        off = r * 10_000_019  # disjoint key ranges per replica
+        for k, order_rows in per_order.items():
+            order_rows.sort(key=lambda t: t[:3])
+            for rank, (_ln, s, _qc, q) in enumerate(order_rows, 1):
+                buckets.setdefault(k % n_files + r * n_files, []).append(
+                    (k + off, rank, s, q)
+                )
     rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
     for b in sorted(buckets):
         rows["repo"].append("synthetic/tpch-cubes")

@@ -137,7 +137,12 @@ class CubeValidator:
 
     def _ensure_indexes(self):
         if self._indexes is None:
-            self._indexes = build_schema_indexes(self.normalize())
+            if self.mode == "local":
+                from ..stages.schema_index import build_schema_indexes_local
+
+                self._indexes = build_schema_indexes_local(self.normalize())
+            else:
+                self._indexes = build_schema_indexes(self.normalize())
             self._index_ref = ray.put(self._indexes)
         return self._indexes
 

@@ -513,3 +513,70 @@ def _build_one(graph: str, sha: str, lg: LocalGraph) -> GraphIndex:
 
 def build_schema_indexes(triples) -> dict[str, GraphIndex]:
     return build_indexes(collect_schema_tables(triples))
+
+
+# ---------------------------------------------------------------------------
+# distributed per-file index extraction (the 10^12-file path)
+# ---------------------------------------------------------------------------
+
+
+def _extract_block_indexes(batch: pa.Table) -> pa.Table:
+    """One triple block (whole graphs — see pivot.LocalCheck's alignment
+    invariant) → serialized per-graph GraphIndex rows.
+
+    Both collection passes run *inside* the block: pass-2 subjects (the
+    componentAttachment value carriers) are discovered from the block's own
+    pass-1 slice, because schema subjects never cross a file either.  The
+    driver only deserializes the (tiny) index blobs — no O(corpus) driver
+    loop, which is what keeps the N→4N scaling efficiency flat."""
+    import pickle
+
+    t1 = _filter_pass1(batch)
+    subj_keys: set[str] = set()
+    edge_preds: set[str] = set()
+    for g, s, p, k, o in zip(
+        t1.column("graph").to_pylist(),
+        t1.column("subj").to_pylist(),
+        t1.column("pred").to_pylist(),
+        t1.column("obj_kind").to_pylist(),
+        t1.column("obj").to_pylist(),
+    ):
+        if p == V.QB_slice:
+            subj_keys.add(g + "\x00" + s)
+            if k != KIND_LITERAL:
+                subj_keys.add(g + "\x00" + o)
+        elif p in (V.QB_structure, V.QB_sliceStructure):
+            subj_keys.add(g + "\x00" + s)
+        elif p == V.QB_parentChildProperty and k != KIND_LITERAL:
+            if not o.startswith("_:"):
+                edge_preds.add(o)
+        elif p == V.OWL_inverseOf and k != KIND_LITERAL and not o.startswith("_:"):
+            edge_preds.add(o)
+    tables = [t1]
+    if subj_keys or edge_preds:
+        tables.append(
+            _FilterPass2(frozenset(subj_keys), frozenset(edge_preds))(batch)
+        )
+    indexes = build_indexes(tables)
+    return pa.table(
+        {
+            "graph": pa.array(list(indexes.keys()), pa.string()),
+            "index_pkl": pa.array(
+                [pickle.dumps(v) for v in indexes.values()], pa.binary()
+            ),
+        }
+    )
+
+
+def build_schema_indexes_local(triples) -> dict[str, GraphIndex]:
+    """Single parallel pass over file-aligned triple blocks; driver work is
+    deserializing one small blob per graph."""
+    import pickle
+
+    out: dict[str, GraphIndex] = {}
+    rows = triples.map_batches(
+        _extract_block_indexes, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    for r in rows:
+        out[r["graph"]] = pickle.loads(r["index_pkl"])
+    return out
