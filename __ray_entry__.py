@@ -271,6 +271,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from nospa_rdf_data_cube_validator_ray.pipelines import relational as rel
     from nospa_rdf_data_cube_validator_ray.pipelines import training_data as td
 
     q = {
@@ -284,10 +285,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_triples_by_pred": q_cube_triples_by_pred,
     }
     q.update(td.QUERIES)
+    q.update(rel.QUERIES)
     return q
 
 
 def oracle_sql() -> dict[str, str]:
+    from nospa_rdf_data_cube_validator_ray.pipelines import relational as rel
     from nospa_rdf_data_cube_validator_ray.pipelines import training_data as td
 
     o = {
@@ -301,4 +304,5 @@ def oracle_sql() -> dict[str, str]:
         "cube_triples_by_pred": _SQL_TRIPLES_BY_PRED,
     }
     o.update(td.ORACLES)
+    o.update(rel.ORACLES)
     return o

@@ -1,0 +1,142 @@
+"""Relational / kernel queries with DuckDB oracles: the stream-scale
+graph-kernel join over the cube triple table, a windowed event aggregate,
+and a top-k — the groupby/sort/limit surface of the engine."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+from ray.data.aggregate import Count
+
+from ..functions import kernel as K
+
+TP = "http://example.org/tpch/"
+QB = "http://purl.org/linked-data/cube#"
+
+
+def q_cube_star_supp(sf_dir: str):
+    """(dataset, supplier) pairs via the conjunctive star join
+    obs —qb:dataSet→ ds ∧ obs —tp:d_supp→ supp (searchByMultipleProperty
+    shape, ValidatorBase.java:85-106) as a real distributed hash join."""
+    import __ray_entry__ as entry
+
+    triples = entry._cube_state(sf_dir)["validator"].normalize()
+    pairs = K.star_pairs(triples, QB + "dataSet", TP + "d_supp")
+    df = pairs.to_pandas()[["a", "b"]].rename(columns={"a": "dataset", "b": "supp"})
+    return df.drop_duplicates().reset_index(drop=True)
+
+
+_SQL_STAR_SUPP = f"""
+WITH ranked AS (
+  SELECT l_orderkey AS k, l_suppkey AS s,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_suppkey, round(l_quantity * 100)
+         ) AS l
+  FROM lineitem
+)
+SELECT DISTINCT dataset, supp FROM (
+  SELECT '{TP}ds-' || (k % 64) AS dataset, '{TP}supp/' || s AS supp
+  FROM ranked WHERE k % 97 != 0
+  UNION ALL
+  SELECT '{TP}ds/extra/' || k, '{TP}supp/' || s
+  FROM ranked WHERE k % 107 = 0 AND k % 97 != 0 AND l = 1
+)
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table:
+    count + distinct users per (window, event_type)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    )
+
+    def _hour_id(ts: pd.Series) -> pd.Series:
+        # unit-agnostic epoch hours (parquet may carry us or ns precision)
+        return ((ts - pd.Timestamp(0)) // pd.Timedelta(hours=1)).astype("int64")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        hour_id = _hour_id(df["ts"])
+        return pd.DataFrame(
+            {
+                "hour_id": hour_id,
+                "event_type": df["event_type"],
+                "user_id": df["user_id"],
+            }
+        ).drop_duplicates()  # map-side partial dedup for the distinct count
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["hour_id", "event_type"], sort=False)
+        out = g.agg(n=("user_id", "size"), n_users=("user_id", "nunique"))
+        return out.reset_index()
+
+    rows = ds.map_batches(project, batch_format="pandas")
+    # count(*) must count raw rows, not deduped ones — recompute counts raw
+    raw = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"hour_id": _hour_id(df["ts"]), "event_type": df["event_type"]}
+        ),
+        batch_format="pandas",
+    )
+    n = raw.groupby(["hour_id", "event_type"]).aggregate(Count()).to_pandas()
+    n = n.rename(columns={"count()": "n"})
+    nu = (
+        rows.groupby(["hour_id", "event_type"])
+        .map_groups(
+            lambda df: pd.DataFrame(
+                {
+                    "hour_id": df["hour_id"].iloc[:1],
+                    "event_type": df["event_type"].iloc[:1],
+                    "n_users": [df["user_id"].nunique()],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = n.merge(nu, on=["hour_id", "event_type"])
+    out["n"] = out["n"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["hour_id"] = out["hour_id"].astype("int64")
+    return out
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour_id, event_type,
+       count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Top-10 customers by order count (groupby-count → sort → limit),
+    deterministic tie-break on customer key."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    counts = ds.groupby("o_custkey").aggregate(Count()).to_pandas()
+    counts = counts.rename(columns={"count()": "n"})
+    counts["n"] = counts["n"].astype("int64")
+    top = counts.sort_values(["n", "o_custkey"], ascending=[False, True]).head(10)
+    return top.reset_index(drop=True)
+
+
+_SQL_TOP_CUSTOMERS = """
+SELECT o_custkey, count(*)::BIGINT AS n
+FROM orders GROUP BY 1
+ORDER BY n DESC, o_custkey LIMIT 10
+"""
+
+
+QUERIES = {
+    "cube_star_supp": q_cube_star_supp,
+    "events_hourly": q_events_hourly,
+    "top_customers": q_top_customers,
+}
+
+ORACLES = {
+    "cube_star_supp": _SQL_STAR_SUPP,
+    "events_hourly": _SQL_EVENTS_HOURLY,
+    "top_customers": _SQL_TOP_CUSTOMERS,
+}

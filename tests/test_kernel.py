@@ -1,0 +1,44 @@
+"""Stream-scale graph-kernel tests (functions/kernel.py) — the distributed
+twins of ValidatorBase's HashMap search functions."""
+
+import pandas as pd
+
+import ray.data
+
+from nospa_rdf_data_cube_validator_ray.functions import kernel as K
+
+
+def triples_ds():
+    rows = [
+        # graph g1: chain a -p-> b -p-> c, plus a -q-> x
+        ("g1", "a", "p", "b"), ("g1", "b", "p", "c"), ("g1", "a", "q", "x"),
+        # cycle: c -p-> a  (reference's BFS would never terminate)
+        ("g1", "c", "p", "a"),
+        # graph g2: same node names, different edges (per-graph isolation)
+        ("g2", "a", "p", "z"),
+    ]
+    df = pd.DataFrame(rows, columns=["graph", "subj", "pred", "obj"])
+    df["file_sha256"] = "s"
+    df["obj_kind"] = 0
+    df["obj_dt"] = ""
+    df["obj_lang"] = ""
+    return ray.data.from_pandas(df)
+
+
+def test_path_visit_two_hops():
+    out = K.path_visit(triples_ds(), ["p", "p"]).to_pandas()
+    got = {(g, s, e) for g, s, e in zip(out["graph"], out["start"], out["end"])}
+    assert got == {("g1", "a", "c"), ("g1", "b", "a"), ("g1", "c", "b")}
+
+
+def test_star_pairs():
+    out = K.star_pairs(triples_ds(), "p", "q").to_pandas()
+    got = {(g, a, b) for g, a, b in zip(out["graph"], out["a"], out["b"])}
+    assert got == {("g1", "b", "x")}
+
+
+def test_reachable_cycle_safe():
+    roots = ray.data.from_pandas(pd.DataFrame({"graph": ["g1"], "node": ["a"]}))
+    out = K.reachable(triples_ds(), "p", roots).to_pandas()
+    got = {(g, n) for g, n in zip(out["graph"], out["node"])}
+    assert got == {("g1", "a"), ("g1", "b"), ("g1", "c")}  # terminates on cycle

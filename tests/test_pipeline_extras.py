@@ -1,0 +1,105 @@
+"""End-to-end invariants beyond the fixture findings: sha256 preservation,
+normalized-triple export, selective validation, checkpoint/shuffle parity."""
+
+import hashlib
+
+import pytest
+
+import ray.data
+
+from nospa_rdf_data_cube_validator_ray import CubeValidator
+from nospa_rdf_data_cube_validator_ray import fixtures
+from nospa_rdf_data_cube_validator_ray import vocab as V
+from nospa_rdf_data_cube_validator_ray.model import split_graph_id
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return fixtures.corpus_table()
+
+
+def test_sha256_preserved_end_to_end(corpus):
+    """north rule: per-row content sha256 equality, input → triple stream →
+    findings."""
+    expected = {
+        f"cubes/{name}.ttl": hashlib.sha256(content.encode()).hexdigest()
+        for name, (content, _e) in fixtures.all_cases().items()
+    }
+    v = CubeValidator(ray.data.from_arrow(corpus))
+    triples = v.normalize().to_pandas()
+    for g, sha in triples[["graph", "file_sha256"]].drop_duplicates().itertuples(index=False):
+        _repo, path, _commit = split_graph_id(g)
+        assert expected[path] == sha
+    findings = v.findings_df()
+    for g, sha in findings[["graph", "file_sha256"]].drop_duplicates().itertuples(index=False):
+        if not sha:
+            continue  # driver-side rows for graphs without observations keep ""
+        _repo, path, _commit = split_graph_id(g)
+        assert expected[path] == sha
+
+
+def test_normalized_triple_export(corpus, tmp_path):
+    """exportModel parity (NospaValidator.java:56-67): the normalized set
+    contains the phase-1 type closure and phase-2 pushdowns of the
+    abbreviated cube (Normalizer.java:23-72,90-189)."""
+    v = CubeValidator(ray.data.from_arrow(corpus))
+    out = v.normalized_triples().to_pandas()
+    ab = out[out["graph"].str.contains("ABBREV")]
+    spo = {(s, p, o) for s, p, o in zip(ab["subj"], ab["pred"], ab["obj"])}
+    ex = "http://example.org/cube#"
+    # phase 1: obs + dataset types derived from qb:dataSet
+    assert (f"{ex}ao1", V.RDF_type, V.QB_Observation) in spo
+    assert (f"{ex}ads", V.RDF_type, V.QB_DataSet) in spo
+    # phase 1: componentProperty + property types from qb:dimension/measure
+    assert (f"{ex}adim", V.RDF_type, V.QB_DimensionProperty) in spo
+    assert (f"{ex}aval", V.RDF_type, V.QB_MeasureProperty) in spo
+    # no duplicates after exact dedup
+    cols = ["graph", "subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang"]
+    assert not out.duplicated(cols).any()
+    # write_parquet round-trip
+    v.export_model(str(tmp_path / "model"))
+    back = ray.data.read_parquet(str(tmp_path / "model")).count()
+    assert back == len(out)
+
+
+def test_selective_validation(corpus):
+    v = CubeValidator(ray.data.from_arrow(corpus))
+    only12 = v.validate(["IC12"]).to_pandas()
+    assert set(only12["ic"]) == {"IC12"}
+    allf = v.findings_df()
+    assert len(only12) == (allf["ic"] == "IC12").sum()
+
+
+def test_checkpoint_shuffle_parity(corpus, tmp_path):
+    """Parquet checkpoint breaks file↔block alignment → auto mode must pick
+    the shuffle path and produce identical findings."""
+    v_local = CubeValidator(ray.data.from_arrow(corpus))
+    v_ckpt = CubeValidator(
+        ray.data.from_arrow(corpus), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert v_ckpt.mode == "shuffle"
+    a = v_local.findings_df().sort_values(["graph", "ic", "subject"]).reset_index(drop=True)
+    b = v_ckpt.findings_df().sort_values(["graph", "ic", "subject"]).reset_index(drop=True)
+    a["detail"] = a["detail"].map(tuple)
+    b["detail"] = b["detail"].map(tuple)
+    assert a.equals(b)
+
+
+def test_strict_parse_off_skips_bad_rows():
+    import pyarrow as pa
+
+    bad = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["good.ttl", "bad.ttl"],
+            "commit": ["c", "c"],
+            "lang": ["turtle", "turtle"],
+            "content": [
+                "@prefix ex: <http://e.org/> . ex:s ex:p ex:o .",
+                "@prefix ex: <http://e.org/ . BROKEN",
+            ],
+        }
+    )
+    v = CubeValidator(ray.data.from_arrow(bad), strict_parse=False)
+    t = v.normalize().to_pandas()
+    assert set(t["graph"].map(lambda g: split_graph_id(g)[1])) == {"good.ttl"}

@@ -1,0 +1,158 @@
+"""Training-data operator tests: text analysis, dedup families,
+similarity search, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from nospa_rdf_data_cube_validator_ray.functions import text as T
+from nospa_rdf_data_cube_validator_ray.stages import dedup as D
+from nospa_rdf_data_cube_validator_ray.stages import embedding as E
+from nospa_rdf_data_cube_validator_ray.stages import multimodal as M
+
+
+def docs_ds():
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        # 0/1: exact duplicates
+        (0, base, "en", "srcA"),
+        (1, base, "en", "srcA"),
+        # 2: near-duplicate of 0 (one word changed)
+        (2, base.replace("lazy", "sleepy", 1), "en", "srcA"),
+        # 3: unrelated
+        (3, "completely different content about databases and queries " * 6, "en", "srcA"),
+        # 4: different block (other source)
+        (4, base, "en", "srcB"),
+        # 5: CJK for lang-id
+        (5, "数据 立方体 验证 引擎 流式 处理 " * 10, "zh", "srcB"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    return df, ray.data.from_pandas(df)
+
+
+def test_text_stats():
+    out = T.text_stats(pd.DataFrame({"doc_id": [1, 2], "text": ["Ab c!  2x", ""]}))
+    r = out.set_index("doc_id")
+    assert r.loc[1, "n_chars"] == 9
+    assert r.loc[1, "n_tokens"] == 3
+    assert r.loc[1, "n_punct"] == 1
+    assert r.loc[1, "n_upper"] == 1
+    assert r.loc[1, "n_digit"] == 1
+    assert r.loc[2, "n_tokens"] == 0
+
+
+def test_lang_id_scripts():
+    df, _ = docs_ds()
+    out = T.lang_id(df).set_index("doc_id")["lang_pred"]
+    assert out[5] == "zh"
+    assert out[0] == "en"
+
+
+def test_fingerprint_deterministic():
+    df, _ = docs_ds()
+    a = T.fingerprint(df)
+    b = T.fingerprint(df)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_fingerprints"] > 0).all()
+    # identical docs → identical fingerprint summaries
+    assert a.loc[0, "fp_xor"] == a.loc[1, "fp_xor"]
+    assert a.loc[0, "fp_xor"] != a.loc[3, "fp_xor"]
+
+
+def test_exact_dedup():
+    _, ds = docs_ds()
+    kept = D.exact_dedup(ds).to_pandas()
+    ids = sorted(kept["doc_id"])
+    # doc 1 and 4 are exact dups of doc 0 → only min id 0 survives
+    assert ids == [0, 2, 3, 5]
+
+
+def test_jaccard_block_pairs():
+    _, ds = docs_ds()
+    pairs = D.jaccard_block_pairs(
+        ds, block_cols=("lang", "source"), threshold_num=8, threshold_den=10
+    ).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"])}
+    assert (0, 1) in got          # identical
+    assert (0, 2) in got          # near-dup
+    assert (0, 3) not in got      # unrelated
+    assert (0, 4) not in got      # other block, never compared
+    r = pairs.set_index(["doc_id_a", "doc_id_b"]).loc[(0, 1)]
+    assert r["n_inter"] == r["n_union"]  # identical word sets
+
+
+def test_minhash_lsh_pairs():
+    _, ds = docs_ds()
+    pairs = D.minhash_lsh_pairs(ds, threshold=0.7).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"])}
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got  # exact dups
+    assert (0, 2) in got                                       # near-dup
+    assert not any(3 in p for p in got)                        # unrelated
+
+
+def test_simhash_pairs():
+    _, ds = docs_ds()
+    pairs = D.simhash_pairs(ds, max_hamming=3).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"])}
+    assert (0, 1) in got
+    assert not any(3 in p and 5 not in p for p in got if p != (0, 1) and 3 in p)
+    table = D.simhash_table(ds).to_pandas().set_index("doc_id")
+    assert table.loc[0, "simhash"] == table.loc[1, "simhash"]
+
+
+def embeddings_ds(n=50, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    mat = rng.standard_normal((n, dim))
+    df = pd.DataFrame({"vec_id": range(n), "embedding": [r.tolist() for r in mat]})
+    return mat, ray.data.from_pandas(df)
+
+
+def test_knn_topk_matches_numpy():
+    mat, ds = embeddings_ds()
+    out = E.knn_topk(ds, query_ids=[0, 1, 2], k=4)
+    N = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    C = N @ N.T
+    for q in (0, 1, 2):
+        order = [j for j in np.lexsort((np.arange(len(mat)), -C[q])) if j != q][:4]
+        got = out[out["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == order
+
+
+def test_cosine_threshold_pairs_matches_numpy():
+    mat, ds = embeddings_ds()
+    thr = 0.5
+    out = E.cosine_threshold_pairs(ds, threshold=thr).to_pandas()
+    N = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    C = N @ N.T
+    iu = np.triu_indices(len(mat), 1)
+    expected = {
+        (int(a), int(b)) for a, b in zip(*iu) if C[a, b] >= thr
+    }
+    got = {(a, b) for a, b in zip(out["vec_id_a"], out["vec_id_b"])}
+    assert got == expected
+
+
+def test_lsh_pairs_subset_of_exact():
+    mat, ds = embeddings_ds()
+    thr = 0.5
+    exact = E.cosine_threshold_pairs(ds, threshold=thr).to_pandas()
+    exact_set = {(a, b) for a, b in zip(exact["vec_id_a"], exact["vec_id_b"])}
+    lsh = E.lsh_cosine_pairs(ds, dim=16, threshold=thr, n_planes=4).to_pandas()
+    lsh_set = {(a, b) for a, b in zip(lsh["vec_id_a"], lsh["vec_id_b"])}
+    assert lsh_set <= exact_set
+
+
+def test_multimodal_fake_and_real():
+    _, ds = docs_ds()
+    feats = M.decode_features(M.attach_payload(ds), mode="fake").to_pandas()
+    assert len(feats) == 6
+    row = feats.set_index("doc_id").loc[0]
+    assert int(sum(row["features"])) == row["n_bytes"]  # histogram sums to bytes
+    assert len(row["features"]) == 16
+    with pytest.raises(ValueError):
+        M.DecodeFeatures(mode="nope")
+    with pytest.raises(NotImplementedError):
+        M.DecodeFeatures(mode="real")(pd.DataFrame({"payload": [b"x"], "doc_id": [0], "n_bytes": [1]}))
