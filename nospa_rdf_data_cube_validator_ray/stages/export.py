@@ -99,6 +99,39 @@ def _dedup_group(df: pd.DataFrame) -> pd.DataFrame:
     ).drop(columns=["bucket"])
 
 
+def write_ntriples(triples, out_dir: str) -> list[str]:
+    """Serialize the triple Dataset as N-Triples text, one ``part-*.nt``
+    per block (exportModel's RDF text output, NospaValidator.java:56-67;
+    our canonical sink stays Parquet — this is the interchange format).
+    Each task writes its own part file (side-effect sink with task-unique
+    names); returns the file list."""
+    import os
+    import uuid
+
+    from ..model import term_str
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        cols = [
+            batch.column(c).to_pylist()
+            for c in ("subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang")
+        ]
+        lines = []
+        for s, p, k, o, dt, lg_ in zip(*cols):
+            st = s if s.startswith("_:") else f"<{s}>"
+            lines.append(f"{st} <{p}> {term_str(k, o, dt, lg_)} .")
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nt")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        return pa.table({"path": pa.array([path]), "rows": pa.array([len(lines)])})
+
+    manifest = triples.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return sorted(r["path"] for r in manifest)
+
+
 def exact_dedup_triples(triples, num_buckets: int = 64):
     """Exact set-dedup of the triple table: per-batch identity hash →
     bucket shuffle → per-bucket drop_duplicates (the groupby-shuffle dedup
