@@ -102,12 +102,12 @@ def run_suite(
     timed("dedup_exact", lambda: D.exact_dedup(docs).count())
     timed("dedup_minhash_lsh", lambda: D.minhash_lsh_pairs(docs, threshold=0.7).count())
     timed("dedup_simhash", lambda: D.simhash_pairs(docs).count())
-    timed(
-        "text_stats",
-        lambda: td.q_text_stats(sf_dir).aggregate(
-            __import__("ray.data.aggregate", fromlist=["Sum"]).Sum("n_tokens")
-        ),
-    )
+    from ray.data.aggregate import Sum
+
+    from nospa_rdf_data_cube_validator_ray.pipelines import relational as rel
+
+    timed("text_stats", lambda: td.q_text_stats(sf_dir).aggregate(Sum("n_tokens")))
+    timed("events_hourly", lambda: len(rel.q_events_hourly(sf_dir)))
     embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     timed("knn_cosine_topk", lambda: E.knn_topk(embs, query_ids=list(range(10)), k=5))
     timed(

@@ -73,11 +73,14 @@ def q_minhash_signatures(sf_dir: str):
     sigs = D.minhash_signatures(_docs(sf_dir))
 
     def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mats = [np.frombuffer(s, dtype=np.uint64) for s in df["sig"]]
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "sig_min": [min(s) for s in df["sig"]],
-                "sig_sum": [sum(s) for s in df["sig"]],
+                "sig_min": [int(m.min()) for m in mats],
+                "sig_sum": [int(m.sum(dtype=np.uint64)) for m in mats],
             }
         )
 

@@ -123,11 +123,37 @@ def jaccard_block_pairs(
 # ---------------------------------------------------------------------------
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Per-token 64-bit blake2b, memoized per process (token vocabularies
+    are Zipfian — the cache turns the hashing loop into dict lookups)."""
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > 2_000_000:
+        cache.clear()
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+_SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                         0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5], dtype=np.uint64)
+
+
 class MinHasher:
     """Stateful map_batches stage: text → MinHash signature.
 
     Permutation parameters are derived once per actor in ``__init__`` from
-    a fixed seed (deterministic across retries and cluster sizes)."""
+    a fixed seed (deterministic across retries and cluster sizes); shingle
+    hashes are a vectorized mix of memoized per-token hashes."""
 
     def __init__(self, num_perm: int = 128, shingle_k: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
@@ -138,21 +164,16 @@ class MinHasher:
 
     def _shingle_hashes(self, text: str) -> np.ndarray:
         toks = text.split()
-        if len(toks) < self.k:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [" ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)]
-        if not grams:
+        if not toks:
             return np.zeros(0, dtype=np.uint64)
-        return np.unique(
-            np.array(
-                [
-                    int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-                    for g in grams
-                ],
-                dtype=np.uint64,
-            )
-        )
+        th = _token_hashes(toks)
+        k = min(self.k, len(th))
+        n = len(th) - k + 1
+        with np.errstate(over="ignore"):
+            g = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                g = g ^ (th[j : j + n] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)])
+        return np.unique(g)
 
     def signature(self, text: str) -> np.ndarray:
         h = self._shingle_hashes(text)
@@ -166,7 +187,7 @@ class MinHasher:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sigs = [self.signature(t) for t in df["text"].fillna("")]
         out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
-        out["sig"] = [s.astype("int64").tolist() for s in sigs]
+        out["sig"] = [s.tobytes() for s in sigs]  # fixed num_perm×8 bytes
         return out
 
 
@@ -188,69 +209,78 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     threshold: float = 0.8,
-    max_pairs_per_bucket: int = 1_000_000,
+    max_bucket: int = 100_000,
     concurrency=None,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs: MinHash signatures → LSH band buckets →
-    per-bucket candidate pairs filtered on signature-estimated Jaccard.
+    candidate pairs → map-side signature verification.
+
+    Only (bucket, doc_id) rows go through the shuffle; signatures stay out
+    of the exchange and are broadcast once (``ray.put``) for the verify
+    step — at corpora where the signature matrix itself outgrows a worker
+    heap, swap the broadcast for a hash-partitioned signature join.
 
     Output: (doc_id_a, doc_id_b, est_jaccard_num) with
     est_jaccard_num = #equal signature slots (out of ``num_perm``) —
     integer, ≥ ceil(threshold * num_perm)."""
+    import ray
+
     rows_per_band = num_perm // bands
     min_eq = int(np.ceil(threshold * num_perm))
 
     sigs = minhash_signatures(
         ds, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency
-    )
+    ).materialize()
 
-    def to_buckets(row: dict) -> list[dict]:
-        sig = np.asarray(row["sig"], dtype=np.int64)
-        out = []
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            out.append(
-                {
-                    "bucket": f"{b}:{bh.hex()}",
-                    "doc_id": row["doc_id"],
-                    "sig": row["sig"],
-                }
-            )
-        return out
+    def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        ids, buckets = [], []
+        for doc_id, sig in zip(df["doc_id"], df["sig"]):
+            mv = memoryview(sig)
+            for b in range(bands):
+                chunk = mv[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8]
+                bh = hashlib.blake2b(chunk, digest_size=8).hexdigest()
+                ids.append(doc_id)
+                buckets.append(f"{b}:{bh}")
+        return pd.DataFrame({"bucket": buckets, "doc_id": ids})
 
-    buckets = sigs.flat_map(to_buckets)
+    buckets = sigs.map_batches(to_buckets, batch_format="pandas")
 
     def bucket_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-        if len(grp) < 2:
-            return pd.DataFrame(
-                columns=["doc_id_a", "doc_id_b", "est_jaccard_num"]
-            ).astype("int64")
-        grp = grp.sort_values("doc_id")
-        ids = grp["doc_id"].to_numpy()
-        mat = np.array(grp["sig"].tolist(), dtype=np.int64)
-        rows = []
-        for i in range(len(ids)):
-            eq = (mat[i + 1 :] == mat[i]).sum(axis=1)
-            for off in np.nonzero(eq >= min_eq)[0]:
-                j = i + 1 + off
-                if ids[i] != ids[j]:
-                    rows.append((ids[i], ids[j], int(eq[off])))
-            if len(rows) > max_pairs_per_bucket:
-                raise RuntimeError("LSH bucket pair cap exceeded (skewed bucket)")
+        ids = np.unique(grp["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []}).astype("int64")
+        if len(ids) > max_bucket:
+            raise RuntimeError("LSH bucket cap exceeded (skewed bucket)")
+        a, b = np.triu_indices(len(ids), 1)
         return pd.DataFrame(
-            rows, columns=["doc_id_a", "doc_id_b", "est_jaccard_num"]
+            {"doc_id_a": ids[a], "doc_id_b": ids[b]}
         ).astype("int64")
 
-    pairs = buckets.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-
-    # a pair can surface from several bands — exact dedup on the pair key
-    def dedup_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-        return grp.head(1)
-
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        dedup_pairs, batch_format="pandas"
+    cands = (
+        buckets.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
+
+    sig_pd = sigs.to_pandas()
+    mat = np.frombuffer(b"".join(sig_pd["sig"]), dtype=np.uint64).reshape(
+        len(sig_pd), num_perm
+    )
+    ref = ray.put({"row": {int(d): i for i, d in enumerate(sig_pd["doc_id"])},
+                   "mat": mat})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(ref) if not isinstance(ref, dict) else ref
+        row, m = s["row"], s["mat"]
+        ia = np.array([row[int(x)] for x in df["doc_id_a"]], dtype=np.int64)
+        ib = np.array([row[int(x)] for x in df["doc_id_b"]], dtype=np.int64)
+        eq = (m[ia] == m[ib]).sum(axis=1).astype("int64")
+        out = df.copy()
+        out["est_jaccard_num"] = eq
+        return out[eq >= min_eq].reset_index(drop=True)
+
+    return cands.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -265,13 +295,7 @@ def _simhash64(text: str) -> int:
     toks = text.split()
     if not toks:
         return 0
-    hs = np.array(
-        [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-            for t in toks
-        ],
-        dtype=np.uint64,
-    )
+    hs = _token_hashes(toks)
     bits = ((hs[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
     acc = (2 * bits - 1).sum(axis=0)
     return int(((acc > 0).astype(np.uint64) << _BIT_SHIFTS).sum(dtype=np.uint64))
