@@ -61,6 +61,7 @@ _TOKEN_RE = re.compile(
   | (?P<BNODE>_:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])
   | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.\-]*)?:(?:[A-Za-z0-9_:%\-\\]|\.(?=[A-Za-z0-9_:%\-\\.])|[^\x00-\x7F])*|[A-Za-z_][A-Za-z0-9_\-]*)
   | (?P<PUNCT>[.;,\[\]()])
+  | (?P<ERR>\S)
     """,
     re.VERBOSE,
 )
@@ -83,21 +84,19 @@ def _unescape(s: str) -> str:
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
-    tokens: list[tuple[str, str]] = []
-    append = tokens.append
-    pos = 0
-    n = len(text)
-    for m in _TOKEN_RE.finditer(text):
-        if m.start() != pos:
-            snippet = text[pos : pos + 40]
-            raise RDFSyntaxError(f"unrecognized input at offset {pos}: {snippet!r}")
-        pos = m.end()
-        kind = m.lastgroup
-        if kind in ("WS", "COMMENT"):
-            continue
-        append((kind, m.group()))
-    if pos != n:
-        raise RDFSyntaxError(f"unrecognized input at offset {pos}: {text[pos:pos+40]!r}")
+    # WS is matched (one cheap first-alternative hit per run of whitespace
+    # beats per-position failure scans) but filtered here; the ERR
+    # catch-all (\S) turns any unmatchable non-space character into its own
+    # token (raised below), so no contiguity bookkeeping is needed and the
+    # whole scan is one comprehension over the master regex
+    tokens = [
+        (m.lastgroup, m.group())
+        for m in _TOKEN_RE.finditer(text)
+        if m.lastgroup != "WS" and m.lastgroup != "COMMENT"
+    ]
+    if tokens and any(k == "ERR" for k, _ in tokens):
+        bad = next(v for k, v in tokens if k == "ERR")
+        raise RDFSyntaxError(f"unrecognized input near {bad!r}")
     return tokens
 
 
@@ -122,6 +121,11 @@ class TurtleParser:
         self._anon = 0
         self._tokens: list[tuple[str, str]] = []
         self._i = 0
+        # term memo: raw PNAME/IRIREF/numeric token → resolved term tuple
+        # (cube serializations repeat a small term vocabulary millions of
+        # times; resolution becomes one dict hit after first sight)
+        self._term_cache: dict[str, tuple] = {}
+        self._pred_cache: dict[str, str] = {}
 
     # -- token helpers ----------------------------------------------------
 
@@ -168,22 +172,35 @@ class TurtleParser:
 
     def _parse_term(self, kind: str, val: str, as_subject: bool = False):
         """Returns (kind, lex, dt, lang)."""
+        cached = self._term_cache.get(val) if kind[0] in "IPBD" else None
+        if cached is not None:
+            return cached
         if kind == "IRIREF":
-            return (KIND_IRI, self._resolve_iri(val), "", "")
+            t = (KIND_IRI, self._resolve_iri(val), "", "")
+            self._term_cache[val] = t
+            return t
         if kind == "PNAME":
             if val == "a":
                 return (KIND_IRI, RDF_type, "", "")
             if val == "true" or val == "false":
                 return (KIND_LITERAL, val, XSD_boolean, "")
-            return (KIND_IRI, self._resolve_pname(val), "", "")
+            t = (KIND_IRI, self._resolve_pname(val), "", "")
+            self._term_cache[val] = t
+            return t
         if kind == "BNODE":
-            return (KIND_BNODE, "_:" + val[2:], "", "")
+            t = (KIND_BNODE, "_:" + val[2:], "", "")
+            self._term_cache[val] = t
+            return t
         if kind == "INTEGER":
             return (KIND_LITERAL, val, XSD_integer, "")
         if kind == "DECIMAL":
-            return (KIND_LITERAL, val, XSD_decimal, "")
+            t = (KIND_LITERAL, val, XSD_decimal, "")
+            self._term_cache[val] = t
+            return t
         if kind == "DOUBLE":
-            return (KIND_LITERAL, val, XSD_double, "")
+            t = (KIND_LITERAL, val, XSD_double, "")
+            self._term_cache[val] = t
+            return t
         if kind.startswith("STRING"):
             lex = self._string_value(kind, val)
             nkind, nval = self._peek()
@@ -238,34 +255,53 @@ class TurtleParser:
     # -- statement productions -------------------------------------------
 
     def _parse_predicate_object_list(self, subj: str) -> None:
+        tokens = self._tokens
+        n = len(tokens)
+        append = self.triples.append
+        pred_cache = self._pred_cache
+        term_cache = self._term_cache
         while True:
-            kind, val = self._next()
-            if kind == "PNAME" and val == "a":
-                pred = RDF_type
-            elif kind == "IRIREF":
-                pred = self._resolve_iri(val)
-            elif kind == "PNAME":
-                pred = self._resolve_pname(val)
-            else:
-                raise RDFSyntaxError(f"expected predicate, got {kind} {val!r}")
+            if self._i >= n:
+                raise RDFSyntaxError("unexpected end of input in predicate list")
+            kind, val = tokens[self._i]
+            self._i += 1
+            pred = pred_cache.get(val)
+            if pred is None:
+                if kind == "PNAME" and val == "a":
+                    pred = RDF_type
+                elif kind == "IRIREF":
+                    pred = self._resolve_iri(val)
+                elif kind == "PNAME":
+                    pred = self._resolve_pname(val)
+                else:
+                    raise RDFSyntaxError(f"expected predicate, got {kind} {val!r}")
+                pred_cache[val] = pred
             # object list
             while True:
-                kind, val = self._next()
-                okind, olex, odt, olang = self._parse_term(kind, val)
-                self.triples.append((subj, pred, okind, olex, odt, olang))
-                nkind, nval = self._peek()
-                if nkind == "PUNCT" and nval == ",":
-                    self._next()
-                    continue
+                if self._i >= n:
+                    raise RDFSyntaxError("unexpected end of input in object list")
+                kind, val = tokens[self._i]
+                self._i += 1
+                t = term_cache.get(val) if kind[0] in "IPBD" else None
+                if t is None:
+                    t = self._parse_term(kind, val)
+                append((subj, pred, t[0], t[1], t[2], t[3]))
+                if self._i < n:
+                    nkind, nval = tokens[self._i]
+                    if nkind == "PUNCT" and nval == ",":
+                        self._i += 1
+                        continue
                 break
-            nkind, nval = self._peek()
-            if nkind == "PUNCT" and nval == ";":
-                self._next()
-                # allow trailing ; before . or ]
-                nkind, nval = self._peek()
-                if nkind == "PUNCT" and nval in (".", "]"):
-                    return
-                continue
+            if self._i < n:
+                nkind, nval = tokens[self._i]
+                if nkind == "PUNCT" and nval == ";":
+                    self._i += 1
+                    # allow trailing ; before . or ]
+                    if self._i < n:
+                        nkind, nval = tokens[self._i]
+                        if nkind == "PUNCT" and (nval == "." or nval == "]"):
+                            return
+                    continue
             return
 
     def parse(self, text: str) -> list[Triple]:
