@@ -95,6 +95,25 @@ def q_simhash_pairs(sf_dir: str):
     return D.simhash_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def q_corpus_clean_summary(sf_dir: str):
+    """Composed training-data pipeline: quality filter → exact dedup →
+    per-language survivor counts (the C4-style cleanup shape)."""
+    import re
+
+    tok_re = re.compile(r"\S+")
+
+    def keep_quality(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["text"].fillna("").str.count(tok_re) >= 30].reset_index(
+            drop=True
+        )
+
+    filtered = _docs(sf_dir).map_batches(keep_quality, batch_format="pandas")
+    kept = D.exact_dedup(filtered)
+    out = kept.groupby("lang").count().rename_columns({"count()": "n"}).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 # -- embeddings / similarity search ----------------------------------------
 
 
@@ -126,6 +145,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "corpus_clean_summary": q_corpus_clean_summary,
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_minhash_pairs": q_minhash_pairs,
     "minhash_signatures": q_minhash_signatures,
@@ -163,6 +183,15 @@ FROM documents
     "dedup_exact": """
 SELECT min(doc_id)::BIGINT AS doc_id, min(n_chars)::BIGINT AS n_chars
 FROM documents GROUP BY text
+""",
+    "corpus_clean_summary": r"""
+WITH kept AS (
+  SELECT arg_min(lang, doc_id) AS lang
+  FROM documents
+  WHERE length(regexp_extract_all(text, '\S+')) >= 30
+  GROUP BY text
+)
+SELECT lang, count(*)::BIGINT AS n FROM kept GROUP BY 1
 """,
     "dedup_jaccard_pairs": r"""
 WITH w AS (
