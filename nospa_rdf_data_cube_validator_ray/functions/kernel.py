@@ -79,12 +79,50 @@ def path_visit(
     return distinct(cur, ["graph", "start", "end"])
 
 
+def objects_of(
+    triples: "ray.data.Dataset", pred: str, subjects: set[tuple[str, str]]
+) -> "ray.data.Dataset":
+    """searchObjectsOfProperty (ValidatorBase.java:147-155): ∪ objects(s,p)
+    for s in a broadcast (graph, subj) set — semi-join + project, the
+    broadcast-small-side form."""
+    import ray
+
+    ref = ray.put(frozenset(subjects))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ss = ray.get(ref)
+        keep = [(g, s) in ss for g, s in zip(df["graph"], df["subj"])]
+        out = df[pd.Series(keep, index=df.index)]
+        return out[["graph", "obj"]].drop_duplicates().reset_index(drop=True)
+
+    return edges(triples, pred).map_batches(f, batch_format="pandas")
+
+
+def subjects_with(
+    triples: "ray.data.Dataset", pred: str, objects: set[tuple[str, str]]
+) -> "ray.data.Dataset":
+    """searchSubjectsWithProperty (ValidatorBase.java:163-171): the reverse
+    semi-join — subjects whose (p, o) hits a broadcast (graph, obj) set."""
+    import ray
+
+    ref = ray.put(frozenset(objects))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        os_ = ray.get(ref)
+        keep = [(g, o) in os_ for g, o in zip(df["graph"], df["obj"])]
+        out = df[pd.Series(keep, index=df.index)]
+        return out[["graph", "subj"]].drop_duplicates().reset_index(drop=True)
+
+    return edges(triples, pred).map_batches(f, batch_format="pandas")
+
+
 def reachable(
     triples: "ray.data.Dataset",
     pred: str,
     roots: "ray.data.Dataset",
     *,
     max_hops: int = 64,
+    direction: str = "forward",
 ) -> "ray.data.Dataset":
     """Fixpoint closure: all (graph, node) reachable from ``roots``
     (columns graph, node) via 0+ ``pred`` edges.  Broadcast-frontier BFS
@@ -95,10 +133,19 @@ def reachable(
     sets are broadcast (``ray.put``) — code-list closures are schema-scale
     (bounded per file), the same assumption the broadcast GraphIndex makes.
     A closure too big to broadcast would switch to the join formulation
-    with hash-partitioned visited state."""
+    with hash-partitioned visited state.
+
+    ``direction="inverse"`` follows edges object→subject — the reference's
+    inverse overload (ValidatorBase.java:264-268, IC-21's ^p paths)."""
     import ray
 
-    e = edges(triples, pred).rename_columns({"subj": "node", "obj": "nxt"}).materialize()
+    if direction == "forward":
+        cols = {"subj": "node", "obj": "nxt"}
+    elif direction == "inverse":
+        cols = {"obj": "node", "subj": "nxt"}
+    else:
+        raise ValueError(direction)
+    e = edges(triples, pred).rename_columns(cols).materialize()
     visited: set[tuple[str, str]] = {
         (r["graph"], r["node"]) for r in roots.take_all()
     }

@@ -42,3 +42,20 @@ def test_reachable_cycle_safe():
     out = K.reachable(triples_ds(), "p", roots).to_pandas()
     got = {(g, n) for g, n in zip(out["graph"], out["node"])}
     assert got == {("g1", "a"), ("g1", "b"), ("g1", "c")}  # terminates on cycle
+
+
+def test_reachable_inverse():
+    roots = ray.data.from_pandas(pd.DataFrame({"graph": ["g1"], "node": ["c"]}))
+    out = K.reachable(triples_ds(), "p", roots, direction="inverse").to_pandas()
+    got = {(g, n) for g, n in zip(out["graph"], out["node"])}
+    assert got == {("g1", "c"), ("g1", "b"), ("g1", "a")}
+
+
+def test_semi_joins():
+    t = triples_ds()
+    objs = K.objects_of(t, "p", {("g1", "a"), ("g2", "a")}).to_pandas()
+    assert {(g, o) for g, o in zip(objs["graph"], objs["obj"])} == {
+        ("g1", "b"), ("g2", "z"),
+    }
+    subs = K.subjects_with(t, "p", {("g1", "a")}).to_pandas()
+    assert {(g, s) for g, s in zip(subs["graph"], subs["subj"])} == {("g1", "c")}
