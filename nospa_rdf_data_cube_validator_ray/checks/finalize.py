@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import pandas as pd
 
-import ray
-
 _DETAIL_SEP = "\x1e"
 
 _F_COLS = ["graph", "file_sha256", "ic", "subject", "detail"]

@@ -29,14 +29,12 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..model import FINDINGS_SCHEMA, KIND_LITERAL, TRIPLE_SCHEMA, split_graph_id
-from ..model_terms import subj_term
+from ..model import FINDINGS_SCHEMA
 from ..sources.parse_stage import parse_corpus, read_corpus
 from ..stages.normalize import with_phase1
 from ..stages.pivot import run_pivot
 from ..stages.schema_index import build_schema_indexes
 from ..checks import finalize
-from .. import vocab as V
 
 _DETAIL_SEP = "\x1e"
 

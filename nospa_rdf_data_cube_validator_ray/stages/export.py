@@ -12,70 +12,102 @@ the validation path.
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 import pyarrow as pa
 
-import ray
-
 from .. import vocab as V
 from ..model import KIND_LITERAL, TRIPLE_SCHEMA, parse_term
-from ..model_terms import subj_term
 from .pivot import _IndexCache
 
 
 class Phase2Emit:
     """qb:dataSet / qb:observation edges × broadcast attachment values →
-    derived triples (Normalizer.java:90-189)."""
+    derived triples (Normalizer.java:90-189).  Vectorized: the attachment
+    value tables are flattened (terms pre-parsed into kind/obj/dt/lang
+    columns) once per actor, each batch is two C-level merges."""
 
     def __init__(self, index_ref):
         self.index_ref = index_ref
         self._indexes = None
+        self._tables = None
+
+    def _ensure_tables(self):
+        if self._tables is not None:
+            return
+        attach, push = [], []
+        for g, idx in self._indexes.items():
+            for dterm, by_prop in idx.ds_attach.items():
+                for prop, vs in by_prop.items():
+                    attach.extend((g, dterm, prop, *parse_term(v)) for v in vs)
+            for sterm, by_prop in idx.slice_push.items():
+                for prop, vs in by_prop.items():
+                    push.extend((g, sterm, prop, *parse_term(v)) for v in vs)
+        cols = ["graph", "key", "pred_out", "obj_kind", "obj", "obj_dt", "obj_lang"]
+        self._tables = {
+            "attach": pd.DataFrame(attach, columns=cols),
+            "push": pd.DataFrame(push, columns=cols),
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .pivot import _obj_term_vec
+
         if self._indexes is None:
             self._indexes = _IndexCache.get(self.index_ref)
-        indexes = self._indexes
-        out = {k: [] for k in TRIPLE_SCHEMA.names}
+        self._ensure_tables()
+        df = batch.to_pandas()
+        pred = df["pred"]
+        kind = df["obj_kind"].to_numpy()
+        parts = []
 
-        def emit(g, sha, s, p, term):
-            k, o, dt, lang = parse_term(term)
-            out["graph"].append(g)
-            out["file_sha256"].append(sha)
-            out["subj"].append(s)
-            out["pred"].append(p)
-            out["obj_kind"].append(k)
-            out["obj"].append(o)
-            out["obj_dt"].append(dt)
-            out["obj_lang"].append(lang)
+        dsm = (pred == V.QB_dataSet).to_numpy()
+        if dsm.any() and len(self._tables["attach"]):
+            d = df[dsm]
+            j = pd.DataFrame(
+                {
+                    "graph": d["graph"].to_numpy(),
+                    "file_sha256": d["file_sha256"].to_numpy(),
+                    "subj": d["subj"].to_numpy(),
+                    "key": _obj_term_vec(d),
+                }
+            ).merge(self._tables["attach"], on=["graph", "key"])
+            if len(j):
+                parts.append(j)
 
-        cols = [
-            batch.column(c).to_pylist()
-            for c in ("graph", "file_sha256", "subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang")
-        ]
-        for g, sha, s, p, k, o, dt, lg_ in zip(*cols):
-            idx = indexes.get(g)
-            if idx is None:
-                continue
-            if p == V.QB_dataSet:
-                from ..model import term_str
+        obm = ((pred == V.QB_observation).to_numpy()) & (kind != KIND_LITERAL)
+        if obm.any() and len(self._tables["push"]):
+            d = df[obm]
+            sterm = np.where(
+                d["subj"].str.startswith("_:"), d["subj"], "<" + d["subj"] + ">"
+            )
+            j = pd.DataFrame(
+                {
+                    "graph": d["graph"].to_numpy(),
+                    "file_sha256": d["file_sha256"].to_numpy(),
+                    "subj": d["obj"].to_numpy(),
+                    "key": sterm,
+                }
+            ).merge(self._tables["push"], on=["graph", "key"])
+            if len(j):
+                parts.append(j)
 
-                dterm = term_str(k, o, dt, lg_)
-                vals_by_prop = idx.ds_attach.get(dterm)
-                if vals_by_prop:
-                    for prop, vals in vals_by_prop.items():
-                        for v in vals:
-                            emit(g, sha, s, prop, v)
-            elif p == V.QB_observation and k != KIND_LITERAL:
-                push = idx.slice_push.get(subj_term(s))
-                if push:
-                    for prop, vals in push.items():
-                        for v in vals:
-                            emit(g, sha, o, prop, v)
-
+        if not parts:
+            return pa.Table.from_arrays(
+                [pa.array([], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+            )
+        out = pd.concat(parts, ignore_index=True).rename(columns={"pred_out": "pred"})
         return pa.Table.from_arrays(
-            [pa.array(out[f.name], f.type) for f in TRIPLE_SCHEMA],
+            [
+                pa.array(out["graph"], pa.string()),
+                pa.array(out["file_sha256"], pa.string()),
+                pa.array(out["subj"], pa.string()),
+                pa.array(out["pred"], pa.string()),
+                pa.array(out["obj_kind"].to_numpy(), pa.int8()),
+                pa.array(out["obj"], pa.string()),
+                pa.array(out["obj_dt"], pa.string()),
+                pa.array(out["obj_lang"], pa.string()),
+            ],
             schema=TRIPLE_SCHEMA,
         )
 
@@ -85,12 +117,15 @@ def phase2_triples(triples, index_ref):
 
 
 def _add_triple_hash(batch: pa.Table, num_buckets: int) -> pa.Table:
-    cols = [batch.column(c).to_pylist() for c in ("graph", "subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang")]
-    buckets = [
-        zlib.crc32("\x00".join((g, s, p, str(k), o, dt, lg_)).encode("utf-8")) % num_buckets
-        for g, s, p, k, o, dt, lg_ in zip(*cols)
-    ]
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+    df = batch.to_pandas()
+    key = df["graph"]
+    for c in ("subj", "pred", "obj", "obj_dt", "obj_lang"):
+        key = key + "\x00" + df[c]
+    key = key + "\x00" + df["obj_kind"].astype(str)
+    h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+    return batch.append_column(
+        "bucket", pa.array((h % num_buckets).astype("int32"), pa.int32())
+    )
 
 
 def _dedup_group(df: pd.DataFrame) -> pd.DataFrame:

@@ -14,8 +14,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-import ray.data
-
 
 def attach_payload(
     ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"

@@ -33,7 +33,7 @@ import ray
 
 from .. import vocab as V
 from ..model import KIND_LITERAL
-from ..model_terms import iri_of, obj_term, subj_term
+from ..model_terms import iri_of, subj_term
 
 ROLE_PROP = 0
 ROLE_DS = 1

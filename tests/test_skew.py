@@ -5,7 +5,6 @@ observations spreads uniformly over buckets; this test runs a 6,000-obs
 single-dataset cube through BOTH paths and checks identical findings,
 including the injected duplicates and missing-dimension violations."""
 
-import pandas as pd
 import pyarrow as pa
 import pytest
 
