@@ -129,6 +129,10 @@ def q_lsh_buckets(sf_dir: str):
     return E.lsh_hyperplane_buckets(_embs(sf_dir), dim=64, n_planes=16)
 
 
+def q_ivf_topk(sf_dir: str):
+    return E.ivf_topk(_embs(sf_dir), query_ids=list(range(10)), k=5, nlist=16, nprobe=6)
+
+
 # -- multimodal (stubbed decode; plumbing real) -----------------------------
 
 
@@ -154,6 +158,7 @@ QUERIES = {
     "knn_cosine_topk": q_knn,
     "embedding_dup_pairs": q_cosine_pairs,
     "lsh_buckets": q_lsh_buckets,
+    "knn_ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal,
 }
 

@@ -140,6 +140,120 @@ def cosine_threshold_pairs(
     )
 
 
+class IVFIndex:
+    """Inverted-file ANN: seeded spherical k-means centroids (built once on
+    a driver-side sample — the stateful 'train' step), cluster assignment
+    as a map_batches matmul, search probes the ``nprobe`` nearest lists.
+
+    The scale path for similarity search when the corpus no longer fits a
+    broadcast matrix: assignment streams, each query touches only
+    nprobe/nlist of the data, and the per-list search is an exact matmul
+    within the probed partitions."""
+
+    def __init__(self, nlist: int = 16, nprobe: int = 4, iters: int = 10, seed: int = 42):
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.iters = iters
+        self.seed = seed
+        self.centroids = None
+
+    def train(self, sample: np.ndarray) -> "IVFIndex":
+        x = _normalize(np.asarray(sample, dtype=np.float64))
+        rng = np.random.RandomState(self.seed)
+        k = min(self.nlist, len(x))
+        c = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(self.iters):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(k):
+                m = assign == j
+                if m.any():
+                    v = x[m].mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        c[j] = v / n
+        self.centroids = c
+        return self
+
+    def assign(self, ds: "ray.data.Dataset", *, emb_col: str = "embedding") -> "ray.data.Dataset":
+        cref = ray.put(self.centroids)
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            mat = _normalize(_emb_matrix(df, emb_col))
+            out = df.copy()
+            out["ivf_list"] = np.argmax(mat @ c.T, axis=1).astype("int64")
+            return out
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    def search(
+        self,
+        assigned: "ray.data.Dataset",
+        queries: np.ndarray,
+        query_ids: list[int],
+        *,
+        k: int = 5,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> pd.DataFrame:
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, : self.nprobe]
+        lists_needed = sorted(set(probe.flatten().tolist()))
+        qref = ray.put({"q": q, "ids": np.asarray(query_ids), "probe": probe})
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(qref)
+            mat = _normalize(_emb_matrix(df, emb_col))
+            ids = df[id_col].to_numpy()
+            lists = df["ivf_list"].to_numpy()
+            rows = []
+            sims = s["q"] @ mat.T
+            for qi in range(len(s["ids"])):
+                in_probe = np.isin(lists, s["probe"][qi])
+                for j in np.nonzero(in_probe)[0]:
+                    if ids[j] != s["ids"][qi]:
+                        rows.append((s["ids"][qi], ids[j], sims[qi, j]))
+            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+        cands = assigned.filter(
+            expr=f"ivf_list in {lists_needed}"
+        ).map_batches(f, batch_format="pandas").to_pandas()
+        cands = cands.sort_values(
+            ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+        )
+        top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        top["rank"] = top.groupby("query_id").cumcount() + 1
+        return top[["query_id", "neighbor_id", "rank"]].astype("int64")
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k via IVF (recall < 1 when a true neighbor lives in
+    an unprobed list; raise nprobe to trade cost for recall)."""
+    sample = np.array(
+        [r[emb_col] for r in ds.limit(train_sample).take_all()], dtype=np.float64
+    )
+    index = IVFIndex(nlist=nlist, nprobe=nprobe).train(sample)
+    assigned = index.assign(ds, emb_col=emb_col).materialize()
+    qset = set(query_ids)
+    qrows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    order = {v: i for i, v in enumerate(query_ids)}
+    qrows.sort(key=lambda r: order[r[id_col]])
+    qmat = np.array([r[emb_col] for r in qrows], dtype=np.float64)
+    return index.search(
+        assigned, qmat, [r[id_col] for r in qrows], k=k, emb_col=emb_col, id_col=id_col
+    )
+
+
 class _HyperplaneHasher:
     """Actor stage: seeded signed-random-projection bucket per vector."""
 

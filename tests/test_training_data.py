@@ -135,6 +135,23 @@ def test_cosine_threshold_pairs_matches_numpy():
     assert got == expected
 
 
+def test_ivf_topk_recall():
+    mat, ds = embeddings_ds()
+    exact = E.knn_topk(ds, query_ids=[0, 1, 2], k=4)
+    approx = E.ivf_topk(ds, query_ids=[0, 1, 2], k=4, nlist=8, nprobe=8)
+    # nprobe == nlist → every list probed → exact agreement
+    assert approx.equals(exact)
+    # fewer probes: valid shape, deterministic, recall may drop
+    a1 = E.ivf_topk(ds, query_ids=[0, 1, 2], k=4, nlist=8, nprobe=2)
+    a2 = E.ivf_topk(ds, query_ids=[0, 1, 2], k=4, nlist=8, nprobe=2)
+    assert a1.equals(a2)
+    hits = len(
+        set(map(tuple, a1[["query_id", "neighbor_id"]].values))
+        & set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    )
+    assert hits >= 6  # ≥ 50% recall on this easy set
+
+
 def test_lsh_pairs_subset_of_exact():
     mat, ds = embeddings_ds()
     thr = 0.5
