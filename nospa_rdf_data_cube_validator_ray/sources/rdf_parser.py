@@ -43,24 +43,31 @@ class RDFSyntaxError(ValueError):
 # Tokenizer
 # ---------------------------------------------------------------------------
 
+# alternatives ordered by corpus frequency (WS > PUNCT > IRIREF > PNAME >
+# numbers > strings > …) subject to the REQUIRED precedences: PUNCT '.'
+# must not shadow DECIMAL (kept safe because DECIMAL needs a digit and
+# PUNCT '.' only matches when followed by non-digit via lookahead below);
+# PREFIX_DECL before LANGTAG ('@prefix') and before PNAME ('PREFIX');
+# BNODE before PNAME ('_:x' would parse as prefix '_'); STRING long forms
+# before short; DOUBLE before DECIMAL before INTEGER.
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+)
-  | (?P<COMMENT>\#[^\n]*)
+  | (?P<PUNCT>[;,\[\]()]|\.(?![0-9]))
+  | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
+  | (?P<PREFIX_DECL>@prefix|@base|(?i:PREFIX(?=\s))|(?i:BASE(?=\s)))
+  | (?P<BNODE>_:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.\-]*)?:(?:[A-Za-z0-9_:%\-\\]|\.(?=[A-Za-z0-9_:%\-\\.])|[^\x00-\x7F])*|[A-Za-z_][A-Za-z0-9_\-]*)
+  | (?P<DOUBLE>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.?\d+[eE][+-]?\d+))
+  | (?P<DECIMAL>[+-]?\d*\.\d+)
+  | (?P<INTEGER>[+-]?\d+)
   | (?P<STRING_LONG2>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
   | (?P<STRING_LONG1>'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<STRING2>\"(?:[^"\\\n]|\\.)*\")
   | (?P<STRING1>'(?:[^'\\\n]|\\.)*')
-  | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
-  | (?P<DOUBLE>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.?\d+[eE][+-]?\d+))
-  | (?P<DECIMAL>[+-]?\d*\.\d+)
-  | (?P<INTEGER>[+-]?\d+)
-  | (?P<PREFIX_DECL>@prefix|@base|(?i:PREFIX(?=\s))|(?i:BASE(?=\s)))
   | (?P<LANGTAG>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
   | (?P<DTSEP>\^\^)
-  | (?P<BNODE>_:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])
-  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.\-]*)?:(?:[A-Za-z0-9_:%\-\\]|\.(?=[A-Za-z0-9_:%\-\\.])|[^\x00-\x7F])*|[A-Za-z_][A-Za-z0-9_\-]*)
-  | (?P<PUNCT>[.;,\[\]()])
+  | (?P<COMMENT>\#[^\n]*)
   | (?P<ERR>\S)
     """,
     re.VERBOSE,
