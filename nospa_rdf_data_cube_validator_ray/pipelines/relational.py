@@ -57,49 +57,36 @@ def q_events_hourly(sf_dir: str):
         # unit-agnostic epoch hours (parquet may carry us or ns precision)
         return ((ts - pd.Timestamp(0)) // pd.Timedelta(hours=1)).astype("int64")
 
+    num_buckets = 32
+
     def project(df: pd.DataFrame) -> pd.DataFrame:
         hour_id = _hour_id(df["ts"])
+        h = pd.util.hash_pandas_object(
+            hour_id.astype(str) + "\x00" + df["event_type"].astype(str), index=False
+        ).to_numpy()
         return pd.DataFrame(
             {
+                "kb": (h % num_buckets).astype("int64"),
                 "hour_id": hour_id,
                 "event_type": df["event_type"],
                 "user_id": df["user_id"],
             }
-        ).drop_duplicates()  # map-side partial dedup for the distinct count
+        )
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per coarse bucket: raw count + distinct users
         g = df.groupby(["hour_id", "event_type"], sort=False)
         out = g.agg(n=("user_id", "size"), n_users=("user_id", "nunique"))
-        return out.reset_index()
+        return out.reset_index()[["hour_id", "event_type", "n", "n_users"]]
 
-    rows = ds.map_batches(project, batch_format="pandas")
-    # count(*) must count raw rows, not deduped ones — recompute counts raw
-    raw = ds.map_batches(
-        lambda df: pd.DataFrame(
-            {"hour_id": _hour_id(df["ts"]), "event_type": df["event_type"]}
-        ),
-        batch_format="pandas",
-    )
-    n = raw.groupby(["hour_id", "event_type"]).aggregate(Count()).to_pandas()
-    n = n.rename(columns={"count()": "n"})
-    nu = (
-        rows.groupby(["hour_id", "event_type"])
-        .map_groups(
-            lambda df: pd.DataFrame(
-                {
-                    "hour_id": df["hour_id"].iloc[:1],
-                    "event_type": df["event_type"].iloc[:1],
-                    "n_users": [df["user_id"].nunique()],
-                }
-            ),
-            batch_format="pandas",
-        )
+    out = (
+        ds.map_batches(project, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(agg, batch_format="pandas")
         .to_pandas()
     )
-    out = n.merge(nu, on=["hour_id", "event_type"])
-    out["n"] = out["n"].astype("int64")
-    out["n_users"] = out["n_users"].astype("int64")
-    out["hour_id"] = out["hour_id"].astype("int64")
+    for c in ("hour_id", "n", "n_users"):
+        out[c] = out[c].astype("int64")
     return out
 
 

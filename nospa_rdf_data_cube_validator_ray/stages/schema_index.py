@@ -146,13 +146,18 @@ class _FilterPass2:
         self.edge_preds = edge_preds
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        graphs = batch.column("graph").to_pylist()
-        subjs = batch.column("subj").to_pylist()
-        preds = batch.column("pred").to_pylist()
-        keep = [
-            (g + "\x00" + s) in self.subj_keys or p in self.edge_preds
-            for g, s, p in zip(graphs, subjs, preds)
-        ]
+        import pandas as pd
+
+        key = pd.Series(
+            pc.binary_join_element_wise(
+                batch.column("graph"), batch.column("subj"), "\x00"
+            ).to_pandas()
+        )
+        keep = key.isin(self.subj_keys).to_numpy()
+        if self.edge_preds:
+            keep = keep | pd.Series(
+                batch.column("pred").to_pandas()
+            ).isin(self.edge_preds).to_numpy()
         return _distinct(batch.filter(pa.array(keep)))
 
 
