@@ -316,7 +316,11 @@ class PivotCheck:
             return
         indexes = self._indexes
         dims, req13, req14 = [], [], []
+        mt_ds, mtm, ic17d = [], [], []
+        ic19m, ic19a, ctyped = [], [], []
+        hmeta, hdir, hinv = [], [], []
         special = set()
+        probe_id = 0
         for g, idx in indexes.items():
             for d, ps in idx.dims_by_ds.items():
                 dims.extend((g, d, p, i) for i, p in enumerate(ps))
@@ -324,20 +328,48 @@ class PivotCheck:
                 req13.extend((g, d, p, i) for i, p in enumerate(ps))
             for d, ps in idx.ic14_req_by_ds.items():
                 req14.extend((g, d, p, i) for i, p in enumerate(ps))
-            for d in idx.mt_measures_by_ds:
+            for d, measures in idx.mt_measures_by_ds.items():
                 special.add((g, d))
-            for d in idx.ic19_by_ds:
+                mt_ds.append((g, d))
+                mtm.extend((g, d, m) for m in measures)
+            for d, ps in idx.ic17_dims_by_ds.items():
+                ic17d.extend((g, d, p, i) for i, p in enumerate(ps))
+            for d, probes in idx.ic19_by_ds.items():
                 special.add((g, d))
-            for d in idx.ic2021_by_ds:
+                for dim_prop, entries in probes.items():
+                    for _is_concept, cls, allowed in entries:
+                        ic19m.append(
+                            (g, d, dim_prop, probe_id, _DETAIL_SEP.join(cls))
+                        )
+                        ic19a.extend((probe_id, v) for v in allowed)
+                        probe_id += 1
+            ctyped.extend((g, v) for v in idx.concept_typed)
+            for d, probes in idx.ic2021_by_ds.items():
                 special.add((g, d))
+                for dim_prop, (cls, a_dir, a_inv) in probes.items():
+                    hmeta.append((g, d, dim_prop, _DETAIL_SEP.join(cls)))
+                    hdir.extend((g, d, dim_prop, v) for v in a_dir)
+                    hinv.extend((g, d, dim_prop, v) for v in a_inv)
         cols = ["graph", "dataset", "pred", "ord"]
         self._req = {
             "dims": pd.DataFrame(dims, columns=cols),
             "req13": pd.DataFrame(req13, columns=cols),
             "req14": pd.DataFrame(req14, columns=cols),
+            "mt_ds": pd.DataFrame(mt_ds, columns=["graph", "dataset"]),
+            "mtm": pd.DataFrame(mtm, columns=["graph", "dataset", "measure"]),
+            "ic17d": pd.DataFrame(ic17d, columns=cols),
+            "ic19m": pd.DataFrame(
+                ic19m, columns=["graph", "dataset", "dim_prop", "probe_id", "cls"]
+            ),
+            "ic19a": pd.DataFrame(ic19a, columns=["probe_id", "av"]),
+            "ctyped": pd.DataFrame(ctyped, columns=["graph", "tv"]),
+            "hmeta": pd.DataFrame(
+                hmeta, columns=["graph", "dataset", "dim_prop", "cls"]
+            ),
+            "hdir": pd.DataFrame(hdir, columns=["graph", "dataset", "dim_prop", "dv"]),
+            "hinv": pd.DataFrame(hinv, columns=["graph", "dataset", "dim_prop", "iv"]),
         }
         self._special = special
-        self._slow = _SlowChecker(indexes)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self._indexes is None:
@@ -523,7 +555,7 @@ class PivotCheck:
                 )
             )
 
-        # -- slow path: measureType / code-list / hierarchy datasets -----
+        # -- measureType / code-list / hierarchy datasets (IC-15..21) ----
         if self._special:
             sp = cohort[
                 pd.MultiIndex.from_frame(cohort[["graph", "dataset"]]).isin(
@@ -531,9 +563,7 @@ class PivotCheck:
                 )
             ]
             if len(sp):
-                keys = sp[["graph", "subj"]].drop_duplicates()
-                sub = df.merge(keys, on=["graph", "subj"])
-                parts.append(self._slow(sub))
+                parts.extend(self._special_checks(sp, prop, sha_by_graph, fdf))
 
         if not parts:
             return pd.DataFrame(
@@ -545,105 +575,161 @@ class PivotCheck:
         return out[_OUT_COLUMNS]
 
 
-class _SlowChecker:
-    """Reference-shaped per-subject loop, used only for observations of
-    datasets with measureType / code-list / hierarchy probes (IC-15..21);
-    cohorts are restricted before entry so this never sees the bulk."""
+    # -- vectorized IC-15..21 (measureType / code-list / hierarchy) ------
 
-    def __init__(self, indexes):
-        self._indexes = indexes
+    def _special_checks(self, sp, prop, sha_by_graph, fdf):
+        """All remaining per-observation checks as C-level joins against
+        the flattened probe tables (the reference's one-obs-at-a-time
+        HashMap loops, ValidatorIC15_16/17/19/20_21).  ``sp`` is the
+        (graph, subj, dataset) cohort restricted to special datasets."""
+        out = []
+        keys = sp[["graph", "subj"]].drop_duplicates()
+        pv = prop.merge(keys, on=["graph", "subj"])
+        # per (obs, pred) value stats: first (min) value + count
+        pv = pv.sort_values(["graph", "subj", "pred", "obj_term"])
+        grp = pv.groupby(["graph", "subj", "pred"], sort=False)
+        firstv = pv.drop_duplicates(["graph", "subj", "pred"]).copy()
+        firstv["cnt"] = grp.size().to_numpy()
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        indexes = self._indexes
+        def sha(frame):
+            return frame["graph"].map(sha_by_graph)
 
-        out = {k: [] for k in _OUT_COLUMNS}
+        # IC-15/16 measure dimension (ValidatorIC15_16.java:25-70; split by
+        # detail-set size — NospaValidator.java:339-347)
+        if len(self._req["mt_ds"]):
+            mtc = sp.merge(self._req["mt_ds"], on=["graph", "dataset"])
+            mtv = firstv[firstv["pred"] == V.QB_measureType]
+            j = mtc.merge(
+                mtv[["graph", "subj", "obj_term", "cnt"]],
+                on=["graph", "subj"], how="left",
+            )
+            cnt = j["cnt"].fillna(0).astype("int64")
+            multi = j[cnt != 1]
+            if len(multi):
+                det = (
+                    pv[pv["pred"] == V.QB_measureType]
+                    .groupby(["graph", "subj"], sort=False)["obj_term"]
+                    .agg(_DETAIL_SEP.join)
+                )
+                dvals = pd.MultiIndex.from_frame(multi[["graph", "subj"]]).map(det)
+                out.append(
+                    fdf(multi["graph"], sha(multi), "IC16",
+                        _sterm_series(multi["subj"]),
+                        pd.Series(dvals, index=multi.index).fillna(""))
+                )
+            single = j[cnt == 1].copy()
+            if len(single):
+                m = single["obj_term"]
+                is_iri = m.str.startswith("<")
+                single["mprop"] = m.str.slice(1, -1).where(is_iri, "\x00none")
+                single = single.merge(
+                    self._req["mtm"].assign(_in=True),
+                    left_on=["graph", "dataset", "obj_term"],
+                    right_on=["graph", "dataset", "measure"], how="left",
+                )
+                vc = firstv[["graph", "subj", "pred", "cnt"]].rename(
+                    columns={"pred": "mprop", "cnt": "cnt2"}
+                )
+                single = single.merge(vc, on=["graph", "subj", "mprop"], how="left")
+                viol = single[
+                    single["_in"].isna() | (single["cnt2"].fillna(0) != 1)
+                ]
+                if len(viol):
+                    out.append(
+                        fdf(viol["graph"], sha(viol), "IC15",
+                            _sterm_series(viol["subj"]), viol["obj_term"])
+                    )
 
-        def emit(kind, g, sha, ic="", subject="", detail="", dataset="", key=""):
-            out["kind"].append(kind)
-            out["graph"].append(g)
-            out["file_sha256"].append(sha)
-            out["ic"].append(ic)
-            out["subject"].append(subject)
-            out["detail"].append(detail)
-            out["dataset"].append(dataset)
-            out["key"].append(key)
+        # IC-17 point rows (ValidatorIC17.java:24-96): textual dim-point
+        # key (the wildcard fallback must reconstruct the point)
+        if len(self._req["ic17d"]):
+            has_mt = firstv.loc[
+                firstv["pred"] == V.QB_measureType, ["graph", "subj"]
+            ]
+            pts = sp.merge(self._req["ic17d"], on=["graph", "dataset"]).merge(
+                has_mt, on=["graph", "subj"]
+            )
+            if len(pts):
+                pts = pts.merge(
+                    firstv[["graph", "subj", "pred", "obj_term", "cnt"]],
+                    on=["graph", "subj", "pred"], how="left",
+                )
+                one = pts["cnt"].fillna(0).eq(1)
+                pts["_e"] = np.where(
+                    one, pts["pred"] + "=" + pts["obj_term"].fillna(""),
+                    pts["pred"] + "=*",
+                )
+                pts["_w"] = ~one
+                pts = pts.sort_values(["graph", "subj", "dataset", "ord"])
+                gb = pts.groupby(["graph", "subj", "dataset"], sort=False)
+                res = gb.agg(key=("_e", _DETAIL_SEP.join), wild=("_w", "max")).reset_index()
+                out.append(
+                    fdf(res["graph"], sha(res), "",
+                        _sterm_series(res["subj"]),
+                        np.where(res["wild"], "w", ""),
+                        dataset=res["dataset"], key=res["key"], kind="pt")
+                )
 
-        for (g, s), grp in df.groupby(["graph", "subj"], sort=False):
-            idx = indexes.get(g)
-            if idx is None:
-                continue
-            sha = grp["file_sha256"].iat[0]
-            roles = grp["role"].to_numpy()
-            sterm = subj_term(s)
+        # single-valued dimension values (shared by IC-19/20/21 probes)
+        v1 = firstv[firstv["cnt"] == 1][
+            ["graph", "subj", "pred", "obj_term"]
+        ].rename(columns={"pred": "dim_prop", "obj_term": "v"})
 
-            ds_values = sorted(set(grp["obj_term"][roles == ROLE_DS]))
+        # IC-19 codes from code list (ValidatorIC19.java:96-133)
+        if len(self._req["ic19m"]):
+            pr = sp.merge(self._req["ic19m"], on=["graph", "dataset"])
+            j = pr.merge(v1, on=["graph", "subj", "dim_prop"])
+            if len(j):
+                j = j.merge(
+                    self._req["ctyped"].assign(_t=True),
+                    left_on=["graph", "v"], right_on=["graph", "tv"], how="left",
+                )
+                j = j.merge(
+                    self._req["ic19a"].assign(_a=True),
+                    left_on=["probe_id", "v"], right_on=["probe_id", "av"],
+                    how="left",
+                )
+                viol = j[
+                    ~(
+                        j["v"].str.startswith("<")
+                        & j["_t"].notna()
+                        & j["_a"].notna()
+                    )
+                ]
+                if len(viol):
+                    out.append(
+                        fdf(viol["graph"], sha(viol), "IC19", viol["v"],
+                            viol["cls"], kind="val")
+                    )
 
-            props: dict[str, list[str]] = {}
-            pm = roles == ROLE_PROP
-            if pm.any():
-                for pred, vals in grp[pm].groupby("pred", sort=False)["obj_term"]:
-                    props[pred] = sorted(set(vals))
-
-            # IC-1/11/12/13/14/18 + dss already emitted by the vectorized
-            # path; only the measureType / code-list checks run here.
-            for d in ds_values:
-                # IC-15/16 measure dimension (ValidatorIC15_16.java:25-70;
-                # split by detail-set size — NospaValidator.java:339-347)
-                measures = idx.mt_measures_by_ds.get(d)
-                if measures is not None:
-                    mts = props.get(V.QB_measureType, [])
-                    if len(mts) != 1:
-                        ic = "IC15" if len(mts) == 1 else "IC16"
-                        emit("f", g, sha, ic, sterm, _DETAIL_SEP.join(mts))
-                    else:
-                        m = mts[0]
-                        mprop = iri_of(m)
-                        vals = props.get(mprop, []) if mprop else []
-                        if m not in measures or len(vals) != 1:
-                            emit("f", g, sha, "IC15", sterm, m)
-
-                # IC-17 point rows (ValidatorIC17.java:24-96)
-                dims17 = idx.ic17_dims_by_ds.get(d)
-                if dims17 is not None and V.QB_measureType in props:
-                    point = []
-                    wild = False
-                    for p in dims17:
-                        vals = props.get(p, [])
-                        if len(vals) == 1:
-                            point.append(p + "=" + vals[0])
-                        else:
-                            wild = True
-                            point.append(p + "=*")
-                    emit("pt", g, sha, subject=sterm, dataset=d,
-                         key=_DETAIL_SEP.join(point), detail="w" if wild else "")
-
-                # IC-19 codes from code list (ValidatorIC19.java:96-133)
-                probes = idx.ic19_by_ds.get(d)
-                if probes:
-                    for dim_prop, entries in probes.items():
-                        vals = props.get(dim_prop, [])
-                        if len(vals) != 1:
-                            continue
-                        v = vals[0]
-                        ok_typed = v in idx.concept_typed
-                        for is_concept, cls, allowed in entries:
-                            if not (v.startswith("<") and ok_typed and v in allowed):
-                                emit("val", g, sha, "IC19", v, _DETAIL_SEP.join(cls))
-
-                # IC-20/21 codes from hierarchy (ValidatorIC20_21.java:30-134)
-                hprobes = idx.ic2021_by_ds.get(d)
-                if hprobes:
-                    for dim_prop, (cls, a_dir, a_inv) in hprobes.items():
-                        vals = props.get(dim_prop, [])
-                        if len(vals) != 1:
-                            continue
-                        v = vals[0]
-                        if v not in a_dir:
-                            emit("val", g, sha, "IC20", v, _DETAIL_SEP.join(cls))
-                        if v not in a_inv:
-                            emit("val", g, sha, "IC21", v, _DETAIL_SEP.join(cls))
-
-        return pd.DataFrame(out, columns=_OUT_COLUMNS)
+        # IC-20/21 codes from hierarchy (ValidatorIC20_21.java:30-134)
+        if len(self._req["hmeta"]):
+            pr = sp.merge(self._req["hmeta"], on=["graph", "dataset"])
+            j = pr.merge(v1, on=["graph", "subj", "dim_prop"])
+            if len(j):
+                j = j.merge(
+                    self._req["hdir"].assign(_d=True),
+                    left_on=["graph", "dataset", "dim_prop", "v"],
+                    right_on=["graph", "dataset", "dim_prop", "dv"], how="left",
+                )
+                j = j.merge(
+                    self._req["hinv"].assign(_i=True),
+                    left_on=["graph", "dataset", "dim_prop", "v"],
+                    right_on=["graph", "dataset", "dim_prop", "iv"], how="left",
+                )
+                v20 = j[j["_d"].isna()]
+                if len(v20):
+                    out.append(
+                        fdf(v20["graph"], sha(v20), "IC20", v20["v"],
+                            v20["cls"], kind="val")
+                    )
+                v21 = j[j["_i"].isna()]
+                if len(v21):
+                    out.append(
+                        fdf(v21["graph"], sha(v21), "IC21", v21["v"],
+                            v21["cls"], kind="val")
+                    )
+        return out
 
 
 class LocalCheck:
