@@ -476,6 +476,7 @@ MOD_IC12 = 101   # K%101==0 → duplicate of line 1
 MOD_IC13 = 103   # K%103==0 → omit the required obs-attached attribute
 MOD_IC1 = 107    # K%107==0 → line 1 gets a second qb:dataSet link
 MOD_IC14 = 109   # K%109==0 → omit the second measure
+MOD_IC19 = 113   # K%113==0 → rank-1 obs uses a code outside the concept scheme
 
 
 def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> str:
@@ -499,6 +500,7 @@ def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> st
         "    qb:component [ qb:dimension tp:d_order ; qb:order 1 ],\n"
         "        [ qb:dimension tp:d_line ; qb:order 2 ],\n"
         "        [ qb:dimension tp:d_supp ; qb:order 3 ],\n"
+        "        [ qb:dimension tp:d_mode ],\n"
         "        [ qb:measure tp:m_qty ], [ qb:measure tp:m_price ],\n"
         '        [ qb:attribute tp:a_status ; qb:componentRequired "true"^^xsd:boolean ],\n'
         '        [ qb:attribute tp:a_unit ; qb:componentRequired "true"^^xsd:boolean ; '
@@ -507,6 +509,15 @@ def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> st
     out.append("tp:d_order a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:Order .")
     out.append("tp:d_line a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:Line .")
     out.append("tp:d_supp a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:Supp .")
+    out.append(
+        "tp:d_mode a rdf:Property, qb:DimensionProperty ;\n"
+        "    rdfs:range skos:Concept ;\n    qb:codeList tp:modes ."
+    )
+    out.append("tp:modes a skos:ConceptScheme .")
+    for mi in range(5):
+        out.append(
+            f"<{TP}mode/{mi}> a skos:Concept ;\n    skos:inScheme tp:modes ."
+        )
     out.append("tp:m_qty a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
     out.append("tp:m_price a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
     out.append("tp:a_status a rdf:Property, qb:AttributeProperty .")
@@ -523,6 +534,10 @@ def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> st
         lines.append(f"    tp:d_line <{TP}line/{line}{suffix}> ;")
         if key % MOD_IC11 != 0:
             lines.append(f"    tp:d_supp <{TP}supp/{supp}> ;")
+        if line == 1 and key % MOD_IC19 == 0 and not suffix:
+            lines.append(f"    tp:d_mode <{TP}mode/bad/{key}> ;")
+        else:
+            lines.append(f"    tp:d_mode <{TP}mode/{supp % 5}> ;")
         if key % MOD_IC13 != 0:
             lines.append('    tp:a_status "F" ;')
         if key % MOD_IC14 != 0:
@@ -543,6 +558,10 @@ def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> st
             ]
             if key % MOD_IC11 != 0:
                 dup.append(f"    tp:d_supp <{TP}supp/{supp}> ;")
+            if key % MOD_IC19 == 0:
+                dup.append(f"    tp:d_mode <{TP}mode/bad/{key}> ;")
+            else:
+                dup.append(f"    tp:d_mode <{TP}mode/{supp % 5}> ;")
             if key % MOD_IC13 != 0:
                 dup.append('    tp:a_status "F" ;')
             if key % MOD_IC14 != 0:
