@@ -119,10 +119,15 @@ class CubeValidator:
             return self._triples
         t = self._raw_triples
         if t is None:
+            # local mode's zero-shuffle checks need each graph in ONE Arrow
+            # block; Ray splits task outputs near target_max_block_size
+            # (128 MB ≈ 400K triple rows), so larger files must fail fast
+            # with a pointer at mode="shuffle" rather than silently split
             t = parse_corpus(
                 self._corpus,
                 strict=self.strict_parse,
                 concurrency=self.parse_concurrency,
+                max_triples_per_file=400_000 if self.mode == "local" else None,
             )
         t = with_phase1(t)
         if self.checkpoint_dir:

@@ -37,8 +37,9 @@ class ParseRDF:
     kept simple: parse errors raise by default (strict=True) or skip.
     """
 
-    def __init__(self, strict: bool = True):
+    def __init__(self, strict: bool = True, max_triples_per_file: int | None = None):
         self.strict = strict
+        self.max_triples_per_file = max_triples_per_file
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         graphs: list[str] = []
@@ -71,6 +72,15 @@ class ParseRDF:
             gid = make_graph_id(repo, path, commit)
             sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
             n = len(triples)
+            if self.max_triples_per_file is not None and n > self.max_triples_per_file:
+                # the zero-shuffle local path requires a graph to fit one
+                # Arrow block; a file this large must go through the
+                # bucketed shuffle path instead
+                raise RuntimeError(
+                    f"file {path!r} produced {n} triples "
+                    f"(> {self.max_triples_per_file}): validate this corpus "
+                    "with CubeValidator(mode='shuffle')"
+                )
             graphs.extend([gid] * n)
             shas.extend([sha] * n)
             for s, p, k, o, dt, lg in triples:
@@ -102,6 +112,7 @@ def parse_corpus(
     strict: bool = True,
     batch_size: int = 1,
     concurrency=None,
+    max_triples_per_file: int | None = None,
 ) -> "ray.data.Dataset":
     """corpus Dataset → triple Dataset.
 
@@ -111,7 +122,7 @@ def parse_corpus(
     sweet spot without holding many parsed documents in one heap.
     """
     return corpus.map_batches(
-        ParseRDF(strict),
+        ParseRDF(strict, max_triples_per_file),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
