@@ -9,7 +9,7 @@ The RDF-cube queries are end-to-end checkable in SQL because the corpus
 is a *pure function of lineitem*: `fixtures.tpch_cube_corpus` turns every
 lineitem row into one qb:Observation (bucketed into Turtle files by
 l_orderkey % 64) and injects violations as modular functions of
-l_orderkey (MOD_IC1/11/12/13/14/19 in fixtures.py), so DuckDB can predict
+l_orderkey (MOD_IC1/11/12/13/14/19/2021 in fixtures.py), so DuckDB can predict
 every finding the Ray pipeline must emit without parsing any RDF.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
@@ -115,6 +115,20 @@ def q_cube_ic14(sf_dir: str) -> pd.DataFrame:
 
 def q_cube_ic19(sf_dir: str) -> pd.DataFrame:
     df = _ic(sf_dir, "IC19")
+    return pd.DataFrame(
+        {"subject": df["subject"], "detail_0": df["detail"].map(lambda d: d[0])}
+    )
+
+
+def q_cube_ic20(sf_dir: str) -> pd.DataFrame:
+    df = _ic(sf_dir, "IC20")
+    return pd.DataFrame(
+        {"subject": df["subject"], "detail_0": df["detail"].map(lambda d: d[0])}
+    )
+
+
+def q_cube_ic21(sf_dir: str) -> pd.DataFrame:
+    df = _ic(sf_dir, "IC21")
     return pd.DataFrame(
         {"subject": df["subject"], "detail_0": df["detail"].map(lambda d: d[0])}
     )
@@ -230,6 +244,13 @@ FROM lineitem
 WHERE l_orderkey % 113 = 0
 """
 
+_SQL_IC2021 = f"""
+SELECT DISTINCT '<{TP}zone/bad/' || l_orderkey || '>' AS subject,
+       '<{TP}geo>' AS detail_0
+FROM lineitem
+WHERE l_orderkey % 127 = 0
+"""
+
 _SQL_OBS_PER_DS = f"""{_OBS_CTE}
 SELECT dataset, count(*)::BIGINT AS n_obs FROM (
   SELECT '<{TP}ds-' || (k % 64) || '>' AS dataset FROM obs
@@ -254,24 +275,30 @@ SELECT pred, n::BIGINT AS n FROM (
   UNION ALL SELECT '{TP}d_order', total FROM n, nf
   UNION ALL SELECT '{TP}d_line', total FROM n, nf
   UNION ALL SELECT '{TP}d_mode', total FROM n, nf
+  UNION ALL SELECT '{TP}d_geo', total FROM n, nf
   UNION ALL SELECT '{TP}m_qty', total FROM n, nf
   UNION ALL SELECT '{TP}d_supp', with_supp FROM n, nf
   UNION ALL SELECT '{TP}a_status', with_status FROM n, nf
   UNION ALL SELECT '{TP}m_price', with_price FROM n, nf
   UNION ALL SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
-                   total + 24 * files FROM n, nf
+                   total + 27 * files FROM n, nf
   UNION ALL SELECT '{QB}structure', files FROM n, nf
   UNION ALL SELECT '{TP}a_unit', files FROM n, nf
-  UNION ALL SELECT '{QB}component', 8 * files FROM n, nf
-  UNION ALL SELECT '{QB}dimension', 4 * files FROM n, nf
+  UNION ALL SELECT '{QB}component', 9 * files FROM n, nf
+  UNION ALL SELECT '{QB}dimension', 5 * files FROM n, nf
   UNION ALL SELECT '{QB}order', 3 * files FROM n, nf
   UNION ALL SELECT '{QB}measure', 2 * files FROM n, nf
   UNION ALL SELECT '{QB}attribute', 2 * files FROM n, nf
   UNION ALL SELECT '{QB}componentRequired', 2 * files FROM n, nf
   UNION ALL SELECT '{QB}componentAttachment', files FROM n, nf
-  UNION ALL SELECT 'http://www.w3.org/2000/01/rdf-schema#range', 6 * files FROM n, nf
-  UNION ALL SELECT '{QB}codeList', files FROM n, nf
+  UNION ALL SELECT 'http://www.w3.org/2000/01/rdf-schema#range', 7 * files FROM n, nf
+  UNION ALL SELECT '{QB}codeList', 2 * files FROM n, nf
   UNION ALL SELECT 'http://www.w3.org/2004/02/skos/core#inScheme', 5 * files FROM n, nf
+  UNION ALL SELECT '{QB}hierarchyRoot', files FROM n, nf
+  UNION ALL SELECT '{QB}parentChildProperty', 2 * files FROM n, nf
+  UNION ALL SELECT 'http://www.w3.org/2002/07/owl#inverseOf', files FROM n, nf
+  UNION ALL SELECT '{TP}contains', 24 * files FROM n, nf
+  UNION ALL SELECT '{TP}within', 24 * files FROM n, nf
 )
 """
 
@@ -299,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_ic13": q_cube_ic13,
         "cube_ic14": q_cube_ic14,
         "cube_ic19": q_cube_ic19,
+        "cube_ic20": q_cube_ic20,
+        "cube_ic21": q_cube_ic21,
         "cube_obs_per_dataset": q_cube_obs_per_dataset,
         "cube_triples_by_pred": q_cube_triples_by_pred,
     }
@@ -319,6 +348,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_ic13": _SQL_IC13,
         "cube_ic14": _SQL_IC14,
         "cube_ic19": _SQL_IC19,
+        "cube_ic20": _SQL_IC2021,
+        "cube_ic21": _SQL_IC2021,
         "cube_obs_per_dataset": _SQL_OBS_PER_DS,
         "cube_triples_by_pred": _SQL_TRIPLES_BY_PRED,
     }

@@ -477,6 +477,7 @@ MOD_IC13 = 103   # K%103==0 → omit the required obs-attached attribute
 MOD_IC1 = 107    # K%107==0 → line 1 gets a second qb:dataSet link
 MOD_IC14 = 109   # K%109==0 → omit the second measure
 MOD_IC19 = 113   # K%113==0 → rank-1 obs uses a code outside the concept scheme
+MOD_IC2021 = 127  # K%127==0 → rank-1 obs uses a node outside the hierarchy
 
 
 def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> str:
@@ -501,6 +502,7 @@ def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> st
         "        [ qb:dimension tp:d_line ; qb:order 2 ],\n"
         "        [ qb:dimension tp:d_supp ; qb:order 3 ],\n"
         "        [ qb:dimension tp:d_mode ],\n"
+        "        [ qb:dimension tp:d_geo ],\n"
         "        [ qb:measure tp:m_qty ], [ qb:measure tp:m_price ],\n"
         '        [ qb:attribute tp:a_status ; qb:componentRequired "true"^^xsd:boolean ],\n'
         '        [ qb:attribute tp:a_unit ; qb:componentRequired "true"^^xsd:boolean ; '
@@ -514,6 +516,26 @@ def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> st
         "    rdfs:range skos:Concept ;\n    qb:codeList tp:modes ."
     )
     out.append("tp:modes a skos:ConceptScheme .")
+    out.append(
+        "tp:d_geo a rdf:Property, qb:DimensionProperty ;\n"
+        "    rdfs:range tp:Zone ;\n    qb:codeList tp:geo ."
+    )
+    out.append(
+        "tp:geo a qb:HierarchicalCodeList ;\n"
+        f"    qb:hierarchyRoot <{TP}geo/root> ;\n"
+        "    qb:parentChildProperty tp:contains, [ owl:inverseOf tp:within ] ."
+    )
+    out.append(
+        f"<{TP}geo/root> tp:contains "
+        + ", ".join(f"<{TP}region/{r}>" for r in range(4)) + " ."
+    )
+    for r in range(4):
+        out.append(
+            f"<{TP}region/{r}> tp:within <{TP}geo/root> ;\n    tp:contains "
+            + ", ".join(f"<{TP}zone/{r}/{z}>" for z in range(5)) + " ."
+        )
+        for z in range(5):
+            out.append(f"<{TP}zone/{r}/{z}> tp:within <{TP}region/{r}> .")
     for mi in range(5):
         out.append(
             f"<{TP}mode/{mi}> a skos:Concept ;\n    skos:inScheme tp:modes ."
@@ -538,6 +560,10 @@ def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> st
             lines.append(f"    tp:d_mode <{TP}mode/bad/{key}> ;")
         else:
             lines.append(f"    tp:d_mode <{TP}mode/{supp % 5}> ;")
+        if line == 1 and key % MOD_IC2021 == 0 and not suffix:
+            lines.append(f"    tp:d_geo <{TP}zone/bad/{key}> ;")
+        else:
+            lines.append(f"    tp:d_geo <{TP}zone/{supp % 4}/{supp % 5}> ;")
         if key % MOD_IC13 != 0:
             lines.append('    tp:a_status "F" ;')
         if key % MOD_IC14 != 0:
@@ -562,6 +588,10 @@ def tpch_cube_turtle(bucket: int, rows: list[tuple[int, int, int, float]]) -> st
                 dup.append(f"    tp:d_mode <{TP}mode/bad/{key}> ;")
             else:
                 dup.append(f"    tp:d_mode <{TP}mode/{supp % 5}> ;")
+            if key % MOD_IC2021 == 0:
+                dup.append(f"    tp:d_geo <{TP}zone/bad/{key}> ;")
+            else:
+                dup.append(f"    tp:d_geo <{TP}zone/{supp % 4}/{supp % 5}> ;")
             if key % MOD_IC13 != 0:
                 dup.append('    tp:a_status "F" ;')
             if key % MOD_IC14 != 0:
