@@ -173,6 +173,21 @@ def q_cube_triples_by_pred(sf_dir: str):
     return state["raw_by_pred"]
 
 
+def q_cube_phase2_by_pred(sf_dir: str):
+    """Phase-2 normalization materialization (the export path,
+    Normalizer.java:90-189): the DataSet-attached tp:a_unit is pushed down
+    to every observation — count the derived triples per predicate."""
+    from nospa_rdf_data_cube_validator_ray.stages.export import phase2_triples
+
+    state = _cube_state(sf_dir)
+    v = state["validator"]
+    v._ensure_indexes()
+    p2 = phase2_triples(v.normalize(), v._index_ref)
+    out = p2.groupby("pred").count().rename_columns({"count()": "n"}).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL for the cube queries (pure lineitem arithmetic)
 # ---------------------------------------------------------------------------
@@ -249,6 +264,11 @@ SELECT DISTINCT '<{TP}zone/bad/' || l_orderkey || '>' AS subject,
        '<{TP}geo>' AS detail_0
 FROM lineitem
 WHERE l_orderkey % 127 = 0
+"""
+
+# every observation carries qb:dataSet → exactly one pushed-down a_unit
+_SQL_PHASE2 = f"""{_OBS_CTE}
+SELECT '{TP}a_unit' AS pred, count(*)::BIGINT AS n FROM obs
 """
 
 _SQL_OBS_PER_DS = f"""{_OBS_CTE}
@@ -329,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_ic20": q_cube_ic20,
         "cube_ic21": q_cube_ic21,
         "cube_obs_per_dataset": q_cube_obs_per_dataset,
+        "cube_phase2_by_pred": q_cube_phase2_by_pred,
         "cube_triples_by_pred": q_cube_triples_by_pred,
     }
     q.update(td.QUERIES)
@@ -351,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_ic20": _SQL_IC2021,
         "cube_ic21": _SQL_IC2021,
         "cube_obs_per_dataset": _SQL_OBS_PER_DS,
+        "cube_phase2_by_pred": _SQL_PHASE2,
         "cube_triples_by_pred": _SQL_TRIPLES_BY_PRED,
     }
     o.update(td.ORACLES)
