@@ -89,3 +89,77 @@ def decode_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeImage:
+    """Actor-pool resize stage (image downscale shape).  mode="real" would
+    decode + resample via PIL — NotImplementedError here; mode="fake"
+    deterministically subsamples the byte payload to ``target_bytes`` so
+    output layout (smaller binary payload + updated metadata) is real."""
+
+    def __init__(self, target_bytes: int = 256, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.target = target_bytes
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.mode == "real":
+            raise NotImplementedError("real resize requires PIL — stubbed")
+        out_payloads = []
+        for p in df["payload"]:
+            b = np.frombuffer(bytes(p), dtype=np.uint8)
+            if len(b) > self.target:
+                idx = np.linspace(0, len(b) - 1, self.target).astype(np.int64)
+                b = b[idx]
+            out_payloads.append(b.tobytes())
+        out = df[["doc_id", "media_type"]].copy()
+        out["payload"] = out_payloads
+        out["n_bytes"] = np.array([len(p) for p in out_payloads], dtype=np.int64)
+        return out
+
+
+class SampleFrames:
+    """Actor-pool frame-sampling stage (video → every k-th frame shape).
+    mode="fake" splits the payload into fixed-size pseudo-frames and keeps
+    every ``stride``-th one as a list<binary> column."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 4, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.mode == "real":
+            raise NotImplementedError("real frame sampling requires libav — stubbed")
+        frames_col, counts = [], []
+        for p in df["payload"]:
+            b = bytes(p)
+            frames = [
+                b[i : i + self.frame_bytes]
+                for i in range(0, len(b), self.frame_bytes)
+            ][:: self.stride]
+            frames_col.append(frames)
+            counts.append(len(frames))
+        out = df[["doc_id"]].copy()
+        out["frames"] = frames_col
+        out["n_frames"] = np.array(counts, dtype=np.int64)
+        return out
+
+
+def resize_payloads(ds, *, target_bytes: int = 256, concurrency: int = 4):
+    return ds.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"target_bytes": target_bytes},
+        batch_format="pandas", batch_size=64, concurrency=concurrency,
+    )
+
+
+def sample_frames(ds, *, frame_bytes: int = 64, stride: int = 4, concurrency: int = 4):
+    return ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride},
+        batch_format="pandas", batch_size=64, concurrency=concurrency,
+    )

@@ -173,3 +173,21 @@ def test_multimodal_fake_and_real():
         M.DecodeFeatures(mode="nope")
     with pytest.raises(NotImplementedError):
         M.DecodeFeatures(mode="real")(pd.DataFrame({"payload": [b"x"], "doc_id": [0], "n_bytes": [1]}))
+
+
+def test_multimodal_resize_and_frames():
+    _, ds = docs_ds()
+    payloads = M.attach_payload(ds).materialize()
+    resized = M.resize_payloads(payloads, target_bytes=100).to_pandas()
+    assert (resized["n_bytes"] <= 100).all()
+    # deterministic subsample
+    again = M.resize_payloads(payloads, target_bytes=100).to_pandas()
+    assert resized.sort_values("doc_id")["payload"].tolist() == \
+        again.sort_values("doc_id")["payload"].tolist()
+    frames = M.sample_frames(payloads, frame_bytes=64, stride=4).to_pandas()
+    r = frames.set_index("doc_id").loc[0]
+    orig = payloads.to_pandas().set_index("doc_id").loc[0, "n_bytes"]
+    expected = len(range(0, int(orig), 64)[::4])
+    assert r["n_frames"] == expected
+    with pytest.raises(NotImplementedError):
+        M.SampleFrames(mode="real")(pd.DataFrame({"payload": [b"x"], "doc_id": [0]}))
