@@ -236,6 +236,10 @@ class CubeValidator:
 
     def findings_df(self) -> pd.DataFrame:
         df = self.validate_all().to_pandas()
+        if "detail" not in df.columns:  # zero-finding corpus → schema-less empty
+            return pd.DataFrame(
+                columns=["graph", "file_sha256", "ic", "subject", "detail"]
+            )
         df["detail"] = df["detail"].map(lambda d: sorted(d))
         return df
 

@@ -103,3 +103,19 @@ def test_strict_parse_off_skips_bad_rows():
     v = CubeValidator(ray.data.from_arrow(bad), strict_parse=False)
     t = v.normalize().to_pandas()
     assert set(t["graph"].map(lambda g: split_graph_id(g)[1])) == {"good.ttl"}
+
+
+def test_non_rdf_only_corpus():
+    """A corpus with zero RDF rows must validate cleanly to zero findings."""
+    import pyarrow as pa
+
+    noise = pa.table(
+        {
+            "repo": ["r"], "path": ["main.py"], "commit": ["c"],
+            "lang": ["python"], "content": ["print('hi')\n"],
+        }
+    )
+    v = CubeValidator(ray.data.from_arrow(noise))
+    df = v.findings_df()
+    assert len(df) == 0
+    assert list(df.columns) == ["graph", "file_sha256", "ic", "subject", "detail"]
