@@ -23,8 +23,6 @@ the salting the north rule asks for is built into the key choice.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -33,7 +31,6 @@ import ray
 
 from .. import vocab as V
 from ..model import KIND_LITERAL
-from ..model_terms import iri_of, subj_term
 
 ROLE_PROP = 0
 ROLE_DS = 1
@@ -55,10 +52,6 @@ _PIVOT_SCHEMA = pa.schema(
 _OUT_COLUMNS = ["kind", "graph", "file_sha256", "ic", "subject", "detail", "dataset", "key"]
 
 _DETAIL_SEP = "\x1e"
-
-
-def _bucket(graph: str, subj: str, n: int) -> int:
-    return zlib.crc32((graph + "\x00" + subj).encode("utf-8")) % n
 
 
 class _IndexCache:
