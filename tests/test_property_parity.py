@@ -74,7 +74,7 @@ def random_cube(rng: random.Random, fid: int) -> str:
     return "\n\n".join(L) + "\n"
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37, 59])
+@pytest.mark.parametrize("seed", [11, 23, 37, 59, 71, 83, 97, 109])
 def test_random_cube_mode_parity(seed):
     rng = random.Random(seed)
     rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
