@@ -166,9 +166,92 @@ def run_scaling(
     }
 
 
+def giant_corpus_path(n_obs: int = 540_000) -> str:
+    """One single-file cube with the reference bench's shape
+    (largeTest.ttl: 230 MB, 540 K observations — README.md:91-97):
+    3 dims, 1 measure, 1 required attribute, everything in ONE Turtle file
+    (forces the shuffle path: the file exceeds one Arrow block)."""
+    out = f"/tmp/graft_giant_{n_obs}"
+    if not os.path.isdir(out):
+        from nospa_rdf_data_cube_validator_ray.fixtures import HEADER
+
+        L = [HEADER]
+        L.append("ex:bds a qb:DataSet ;\n    qb:structure ex:bdsd ;\n    ex:unit ex:years .")
+        L.append(
+            "ex:bdsd a qb:DataStructureDefinition ;\n"
+            "    qb:component [ qb:dimension ex:bd1 ; qb:order 1 ],\n"
+            "        [ qb:dimension ex:bd2 ; qb:order 2 ],\n"
+            "        [ qb:dimension ex:bd3 ; qb:order 3 ],\n"
+            "        [ qb:measure ex:bval ],\n"
+            '        [ qb:attribute ex:unit ; qb:componentRequired "true"^^xsd:boolean ; '
+            "qb:componentAttachment qb:DataSet ] ."
+        )
+        for d in ("bd1", "bd2", "bd3"):
+            L.append(f"ex:{d} a rdf:Property, qb:DimensionProperty ;\n    rdfs:range ex:T .")
+        L.append("ex:bval a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+        L.append("ex:unit a rdf:Property, qb:AttributeProperty .")
+        n1, n2 = 1000, 60
+        n3 = n_obs // (n1 * n2)
+        i = 0
+        for a in range(n1):
+            for b in range(n2):
+                for c in range(n3):
+                    L.append(
+                        f"ex:bo{i} a qb:Observation ;\n    qb:dataSet ex:bds ;\n"
+                        f"    ex:bd1 ex:a{a} ;\n    ex:bd2 ex:b{b} ;\n"
+                        f"    ex:bd3 ex:c{c} ;\n    ex:bval {i % 977}.{i % 10} ."
+                    )
+                    i += 1
+        content = "\n\n".join(L) + "\n"
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "repo": ["bench/giant"], "path": ["largeTest.ttl"],
+                "commit": ["0" * 40], "lang": ["turtle"], "content": [content],
+            }
+        )
+        tmp = out + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(t, f"{tmp}/part-0000.parquet")
+        os.rename(tmp, out)
+    return out
+
+
+def run_giant(num_cpus: int, n_obs: int = 540_000) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from nospa_rdf_data_cube_validator_ray.pipelines.validate import CubeValidator
+
+    cpath = giant_corpus_path(n_obs)
+    t0 = time.perf_counter()
+    v = CubeValidator(corpus_path=cpath, mode="shuffle", num_buckets=num_cpus * 4)
+    n_triples = v.normalize().count()
+    findings = v.validate_all()
+    n_findings = findings.count()
+    wall = time.perf_counter() - t0
+    return {
+        "metric": "single-file 540K-obs cube (the reference's largeTest.ttl shape; "
+        "reference: 52 s) via the shuffle path",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "sf": f"giant-{n_obs}",
+        "num_cpus": num_cpus,
+        "triples": n_triples,
+        "findings": n_findings,
+        "obs_per_sec": round(n_obs / wall, 1),
+        "triples_per_sec": round(n_triples / wall, 1),
+        "queries": {"cube_validate_all_giant": round(wall, 3)},
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--giant", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--replicas", type=int, default=1)
     ap.add_argument("--sf-dir", default=SF_DIR_DEFAULT)
@@ -179,6 +262,8 @@ def main() -> None:
 
     if args.scaling:
         out = run_scaling(args.sf_dir)
+    elif args.giant:
+        out = run_giant(args.cpus)
     else:
         out = run_suite(
             args.sf_dir, args.cpus,

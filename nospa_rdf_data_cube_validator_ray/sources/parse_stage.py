@@ -27,6 +27,67 @@ def read_corpus(paths, *, columns=None) -> "ray.data.Dataset":
     )
 
 
+class SplitLargeFiles:
+    """Pre-parse stage: break Turtle documents larger than ``threshold``
+    into independently parseable chunk rows (blank-line statement
+    boundaries, prefixes replicated, per-chunk bnode prefixes downstream)
+    so a giant single file parses in parallel instead of serially.
+
+    Emits (repo, path, commit, lang, content, chunk_id, file_sha): the
+    whole-document sha256 rides every chunk row — the per-row content
+    invariant is against the ORIGINAL file.  Only valid on the shuffle
+    validation path (chunks of one graph land in different blocks)."""
+
+    def __init__(self, threshold: int, chunk_bytes: int):
+        self.threshold = threshold
+        self.chunk_bytes = chunk_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .rdf_parser import RDFSyntaxError, split_turtle
+
+        out = {k: [] for k in ("repo", "path", "commit", "lang", "content",
+                               "chunk_id", "file_sha")}
+
+        def emit(repo, path, commit, lang, content, cid, sha):
+            out["repo"].append(repo)
+            out["path"].append(path)
+            out["commit"].append(commit)
+            out["lang"].append(lang)
+            out["content"].append(content)
+            out["chunk_id"].append(cid)
+            out["file_sha"].append(sha)
+
+        for repo, path, commit, lang, content in zip(
+            *(batch.column(c).to_pylist()
+              for c in ("repo", "path", "commit", "lang", "content"))
+        ):
+            if content is None:
+                continue
+            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            fmt = format_for(lang, path)
+            if fmt == "turtle" and len(content) > self.threshold:
+                try:
+                    chunks = split_turtle(content, self.chunk_bytes)
+                except RDFSyntaxError:
+                    chunks = [content]  # unsplittable layout → whole-file parse
+            else:
+                chunks = [content]
+            for i, c in enumerate(chunks):
+                emit(repo, path, commit, lang, c, i, sha)
+
+        return pa.table(
+            {
+                "repo": pa.array(out["repo"], pa.string()),
+                "path": pa.array(out["path"], pa.string()),
+                "commit": pa.array(out["commit"], pa.string()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "content": pa.array(out["content"], pa.string()),
+                "chunk_id": pa.array(out["chunk_id"], pa.int32()),
+                "file_sha": pa.array(out["file_sha"], pa.string()),
+            }
+        )
+
+
 class ParseRDF:
     """Actor-pool stage: one batch of corpus rows → triple rows.
 
@@ -56,21 +117,29 @@ class ParseRDF:
         commit_col = batch.column("commit").to_pylist()
         lang_col = batch.column("lang").to_pylist()
         content_col = batch.column("content").to_pylist()
+        has_chunks = "chunk_id" in batch.column_names
+        chunk_col = batch.column("chunk_id").to_pylist() if has_chunks else [0] * batch.num_rows
+        sha_col = batch.column("file_sha").to_pylist() if has_chunks else [None] * batch.num_rows
 
-        for repo, path, commit, lang, content in zip(
-            repo_col, path_col, commit_col, lang_col, content_col
+        for repo, path, commit, lang, content, cid, fsha in zip(
+            repo_col, path_col, commit_col, lang_col, content_col, chunk_col, sha_col
         ):
             fmt = format_for(lang, path)
             if fmt is None or content is None:
                 continue
             try:
-                triples = parse_document(content, fmt)
+                if fmt == "turtle" and cid:
+                    from .rdf_parser import parse_turtle
+
+                    triples = parse_turtle(content, anon_prefix=f"c{cid}_a")
+                else:
+                    triples = parse_document(content, fmt)
             except RDFSyntaxError:
                 if self.strict:
                     raise
                 continue
             gid = make_graph_id(repo, path, commit)
-            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            sha = fsha or hashlib.sha256(content.encode("utf-8")).hexdigest()
             n = len(triples)
             if self.max_triples_per_file is not None and n > self.max_triples_per_file:
                 # the zero-shuffle local path requires a graph to fit one
@@ -113,6 +182,8 @@ def parse_corpus(
     batch_size: int = 1,
     concurrency=None,
     max_triples_per_file: int | None = None,
+    split_threshold: int | None = None,
+    chunk_bytes: int = 8 << 20,
 ) -> "ray.data.Dataset":
     """corpus Dataset → triple Dataset.
 
@@ -121,6 +192,15 @@ def parse_corpus(
     maximizes parse parallelism and keeps output blocks near the Arrow
     sweet spot without holding many parsed documents in one heap.
     """
+    if split_threshold is not None:
+        # chunk giant files, then repartition so chunk rows land in their
+        # own blocks — otherwise all chunks of one file stay in one task
+        chunked = corpus.map_batches(
+            SplitLargeFiles(split_threshold, chunk_bytes),
+            batch_format="pyarrow",
+            batch_size=1,
+        ).materialize()
+        corpus = chunked.repartition(max(1, chunked.count()))
     return corpus.map_batches(
         ParseRDF(strict, max_triples_per_file),
         batch_format="pyarrow",

@@ -133,6 +133,8 @@ class TurtleParser:
         # times; resolution becomes one dict hit after first sight)
         self._term_cache: dict[str, tuple] = {}
         self._pred_cache: dict[str, str] = {}
+        self._anon_prefix = "a"   # chunked parses use "c<i>_a" to keep
+                                  # anonymous bnode ids document-unique
 
     # -- token helpers ----------------------------------------------------
 
@@ -153,7 +155,7 @@ class TurtleParser:
 
     def _new_anon(self) -> str:
         self._anon += 1
-        return f"_:a{self._anon}"
+        return f"_:{self._anon_prefix}{self._anon}"
 
     # -- term production --------------------------------------------------
 
@@ -401,8 +403,46 @@ def parse_ntriples(text: str) -> list[Triple]:
     return triples
 
 
-def parse_turtle(text: str) -> list[Triple]:
-    return TurtleParser().parse(text)
+def parse_turtle(text: str, anon_prefix: str = "a") -> list[Triple]:
+    p = TurtleParser()
+    p._anon_prefix = anon_prefix
+    return p.parse(text)
+
+
+_PREFIX_LINE_RE = re.compile(
+    r"^[ \t]*(?:@prefix[^\n]*|@base[^\n]*|(?i:PREFIX)[ \t][^\n]*|(?i:BASE)[ \t][^\n]*)$",
+    re.MULTILINE,
+)
+
+
+def split_turtle(text: str, chunk_bytes: int) -> list[str]:
+    """Split a large Turtle document into independently parseable chunks at
+    blank-line statement boundaries (the layout of machine-generated
+    dumps; every chunk must end with a top-level '.').  All prefix/base
+    declarations are replicated into every chunk.  Raises if a candidate
+    boundary does not close a statement — the caller then falls back to
+    whole-document parsing."""
+    header = "\n".join(_PREFIX_LINE_RE.findall(text)) + "\n"
+    chunks: list[str] = []
+    n = len(text)
+    start = 0
+    while start < n:
+        if n - start <= chunk_bytes:
+            chunks.append(text[start:])
+            break
+        cut = text.find("\n\n", start + chunk_bytes)
+        if cut == -1:
+            chunks.append(text[start:])
+            break
+        piece = text[start:cut]
+        if not piece.rstrip().endswith("."):
+            raise RDFSyntaxError(
+                "blank-line boundary does not close a statement; "
+                "cannot chunk this document"
+            )
+        chunks.append(piece)
+        start = cut + 2
+    return [c if i == 0 else header + c for i, c in enumerate(chunks)]
 
 
 # ---------------------------------------------------------------------------
