@@ -134,6 +134,61 @@ def q_cube_ic21(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# -- measureType corpus queries (orders-derived; IC-12/14/15/16/17) --------
+
+
+def _mt_findings(sf_dir: str) -> pd.DataFrame:
+    state = _CACHE.setdefault(sf_dir, {})
+    if "mt_findings" not in state:
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_mt_corpus
+        from nospa_rdf_data_cube_validator_ray.pipelines.validate import CubeValidator
+
+        state["mt_findings"] = CubeValidator(tpch_mt_corpus(sf_dir)).findings_df()
+    return state["mt_findings"]
+
+
+def _mt_ic(sf_dir: str, ic: str) -> pd.DataFrame:
+    df = _mt_findings(sf_dir)
+    return df[df["ic"] == ic].reset_index(drop=True)
+
+
+def q_mt_ic12(sf_dir: str) -> pd.DataFrame:
+    return _mt_ic(sf_dir, "IC12")[["subject"]]
+
+
+def q_mt_ic14(sf_dir: str) -> pd.DataFrame:
+    df = _mt_ic(sf_dir, "IC14")
+    return pd.DataFrame(
+        {"subject": df["subject"],
+         "n_missing": df["detail"].map(len).astype("int64")}
+    )
+
+
+def q_mt_ic15(sf_dir: str) -> pd.DataFrame:
+    df = _mt_ic(sf_dir, "IC15")
+    return pd.DataFrame(
+        {"subject": df["subject"], "detail_0": df["detail"].map(lambda d: d[0])}
+    )
+
+
+def q_mt_ic16(sf_dir: str) -> pd.DataFrame:
+    df = _mt_ic(sf_dir, "IC16")
+    return pd.DataFrame(
+        {
+            "subject": df["subject"],
+            "detail_0": df["detail"].map(lambda d: d[0]),
+            "detail_1": df["detail"].map(lambda d: d[1]),
+        }
+    )
+
+
+def q_mt_ic17(sf_dir: str) -> pd.DataFrame:
+    df = _mt_ic(sf_dir, "IC17")
+    return pd.DataFrame(
+        {"subject": df["subject"], "detail_0": df["detail"].map(lambda d: d[0])}
+    )
+
+
 def q_cube_obs_per_dataset(sf_dir: str):
     """Observation count per qb:DataSet from the parsed triple stream —
     checks parser + corpus generation end-to-end (groupby-count shape of
@@ -323,6 +378,55 @@ SELECT pred, n::BIGINT AS n FROM (
 """
 
 
+# measureType-corpus oracles: the obs value-set group is
+# (custkey, first-measureType) — K%137 carries both mts so its FIRST value
+# is mm1 regardless of parity
+_SQL_MT_G = f"""
+WITH g AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CASE WHEN o_orderkey % 137 = 0 THEN 0 ELSE o_orderkey % 2 END AS p,
+         '<{TP}mtobs/' || o_orderkey || '>' AS s
+  FROM orders
+)
+"""
+
+_SQL_MT_IC12 = _SQL_MT_G + """
+SELECT s AS subject FROM (
+  SELECT s, min(s) OVER (PARTITION BY c, p) AS ms,
+         count(*) OVER (PARTITION BY c, p) AS n
+  FROM g
+) WHERE n > 1 AND s != ms
+"""
+
+_SQL_MT_IC14 = _SQL_MT_G + """
+SELECT s AS subject,
+       (CASE WHEN k % 131 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_missing
+FROM g
+"""
+
+_SQL_MT_IC15 = f"""
+SELECT '<{TP}mtobs/' || o_orderkey || '>' AS subject,
+       CASE WHEN o_orderkey % 2 = 0 THEN '<{TP}mm1>' ELSE '<{TP}mm2>' END AS detail_0
+FROM orders WHERE o_orderkey % 131 = 0 AND o_orderkey % 137 != 0
+"""
+
+_SQL_MT_IC16 = f"""
+SELECT '<{TP}mtobs/' || o_orderkey || '>' AS subject,
+       '<{TP}mm1>' AS detail_0, '<{TP}mm2>' AS detail_1
+FROM orders WHERE o_orderkey % 137 = 0
+"""
+
+_SQL_MT_IC17 = f"""
+WITH g AS (SELECT o_orderkey AS k, o_custkey AS c, o_custkey % 32 AS b FROM orders),
+t AS (SELECT b, count(*) AS tn FROM g GROUP BY 1),
+n AS (SELECT c, b, count(*) AS cn FROM g GROUP BY 1, 2)
+SELECT '<{TP}mtobs/' || g.k || '>' AS subject,
+       CAST(t.tn - n.cn AS VARCHAR) AS detail_0
+FROM g JOIN n ON g.c = n.c JOIN t ON g.c % 32 = t.b
+WHERE n.cn != 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -350,6 +454,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_ic21": q_cube_ic21,
         "cube_obs_per_dataset": q_cube_obs_per_dataset,
         "cube_phase2_by_pred": q_cube_phase2_by_pred,
+        "cube_mt_ic12": q_mt_ic12,
+        "cube_mt_ic14": q_mt_ic14,
+        "cube_mt_ic15": q_mt_ic15,
+        "cube_mt_ic16": q_mt_ic16,
+        "cube_mt_ic17": q_mt_ic17,
         "cube_triples_by_pred": q_cube_triples_by_pred,
     }
     q.update(td.QUERIES)
@@ -373,6 +482,11 @@ def oracle_sql() -> dict[str, str]:
         "cube_ic21": _SQL_IC2021,
         "cube_obs_per_dataset": _SQL_OBS_PER_DS,
         "cube_phase2_by_pred": _SQL_PHASE2,
+        "cube_mt_ic12": _SQL_MT_IC12,
+        "cube_mt_ic14": _SQL_MT_IC14,
+        "cube_mt_ic15": _SQL_MT_IC15,
+        "cube_mt_ic16": _SQL_MT_IC16,
+        "cube_mt_ic17": _SQL_MT_IC17,
         "cube_triples_by_pred": _SQL_TRIPLES_BY_PRED,
     }
     o.update(td.ORACLES)

@@ -641,3 +641,76 @@ def tpch_cube_corpus(sf_dir: str, n_files: int = 64, replicas: int = 1) -> pa.Ta
         rows["lang"].append("turtle")
         rows["content"].append(tpch_cube_turtle(b, sorted(buckets[b])))
     return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+
+# ---------------------------------------------------------------------------
+# measureType oracle corpus (orders-derived) — IC-12/14/15/16/17 at scale
+# ---------------------------------------------------------------------------
+
+MOD_IC15 = 131   # K%131==0 → omit the measure value (measureType kept)
+MOD_IC16 = 137   # K%137==0 → two qb:measureType values
+
+
+def tpch_mt_corpus(sf_dir: str, n_files: int = 32) -> pa.Table:
+    """orders.parquet → measure-dimension cube corpus: one qb:Observation
+    per order, dims (customer, qb:measureType), two measures; files (and
+    therefore datasets) bucketed by o_custkey % n_files so every
+    customer's orders — the IC-17 dimension points — stay in one graph.
+
+    Modular injections (pure functions of o_orderkey K):
+      K%2    → which measure the observation carries (mm1 / mm2)
+      K%131  → measure VALUE omitted (IC-15; both measures missing → IC-14 n=2)
+      K%137  → two qb:measureType values (IC-16)
+    The IC-14 quirk (ValidatorIC14.java:31-33) makes every observation of
+    a measureType dataset miss the *other* measure — oracle-checkable as a
+    per-observation missing-count.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    keys = t.column("o_orderkey").to_pylist()
+    custs = t.column("o_custkey").to_pylist()
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for k, c in zip(keys, custs):
+        buckets.setdefault(c % n_files, []).append((k, c))
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for b in sorted(buckets):
+        out = [HEADER, f"@prefix tp: <{TP}> .\n"]
+        ds = f"tp:mtds-{b}"
+        out.append(f"{ds} a qb:DataSet ;\n    qb:structure tp:mtdsd .")
+        out.append(
+            "tp:mtdsd a qb:DataStructureDefinition ;\n"
+            "    qb:component [ qb:dimension tp:d_cust ; qb:order 1 ],\n"
+            "        [ qb:dimension qb:measureType ; qb:order 2 ],\n"
+            "        [ qb:measure tp:mm1 ], [ qb:measure tp:mm2 ] ."
+        )
+        out.append("tp:d_cust a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:Cust .")
+        out.append(
+            "<http://purl.org/linked-data/cube#measureType> a qb:DimensionProperty ;\n"
+            "    rdfs:range qb:MeasureProperty ."
+        )
+        out.append("tp:mm1 a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+        out.append("tp:mm2 a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+        for k, c in sorted(buckets[b]):
+            m = "mm1" if k % 2 == 0 else "mm2"
+            lines = [
+                f"<{TP}mtobs/{k}> a qb:Observation ;",
+                f"    qb:dataSet {ds} ;",
+                f"    tp:d_cust <{TP}cust/{c}> ;",
+            ]
+            if k % MOD_IC16 == 0:
+                lines.append("    qb:measureType tp:mm1, tp:mm2 ;")
+            else:
+                lines.append(f"    qb:measureType tp:{m} ;")
+            if k % MOD_IC15 != 0:
+                carried = "mm1" if k % MOD_IC16 == 0 else m
+                lines.append(f"    tp:{carried} {k % 977}.5 .")
+            else:
+                lines[-1] = lines[-1][:-1] + "."
+            out.append("\n".join(lines))
+        rows["repo"].append("synthetic/tpch-mt-cubes")
+        rows["path"].append(f"cubes/mt{b:04d}.ttl")
+        rows["commit"].append("deadbeef" * 5)
+        rows["lang"].append("turtle")
+        rows["content"].append("\n\n".join(out) + "\n")
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
