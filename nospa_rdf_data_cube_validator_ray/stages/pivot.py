@@ -390,21 +390,33 @@ class PivotCheck:
             df[["graph", "file_sha256"]].drop_duplicates("graph")
             .set_index("graph")["file_sha256"]
         )
+        # composite int64 (graph, subj) key: every hot merge / groupby /
+        # sort runs on ONE integer column instead of two object columns
+        # (string factorization inside pandas merges was ~half the stage)
+        g_codes, _gu = pd.factorize(df["graph"])
+        s_codes, _su = pd.factorize(df["subj"])
+        df = df.assign(_gs=(g_codes.astype("int64") << 40) | s_codes.astype("int64"))
+        lookup = df.drop_duplicates("_gs")[["_gs", "graph", "subj"]]
 
-        ds_pairs = df.loc[roles == ROLE_DS, ["graph", "subj", "obj_term"]].drop_duplicates()
-        typed = df.loc[roles == ROLE_TYPE, ["graph", "subj"]].drop_duplicates()
-        expl = df.loc[roles == ROLE_EXPLINK, ["graph", "subj", "obj_term"]].drop_duplicates()
+        ds_pairs = df.loc[
+            roles == ROLE_DS, ["_gs", "graph", "subj", "obj_term"]
+        ].drop_duplicates(["_gs", "obj_term"])
+        typed = df.loc[roles == ROLE_TYPE, ["_gs", "graph", "subj"]].drop_duplicates("_gs")
+        expl = df.loc[
+            roles == ROLE_EXPLINK, ["_gs", "graph", "subj", "obj_term"]
+        ].drop_duplicates(["_gs", "obj_term"])
         prop = df.loc[
-            roles == ROLE_PROP, ["graph", "subj", "pred", "obj_term"]
-        ].drop_duplicates()
+            roles == ROLE_PROP, ["_gs", "graph", "subj", "pred", "obj_term"]
+        ].drop_duplicates(["_gs", "pred", "obj_term"])
 
         # -- IC-1 unique dataset (ValidatorIC1.java:24-36) ---------------
-        cnt = ds_pairs.groupby(["graph", "subj"], sort=False).size()
+        cnt = ds_pairs.groupby("_gs", sort=False).size()
         multi = cnt[cnt > 1]
         if len(multi):
-            m = ds_pairs.set_index(["graph", "subj"]).loc[multi.index].reset_index()
-            m = m.sort_values(["graph", "subj", "obj_term"])
-            det = m.groupby(["graph", "subj"], sort=False)["obj_term"].agg(
+            m = ds_pairs[ds_pairs["_gs"].isin(multi.index)].sort_values(
+                ["_gs", "obj_term"]
+            )
+            det = m.groupby(["_gs", "graph", "subj"], sort=False)["obj_term"].agg(
                 _DETAIL_SEP.join
             ).reset_index()
             parts.append(
@@ -417,10 +429,8 @@ class PivotCheck:
                 )
             )
         zero = typed.merge(
-            ds_pairs[["graph", "subj"]].drop_duplicates(),
-            on=["graph", "subj"],
-            how="left",
-            indicator=True,
+            ds_pairs[["_gs"]].drop_duplicates(),
+            on="_gs", how="left", indicator=True,
         )
         zero = zero[zero["_merge"] == "left_only"]
         if len(zero):
@@ -437,10 +447,11 @@ class PivotCheck:
         # -- IC-18 consistent links (ValidatorIC18.java:25-39) -----------
         if len(expl):
             miss = expl.merge(
-                ds_pairs, on=["graph", "subj", "obj_term"], how="left", indicator=True
+                ds_pairs[["_gs", "obj_term"]],
+                on=["_gs", "obj_term"], how="left", indicator=True,
             )
             miss = miss[miss["_merge"] == "left_only"].sort_values(
-                ["graph", "subj", "obj_term"]
+                ["_gs", "obj_term"]
             )
             if len(miss):
                 parts.append(
@@ -462,18 +473,16 @@ class PivotCheck:
                 fdf(
                     dss["graph"],
                     dss["graph"].map(sha_by_graph),
-                    "",
-                    "",
-                    "",
+                    "", "", "",
                     dataset=dss["obj_term"],
                     kind="dss",
                 )
             )
 
         # -- per-dataset requirement checks ------------------------------
-        # cohort = (graph, subj, dataset) via qb:dataSet edges
+        # cohort = (gs, graph, subj, dataset) via qb:dataSet edges
         cohort = ds_pairs.rename(columns={"obj_term": "dataset"})
-        present = prop[["graph", "subj", "pred"]].drop_duplicates()
+        present = prop[["_gs", "pred"]].drop_duplicates()
 
         def missing_findings(req: pd.DataFrame, ic: str):
             """Anti-join (cohort × required preds) against present props,
@@ -481,17 +490,16 @@ class PivotCheck:
             rp = cohort.merge(req, on=["graph", "dataset"])
             if not len(rp):
                 return None, None
-            hit = rp.merge(
-                present, on=["graph", "subj", "pred"], how="left", indicator=True
-            )
+            hit = rp.merge(present, on=["_gs", "pred"], how="left", indicator=True)
             miss = hit[hit["_merge"] == "left_only"]
             out = None
             if len(miss):
-                miss = miss.sort_values(["graph", "subj", "dataset", "ord"])
+                miss = miss.sort_values(["_gs", "dataset", "ord"])
                 agg = (
-                    miss.groupby(["graph", "subj", "dataset"], sort=False)["pred"]
+                    miss.groupby(["_gs", "dataset"], sort=False)["pred"]
                     .agg(lambda p: _DETAIL_SEP.join(f"<{x}>" for x in p))
                     .reset_index()
+                    .merge(lookup, on="_gs")
                 )
                 out = fdf(
                     agg["graph"],
@@ -501,7 +509,7 @@ class PivotCheck:
                     agg["pred"],
                     dataset=agg["dataset"],
                 )
-            return out, miss[["graph", "subj", "dataset"]].drop_duplicates()
+            return out, miss[["_gs", "dataset"]].drop_duplicates()
 
         f11, miss11 = missing_findings(self._req["dims"], "IC11")
         if f11 is not None:
@@ -518,22 +526,21 @@ class PivotCheck:
         if len(rp):
             if miss11 is not None and len(miss11):
                 rp = rp.merge(
-                    miss11, on=["graph", "subj", "dataset"], how="left", indicator=True
+                    miss11, on=["_gs", "dataset"], how="left", indicator=True
                 )
                 rp = rp[rp["_merge"] == "left_only"].drop(columns="_merge")
         if len(rp):
-            firsts = rp.merge(prop, on=["graph", "subj", "pred"])
+            firsts = rp.merge(prop[["_gs", "pred", "obj_term"]], on=["_gs", "pred"])
             # first value = min term per (obs, dim): sort + C-level dedup
-            # (groupby().min() on object dtype falls back to per-group Python)
             firsts = firsts.sort_values(
-                ["graph", "subj", "dataset", "pred", "obj_term"]
-            ).drop_duplicates(["graph", "subj", "dataset", "pred"])
-            vals = firsts[["graph", "subj", "dataset", "obj_term"]].drop_duplicates()
+                ["_gs", "dataset", "pred", "obj_term"]
+            ).drop_duplicates(["_gs", "dataset", "pred"])
+            vals = firsts[["_gs", "dataset", "obj_term"]].drop_duplicates()
             h = pd.util.hash_pandas_object(vals["obj_term"], index=False)
             vals = vals.assign(_h=h.to_numpy())
-            agg = vals.groupby(["graph", "subj", "dataset"], sort=False)["_h"].agg(
+            agg = vals.groupby(["_gs", "dataset"], sort=False)["_h"].agg(
                 ["sum", "size"]
-            ).reset_index()
+            ).reset_index().merge(lookup, on="_gs")
             key = agg["sum"].astype("uint64").astype(str) + ":" + agg["size"].astype(str)
             parts.append(
                 fdf(
@@ -556,7 +563,9 @@ class PivotCheck:
                 )
             ]
             if len(sp):
-                parts.extend(self._special_checks(sp, prop, sha_by_graph, fdf))
+                parts.extend(
+                    self._special_checks(sp, prop, sha_by_graph, fdf, lookup)
+                )
 
         if not parts:
             return pd.DataFrame(
@@ -570,18 +579,18 @@ class PivotCheck:
 
     # -- vectorized IC-15..21 (measureType / code-list / hierarchy) ------
 
-    def _special_checks(self, sp, prop, sha_by_graph, fdf):
+    def _special_checks(self, sp, prop, sha_by_graph, fdf, lookup):
         """All remaining per-observation checks as C-level joins against
         the flattened probe tables (the reference's one-obs-at-a-time
         HashMap loops, ValidatorIC15_16/17/19/20_21).  ``sp`` is the
-        (graph, subj, dataset) cohort restricted to special datasets."""
+        (gs, graph, subj, dataset) cohort restricted to special datasets."""
         out = []
-        keys = sp[["graph", "subj"]].drop_duplicates()
-        pv = prop.merge(keys, on=["graph", "subj"])
+        keys = sp[["_gs"]].drop_duplicates()
+        pv = prop.merge(keys, on="_gs")
         # per (obs, pred) value stats: first (min) value + count
-        pv = pv.sort_values(["graph", "subj", "pred", "obj_term"])
-        grp = pv.groupby(["graph", "subj", "pred"], sort=False)
-        firstv = pv.drop_duplicates(["graph", "subj", "pred"]).copy()
+        pv = pv.sort_values(["_gs", "pred", "obj_term"])
+        grp = pv.groupby(["_gs", "pred"], sort=False)
+        firstv = pv.drop_duplicates(["_gs", "pred"]).copy()
         firstv["cnt"] = grp.size().to_numpy()
 
         def sha(frame):
@@ -593,22 +602,21 @@ class PivotCheck:
             mtc = sp.merge(self._req["mt_ds"], on=["graph", "dataset"])
             mtv = firstv[firstv["pred"] == V.QB_measureType]
             j = mtc.merge(
-                mtv[["graph", "subj", "obj_term", "cnt"]],
-                on=["graph", "subj"], how="left",
+                mtv[["_gs", "obj_term", "cnt"]], on="_gs", how="left"
             )
             cnt = j["cnt"].fillna(0).astype("int64")
             multi = j[cnt != 1]
             if len(multi):
                 det = (
                     pv[pv["pred"] == V.QB_measureType]
-                    .groupby(["graph", "subj"], sort=False)["obj_term"]
+                    .groupby("_gs", sort=False)["obj_term"]
                     .agg(_DETAIL_SEP.join)
                 )
-                dvals = pd.MultiIndex.from_frame(multi[["graph", "subj"]]).map(det)
+                dvals = multi["_gs"].map(det)
                 out.append(
                     fdf(multi["graph"], sha(multi), "IC16",
                         _sterm_series(multi["subj"]),
-                        pd.Series(dvals, index=multi.index).fillna(""))
+                        dvals.fillna(""))
                 )
             single = j[cnt == 1].copy()
             if len(single):
@@ -620,10 +628,10 @@ class PivotCheck:
                     left_on=["graph", "dataset", "obj_term"],
                     right_on=["graph", "dataset", "measure"], how="left",
                 )
-                vc = firstv[["graph", "subj", "pred", "cnt"]].rename(
+                vc = firstv[["_gs", "pred", "cnt"]].rename(
                     columns={"pred": "mprop", "cnt": "cnt2"}
                 )
-                single = single.merge(vc, on=["graph", "subj", "mprop"], how="left")
+                single = single.merge(vc, on=["_gs", "mprop"], how="left")
                 viol = single[
                     single["_in"].isna() | (single["cnt2"].fillna(0) != 1)
                 ]
@@ -636,16 +644,14 @@ class PivotCheck:
         # IC-17 point rows (ValidatorIC17.java:24-96): textual dim-point
         # key (the wildcard fallback must reconstruct the point)
         if len(self._req["ic17d"]):
-            has_mt = firstv.loc[
-                firstv["pred"] == V.QB_measureType, ["graph", "subj"]
-            ]
+            has_mt = firstv.loc[firstv["pred"] == V.QB_measureType, ["_gs"]]
             pts = sp.merge(self._req["ic17d"], on=["graph", "dataset"]).merge(
-                has_mt, on=["graph", "subj"]
+                has_mt, on="_gs"
             )
             if len(pts):
                 pts = pts.merge(
-                    firstv[["graph", "subj", "pred", "obj_term", "cnt"]],
-                    on=["graph", "subj", "pred"], how="left",
+                    firstv[["_gs", "pred", "obj_term", "cnt"]],
+                    on=["_gs", "pred"], how="left",
                 )
                 one = pts["cnt"].fillna(0).eq(1)
                 pts["_e"] = np.where(
@@ -653,9 +659,11 @@ class PivotCheck:
                     pts["pred"] + "=*",
                 )
                 pts["_w"] = ~one
-                pts = pts.sort_values(["graph", "subj", "dataset", "ord"])
-                gb = pts.groupby(["graph", "subj", "dataset"], sort=False)
-                res = gb.agg(key=("_e", _DETAIL_SEP.join), wild=("_w", "max")).reset_index()
+                pts = pts.sort_values(["_gs", "dataset", "ord"])
+                gb = pts.groupby(["_gs", "dataset"], sort=False)
+                res = gb.agg(
+                    key=("_e", _DETAIL_SEP.join), wild=("_w", "max")
+                ).reset_index().merge(lookup, on="_gs")
                 out.append(
                     fdf(res["graph"], sha(res), "",
                         _sterm_series(res["subj"]),
@@ -665,13 +673,13 @@ class PivotCheck:
 
         # single-valued dimension values (shared by IC-19/20/21 probes)
         v1 = firstv[firstv["cnt"] == 1][
-            ["graph", "subj", "pred", "obj_term"]
+            ["_gs", "pred", "obj_term"]
         ].rename(columns={"pred": "dim_prop", "obj_term": "v"})
 
         # IC-19 codes from code list (ValidatorIC19.java:96-133)
         if len(self._req["ic19m"]):
             pr = sp.merge(self._req["ic19m"], on=["graph", "dataset"])
-            j = pr.merge(v1, on=["graph", "subj", "dim_prop"])
+            j = pr.merge(v1, on=["_gs", "dim_prop"])
             if len(j):
                 j = j.merge(
                     self._req["ctyped"].assign(_t=True),
@@ -698,7 +706,7 @@ class PivotCheck:
         # IC-20/21 codes from hierarchy (ValidatorIC20_21.java:30-134)
         if len(self._req["hmeta"]):
             pr = sp.merge(self._req["hmeta"], on=["graph", "dataset"])
-            j = pr.merge(v1, on=["graph", "subj", "dim_prop"])
+            j = pr.merge(v1, on=["_gs", "dim_prop"])
             if len(j):
                 j = j.merge(
                     self._req["hdir"].assign(_d=True),
