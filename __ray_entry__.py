@@ -189,6 +189,58 @@ def q_mt_ic17(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# -- slice corpus queries (phase-2b pushdown + IC-10/18 at scale) ----------
+
+
+def _slice_findings(sf_dir: str) -> pd.DataFrame:
+    state = _CACHE.setdefault(sf_dir, {})
+    if "slice_findings" not in state:
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_slice_corpus
+        from nospa_rdf_data_cube_validator_ray.pipelines.validate import CubeValidator
+
+        state["slice_validator"] = CubeValidator(tpch_slice_corpus(sf_dir))
+        state["slice_findings"] = state["slice_validator"].findings_df()
+    return state["slice_findings"]
+
+
+def _slice_ic(sf_dir: str, ic: str) -> pd.DataFrame:
+    df = _slice_findings(sf_dir)
+    return df[df["ic"] == ic].reset_index(drop=True)
+
+
+def q_slice_ic10(sf_dir: str) -> pd.DataFrame:
+    return _subject_missing(_slice_ic(sf_dir, "IC10"))
+
+
+def q_slice_ic11(sf_dir: str) -> pd.DataFrame:
+    return _subject_missing(_slice_ic(sf_dir, "IC11"))
+
+
+def q_slice_ic18(sf_dir: str) -> pd.DataFrame:
+    df = _slice_ic(sf_dir, "IC18")
+    return pd.DataFrame(
+        {"subject": df["subject"], "detail_0": df["detail"].map(lambda d: d[0])}
+    )
+
+
+def q_slice_ic2(sf_dir: str) -> pd.DataFrame:
+    return _slice_ic(sf_dir, "IC2")[["subject"]]
+
+
+def q_slice_phase2_by_pred(sf_dir: str):
+    """Phase-2b slice pushdown materialization: one derived tp:d_sup8
+    triple per observation of a slice that carries the value."""
+    from nospa_rdf_data_cube_validator_ray.stages.export import phase2_triples
+
+    _slice_findings(sf_dir)
+    v = _CACHE[sf_dir]["slice_validator"]
+    v._ensure_indexes()
+    p2 = phase2_triples(v.normalize(), v._index_ref)
+    out = p2.groupby("pred").count().rename_columns({"count()": "n"}).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def q_cube_obs_per_dataset(sf_dir: str):
     """Observation count per qb:DataSet from the parsed triple stream —
     checks parser + corpus generation end-to-end (groupby-count shape of
@@ -427,6 +479,47 @@ WHERE n.cn != 2
 """
 
 
+_SQL_SLICE_RANKED = """
+WITH ranked AS (
+  SELECT l_orderkey AS k, l_suppkey AS s,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_suppkey, round(l_quantity * 100)
+         ) AS r
+  FROM lineitem
+)
+"""
+
+_SQL_SLICE_IC10 = _SQL_SLICE_RANKED + f"""
+SELECT DISTINCT '<{TP}sslice/' || (k % 16) || '/' || (s % 8) || '>' AS subject,
+       '<{TP}d_sup8>' AS missing
+FROM ranked WHERE (8 * (k % 16) + (s % 8)) % 11 = 0
+"""
+
+_SQL_SLICE_IC11 = _SQL_SLICE_RANKED + f"""
+SELECT '<{TP}sobs/' || k || '/' || r || '>' AS subject,
+       '<{TP}d_sup8>' AS missing
+FROM ranked
+WHERE (8 * (k % 16) + (s % 8)) % 11 = 0 AND NOT (r = 1 AND k % 149 = 0)
+"""
+
+_SQL_SLICE_IC18 = f"""
+SELECT DISTINCT '<{TP}sobs/' || l_orderkey || '/1>' AS subject,
+       '<{TP}sds-' || (l_orderkey % 16) || '>' AS detail_0
+FROM lineitem WHERE l_orderkey % 149 = 0
+"""
+
+_SQL_SLICE_IC2 = f"""
+SELECT DISTINCT '<{TP}sds/other/' || l_orderkey || '>' AS subject
+FROM lineitem WHERE l_orderkey % 149 = 0
+"""
+
+_SQL_SLICE_PHASE2 = _SQL_SLICE_RANKED + f"""
+SELECT '{TP}d_sup8' AS pred, count(*)::BIGINT AS n
+FROM ranked WHERE (8 * (k % 16) + (s % 8)) % 11 != 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -454,6 +547,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_ic21": q_cube_ic21,
         "cube_obs_per_dataset": q_cube_obs_per_dataset,
         "cube_phase2_by_pred": q_cube_phase2_by_pred,
+        "cube_slice_ic10": q_slice_ic10,
+        "cube_slice_ic11": q_slice_ic11,
+        "cube_slice_ic18": q_slice_ic18,
+        "cube_slice_ic2": q_slice_ic2,
+        "cube_slice_phase2_by_pred": q_slice_phase2_by_pred,
         "cube_mt_ic12": q_mt_ic12,
         "cube_mt_ic14": q_mt_ic14,
         "cube_mt_ic15": q_mt_ic15,
@@ -482,6 +580,11 @@ def oracle_sql() -> dict[str, str]:
         "cube_ic21": _SQL_IC2021,
         "cube_obs_per_dataset": _SQL_OBS_PER_DS,
         "cube_phase2_by_pred": _SQL_PHASE2,
+        "cube_slice_ic10": _SQL_SLICE_IC10,
+        "cube_slice_ic11": _SQL_SLICE_IC11,
+        "cube_slice_ic18": _SQL_SLICE_IC18,
+        "cube_slice_ic2": _SQL_SLICE_IC2,
+        "cube_slice_phase2_by_pred": _SQL_SLICE_PHASE2,
         "cube_mt_ic12": _SQL_MT_IC12,
         "cube_mt_ic14": _SQL_MT_IC14,
         "cube_mt_ic15": _SQL_MT_IC15,

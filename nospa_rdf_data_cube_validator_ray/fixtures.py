@@ -714,3 +714,101 @@ def tpch_mt_corpus(sf_dir: str, n_files: int = 32) -> pa.Table:
         rows["lang"].append("turtle")
         rows["content"].append("\n\n".join(out) + "\n")
     return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+
+# ---------------------------------------------------------------------------
+# slice oracle corpus (lineitem-derived) — IC-10/18 + phase-2b pushdown
+# ---------------------------------------------------------------------------
+
+MOD_SLICE_IC10 = 11   # (8*bucket + supp8) % 11 == 0 → slice omits its key dim
+MOD_SLICE_IC18 = 149  # K%149==0 → rank-1 obs points at a foreign dataset
+
+
+def tpch_slice_corpus(sf_dir: str, n_files: int = 16) -> pa.Table:
+    """lineitem.parquet → sliced cube corpus: one dataset per file
+    (bucket = l_orderkey % n_files), slices keyed by l_suppkey % 8, the
+    slice-attached dimension tp:d_sup8 reaches observations ONLY through
+    phase-2b pushdown (Normalizer.java:121-152) — so IC-11 cleanliness at
+    scale *is* the pushdown oracle.
+
+    Injections (SQL-predictable):
+      (8*bucket + supp8) % 11 == 0 → the slice omits its tp:d_sup8 value:
+          IC-10 flags (slice, d_sup8); every obs of that slice loses the
+          pushdown → IC-11 flags (obs, d_sup8).
+      K % 149 == 0 → the rank-1 obs's qb:dataSet points at
+          tp:sds/other/K: IC-18 flags the expected-link violation and
+          IC-2 flags the undeclared dataset.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_linenumber", "l_quantity"],
+    )
+    keys = t.column("l_orderkey").to_pylist()
+    supps = t.column("l_suppkey").to_pylist()
+    lines = t.column("l_linenumber").to_pylist()
+    qtys = t.column("l_quantity").to_pylist()
+    per_order: dict[int, list[tuple]] = {}
+    for k, s, ln, q in zip(keys, supps, lines, qtys):
+        per_order.setdefault(k, []).append((ln, s, int(round(q * 100))))
+    buckets: dict[int, dict[int, list[tuple[int, int, int]]]] = {}
+    for k, rows_ in per_order.items():
+        rows_.sort()
+        b = k % n_files
+        for rank, (_ln, s, _qc) in enumerate(rows_, 1):
+            buckets.setdefault(b, {}).setdefault(s % 8, []).append((k, rank, s))
+
+    out_rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for b in sorted(buckets):
+        ds = f"tp:sds-{b}"
+        out = [HEADER, f"@prefix tp: <{TP}> .\n"]
+        slice_ids = sorted(buckets[b])
+        out.append(
+            f"{ds} a qb:DataSet ;\n    qb:structure tp:sdsd ;\n    qb:slice "
+            + ", ".join(f"<{TP}sslice/{b}/{s8}>" for s8 in slice_ids) + " ."
+        )
+        out.append(
+            "tp:sdsd a qb:DataStructureDefinition ;\n"
+            "    qb:component [ qb:dimension tp:sd_order ; qb:order 1 ],\n"
+            "        [ qb:dimension tp:sd_line ; qb:order 2 ],\n"
+            "        [ qb:dimension tp:d_sup8 ; qb:order 3 ; "
+            "qb:componentAttachment qb:Slice ],\n"
+            "        [ qb:measure tp:sm_qty ] ;\n"
+            "    qb:sliceKey tp:sskey ."
+        )
+        out.append("tp:sskey a qb:SliceKey ;\n    qb:componentProperty tp:d_sup8 .")
+        out.append("tp:sd_order a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:O .")
+        out.append("tp:sd_line a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:L .")
+        out.append("tp:d_sup8 a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:S .")
+        out.append("tp:sm_qty a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+        for s8 in slice_ids:
+            sl = f"<{TP}sslice/{b}/{s8}>"
+            lines_ = [f"{sl} a qb:Slice ;", "    qb:sliceStructure tp:sskey ;"]
+            if (8 * b + s8) % MOD_SLICE_IC10 != 0:
+                lines_.append(f"    tp:d_sup8 <{TP}sup8/{s8}> ;")
+            lines_.append(
+                "    qb:observation "
+                + ", ".join(f"<{TP}sobs/{k}/{r}>" for k, r, _s in buckets[b][s8])
+                + " ."
+            )
+            out.append("\n".join(lines_))
+            for k, r, _s in buckets[b][s8]:
+                target = (
+                    f"<{TP}sds/other/{k}>"
+                    if (r == 1 and k % MOD_SLICE_IC18 == 0)
+                    else ds
+                )
+                out.append(
+                    f"<{TP}sobs/{k}/{r}> a qb:Observation ;\n"
+                    f"    qb:dataSet {target} ;\n"
+                    f"    tp:sd_order <{TP}order/{k}> ;\n"
+                    f"    tp:sd_line <{TP}line/{r}> ;\n"
+                    f"    tp:sm_qty {k % 977}.5 ."
+                )
+        out_rows["repo"].append("synthetic/tpch-slice-cubes")
+        out_rows["path"].append(f"cubes/sl{b:04d}.ttl")
+        out_rows["commit"].append("deadbeef" * 5)
+        out_rows["lang"].append("turtle")
+        out_rows["content"].append("\n\n".join(out) + "\n")
+    return pa.table({k: pa.array(v, pa.string()) for k, v in out_rows.items()})
