@@ -241,6 +241,23 @@ def q_slice_phase2_by_pred(sf_dir: str):
     return out
 
 
+def q_schema_ics(sf_dir: str) -> pd.DataFrame:
+    """All schema-only constraints (IC-3..IC-9) over the supplier-derived
+    schema corpus — every remaining IC oracle-checked at scale.  Note the
+    interaction the oracle must reproduce: the IC-9 second slice key is
+    itself unreferenced by the DSD, so B%17 buckets also yield an IC-7."""
+    state = _CACHE.setdefault(sf_dir, {})
+    if "schema_findings" not in state:
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_schema_corpus
+        from nospa_rdf_data_cube_validator_ray.pipelines.validate import CubeValidator
+
+        state["schema_findings"] = CubeValidator(
+            tpch_schema_corpus(sf_dir)
+        ).findings_df()
+    df = state["schema_findings"]
+    return df[["ic", "subject"]].sort_values(["ic", "subject"]).reset_index(drop=True)
+
+
 def q_cube_obs_per_dataset(sf_dir: str):
     """Observation count per qb:DataSet from the parsed triple stream —
     checks parser + corpus generation end-to-end (groupby-count shape of
@@ -520,6 +537,21 @@ FROM ranked WHERE (8 * (k % 16) + (s % 8)) % 11 != 0
 """
 
 
+_SQL_SCHEMA_ICS = f"""
+WITH b AS (SELECT DISTINCT s_suppkey % 64 AS b FROM supplier)
+SELECT ic, subject FROM (
+  SELECT 'IC3' AS ic, '<{TP}sc' || b || '_dsd>' AS subject FROM b WHERE b % 5 = 0
+  UNION ALL SELECT 'IC4', '<{TP}sc' || b || '_d2>' FROM b WHERE b % 7 = 0
+  UNION ALL SELECT 'IC5', '<{TP}sc' || b || '_d3>' FROM b WHERE b % 11 = 0
+  UNION ALL SELECT 'IC6', '<{TP}sc' || b || '_d1>' FROM b WHERE b % 13 = 0
+  UNION ALL SELECT 'IC7', '<{TP}sc' || b || '_orphan>' FROM b WHERE b % 9 = 0
+  UNION ALL SELECT 'IC7', '<{TP}sc' || b || '_skB>' FROM b WHERE b % 17 = 0
+  UNION ALL SELECT 'IC8', '<{TP}sc' || b || '_rogue>' FROM b WHERE b % 19 = 0
+  UNION ALL SELECT 'IC9', '<{TP}sc' || b || '_sl>' FROM b WHERE b % 17 = 0
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -547,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_ic21": q_cube_ic21,
         "cube_obs_per_dataset": q_cube_obs_per_dataset,
         "cube_phase2_by_pred": q_cube_phase2_by_pred,
+        "cube_schema_ics": q_schema_ics,
         "cube_slice_ic10": q_slice_ic10,
         "cube_slice_ic11": q_slice_ic11,
         "cube_slice_ic18": q_slice_ic18,
@@ -580,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_ic21": _SQL_IC2021,
         "cube_obs_per_dataset": _SQL_OBS_PER_DS,
         "cube_phase2_by_pred": _SQL_PHASE2,
+        "cube_schema_ics": _SQL_SCHEMA_ICS,
         "cube_slice_ic10": _SQL_SLICE_IC10,
         "cube_slice_ic11": _SQL_SLICE_IC11,
         "cube_slice_ic18": _SQL_SLICE_IC18,

@@ -812,3 +812,77 @@ def tpch_slice_corpus(sf_dir: str, n_files: int = 16) -> pa.Table:
         out_rows["lang"].append("turtle")
         out_rows["content"].append("\n\n".join(out) + "\n")
     return pa.table({k: pa.array(v, pa.string()) for k, v in out_rows.items()})
+
+
+# ---------------------------------------------------------------------------
+# schema oracle corpus (supplier-derived) — IC-3..IC-9 at scale
+# ---------------------------------------------------------------------------
+
+
+def tpch_schema_corpus(sf_dir: str, n_files: int = 64) -> pa.Table:
+    """supplier.parquet → schema-only cube files (no observations): one
+    file per distinct s_suppkey % n_files bucket, each injecting
+    schema-level violations as modular functions of the bucket id B:
+
+      B%5==0  → DSD without a measure component            (IC-3)
+      B%7==0  → dimension without rdfs:range               (IC-4)
+      B%11==0 → skos:Concept-ranged dimension, no codeList (IC-5)
+      B%13==0 → dimension spec with componentRequired false (IC-6)
+      B%9==0  → orphan qb:SliceKey                          (IC-7)
+      B%19==0 → slice-key property outside the DSD          (IC-8)
+      B%17==0 → slice with two qb:sliceStructure            (IC-9)
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    bs = sorted({k % n_files for k in t.column("s_suppkey").to_pylist()})
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for b in bs:
+        ns = f"{TP}sc{b}_"
+        out = [HEADER, f"@prefix tp: <{TP}> .\n"]
+        d1_spec = f"[ qb:dimension <{ns}d1> ; qb:order 1 "
+        if b % 13 == 0:
+            d1_spec += '; qb:componentRequired "false"^^xsd:boolean '
+        d1_spec += "]"
+        comps = [d1_spec, f"[ qb:dimension <{ns}d2> ]", f"[ qb:dimension <{ns}d3> ]"]
+        if b % 5 != 0:
+            comps.append(f"[ qb:measure <{ns}m> ]")
+        out.append(
+            f"<{ns}dsd> a qb:DataStructureDefinition ;\n    qb:component "
+            + ",\n        ".join(comps)
+            + f" ;\n    qb:sliceKey <{ns}sk>"
+            + (f", <{ns}skR>" if b % 19 == 0 else "")
+            + " ."
+        )
+        out.append(f"<{ns}sk> a qb:SliceKey ;\n    qb:componentProperty <{ns}d1> .")
+        if b % 19 == 0:
+            out.append(
+                f"<{ns}skR> a qb:SliceKey ;\n    qb:componentProperty <{ns}rogue> ."
+            )
+        if b % 9 == 0:
+            out.append(f"<{ns}orphan> a qb:SliceKey .")
+        out.append(f"<{ns}d1> a rdf:Property, qb:DimensionProperty ;\n    rdfs:range tp:T .")
+        rng = "" if b % 7 == 0 else " ;\n    rdfs:range tp:T"
+        out.append(f"<{ns}d2> a rdf:Property, qb:DimensionProperty{rng} .")
+        cl = "" if b % 11 == 0 else f" ;\n    qb:codeList <{ns}cl>"
+        out.append(
+            f"<{ns}d3> a rdf:Property, qb:DimensionProperty ;\n"
+            f"    rdfs:range skos:Concept{cl} ."
+        )
+        if b % 11 != 0:
+            out.append(f"<{ns}cl> a skos:ConceptScheme .")
+        if b % 5 != 0:
+            out.append(f"<{ns}m> a rdf:Property, qb:MeasureProperty ;\n    rdfs:range xsd:decimal .")
+        # slice for IC-9 (key dim value present so IC-10 stays clean)
+        slines = [f"<{ns}sl> a qb:Slice ;", f"    qb:sliceStructure <{ns}sk> ;"]
+        if b % 17 == 0:
+            slines.append(f"    qb:sliceStructure <{ns}skB> ;")
+            out.append(f"<{ns}skB> a qb:SliceKey ;\n    qb:componentProperty <{ns}d1> .")
+        slines.append(f"    <{ns}d1> tp:v1 .")
+        out.append("\n".join(slines))
+        rows["repo"].append("synthetic/tpch-schema-cubes")
+        rows["path"].append(f"cubes/sc{b:04d}.ttl")
+        rows["commit"].append("deadbeef" * 5)
+        rows["lang"].append("turtle")
+        rows["content"].append("\n\n".join(out) + "\n")
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
