@@ -98,6 +98,75 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization of the event stream: a user's events more
+    than ``gap_minutes`` apart start a new session.  Shuffle key = user
+    hash bucket; the per-user ordering + gap scan is vectorized inside
+    each bucket (sort + diff + cumsum, no Python loop)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    num_buckets = 32
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = ((df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)).astype("int64")
+        return pd.DataFrame(
+            {
+                "kb": (df["user_id"].to_numpy() % num_buckets).astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": ts_us,
+            }
+        )
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts_us"])
+        new_user = d["user_id"].ne(d["user_id"].shift())
+        gap = d["ts_us"].diff() > gap_us
+        sid = (new_user | gap).cumsum()  # global per bucket; renumber per user
+        d = d.assign(_sid=sid)
+        g = d.groupby(["user_id", "_sid"], sort=False)
+        out = g.agg(
+            n_events=("ts_us", "size"),
+            start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"),
+        ).reset_index()
+        out["session_id"] = out.groupby("user_id", sort=False).cumcount() + 1
+        return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_top_customers(sf_dir: str):
     """Top-10 customers by order count (groupby-count → sort → limit),
     deterministic tie-break on customer key."""
@@ -119,11 +188,13 @@ ORDER BY n DESC, o_custkey LIMIT 10
 QUERIES = {
     "cube_star_supp": q_cube_star_supp,
     "events_hourly": q_events_hourly,
+    "events_sessionize": q_sessionize,
     "top_customers": q_top_customers,
 }
 
 ORACLES = {
     "cube_star_supp": _SQL_STAR_SUPP,
     "events_hourly": _SQL_EVENTS_HOURLY,
+    "events_sessionize": _SQL_SESSIONIZE,
     "top_customers": _SQL_TOP_CUSTOMERS,
 }
