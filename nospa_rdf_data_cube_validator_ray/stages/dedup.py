@@ -84,16 +84,24 @@ def jaccard_block_pairs(
     threshold_num: int = 4,
     threshold_den: int = 10,
     max_block: int = 10_000,
+    ngram: int = 1,
 ) -> "ray.data.Dataset":
-    """All pairs within a blocking key whose word-set Jaccard ≥
+    """All pairs within a blocking key whose word n-gram-set Jaccard ≥
     threshold_num/threshold_den, compared with pure integer arithmetic
     (|A∩B| * den ≥ |A∪B| * num) so results are float-free and exactly
-    reproducible by a SQL oracle.
+    reproducible by a SQL oracle (``ngram=1`` — word sets; higher n gives
+    shingle Jaccard, stricter about ordering).
 
     Blocking bounds the quadratic term: pairs are only formed inside one
     (lang, source, …) group; a group larger than ``max_block`` raises
     rather than silently exploding.
     """
+
+    def shingles(text: str) -> set:
+        toks = text.split()
+        if ngram <= 1 or len(toks) < ngram:
+            return set(toks)
+        return {" ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)}
 
     def pairs(grp: pd.DataFrame) -> pd.DataFrame:
         if len(grp) > max_block:
@@ -102,7 +110,7 @@ def jaccard_block_pairs(
             )
         grp = grp.sort_values(id_col)
         ids = grp[id_col].to_numpy()
-        sets = [set(t.split()) for t in grp[text_col].fillna("")]
+        sets = [shingles(t) for t in grp[text_col].fillna("")]
         rows = []
         for i in range(len(ids)):
             a = sets[i]

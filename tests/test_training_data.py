@@ -84,6 +84,20 @@ def test_jaccard_block_pairs():
     assert r["n_inter"] == r["n_union"]  # identical word sets
 
 
+def test_jaccard_ngram_pairs():
+    _, ds = docs_ds()
+    # trigram Jaccard is order-sensitive: exact dups still pair, the
+    # one-word-changed near-dup needs a lower threshold than word-set
+    pairs = D.jaccard_block_pairs(
+        ds, block_cols=("lang", "source"), ngram=3,
+        threshold_num=7, threshold_den=10,
+    ).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"])}
+    assert (0, 1) in got          # identical → trigram jaccard 1
+    assert (0, 2) in got          # near-dup: 1 changed word kills ≤3 trigrams
+    assert (0, 3) not in got
+
+
 def test_minhash_lsh_pairs():
     _, ds = docs_ds()
     pairs = D.minhash_lsh_pairs(ds, threshold=0.7).to_pandas()
