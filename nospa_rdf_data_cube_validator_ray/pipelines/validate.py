@@ -160,11 +160,10 @@ class CubeValidator:
         if self._findings is not None:
             return self._findings
         triples = self.normalize()
-        indexes = self._ensure_indexes()
-
         if self.mode == "local":
-            return self._validate_local(triples, indexes)
+            return self._validate_local(triples)
 
+        indexes = self._ensure_indexes()
         pivot_out = run_pivot(triples, self._index_ref, self.num_buckets).materialize()
 
         f_stream = _split_kind(pivot_out, "f").map_batches(
@@ -205,29 +204,15 @@ class CubeValidator:
         self._findings = findings.materialize()
         return self._findings
 
-    def _validate_local(self, triples, indexes):
-        """Zero-shuffle path: one map_batches does pivot + all second-stage
-        groupings (file-local by construction); only the schema-side ICs
-        (3..10) and the typed-dataset half of IC-2 run on the driver."""
+    def _validate_local(self, triples):
+        """Zero-shuffle, zero-broadcast path: ONE map_batches per block
+        builds the block's own schema indexes (schema subgraphs are
+        file-local), evaluates every IC including the schema-side ones and
+        all second-stage groupings, and emits final findings.  No state
+        scales with the corpus — neither a driver loop nor a broadcast."""
         from ..stages.pivot import local_findings
 
-        f_local = local_findings(triples, self._index_ref)
-        driver_df = pd.concat(
-            [
-                finalize.schema_findings_df(indexes),
-                finalize.ic2_typed_findings(indexes),
-            ],
-            ignore_index=True,
-        )
-        findings = f_local
-        if len(driver_df):
-            driver_df["detail"] = driver_df["detail"].map(
-                lambda d: _DETAIL_SEP.join(d) if isinstance(d, list) else d
-            )
-            findings = findings.union(
-                ray.data.from_arrow(_findings_table(driver_df))
-            )
-        self._findings = findings.materialize()
+        self._findings = local_findings(triples).materialize()
         return self._findings
 
     def validate(self, ics) -> "ray.data.Dataset":

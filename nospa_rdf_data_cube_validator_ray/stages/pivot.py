@@ -747,20 +747,51 @@ class LocalCheck:
     """
 
     def __init__(self, index_ref):
+        # index_ref=None → SELF-INDEXING: the block builds the schema
+        # indexes for its own graphs (schema subgraphs never cross a file),
+        # so NOTHING is broadcast — state scales with the block, not the
+        # corpus.  With a ref, the (bounded) broadcast index is used.
         self.index_ref = index_ref
-        self._builder = PivotInputBuilder(index_ref, 1)
-        self._check = PivotCheck(index_ref)
         self._indexes = None
+        self._builder = None
+        self._check = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..checks.finalize import local_finalize
+        import pandas as pd
+
+        from ..checks.finalize import (
+            ic2_typed_findings,
+            local_finalize,
+            schema_findings_df,
+        )
         from ..model import FINDINGS_SCHEMA
 
-        if self._indexes is None:
-            self._indexes = _IndexCache.get(self.index_ref)
-        rows = self._builder(batch).to_pandas()
-        out = self._check(rows)
-        f = local_finalize(out, self._indexes)
+        if self.index_ref is not None:
+            if self._indexes is None:
+                self._indexes = _IndexCache.get(self.index_ref)
+                self._builder = PivotInputBuilder(self._indexes, 1)
+                self._check = PivotCheck(self._indexes)
+            indexes = self._indexes
+            schema_parts = []
+        else:
+            from .schema_index import extract_indexes_from_batch
+
+            indexes = extract_indexes_from_batch(batch)
+            # schema-only ICs (3..10) + the typed half of IC-2, emitted
+            # right here — the driver does nothing per graph
+            schema_parts = [
+                schema_findings_df(indexes),
+                ic2_typed_findings(indexes),
+            ]
+        if self._builder is not None:
+            rows = self._builder(batch).to_pandas()
+            out = self._check(rows)
+        else:
+            rows = PivotInputBuilder(indexes, 1)(batch).to_pandas()
+            out = PivotCheck(indexes)(rows)
+        f = local_finalize(out, indexes)
+        if schema_parts:
+            f = pd.concat(schema_parts + [f], ignore_index=True)
         details = [
             [] if not d else d.split(_DETAIL_SEP) for d in f["detail"].tolist()
         ]
@@ -779,12 +810,17 @@ class LocalCheck:
 _LOCAL_CHECK_CACHE: dict = {}
 
 
-def local_findings(triples, index_ref):
+def local_findings(triples, index_ref=None):
     """triples → findings Dataset with no shuffle at all.
 
     Task-based (not an actor pool): tasks fan out to every core instantly
-    with no pool ramp-up, and the per-worker LocalCheck (broadcast index +
-    flattened join tables) is cached per process keyed by the object ref."""
+    with no pool ramp-up.  Default (index_ref=None) is the self-indexing
+    form — no broadcast state at all; pass a broadcast index ref to reuse
+    a precomputed one."""
+
+    if index_ref is None:
+        lc = LocalCheck(None)
+        return triples.map_batches(lc, batch_format="pyarrow", batch_size=None)
 
     def check_block(batch: pa.Table) -> pa.Table:
         key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)

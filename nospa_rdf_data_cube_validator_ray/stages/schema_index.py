@@ -525,17 +525,13 @@ def build_schema_indexes(triples) -> dict[str, GraphIndex]:
 # ---------------------------------------------------------------------------
 
 
-def _extract_block_indexes(batch: pa.Table) -> pa.Table:
+def extract_indexes_from_batch(batch: pa.Table) -> dict[str, GraphIndex]:
     """One triple block (whole graphs — see pivot.LocalCheck's alignment
-    invariant) → serialized per-graph GraphIndex rows.
+    invariant) → {graph: GraphIndex} for the graphs in the block.
 
     Both collection passes run *inside* the block: pass-2 subjects (the
     componentAttachment value carriers) are discovered from the block's own
-    pass-1 slice, because schema subjects never cross a file either.  The
-    driver only deserializes the (tiny) index blobs — no O(corpus) driver
-    loop, which is what keeps the N→4N scaling efficiency flat."""
-    import pickle
-
+    pass-1 slice, because schema subjects never cross a file either."""
     t1 = _filter_pass1(batch)
     subj_keys: set[str] = set()
     edge_preds: set[str] = set()
@@ -562,7 +558,15 @@ def _extract_block_indexes(batch: pa.Table) -> pa.Table:
         tables.append(
             _FilterPass2(frozenset(subj_keys), frozenset(edge_preds))(batch)
         )
-    indexes = build_indexes(tables)
+    return build_indexes(tables)
+
+
+def _extract_block_indexes(batch: pa.Table) -> pa.Table:
+    """Arrow-serializable wrapper of :func:`extract_indexes_from_batch`
+    for the driver-collected index build (export paths / shuffle mode)."""
+    import pickle
+
+    indexes = extract_indexes_from_batch(batch)
     return pa.table(
         {
             "graph": pa.array(list(indexes.keys()), pa.string()),
@@ -575,7 +579,10 @@ def _extract_block_indexes(batch: pa.Table) -> pa.Table:
 
 def build_schema_indexes_local(triples) -> dict[str, GraphIndex]:
     """Single parallel pass over file-aligned triple blocks; driver work is
-    deserializing one small blob per graph."""
+    deserializing one small blob per graph.  NOTE: the resulting dict (and
+    its ray.put broadcast) scales with the number of graphs — fine for
+    export/shuffle paths over bounded corpora; the zero-shuffle validation
+    path avoids it entirely (pivot.LocalCheck self-indexes per block)."""
     import pickle
 
     out: dict[str, GraphIndex] = {}
