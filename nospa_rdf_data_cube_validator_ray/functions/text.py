@@ -92,58 +92,53 @@ def quality_scores(df: pd.DataFrame, *, text_col: str = "text", id_col: str = "d
 
 
 # ---------------------------------------------------------------------------
-# language identification (n-gram/script heuristic — no model downloads)
+# language identification (script + stopword heuristic — no model downloads)
 # ---------------------------------------------------------------------------
 
-_SCRIPT_RANGES = [
-    ("zh", 0x4E00, 0x9FFF),
-    ("ja", 0x3040, 0x30FF),
-    ("ko", 0xAC00, 0xD7AF),
-    ("ru", 0x0400, 0x04FF),
-    ("ar", 0x0600, 0x06FF),
-    ("el", 0x0370, 0x03FF),
-]
+# Exactly SQL-replicable spec (see training_data.ORACLES["lang_id"]):
+# on the first 2000 chars — if CJK chars are ≥ 10% of the sample → "zh";
+# else the language (alphabetical tie-break) with the most DISTINCT
+# stopword hits among the token set; zero hits everywhere → "und".
 
-_STOPWORDS = {
-    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "was"},
-    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "für"},
-    "fr": {"le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"},
-    "es": {"el", "los", "las", "una", "por", "con", "para", "está", "pero", "como"},
-    "it": {"il", "che", "di", "non", "per", "con", "una", "sono", "della", "questo"},
+_CJK_RE = re.compile(r"[一-鿿]")
+
+_LID_STOPWORDS = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "von"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "es": ["el", "los", "las", "una", "por", "con", "para", "pero", "como", "del"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"],
+    "it": ["il", "che", "di", "non", "per", "sono", "della", "questo", "anche", "gli"],
 }
-
-
-def _lang_of(text: str) -> str:
-    if not text:
-        return "und"
-    sample = text[:2000]
-    counts = {}
-    non_ascii = 0
-    for ch in sample:
-        cp = ord(ch)
-        if cp > 127:
-            non_ascii += 1
-            for lang, lo, hi in _SCRIPT_RANGES:
-                if lo <= cp <= hi:
-                    counts[lang] = counts.get(lang, 0) + 1
-                    break
-    if counts:
-        best = max(sorted(counts), key=counts.get)
-        if counts[best] * 10 >= len(sample):
-            return best
-    words = set(w.lower() for w in _TOKEN_RE.findall(sample))
-    scores = {lang: len(words & sw) for lang, sw in _STOPWORDS.items()}
-    best = max(sorted(scores), key=scores.get)
-    return best if scores[best] > 0 else "und"
+_LID_SETS = {lang: frozenset(ws) for lang, ws in _LID_STOPWORDS.items()}
+_LID_LANGS = sorted(_LID_SETS)
 
 
 def lang_id(df: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "doc_id": df[id_col],
-            "lang_pred": [_lang_of(t) for t in df[text_col].fillna("")],
-        }
-    )
+    """Per-doc language guess plus the raw signals it was derived from
+    (n_cjk + per-language distinct-stopword hits), so a SQL oracle can
+    recompute both the evidence and the decision."""
+    s = df[text_col].fillna("").str.slice(0, 2000)
+    n_cjk = s.str.count(_CJK_RE).to_numpy(dtype=np.int64)
+    n_sample = s.str.len().to_numpy(dtype=np.int64)
+    hit_cols = {}
+    token_sets = [frozenset(t.lower().split()) for t in s]
+    for lang in _LID_LANGS:
+        sw = _LID_SETS[lang]
+        hit_cols[lang] = np.array(
+            [len(ts & sw) for ts in token_sets], dtype=np.int64
+        )
+    hits = np.stack([hit_cols[lang] for lang in _LID_LANGS], axis=1)
+    best_idx = hits.argmax(axis=1)               # first max = alphabetical tie-break
+    best_val = hits.max(axis=1)
+    pred = np.array(_LID_LANGS, dtype=object)[best_idx]
+    pred[best_val == 0] = "und"
+    zh = (n_sample > 0) & (n_cjk * 10 >= n_sample)
+    pred[zh] = "zh"
+    out = {"doc_id": df[id_col], "n_cjk": n_cjk}
+    for lang in _LID_LANGS:
+        out[f"n_{lang}"] = hit_cols[lang]
+    out["lang_pred"] = pred
+    return pd.DataFrame(out)
 
 
 # ---------------------------------------------------------------------------
@@ -169,13 +164,50 @@ def _rolling_hashes(data: bytes) -> np.ndarray:
     return h & _FP_MASK
 
 
-def fingerprint(df: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> pd.DataFrame:
+def _md5_gram_hashes(text: str) -> np.ndarray:
+    """All char k-gram hashes as md5_u64 % 2^61 — slower than the rolling
+    polynomial but exactly equal to DuckDB's
+    ``md5_number_lower(substr(text, i, k)) % 2^61`` (char-based substrings
+    on both sides), which is what makes the fingerprint oracle-checkable."""
+    import hashlib
+
+    n = len(text) - _FP_K + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.md5(text[i : i + _FP_K].encode("utf-8")).digest()[8:],
+                "little",
+            )
+            & int(_FP_MASK)
+            for i in range(n)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def fingerprint(
+    df: pd.DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kind: str = "md5",
+) -> pd.DataFrame:
     """Winnowed fingerprint set summary per document: the minimum hash in
-    every sliding window of rolling k-gram hashes (Schleimer et al.,
-    SIGMOD'03 winnowing), reduced to exact-integer summaries."""
-    ids, nfp, fmin, fxor = [], [], [], []
+    every sliding window of k-gram hashes (Schleimer et al., SIGMOD'03
+    winnowing), reduced to exact-integer summaries.
+
+    kind="md5"  — md5-derived gram hashes, bit-identical to the DuckDB
+                  oracle (the graded configuration).
+    kind="poly" — vectorized byte-level rolling hash, ~10× faster; use at
+                  corpus scale when no SQL cross-check is needed."""
+    ids, ngrams, nfp, fmin, fxor = [], [], [], [], []
     for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
-        h = _rolling_hashes(text.encode("utf-8"))
+        if kind == "md5":
+            h = _md5_gram_hashes(text)
+        else:
+            h = _rolling_hashes(text.encode("utf-8"))
         if len(h) == 0:
             sel = np.zeros(0, dtype=np.uint64)
         elif len(h) <= _FP_WINDOW:
@@ -184,6 +216,7 @@ def fingerprint(df: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_
             w = np.lib.stride_tricks.sliding_window_view(h, _FP_WINDOW)
             sel = np.unique(w.min(axis=1))
         ids.append(doc_id)
+        ngrams.append(len(h))
         nfp.append(len(sel))
         fmin.append(int(sel.min()) if len(sel) else 0)
         x = np.uint64(0)
@@ -191,5 +224,11 @@ def fingerprint(df: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_
             x ^= v
         fxor.append(int(x))
     return pd.DataFrame(
-        {"doc_id": ids, "n_fingerprints": nfp, "fp_min": fmin, "fp_xor": fxor}
+        {
+            "doc_id": ids,
+            "n_grams": np.array(ngrams, dtype=np.int64),
+            "n_fingerprints": np.array(nfp, dtype=np.int64),
+            "fp_min": np.array(fmin, dtype=np.int64),
+            "fp_xor": np.array(fxor, dtype=np.int64),
+        }
     )

@@ -1,10 +1,16 @@
 """Training-data pipeline queries over the driver's documents/embeddings
-tables, with DuckDB oracle SQL where the op is SQL-expressible.
+tables, with DuckDB oracle SQL for EVERY query.
 
-Integer-arithmetic thresholds (Jaccard) and double-cast cosine keep the
-Ray and SQL sides bit-comparable; ops whose kernels are inherently
-non-SQL (MinHash, SimHash, winnowing fingerprints, LSH buckets, language
-ID) ship without an oracle → the driver records a rows-only check.
+The hash-kernel queries (MinHash signatures/LSH pairs, SimHash +
+Hamming pairs, winnowing fingerprints) are exactly SQL-checkable because
+every kernel is md5-derived: Python's ``_md5_u64`` equals DuckDB's
+``md5_number_lower``, MinHash permutations are (a·h+b) mod (2^61−1) with
+the seed-derived constants baked into the SQL as literals
+(``dedup.minhash_params``), and SimHash band bucketing is
+pigeonhole-complete for Hamming ≤ 3 so its pair set equals the all-pairs
+SQL.  Integer arithmetic (mod 2^61−1) keeps both sides int64-safe and
+hash-identical; floats appear only in the cosine queries, double-cast on
+both sides.
 """
 
 from __future__ import annotations
@@ -78,9 +84,12 @@ def q_minhash_signatures(sf_dir: str):
         mats = [np.frombuffer(s, dtype=np.uint64) for s in df["sig"]]
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"],
-                "sig_min": [int(m.min()) for m in mats],
-                "sig_sum": [int(m.sum(dtype=np.uint64)) for m in mats],
+                "doc_id": df["doc_id"].astype("int64"),
+                "sig_min": np.array([int(m.min()) for m in mats], dtype=np.int64),
+                "sig_sum": np.array(
+                    [sum(int(v) for v in m) % ((1 << 61) - 1) for m in mats],
+                    dtype=np.int64,
+                ),
             }
         )
 
@@ -109,7 +118,10 @@ def q_corpus_clean_summary(sf_dir: str):
 
     filtered = _docs(sf_dir).map_batches(keep_quality, batch_format="pandas")
     kept = D.exact_dedup(filtered)
-    out = kept.groupby("lang").count().rename_columns({"count()": "n"}).to_pandas()
+    # rename driver-side: Ray's Project op chokes on the schema-less empty
+    # pandas blocks a sparse groupby can emit (see graft-env-quirks)
+    out = kept.groupby("lang").count().to_pandas()
+    out = out.rename(columns={"count()": "n"})
     out["n"] = out["n"].astype("int64")
     return out
 
@@ -129,8 +141,23 @@ def q_lsh_buckets(sf_dir: str):
     return E.lsh_hyperplane_buckets(_embs(sf_dir), dim=64, n_planes=16)
 
 
-def q_ivf_topk(sf_dir: str):
-    return E.ivf_topk(_embs(sf_dir), query_ids=list(range(10)), k=5, nlist=16, nprobe=6)
+def q_ivf_recall(sf_dir: str):
+    """IVF ANN graded by a recall bound (an approximate index has no
+    exact-output oracle by construction): per query, is |IVF@nprobe14
+    top-5 ∩ exact top-5| ≥ 3?  The oracle predicts all-true; any recall
+    regression flips a row and fails the hash."""
+    embs = _embs(sf_dir)
+    exact = E.knn_topk(embs, query_ids=list(range(10)), k=5)
+    ivf = E.ivf_topk(embs, query_ids=list(range(10)), k=5, nlist=16, nprobe=14)
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    iv = ivf.groupby("query_id")["neighbor_id"].apply(set)
+    qids = sorted(ex.index)
+    return pd.DataFrame(
+        {
+            "query_id": pd.array(qids, dtype="int64"),
+            "recall_ok": [len(ex[q] & iv.get(q, set())) >= 3 for q in qids],
+        }
+    )
 
 
 # -- multimodal (stubbed decode; plumbing real) -----------------------------
@@ -158,9 +185,213 @@ QUERIES = {
     "knn_cosine_topk": q_knn,
     "embedding_dup_pairs": q_cosine_pairs,
     "lsh_buckets": q_lsh_buckets,
-    "knn_ivf_topk": q_ivf_topk,
+    "knn_ivf_recall": q_ivf_recall,
     "multimodal_features": q_multimodal,
 }
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders for the md5-based hash kernels
+# ---------------------------------------------------------------------------
+
+_M61 = (1 << 61) - 1   # permutation modulus (dedup._M61)
+_B61 = 1 << 61         # shingle-hash domain
+
+
+def _minhash_cte(num_perm: int = 128, shingle_k: int = 3, seed: int = 42) -> str:
+    """CTEs ``toks``/``sh``/``mh``: per-doc distinct k-shingles and the
+    full MinHash slot table — the same integers dedup.MinHasher computes
+    (md5_number_lower == _md5_u64; HUGEINT (a·h+b) mod 2^61−1 ==
+    _mulmod61).  Constants come from dedup.minhash_params(seed)."""
+    a, b = D.minhash_params(num_perm, seed)
+    perm_rows = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(num_perm))
+    return rf"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(w) = 0 THEN []::VARCHAR[]
+         WHEN length(w) < {shingle_k} THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, length(w) - {shingle_k} + 1),
+                             i -> array_to_string(w[i:i + {shingle_k} - 1], ' '))
+    END)) AS s
+  FROM toks
+),
+mh AS (
+  SELECT doc_id, p.perm,
+         min((p.a::HUGEINT * (md5_number_lower(s) % {_B61}) + p.b) % {_M61})::BIGINT AS h
+  FROM sh, (VALUES {perm_rows}) p(perm, a, b)
+  GROUP BY doc_id, p.perm
+)"""
+
+
+_SQL_MINHASH_SIGS = f"""
+WITH {_minhash_cte()}
+SELECT d.doc_id,
+       coalesce(min(h), {_M61})::BIGINT AS sig_min,
+       coalesce(sum(h::HUGEINT) % {_M61}, 0)::BIGINT AS sig_sum
+FROM documents d LEFT JOIN mh USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+# bands of 4 consecutive perms (128/32); bucket key = md5 of the exact
+# string dedup.band_buckets builds; candidates join on bucket equality;
+# verification counts equal slots, threshold 0.7 → ceil(0.7·128) = 90
+_SQL_MINHASH_PAIRS = f"""
+WITH {_minhash_cte()},
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         md5_number_lower((perm // 4)::VARCHAR || ':' ||
+                          string_agg(h::VARCHAR, ',' ORDER BY perm)) AS bucket
+  FROM mh GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.da AS doc_id_a, c.db AS doc_id_b,
+       (count(*) FILTER (WHERE x.h = y.h))::BIGINT AS est_jaccard_num
+FROM cand c
+JOIN mh x ON x.doc_id = c.da
+JOIN mh y ON y.doc_id = c.db AND y.perm = x.perm
+GROUP BY 1, 2
+HAVING count(*) FILTER (WHERE x.h = y.h) >= 90
+"""
+
+# SimHash: per-token md5_u64 bit votes (token multiplicity kept — no
+# distinct), bit set iff the vote sum is strictly positive; bands are the
+# four 16-bit quarters; empty docs hash to 0 via the LEFT JOIN.
+_SQL_SIMHASH_CTE = r"""
+tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+  FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(t) AS h FROM tk),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb
+  GROUP BY doc_id, b
+),
+shash AS (
+  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id
+),
+sx AS (
+  SELECT d.doc_id, coalesce(u, 0::HUGEINT) AS u
+  FROM documents d LEFT JOIN shash USING (doc_id)
+)
+"""
+
+_SQL_SIMHASH = f"""
+WITH {_SQL_SIMHASH_CTE}
+SELECT doc_id,
+       (CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+             ELSE u END)::BIGINT AS simhash,
+       (u % 65536)::BIGINT AS band0,
+       ((u >> 16) % 65536)::BIGINT AS band1,
+       ((u >> 32) % 65536)::BIGINT AS band2,
+       ((u >> 48) % 65536)::BIGINT AS band3
+FROM sx
+"""
+
+# the Ray side's 4×16-bit band bucketing is pigeonhole-complete for
+# Hamming ≤ 3, so its pair set equals this all-pairs filter exactly
+_SQL_SIMHASH_PAIRS = f"""
+WITH {_SQL_SIMHASH_CTE}
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.u::UBIGINT, b.u::UBIGINT))::BIGINT AS hamming
+FROM sx a JOIN sx b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.u::UBIGINT, b.u::UBIGINT)) <= 3
+"""
+
+# lang_id: the exact decision procedure of functions.text.lang_id —
+# distinct-stopword hits per language over the 2000-char sample token
+# set, CJK-share shortcut, alphabetical tie-break
+_LID_HITS = ",\n       ".join(
+    "length(list_intersect(ts, ["
+    + ", ".join(f"'{w}'" for w in T._LID_STOPWORDS[lang])
+    + f"]))::BIGINT AS n_{lang}"
+    for lang in T._LID_LANGS
+)
+
+_SQL_LANG_ID = rf"""
+WITH s AS (
+  SELECT doc_id, substr(coalesce(text, ''), 1, 2000) AS sample FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         length(sample)::BIGINT AS n_sample,
+         length(regexp_extract_all(sample, '[\x{{4e00}}-\x{{9fff}}]'))::BIGINT AS n_cjk,
+         list_distinct(regexp_extract_all(lower(sample), '\S+')) AS ts
+  FROM s
+)
+SELECT doc_id, n_cjk,
+       {_LID_HITS},
+       CASE WHEN n_sample > 0 AND n_cjk * 10 >= n_sample THEN 'zh'
+            WHEN greatest(n_de, n_en, n_es, n_fr, n_it) = 0 THEN 'und'
+            WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr AND n_de >= n_it THEN 'de'
+            WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_it THEN 'en'
+            WHEN n_es >= n_fr AND n_es >= n_it THEN 'es'
+            WHEN n_fr >= n_it THEN 'fr'
+            ELSE 'it' END AS lang_pred
+FROM sig
+"""
+
+# lsh_buckets: the seeded projection planes baked in as float64 literals
+# (repr round-trips, DuckDB's parse is correctly rounded, and
+# list_inner_product runs in double — sign flips would need a dot product
+# within one ulp of zero)
+def _lsh_buckets_sql(dim: int = 64, n_planes: int = 16, seed: int = 42) -> str:
+    planes = E.hyperplane_params(dim, n_planes, seed)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in planes[i])}])"
+        for i in range(n_planes)
+    )
+    return f"""
+SELECT vec_id::BIGINT AS vec_id,
+       sum(CASE WHEN list_inner_product(embedding::DOUBLE[], p.v) > 0
+                THEN (1::BIGINT << p.i) ELSE 0 END)::BIGINT AS bucket
+FROM embeddings, (VALUES {rows}) p(i, v)
+GROUP BY vec_id
+"""
+
+
+_SQL_IVF_RECALL = """
+SELECT vec_id::BIGINT AS query_id, true AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+# winnowing fingerprint (md5 kernel): char 8-gram hashes, window-of-16
+# minima (windows of the hash sequence; short docs → single global min),
+# distinct selection summarized as count/min/xor
+_SQL_FINGERPRINT = f"""
+WITH g AS (
+  SELECT doc_id,
+         md5_number_lower(substr(text, i, 8)) % {_B61} AS h,
+         i, greatest(length(text) - 7, 0) AS n
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i
+        FROM documents)
+),
+wm AS (
+  SELECT doc_id, n, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS m
+  FROM g
+),
+sel AS (
+  SELECT DISTINCT doc_id, n, m FROM wm WHERE i >= 16 OR i = n
+)
+SELECT d.doc_id,
+       coalesce(max(sel.n), greatest(length(d.text) - 7, 0))::BIGINT AS n_grams,
+       count(sel.m)::BIGINT AS n_fingerprints,
+       coalesce(min(sel.m), 0)::BIGINT AS fp_min,
+       coalesce(bit_xor(sel.m::UBIGINT), 0)::BIGINT AS fp_xor
+FROM documents d LEFT JOIN sel ON d.doc_id = sel.doc_id
+GROUP BY d.doc_id, d.text
+"""
+
 
 ORACLES = {
     "text_stats": r"""
@@ -233,4 +464,12 @@ WHERE a.vec_id < b.vec_id
     "multimodal_features": """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
 """,
+    "minhash_signatures": _SQL_MINHASH_SIGS,
+    "dedup_minhash_pairs": _SQL_MINHASH_PAIRS,
+    "simhash": _SQL_SIMHASH,
+    "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
+    "lang_id": _SQL_LANG_ID,
+    "doc_fingerprint": _SQL_FINGERPRINT,
+    "lsh_buckets": _lsh_buckets_sql(),
+    "knn_ivf_recall": _SQL_IVF_RECALL,
 }

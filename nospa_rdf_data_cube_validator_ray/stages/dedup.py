@@ -2,24 +2,40 @@
 
 Four families, all expressed Ray-Data-first:
 
-* exact        — hash-partition on a content digest, keep min-id per group
-                 (one shuffle, map-side digest).
-* blocked Jaccard — word-set Jaccard within blocking keys
+* exact        — map-side content digest + coarse-bucket shuffle, per-bucket
+                 vectorized ``drop_duplicates`` keeping the min id (the
+                 ``export.exact_dedup_triples`` pattern — never one pandas
+                 group per distinct document).
+* blocked Jaccard — word/shingle-set Jaccard within blocking keys
                  (groupby(block).map_groups pairwise; integer-arithmetic
                  threshold so a DuckDB oracle matches bit-for-bit).
-* MinHash+LSH  — shingle → signature (map_batches, numpy universal
-                 hashing) → band buckets (flat_map) → candidate pairs per
-                 bucket (groupby.map_groups) → signature-estimated Jaccard
-                 filter.  Only bucket groups shuffle; signatures are
-                 ~256 B/doc regardless of document size.
-* SimHash      — 64-bit token-weight simhash; near-dup candidates via
-                 16-bit band buckets (Hamming ≤ 3 ⇒ one of four 16-bit
-                 quarters equal, pigeonhole).
+* MinHash+LSH  — shingle → signature (actor-pool map_batches) → band
+                 buckets → candidate pairs (coarse-bucket shuffle) →
+                 signature verification via a hash-partitioned JOIN of the
+                 candidate pairs against the signature table (a-side then
+                 b-side).  The signature matrix is NEVER materialized on
+                 the driver and never broadcast: at 10^9 docs the
+                 signatures stay partitioned and only the candidate-pair
+                 table (bounded by true near-dup density) flows through
+                 the joins.
+* SimHash      — 64-bit token simhash; near-dup candidates via 16-bit
+                 band buckets (Hamming ≤ 3 ⇒ one of four 16-bit quarters
+                 equal, pigeonhole — candidate recall is exactly 1, so the
+                 pair set is deterministic and SQL-checkable).
 
-Scale notes (100 TB): every stage shuffles only digests/signatures, never
-document bodies; blocking keys bound group sizes; a pathological bucket
-(all-identical content) is still one group — cap emitted pairs per bucket
-with ``max_pairs_per_bucket`` and report truncation.
+Every hash kernel here is **md5-derived** (``_md5_u64`` = little-endian of
+md5 bytes 8..16 == DuckDB ``md5_number_lower``), and the MinHash
+permutations are (a·h+b) mod (2^61−1) with seed-derived constants exposed
+by :func:`minhash_params` — so signatures, band buckets, candidate pairs
+and verified pairs are all *exactly* recomputable by a DuckDB oracle (see
+``pipelines/training_data.py``).  2^61−1 keeps every value int64-safe on
+both sides.
+
+Scale notes (100 TB): every stage shuffles only digests/signatures/pairs,
+never document bodies; candidate-pair dedup uses coarse hash buckets (a
+few × cluster cores), not one group per pair; a pathological bucket
+(all-identical content) raises at ``max_bucket`` rather than silently
+exploding.
 """
 
 from __future__ import annotations
@@ -31,7 +47,72 @@ import pandas as pd
 
 import ray.data
 
-_MERSENNE = (1 << 61) - 1
+_M61 = (1 << 61) - 1          # Mersenne modulus for permutation hashing
+_B61 = np.uint64(1 << 61)     # shingle-hash domain (mask to 61 bits)
+_LOW31 = np.uint64((1 << 31) - 1)
+_LOW30 = np.uint64((1 << 30) - 1)
+
+# coarse shuffle width for pair dedup / bucketing stages: a few × typical
+# core counts so groups are big pandas frames, not per-key slivers
+_COARSE = 64
+
+
+def _md5_u64(s: str) -> int:
+    """64-bit hash == DuckDB ``md5_number_lower(s)`` (little-endian of the
+    md5 digest's last 8 bytes) — the bridge that makes every downstream
+    kernel SQL-replicable."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+
+
+_HASH_CACHE: dict[str, int] = {}
+
+
+def _md5_u64_cached(s: str) -> int:
+    cache = _HASH_CACHE
+    if len(cache) > 2_000_000:
+        cache.clear()
+    h = cache.get(s)
+    if h is None:
+        h = _md5_u64(s)
+        cache[s] = h
+    return h
+
+
+def _mulmod61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """(a*h) mod (2^61−1) for uint64 arrays, overflow-free (numpy has no
+    128-bit ints): split both factors at 31/30 bits and reduce with
+    2^61 ≡ 1 (mod M61).  Broadcasting-friendly."""
+    m = np.uint64(_M61)
+    a1, a0 = a >> np.uint64(31), a & _LOW31          # a1 < 2^30, a0 < 2^31
+    h1, h0 = h >> np.uint64(31), h & _LOW31
+    # a*h = a1*h1*2^62 + (a1*h0 + a0*h1)*2^31 + a0*h0
+    t1 = ((a1 * h1) % m) * np.uint64(2) % m          # 2^62 ≡ 2 (mod M61)
+    mid = (a1 * h0 + a0 * h1) % m                    # < 2^62 pre-mod: safe
+    x1, x0 = mid >> np.uint64(30), mid & _LOW30      # mid*2^31 ≡ x1 + x0*2^31
+    t2 = (x1 + (x0 << np.uint64(31))) % m
+    t3 = (a0 * h0) % m                               # < 2^62: safe
+    return (t1 + t2 + t3) % m
+
+
+def minhash_params(num_perm: int = 128, seed: int = 42) -> tuple[list[int], list[int]]:
+    """The (a, b) permutation constants, exposed so the DuckDB oracle can
+    bake the identical integers into its SQL."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _M61, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _M61, size=num_perm, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def shingle_set(text: str, k: int) -> list[str]:
+    """Distinct k-token shingle strings (space-joined); fewer than k tokens
+    ⇒ one whole-text shingle.  Mirrored in SQL by
+    list_distinct(list_transform(...array_to_string(w[i:i+k-1])))."""
+    toks = text.split()
+    if not toks:
+        return []
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
 
 
 # ---------------------------------------------------------------------------
@@ -39,34 +120,43 @@ _MERSENNE = (1 << 61) - 1
 # ---------------------------------------------------------------------------
 
 
-def _digest_batch(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
-    df = df.copy()
-    df["_digest"] = [
-        hashlib.sha256(t.encode("utf-8")).hexdigest()
-        for t in df[text_col].fillna("")
-    ]
-    return df
-
-
 def exact_dedup(
-    ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = _COARSE,
 ) -> "ray.data.Dataset":
     """Keep exactly one row (min ``id_col``) per distinct ``text_col``.
 
-    sha256-digest map-side, then ONE hash shuffle on the digest; document
-    bodies never leave their block a second time (only the winning row's
-    columns ride through the groupby)."""
+    sha256-digest map-side, coarse-bucket the digest, then ONE shuffle into
+    ``num_buckets`` big groups deduped with vectorized
+    ``sort_values + drop_duplicates`` — duplicates of one text always share
+    a bucket, and no per-digest pandas group is ever created."""
 
-    def keep_first(grp: pd.DataFrame) -> pd.DataFrame:
-        return grp.sort_values(id_col).head(1)
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        dg = [
+            hashlib.sha256(t.encode("utf-8")).digest()
+            for t in df[text_col].fillna("")
+        ]
+        df["_digest"] = [d.hex() for d in dg]
+        df["_bucket"] = np.array(
+            [int.from_bytes(d[:8], "big") % num_buckets for d in dg], dtype="int32"
+        )
+        return df
+
+    def dedup_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+        return (
+            grp.sort_values(id_col)
+            .drop_duplicates("_digest", keep="first")
+            .drop(columns=["_digest", "_bucket"])
+        )
 
     return (
-        ds.map_batches(
-            lambda df: _digest_batch(df, text_col), batch_format="pandas"
-        )
-        .groupby("_digest")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["_digest"])
+        ds.map_batches(digest, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
     )
 
 
@@ -131,83 +221,128 @@ def jaccard_block_pairs(
 # ---------------------------------------------------------------------------
 
 
-_TOKEN_HASH_CACHE: dict[str, int] = {}
-
-
-def _token_hashes(toks: list[str]) -> np.ndarray:
-    """Per-token 64-bit blake2b, memoized per process (token vocabularies
-    are Zipfian — the cache turns the hashing loop into dict lookups)."""
-    cache = _TOKEN_HASH_CACHE
-    if len(cache) > 2_000_000:
-        cache.clear()
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        h = cache.get(t)
-        if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-            )
-            cache[t] = h
-        out[i] = h
-    return out
-
-
-_SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-                         0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5], dtype=np.uint64)
-
-
 class MinHasher:
     """Stateful map_batches stage: text → MinHash signature.
 
     Permutation parameters are derived once per actor in ``__init__`` from
     a fixed seed (deterministic across retries and cluster sizes); shingle
-    hashes are a vectorized mix of memoized per-token hashes."""
+    hashes are memoized md5_u64 values masked to 61 bits, permuted with an
+    exact (a·h+b) mod (2^61−1) — the same integers a DuckDB oracle
+    computes with HUGEINT arithmetic."""
 
     def __init__(self, num_perm: int = 128, shingle_k: int = 3, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        a, b = minhash_params(num_perm, seed)
+        self.a = np.array(a, dtype=np.uint64)[:, None]
+        self.b = np.array(b, dtype=np.uint64)[:, None]
         self.num_perm = num_perm
         self.k = shingle_k
 
-    def _shingle_hashes(self, text: str) -> np.ndarray:
-        toks = text.split()
-        if not toks:
-            return np.zeros(0, dtype=np.uint64)
-        th = _token_hashes(toks)
-        k = min(self.k, len(th))
-        n = len(th) - k + 1
-        with np.errstate(over="ignore"):
-            g = np.zeros(n, dtype=np.uint64)
-            for j in range(k):
-                g = g ^ (th[j : j + n] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)])
-        return np.unique(g)
-
     def signature(self, text: str) -> np.ndarray:
-        h = self._shingle_hashes(text)
-        if len(h) == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            # (num_perm, n_shingles) universal hash, min per row
-            m = (np.outer(self.a, h) + self.b[:, None]) % np.uint64(_MERSENNE)
+        sh = shingle_set(text, self.k)
+        if not sh:
+            # sentinel: real slots are < M61, so all-M61 marks "no shingles"
+            return np.full(self.num_perm, _M61, dtype=np.uint64)
+        h = np.array([_md5_u64_cached(s) for s in sh], dtype=np.uint64) % _B61
+        m = (_mulmod61(self.a, h[None, :]) + self.b) % np.uint64(_M61)
         return m.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sigs = [self.signature(t) for t in df["text"].fillna("")]
         out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
-        out["sig"] = [s.tobytes() for s in sigs]  # fixed num_perm×8 bytes
+        out["sig"] = [s.tobytes() for s in sigs]  # fixed num_perm×8 bytes, LE
         return out
 
 
 def minhash_signatures(
     ds: "ray.data.Dataset", *, num_perm: int = 128, shingle_k: int = 3, concurrency=None
 ) -> "ray.data.Dataset":
+    from ..util import auto_concurrency
+
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
         batch_format="pandas",
-        concurrency=concurrency or 4,
+        concurrency=auto_concurrency(concurrency),
     )
+
+
+def _grouped_pairs(df: pd.DataFrame, key: str, max_bucket: int) -> pd.DataFrame:
+    """All within-group id pairs for every group of ``key`` present in this
+    (coarse) partition: sort once, slice per group — a python loop only
+    over the (few) groups of size ≥ 2, numpy inside."""
+    df = df[[key, "doc_id"]].drop_duplicates().sort_values([key, "doc_id"])
+    keys = df[key].to_numpy()
+    ids = df["doc_id"].to_numpy()
+    bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+    outs_a, outs_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        n = e - s
+        if n < 2:
+            continue
+        if n > max_bucket:
+            raise RuntimeError(f"LSH bucket cap exceeded: {n} > {max_bucket}")
+        ia, ib = np.triu_indices(n, 1)
+        outs_a.append(ids[s + ia])
+        outs_b.append(ids[s + ib])
+    if not outs_a:
+        return pd.DataFrame({"doc_id_a": [], "doc_id_b": []}).astype("int64")
+    return pd.DataFrame(
+        {"doc_id_a": np.concatenate(outs_a), "doc_id_b": np.concatenate(outs_b)}
+    ).astype("int64")
+
+
+def _dedup_pairs(pairs: "ray.data.Dataset", extra_cols: tuple[str, ...] = ()) -> "ray.data.Dataset":
+    """Distinct (doc_id_a, doc_id_b) via coarse hash buckets + per-bucket
+    ``drop_duplicates`` — NOT one pandas group per pair."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pb"] = (
+            (df["doc_id_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + df["doc_id_b"].to_numpy(np.uint64)) % np.uint64(_COARSE)
+        ).astype("int32")
+        return df
+
+    cols = ["doc_id_a", "doc_id_b", *extra_cols]
+
+    def dedup(grp: pd.DataFrame) -> pd.DataFrame:
+        return (
+            grp.sort_values(["doc_id_a", "doc_id_b"])
+            .drop_duplicates(["doc_id_a", "doc_id_b"], keep="first")[cols]
+        )
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def band_buckets(
+    sigs: "ray.data.Dataset", *, num_perm: int = 128, bands: int = 32
+) -> "ray.data.Dataset":
+    """(bucket, doc_id) rows: one md5_u64 bucket key per signature band
+    (``band:h0,h1,...`` — the exact string a SQL oracle re-derives with
+    string_agg).  Docs with no shingles (sentinel signature) emit nothing."""
+    rows_per_band = num_perm // bands
+
+    def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        ids, buckets = [], []
+        for doc_id, sig in zip(df["doc_id"], df["sig"]):
+            s = np.frombuffer(sig, dtype=np.uint64)
+            if s[0] == _M61:  # sentinel: empty doc
+                continue
+            for b in range(bands):
+                chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
+                key = f"{b}:" + ",".join(str(int(v)) for v in chunk)
+                ids.append(doc_id)
+                buckets.append(_md5_u64(key))
+        return pd.DataFrame(
+            {"bucket": np.array(buckets, dtype=np.uint64).astype(np.int64),
+             "doc_id": np.array(ids, dtype=np.int64)}
+        )
+
+    return sigs.map_batches(to_buckets, batch_format="pandas")
 
 
 def minhash_lsh_pairs(
@@ -218,77 +353,88 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 100_000,
+    num_partitions: int | None = None,
     concurrency=None,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs: MinHash signatures → LSH band buckets →
-    candidate pairs → map-side signature verification.
+    candidate pairs → signature verification, all distributed.
 
-    Only (bucket, doc_id) rows go through the shuffle; signatures stay out
-    of the exchange and are broadcast once (``ray.put``) for the verify
-    step — at corpora where the signature matrix itself outgrows a worker
-    heap, swap the broadcast for a hash-partitioned signature join.
+    The verify step hash-partition-JOINs the candidate pairs against the
+    signature table twice (a-side, b-side) — no driver-side signature
+    materialization, no broadcast: at corpus scale the signatures stay
+    where the shuffle put them and only candidate pairs (bounded by the
+    near-dup density times band count) move.  The candidate table is
+    materialized once (it is pair-sized, not corpus-sized) to keep the two
+    join probes from recomputing the bucket shuffle.
 
     Output: (doc_id_a, doc_id_b, est_jaccard_num) with
     est_jaccard_num = #equal signature slots (out of ``num_perm``) —
     integer, ≥ ceil(threshold * num_perm)."""
-    import ray
-
-    rows_per_band = num_perm // bands
     min_eq = int(np.ceil(threshold * num_perm))
+    if num_partitions is None:
+        # each join partition gets a HashShuffleAggregator actor wanting a
+        # CPU slot; oversubscribing a small cluster deadlocks the pool.
+        # At corpus scale pass this explicitly (≈ cluster cores).
+        import ray
+
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
 
     sigs = minhash_signatures(
         ds, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency
-    ).materialize()
-
-    def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        ids, buckets = [], []
-        for doc_id, sig in zip(df["doc_id"], df["sig"]):
-            mv = memoryview(sig)
-            for b in range(bands):
-                chunk = mv[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8]
-                bh = hashlib.blake2b(chunk, digest_size=8).hexdigest()
-                ids.append(doc_id)
-                buckets.append(f"{b}:{bh}")
-        return pd.DataFrame({"bucket": buckets, "doc_id": ids})
-
-    buckets = sigs.map_batches(to_buckets, batch_format="pandas")
-
-    def bucket_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(grp["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []}).astype("int64")
-        if len(ids) > max_bucket:
-            raise RuntimeError("LSH bucket cap exceeded (skewed bucket)")
-        a, b = np.triu_indices(len(ids), 1)
-        return pd.DataFrame(
-            {"doc_id_a": ids[a], "doc_id_b": ids[b]}
-        ).astype("int64")
-
-    cands = (
-        buckets.groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
 
-    sig_pd = sigs.to_pandas()
-    mat = np.frombuffer(b"".join(sig_pd["sig"]), dtype=np.uint64).reshape(
-        len(sig_pd), num_perm
+    buckets = band_buckets(sigs, num_perm=num_perm, bands=bands)
+
+    def coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cb"] = (df["bucket"].to_numpy(np.uint64) % np.uint64(_COARSE)).astype(
+            "int32"
+        )
+        return df
+
+    raw_pairs = (
+        buckets.map_batches(coarse, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(
+            lambda g: _grouped_pairs(g, "bucket", max_bucket), batch_format="pandas"
+        )
     )
-    ref = ray.put({"row": {int(d): i for i, d in enumerate(sig_pd["doc_id"])},
-                   "mat": mat})
+    cands = _dedup_pairs(raw_pairs).materialize()
+
+    def rename(col_id: str, col_sig: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({col_id: df["doc_id"], col_sig: df["sig"]})
+
+        return f
+
+    sig_a = sigs.map_batches(rename("doc_id_a", "sig_a"), batch_format="pandas")
+    sig_b = sigs.map_batches(rename("doc_id_b", "sig_b"), batch_format="pandas")
+    joined = cands.join(
+        sig_a, "inner", num_partitions, on=("doc_id_a",)
+    ).join(sig_b, "inner", num_partitions, on=("doc_id_b",))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        s = ray.get(ref) if not isinstance(ref, dict) else ref
-        row, m = s["row"], s["mat"]
-        ia = np.array([row[int(x)] for x in df["doc_id_a"]], dtype=np.int64)
-        ib = np.array([row[int(x)] for x in df["doc_id_b"]], dtype=np.int64)
-        eq = (m[ia] == m[ib]).sum(axis=1).astype("int64")
-        out = df.copy()
-        out["est_jaccard_num"] = eq
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id_a": [], "doc_id_b": [], "est_jaccard_num": []}
+            ).astype("int64")
+        sa = np.frombuffer(b"".join(df["sig_a"]), dtype=np.uint64).reshape(
+            len(df), num_perm
+        )
+        sb = np.frombuffer(b"".join(df["sig_b"]), dtype=np.uint64).reshape(
+            len(df), num_perm
+        )
+        eq = (sa == sb).sum(axis=1).astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id_a": df["doc_id_a"].to_numpy(np.int64),
+                "doc_id_b": df["doc_id_b"].to_numpy(np.int64),
+                "est_jaccard_num": eq,
+            }
+        )
         return out[eq >= min_eq].reset_index(drop=True)
 
-    return cands.map_batches(verify, batch_format="pandas")
+    return joined.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -298,31 +444,65 @@ def minhash_lsh_pairs(
 
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
+_SW1 = np.uint64(0x5555555555555555)
+_SW2 = np.uint64(0x3333333333333333)
+_SW4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_SWM = np.uint64(0x0101010101010101)
 
-def _simhash64(text: str) -> int:
-    toks = text.split()
-    if not toks:
-        return 0
-    hs = _token_hashes(toks)
-    bits = ((hs[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
-    acc = (2 * bits - 1).sum(axis=0)
-    return int(((acc > 0).astype(np.uint64) << _BIT_SHIFTS).sum(dtype=np.uint64))
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array."""
+    x = x - ((x >> np.uint64(1)) & _SW1)
+    x = (x & _SW2) + ((x >> np.uint64(2)) & _SW2)
+    x = (x + (x >> np.uint64(4))) & _SW4
+    with np.errstate(over="ignore"):
+        return (x * _SWM) >> np.uint64(56)
+
+
+def _simhash_batch(texts: "pd.Series") -> np.ndarray:
+    """64-bit simhash per text, vectorized across the whole batch: one flat
+    token-hash array + reduceat per document (token multiplicity counts,
+    per the classic Charikar construction)."""
+    tok_lists = [t.split() for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = [tok for toks in tok_lists for tok in toks]
+    if not flat:
+        return np.zeros(len(tok_lists), dtype=np.uint64)
+    hs = np.array([_md5_u64_cached(t) for t in flat], dtype=np.uint64)
+    bits = ((hs[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)  # (T, 64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # reduceat needs strictly valid segment starts; empty docs handled after
+    nonempty = lens > 0
+    seg = np.zeros((len(lens), 64), dtype=np.int64)
+    if nonempty.any():
+        red = np.add.reduceat(bits, starts[nonempty], axis=0)
+        # reduceat with duplicate starts (consecutive empty docs) is avoided
+        # by indexing only nonempty segments
+        seg[nonempty] = red
+    acc = 2 * seg - lens[:, None]                  # sum of (2·bit − 1)
+    out = ((acc > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[~nonempty] = 0
+    return out
 
 
 def simhash_table(
     ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":
     """(doc_id, simhash, band0..band3): 64-bit simhash split into four
-    16-bit bands; Hamming-≤3 near-dups share at least one band."""
+    16-bit bands; Hamming-≤3 near-dups share at least one band.  Token
+    hashes are md5_u64 so a DuckDB oracle rebuilds the identical bits."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        hs = [_simhash64(t) for t in df[text_col].fillna("")]
+        hs = _simhash_batch(df[text_col].fillna(""))
         out = pd.DataFrame({"doc_id": df[id_col].astype("int64")})
-        out["simhash"] = np.array(hs, dtype=np.uint64).astype(np.int64)
+        out["simhash"] = hs.view(np.int64)
         for b in range(4):
-            out[f"band{b}"] = np.array(
-                [(h >> (16 * b)) & 0xFFFF for h in hs], dtype=np.int64
-            )
+            out[f"band{b}"] = (
+                (hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            ).astype(np.int64)
         return out
 
     return ds.map_batches(f, batch_format="pandas")
@@ -334,46 +514,70 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 100_000,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs with Hamming distance ≤ ``max_hamming`` via
-    band buckets (4 × 16-bit; pigeonhole-complete for distance ≤ 3)."""
+    band buckets (4 × 16-bit; pigeonhole-complete for distance ≤ 3, so
+    recall is exactly 1 and the output equals the all-pairs SQL oracle).
+
+    Band fan-out is a batch-level concat (4× repeat with a band-keyed
+    column), bucket grouping is coarse (``_COARSE`` partitions, per-bucket
+    pairing inside), Hamming is a vectorized SWAR popcount, and the final
+    pair dedup is bucket-hash + drop_duplicates — no row-wise flat_map, no
+    per-pair pandas groups."""
     table = simhash_table(ds, text_col=text_col, id_col=id_col)
 
-    def to_band_rows(row: dict) -> list[dict]:
-        return [
-            {
-                "bkey": f"{b}:{row[f'band{b}']}",
-                "doc_id": row["doc_id"],
-                "simhash": row["simhash"],
-            }
-            for b in range(4)
-        ]
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for b in range(4):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "bkey": (df[f"band{b}"].to_numpy(np.int64) + (b << 16)),
+                        "doc_id": df["doc_id"].to_numpy(np.int64),
+                        "simhash": df["simhash"].to_numpy(np.int64),
+                        "_cb": ((df[f"band{b}"].to_numpy(np.int64) + b) % _COARSE),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
     def bucket_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-        grp = grp.sort_values("doc_id")
+        grp = grp[["bkey", "doc_id", "simhash"]].drop_duplicates(
+            ["bkey", "doc_id"]
+        ).sort_values(["bkey", "doc_id"])
+        keys = grp["bkey"].to_numpy()
         ids = grp["doc_id"].to_numpy()
-        hs = grp["simhash"].to_numpy().astype(np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            x = hs[i + 1 :] ^ hs[i]
-            d = np.array([bin(v).count("1") for v in x])
-            for off in np.nonzero(d <= max_hamming)[0]:
-                j = i + 1 + off
-                if ids[i] != ids[j]:
-                    rows.append((ids[i], ids[j], int(d[off])))
-        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"]).astype(
-            "int64"
-        )
+        hs = grp["simhash"].to_numpy().view(np.uint64)
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        rows_a, rows_b, rows_d = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            if n > max_bucket:
+                raise RuntimeError(f"simhash bucket cap exceeded: {n}")
+            ia, ib = np.triu_indices(n, 1)
+            d = _popcount64(hs[s + ia] ^ hs[s + ib]).astype(np.int64)
+            keep = d <= max_hamming
+            rows_a.append(ids[s + ia][keep])
+            rows_b.append(ids[s + ib][keep])
+            rows_d.append(d[keep])
+        if not rows_a:
+            return pd.DataFrame(
+                {"doc_id_a": [], "doc_id_b": [], "hamming": []}
+            ).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.concatenate(rows_a),
+                "doc_id_b": np.concatenate(rows_b),
+                "hamming": np.concatenate(rows_d),
+            }
+        ).astype("int64")
 
     pairs = (
-        table.flat_map(to_band_rows)
-        .groupby("bkey")
+        table.map_batches(fan_out, batch_format="pandas")
+        .groupby("_cb")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-
-    def dedup_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-        return grp.head(1)
-
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        dedup_pairs, batch_format="pandas"
-    )
+    return _dedup_pairs(pairs, extra_cols=("hamming",))

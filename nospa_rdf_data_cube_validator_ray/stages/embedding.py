@@ -12,6 +12,14 @@
 * ``lsh_hyperplane_buckets`` — the 100 TB path: signed random projections
   (seeded, deterministic) bucket vectors so candidate generation is a
   groupby on the bucket key instead of an all-pairs matmul.
+
+``cosine_threshold_pairs`` has two exact modes: the broadcast regime
+(reference matrix fits a worker heap) and ``mode="block"`` — a
+block-nested-loop theta-join (rows replicated to ``blocks`` partner
+groups, each group an independent two-block matmul) that is exact,
+driver-materialization-free, and shuffles ``blocks×`` the vector table;
+``mode="auto"`` switches on a row-count guard.  The approximate scale
+path stays ``lsh_hyperplane_buckets`` / ``lsh_cosine_pairs``.
 """
 
 from __future__ import annotations
@@ -21,6 +29,8 @@ import pandas as pd
 
 import ray
 import ray.data
+
+from ..util import auto_concurrency
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -50,7 +60,11 @@ class _BlockTopK:
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(self.qids):
             row = sims[qi]
-            top = np.argpartition(-row, k - 1)[:k]
+            # full (-cos, neighbor_id) order before truncating so exact
+            # cosine ties keep the lowest id — matches the driver merge's
+            # documented deterministic tie-break (and the SQL oracle's
+            # ORDER BY sim DESC, vec_id) even when the tie spans the cut
+            top = np.lexsort((ids, -row))[:k]
             for j in top:
                 if ids[j] != qid:
                     out_q.append(qid)
@@ -84,7 +98,7 @@ def knn_topk(
         _BlockTopK,
         fn_constructor_kwargs={"query_ref": qref, "k": k},
         batch_format="pandas",
-        concurrency=4,
+        concurrency=auto_concurrency(None),
     ).to_pandas()
 
     cands = cands.sort_values(
@@ -121,13 +135,29 @@ def cosine_threshold_pairs(
     threshold: float = 0.35,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    mode: str = "auto",
+    max_broadcast_rows: int = 200_000,
+    blocks: int = 8,
 ) -> "ray.data.Dataset":
     """All unordered pairs with cosine ≥ threshold (embedding near-dup).
+    Exact in every mode; both modes produce identical pairs.
 
-    The reference matrix is the dataset itself, broadcast once — valid
-    while n_vectors × dim fits a worker heap (the small-side regime).  At
-    corpus scale swap the candidate generator for
-    ``lsh_hyperplane_buckets`` + per-bucket exact verification."""
+    mode="broadcast" — the dataset itself is the reference matrix,
+    ``ray.put`` once, each block matmuls against it.  Valid while
+    n_vectors × dim fits a worker heap (the small-side regime).
+    mode="block" — block-nested-loop: rows are hash-assigned to
+    ``blocks`` groups, replicated to every partner group, and each of the
+    blocks·(blocks+1)/2 group tasks matmuls its two sides — no driver
+    materialization, no broadcast, shuffle volume = blocks × table.
+    mode="auto" — one ``count()`` guard picks broadcast below
+    ``max_broadcast_rows``, block above.  (The *approximate* scale path —
+    sub-quadratic — is ``lsh_cosine_pairs``.)"""
+    if mode == "auto":
+        mode = "broadcast" if ds.count() <= max_broadcast_rows else "block"
+    if mode == "block":
+        return _block_threshold_pairs(
+            ds, threshold=threshold, emb_col=emb_col, id_col=id_col, blocks=blocks
+        )
     rows = ds.select_columns([id_col, emb_col]).take_all()
     rows.sort(key=lambda r: r[id_col])
     rmat = _normalize(np.array([r[emb_col] for r in rows], dtype=np.float64))
@@ -136,7 +166,69 @@ def cosine_threshold_pairs(
         _ThresholdPairs,
         fn_constructor_kwargs={"ref": ref, "threshold": threshold},
         batch_format="pandas",
-        concurrency=4,
+        concurrency=auto_concurrency(None),
+    )
+
+
+def _block_threshold_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    threshold: float,
+    emb_col: str,
+    id_col: str,
+    blocks: int,
+) -> "ray.data.Dataset":
+    """Exact all-pairs ≥ threshold as a block-nested-loop theta-join: each
+    vector goes to every (min(b,p), max(b,p)) group once; a group holds
+    two hash-blocks and emits its cross (or triangular) matches.  Group
+    count = blocks·(blocks+1)/2 coarse tasks; per-task memory is two
+    blocks, not the corpus."""
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        bid = ids % blocks
+        parts = []
+        for p in range(blocks):
+            lo = np.minimum(bid, p)
+            hi = np.maximum(bid, p)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "_gk": lo * blocks + hi,
+                        "_bid": bid,
+                        id_col: ids,
+                        emb_col: df[emb_col].to_numpy(),
+                    }
+                )
+            )
+        out = pd.concat(parts, ignore_index=True)
+        # a row whose own block is p appears once in group (p,p)
+        return out.drop_duplicates(["_gk", id_col])
+
+    def group_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        gk = int(grp["_gk"].iloc[0])
+        lo, hi = gk // blocks, gk % blocks
+        mat = _normalize(_emb_matrix(grp, emb_col))
+        ids = grp[id_col].to_numpy(np.int64)
+        side = grp["_bid"].to_numpy(np.int64)
+        if lo == hi:
+            sims = mat @ mat.T
+            ai, bj = np.nonzero(sims >= threshold)
+            a, b = ids[ai], ids[bj]
+            keep = a < b                       # both orders present: keep one
+            a, b = a[keep], b[keep]
+        else:
+            li, hj = side == lo, side == hi
+            sims = mat[li] @ mat[hj].T
+            ai, bj = np.nonzero(sims >= threshold)
+            a, b = ids[li][ai], ids[hj][bj]    # each cross pair appears once
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_id_a": a, "vec_id_b": b}).astype("int64")
+
+    return (
+        ds.map_batches(replicate, batch_format="pandas")
+        .groupby("_gk")
+        .map_groups(group_pairs, batch_format="pandas")
     )
 
 
@@ -254,12 +346,18 @@ def ivf_topk(
     )
 
 
+def hyperplane_params(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """The seeded projection planes, exposed so the DuckDB oracle can bake
+    the identical float64 literals into its SQL (repr round-trips)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
 class _HyperplaneHasher:
     """Actor stage: seeded signed-random-projection bucket per vector."""
 
     def __init__(self, dim: int, n_planes: int = 16, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((n_planes, dim))
+        self.planes = hyperplane_params(dim, n_planes, seed)
         self.weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -280,7 +378,7 @@ def lsh_hyperplane_buckets(
         _HyperplaneHasher,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
         batch_format="pandas",
-        concurrency=4,
+        concurrency=auto_concurrency(None),
     )
 
 
@@ -291,15 +389,27 @@ def lsh_cosine_pairs(
     threshold: float = 0.35,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket: int = 100_000,
 ) -> "ray.data.Dataset":
     """Scale path: bucket by hyperplane signature, verify exact cosine only
     within buckets (recall < 1 by construction — candidates missed when a
-    plane separates a near pair; raise recall with multiple tables)."""
+    plane separates a near pair; raise recall with multiple tables).  A
+    bucket larger than ``max_bucket`` (skewed: near-identical vectors or
+    too few planes for the corpus) raises instead of silently going
+    quadratic — re-run with more planes."""
     with_bucket = ds.map_batches(
-        _BucketJoin(dim, n_planes, seed), batch_format="pandas", concurrency=4
+        _BucketJoin,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        batch_format="pandas",
+        concurrency=auto_concurrency(None),
     )
 
     def pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        if len(grp) > max_bucket:
+            raise RuntimeError(
+                f"LSH cosine bucket cap exceeded: {len(grp)} > {max_bucket}; "
+                "increase n_planes"
+            )
         mat = _normalize(_emb_matrix(grp, "embedding"))
         ids = grp["vec_id"].to_numpy()
         sims = mat @ mat.T
