@@ -128,6 +128,9 @@ class CubeValidator:
                 strict=self.strict_parse,
                 concurrency=self.parse_concurrency,
                 max_triples_per_file=400_000 if self.mode == "local" else None,
+                # and by bytes: long IRIs/literals can exceed the 128 MB
+                # block budget well under 400K rows (96 MB leaves margin)
+                max_bytes_per_file=(96 << 20) if self.mode == "local" else None,
                 # shuffle mode: chunk giant Turtle files so one 200 MB file
                 # parses in parallel instead of serially on one task
                 split_threshold=(32 << 20) if self.mode == "shuffle" else None,

@@ -98,9 +98,15 @@ class ParseRDF:
     kept simple: parse errors raise by default (strict=True) or skip.
     """
 
-    def __init__(self, strict: bool = True, max_triples_per_file: int | None = None):
+    def __init__(
+        self,
+        strict: bool = True,
+        max_triples_per_file: int | None = None,
+        max_bytes_per_file: int | None = None,
+    ):
         self.strict = strict
         self.max_triples_per_file = max_triples_per_file
+        self.max_bytes_per_file = max_bytes_per_file
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         graphs: list[str] = []
@@ -134,9 +140,18 @@ class ParseRDF:
                     triples = parse_turtle(content, anon_prefix=f"c{cid}_a")
                 else:
                     triples = parse_document(content, fmt)
-            except RDFSyntaxError:
+            except RDFSyntaxError as e:
                 if self.strict:
                     raise
+                if cid:
+                    # a chunk row comes from split_turtle on a document that
+                    # DID look splittable: skipping it would silently drop
+                    # that chunk's triples from an otherwise-parsed file, so
+                    # always surface chunk corruption even in lenient mode
+                    raise RDFSyntaxError(
+                        f"chunk {cid} of {path!r} failed to parse "
+                        f"(bad split boundary?): {e}"
+                    ) from e
                 continue
             gid = make_graph_id(repo, path, commit)
             sha = fsha or hashlib.sha256(content.encode("utf-8")).hexdigest()
@@ -150,6 +165,23 @@ class ParseRDF:
                     f"(> {self.max_triples_per_file}): validate this corpus "
                     "with CubeValidator(mode='shuffle')"
                 )
+            if self.max_bytes_per_file is not None and n:
+                # row count alone is a weak proxy: Ray splits task outputs
+                # at target_max_block_size by BYTES, and long IRIs/literals
+                # can blow past it under the row cap, silently splitting a
+                # graph across blocks.  Estimate serialized size from a
+                # strided sample and fail fast the same way.
+                stride = 8 if n >= 64 else 1
+                est = stride * sum(
+                    len(t[0]) + len(t[1]) + len(t[3]) + len(t[4]) + len(t[5]) + 16
+                    for t in triples[::stride]
+                )
+                if est > self.max_bytes_per_file:
+                    raise RuntimeError(
+                        f"file {path!r} produced ~{est >> 20} MB of triples "
+                        f"(> {self.max_bytes_per_file >> 20} MB block budget): "
+                        "validate this corpus with CubeValidator(mode='shuffle')"
+                    )
             graphs.extend([gid] * n)
             shas.extend([sha] * n)
             for s, p, k, o, dt, lg in triples:
@@ -182,6 +214,7 @@ def parse_corpus(
     batch_size: int = 1,
     concurrency=None,
     max_triples_per_file: int | None = None,
+    max_bytes_per_file: int | None = None,
     split_threshold: int | None = None,
     chunk_bytes: int = 8 << 20,
 ) -> "ray.data.Dataset":
@@ -202,7 +235,7 @@ def parse_corpus(
         ).materialize()
         corpus = chunked.repartition(max(1, chunked.count()))
     return corpus.map_batches(
-        ParseRDF(strict, max_triples_per_file),
+        ParseRDF(strict, max_triples_per_file, max_bytes_per_file),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -332,12 +332,24 @@ class TurtleParser:
                     ikind, ival = self._next()
                     if ikind != "IRIREF":
                         raise RDFSyntaxError("prefix declaration requires IRIREF")
-                    self.prefixes[prefix] = _unescape(ival[1:-1])
+                    ns = _unescape(ival[1:-1])
+                    # legal Turtle may redefine a prefix mid-document: the
+                    # term/pred caches are keyed on raw tokens, so entries
+                    # resolved under the old namespace must be dropped
+                    if self.prefixes.get(prefix, ns) != ns:
+                        self._term_cache.clear()
+                        self._pred_cache.clear()
+                    self.prefixes[prefix] = ns
                 else:  # @base / BASE
                     ikind, ival = self._next()
                     if ikind != "IRIREF":
                         raise RDFSyntaxError("base declaration requires IRIREF")
-                    self.base = _unescape(ival[1:-1])
+                    newbase = _unescape(ival[1:-1])
+                    # cached relative-IRI resolutions depend on the base
+                    if self.base != newbase:
+                        self._term_cache.clear()
+                        self._pred_cache.clear()
+                    self.base = newbase
                 if decl.startswith("@"):
                     self._expect_punct(".")
                 continue
@@ -415,22 +427,57 @@ _PREFIX_LINE_RE = re.compile(
 )
 
 
+# quote-state scan: every token that could hide a quote or a blank line —
+# long strings (the only construct that may CONTAIN a blank line), short
+# strings, IRIREFs and comments — so split boundaries never land inside one
+_QSCAN_RE = re.compile(
+    r'"""(?:[^"\\]|\\.|"(?!""))*"""'
+    r"|'''(?:[^'\\]|\\.|'(?!''))*'''"
+    r'|"(?:[^"\n\\]|\\.)*"'
+    r"|'(?:[^'\n\\]|\\.)*'"
+    r"|<[^>\n]*>"
+    r"|#[^\n]*",
+    re.S,
+)
+
+
+def _long_string_spans(text: str) -> list[tuple[int, int]]:
+    """(start, end) spans of tokens that span multiple lines (triple-quoted
+    long strings) — the regions a blank-line chunk boundary must avoid."""
+    return [
+        m.span()
+        for m in _QSCAN_RE.finditer(text)
+        if m.group(0)[0] in "\"'" and "\n" in m.group(0)
+    ]
+
+
 def split_turtle(text: str, chunk_bytes: int) -> list[str]:
     """Split a large Turtle document into independently parseable chunks at
     blank-line statement boundaries (the layout of machine-generated
     dumps; every chunk must end with a top-level '.').  All prefix/base
-    declarations are replicated into every chunk.  Raises if a candidate
-    boundary does not close a statement — the caller then falls back to
-    whole-document parsing."""
+    declarations are replicated into every chunk.  Candidate boundaries
+    inside triple-quoted long strings are skipped (a blank line inside a
+    literal is data, not a boundary).  Raises if a candidate boundary does
+    not close a statement — the caller then falls back to whole-document
+    parsing."""
     header = "\n".join(_PREFIX_LINE_RE.findall(text)) + "\n"
+    spans = _long_string_spans(text)
     chunks: list[str] = []
     n = len(text)
     start = 0
+    si = 0
     while start < n:
         if n - start <= chunk_bytes:
             chunks.append(text[start:])
             break
         cut = text.find("\n\n", start + chunk_bytes)
+        while cut != -1:
+            while si < len(spans) and spans[si][1] <= cut:
+                si += 1
+            if si < len(spans) and spans[si][0] <= cut:
+                cut = text.find("\n\n", spans[si][1])  # inside a long string
+                continue
+            break
         if cut == -1:
             chunks.append(text[start:])
             break

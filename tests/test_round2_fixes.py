@@ -1,0 +1,186 @@
+"""Round-2 correctness fixes: parser cache invalidation on prefix/base
+redefinition, quote-aware giant-file chunking, byte-based local-mode
+guard, exact block-mode threshold pairs, and the md5/mod-2^61 hash
+kernels that make the dedup oracles SQL-exact."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from nospa_rdf_data_cube_validator_ray.sources import rdf_parser as P
+from nospa_rdf_data_cube_validator_ray.stages import dedup as D
+
+
+# -- prefix/base redefinition (term caches must invalidate) -----------------
+
+
+def test_prefix_redefinition_resolves_fresh():
+    ttl = """
+@prefix p: <http://one.example/> .
+p:s p:q p:o .
+@prefix p: <http://two.example/> .
+p:s p:q p:o .
+"""
+    triples = P.parse_turtle(ttl)
+    subjects = sorted({t[0] for t in triples})
+    preds = sorted({t[1] for t in triples})
+    assert subjects == ["http://one.example/s", "http://two.example/s"]
+    assert preds == ["http://one.example/q", "http://two.example/q"]
+
+
+def test_base_redefinition_resolves_fresh():
+    ttl = """
+@base <http://one.example/> .
+<s> <q> <o> .
+@base <http://two.example/> .
+<s> <q> <o> .
+"""
+    triples = P.parse_turtle(ttl)
+    assert sorted({t[0] for t in triples}) == [
+        "http://one.example/s",
+        "http://two.example/s",
+    ]
+
+
+# -- split_turtle must not cut inside triple-quoted long strings ------------
+
+
+def test_split_turtle_skips_blank_line_in_long_string():
+    stmts = []
+    for i in range(40):
+        stmts.append(f'<http://x/s{i}> <http://x/p> "v{i}" .')
+    # a statement whose long literal contains a blank line AND ends with "."
+    long_lit = '<http://x/slong> <http://x/p> """line one.\n\nline two.""" .'
+    doc = "\n\n".join(stmts[:20] + [long_lit] + stmts[20:])
+    whole = P.parse_turtle(doc)
+    for chunk_bytes in (200, 400, len(doc) // 3):
+        chunks = P.split_turtle(doc, chunk_bytes)
+        got = []
+        for c in chunks:
+            got.extend(P.parse_turtle(c))
+        assert sorted(got) == sorted(whole), f"chunk_bytes={chunk_bytes}"
+
+
+def test_split_turtle_long_string_spans():
+    doc = 'a """x\n\ny""" b \'\'\'p\n\nq\'\'\' c "no\\"newline" <http://e/x>'
+    spans = P._long_string_spans(doc)
+    assert len(spans) == 2
+    for s, e in spans:
+        assert "\n\n" in doc[s:e]
+
+
+# -- byte-based one-file-one-block guard ------------------------------------
+
+
+def test_parse_byte_guard_raises():
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import ParseRDF
+
+    stmts = "\n".join(
+        f'<http://x/{"a" * 200}{i}> <http://x/p> "{"v" * 200}" .' for i in range(200)
+    )
+    batch = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["f.ttl"],
+            "commit": ["c"],
+            "lang": ["turtle"],
+            "content": [stmts],
+        }
+    )
+    with pytest.raises(RuntimeError, match="shuffle"):
+        ParseRDF(True, None, max_bytes_per_file=10_000)(batch)
+    out = ParseRDF(True, None, max_bytes_per_file=10 << 20)(batch)
+    assert out.num_rows == 200
+
+
+# -- hash kernels (the SQL-oracle bridges) ----------------------------------
+
+
+def test_md5_u64_matches_duckdb():
+    import duckdb
+
+    for s in ["", "abc", "hello world", "ünïcode ☃"]:
+        want = duckdb.sql(f"SELECT md5_number_lower('{s}')").fetchone()[0]
+        assert D._md5_u64(s) == want
+
+
+def test_mulmod61_exact():
+    rng = np.random.RandomState(7)
+    M = (1 << 61) - 1
+    a = rng.randint(0, M, size=200).astype(np.uint64)
+    h = rng.randint(0, 1 << 61, size=200).astype(np.uint64)
+    got = D._mulmod61(a, h)
+    want = np.array([(int(x) * int(y)) % M for x, y in zip(a, h)], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_popcount64():
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 2**63, size=500).astype(np.uint64)
+    got = D._popcount64(x)
+    want = np.array([bin(int(v)).count("1") for v in x], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_minhash_signature_matches_bruteforce():
+    mh = D.MinHasher(num_perm=16, shingle_k=3, seed=42)
+    text = "the quick brown fox jumps over the lazy dog the quick brown"
+    sig = mh.signature(text)
+    M = (1 << 61) - 1
+    hs = [D._md5_u64(s) % (1 << 61) for s in D.shingle_set(text, 3)]
+    a, b = D.minhash_params(16, 42)
+    want = [min((a[p] * h + b[p]) % M for h in hs) for p in range(16)]
+    assert sig.tolist() == want
+
+
+# -- embedding: block mode equals broadcast mode ----------------------------
+
+
+def test_block_threshold_pairs_equal_broadcast(ray_session):
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray.stages import embedding as E
+
+    rng = np.random.RandomState(11)
+    n, dim = 300, 16
+    base = rng.standard_normal((n, dim))
+    base[50:60] = base[40:50] + rng.standard_normal((10, dim)) * 0.01  # near-dups
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                      "embedding": list(base.astype(np.float32))})
+    )
+    key = lambda d: sorted(map(tuple, d[["vec_id_a", "vec_id_b"]].to_numpy()))
+    bc = E.cosine_threshold_pairs(ds, threshold=0.6, mode="broadcast").to_pandas()
+    bl = E.cosine_threshold_pairs(ds, threshold=0.6, mode="block", blocks=4).to_pandas()
+    assert len(bc) > 0
+    assert key(bc) == key(bl)
+
+
+def test_simhash_pairs_complete_for_hamming3(ray_session):
+    """Band bucketing is pigeonhole-complete: pairs == brute force."""
+    import ray.data
+
+    rng = np.random.RandomState(5)
+    words = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=20)) for _ in range(60)]
+    texts += texts[:10]  # exact dups → hamming 0
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    got = (
+        D.simhash_pairs(ray.data.from_pandas(df), max_hamming=3)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    hs = D._simhash_batch(pd.Series(texts))
+    want = []
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+            if d <= 3:
+                want.append((i, j, d))
+    want_df = pd.DataFrame(want, columns=["doc_id_a", "doc_id_b", "hamming"]).astype(
+        "int64"
+    )
+    pd.testing.assert_frame_equal(got, want_df)
