@@ -16,10 +16,21 @@ from .model import TRIPLE_SCHEMA, FINDINGS_SCHEMA  # noqa: F401
 
 def create_validator(validator_type: str = "NOSPA", **kwargs) -> CubeValidator:
     """ValidatorFactory parity (ValidatorFactory.java:26-53): the reference
-    dispatches "NOSPA" | "SPARQL" to two engines with identical semantics.
-    Here both names resolve to the one Ray-Data engine — the reference's
-    SPARQL twin exists as the per-query DuckDB oracles in __ray_entry__
-    (IntegrityConstraint.java re-expressed over the derived tables)."""
-    if validator_type.upper() not in ("NOSPA", "SPARQL"):
-        raise ValueError(f"unknown validator type: {validator_type!r}")
-    return CubeValidator(**kwargs)
+    dispatches "NOSPA" | "SPARQL" to two engines with identical intended
+    semantics.  This engine implements the NoSPA behavior (bug-for-bug);
+    the SPARQL twin is spec-only here — its constraint queries live on as
+    the per-query DuckDB oracles in __ray_entry__
+    (IntegrityConstraint.java re-expressed over the derived tables) — so
+    requesting it is an explicit, documented error rather than a silent
+    alias."""
+    vt = validator_type.upper()
+    if vt == "NOSPA":
+        return CubeValidator(**kwargs)
+    if vt == "SPARQL":
+        raise NotImplementedError(
+            "the SPARQL validator backend is not implemented; the NoSPA "
+            "engine (create_validator('NOSPA')) is the only backend — the "
+            "reference's SPARQL constraint queries exist here as the "
+            "DuckDB oracle suite, not as an execution engine"
+        )
+    raise ValueError(f"unknown validator type: {validator_type!r}")

@@ -144,32 +144,40 @@ def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64) -> pd.DataFrame:
         total = totals.get((g, d), 0)
         rows.append((g, r["file_sha256"], "IC17", r["subject"], str(total - r["size"])))
 
-    # wildcard fallback: exact pairwise reference semantics
-    for (g, d) in sorted(wild_keys):
-        drows = pt_ds.filter(
-            lambda r, g=g, d=d: r["graph"] == g and r["dataset"] == d
+    # wildcard fallback: exact pairwise reference semantics.  ONE Dataset
+    # pass collects all wildcard datasets' rows (wildcards are pathological
+    # inputs, bounded by the cap), then groups driver-side — N wildcard
+    # datasets must not mean N full scans.
+    if wild_keys:
+        all_wild = pt_ds.filter(
+            lambda r, wk=wild_keys: (r["graph"], r["dataset"]) in wk
         ).take_all()
-        if len(drows) > 100_000:
+        if len(all_wild) > 100_000:
             raise RuntimeError("IC-17 wildcard fallback exceeded cap")
-        points = []
-        for r in drows:
-            vec = dict(kv.split("=", 1) for kv in r["key"].split(_DETAIL_SEP) if kv)
-            points.append((r["subject"], r["file_sha256"], vec))
-        nm = nmeas.get((g, d))
-        n1 = len(points)
-        for s1, sha, v1 in points:
-            eq = 0
-            for _s2, _sha2, v2 in points:
-                same = True
-                for dim, a in v1.items():
-                    b = v2.get(dim, "*")
-                    if a != "*" and b != "*" and a != b:
-                        same = False
-                        break
-                if same:
-                    eq += 1
-            if eq != nm:
-                rows.append((g, sha, "IC17", s1, str(n1 - eq)))
+        by_ds: dict = {}
+        for r in all_wild:
+            by_ds.setdefault((r["graph"], r["dataset"]), []).append(r)
+        for (g, d) in sorted(by_ds):
+            drows = by_ds[(g, d)]
+            points = []
+            for r in drows:
+                vec = dict(kv.split("=", 1) for kv in r["key"].split(_DETAIL_SEP) if kv)
+                points.append((r["subject"], r["file_sha256"], vec))
+            nm = nmeas.get((g, d))
+            n1 = len(points)
+            for s1, sha, v1 in points:
+                eq = 0
+                for _s2, _sha2, v2 in points:
+                    same = True
+                    for dim, a in v1.items():
+                        b = v2.get(dim, "*")
+                        if a != "*" and b != "*" and a != b:
+                            same = False
+                            break
+                    if same:
+                        eq += 1
+                if eq != nm:
+                    rows.append((g, sha, "IC17", s1, str(n1 - eq)))
 
     return _fdf(rows)
 

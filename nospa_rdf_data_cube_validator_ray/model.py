@@ -24,10 +24,14 @@ Term encoding
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pyarrow as pa
 
 GRAPH_SEP = "\x1f"
+
+_UNESC_RE = re.compile(r'\\(["\\nrt])')
+_UNESC_MAP = {'"': '"', "\\": "\\", "n": "\n", "r": "\r", "t": "\t"}
 
 KIND_IRI = 0
 KIND_BNODE = 1
@@ -81,8 +85,14 @@ def term_str(kind: int, lex: str, dt: str = "", lang: str = "") -> str:
         return f"<{lex}>"
     if kind == KIND_BNODE:
         return lex
-    if '"' in lex or "\\" in lex:
-        lex = lex.replace("\\", "\\\\").replace('"', '\\"')
+    if '"' in lex or "\\" in lex or "\n" in lex or "\r" in lex or "\t" in lex:
+        lex = (
+            lex.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
     if lang:
         return f'"{lex}"@{lang}'
     if dt:
@@ -105,5 +115,5 @@ def parse_term(term: str) -> tuple[int, str, str, str]:
         body, lang = term[1:].rsplit('"@', 1)
         dt = ""
     if "\\" in body:
-        body = body.replace('\\"', '"').replace("\\\\", "\\")
+        body = _UNESC_RE.sub(lambda m: _UNESC_MAP[m.group(1)], body)
     return KIND_LITERAL, body, dt, lang

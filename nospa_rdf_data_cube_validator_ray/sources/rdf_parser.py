@@ -499,15 +499,34 @@ def split_turtle(text: str, chunk_bytes: int) -> list[str]:
 _RDF_NS = PREFIX_RDF
 
 
-def parse_rdfxml(text: str) -> list[Triple]:
-    """Minimal RDF/XML reader: rdf:Description / typed node elements,
-    rdf:about / rdf:ID / rdf:nodeID / rdf:resource, nested node elements,
-    rdf:datatype, xml:lang, plain literal property elements.
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
-    Covers the serializations Jena emits for cube data (Main.java:23-28
-    maps .rdf/.xml here); exotic features (rdf:parseType="Collection",
-    reification, rdf:li) raise RDFSyntaxError.
-    """
+# attributes that are syntax, not property attributes
+_SYNTAX_ATTRS = {
+    f"{{{PREFIX_RDF}}}about",
+    f"{{{PREFIX_RDF}}}ID",
+    f"{{{PREFIX_RDF}}}nodeID",
+    f"{{{PREFIX_RDF}}}resource",
+    f"{{{PREFIX_RDF}}}datatype",
+    f"{{{PREFIX_RDF}}}parseType",
+    f"{{{_XML_NS}}}lang",
+    f"{{{_XML_NS}}}base",
+}
+
+
+def parse_rdfxml(text: str) -> list[Triple]:
+    """RDF/XML reader covering what Jena accepts for cube corpora
+    (Main.java:23-28 maps .rdf/.xml here): rdf:Description / typed node
+    elements, rdf:about / rdf:ID / rdf:nodeID / rdf:resource, nested node
+    elements, rdf:datatype, property attributes, inherited xml:lang,
+    **xml:base** resolution (relative rdf:about/resource, rdf:ID →
+    base#id), **rdf:li** container expansion (rdf:_1, rdf:_2, … numbered
+    per node element), and **rdf:parseType** "Resource" (inline blank
+    node), "Collection" (rdf:first/rdf:rest list, empty → rdf:nil) and
+    "Literal" (inner XML serialized as an rdf:XMLLiteral-typed literal).
+    rdf:ID on a property element (reification) emits the base triple and
+    ignores the reification quad."""
     import xml.etree.ElementTree as ET
 
     try:
@@ -528,45 +547,133 @@ def parse_rdfxml(text: str) -> list[Triple]:
         anon[0] += 1
         return f"_:a{anon[0]}"
 
-    def node_id(el) -> tuple[int, str]:
+    def resolve(iri: str, base: str) -> str:
+        if not base or _ABS_IRI_RE.match(iri):
+            return iri
+        from urllib.parse import urljoin
+
+        return urljoin(base, iri)
+
+    def scope(el, base: str, lang: str) -> tuple[str, str]:
+        b = el.get(f"{{{_XML_NS}}}base")
+        lg = el.get(f"{{{_XML_NS}}}lang")
+        return (resolve(b, base) if b is not None else base,
+                lg if lg is not None else lang)
+
+    def node_id(el, base: str) -> tuple[int, str]:
         about = el.get(f"{{{_RDF_NS}}}about")
         if about is not None:
-            return KIND_IRI, about
+            return KIND_IRI, resolve(about, base)
         rid = el.get(f"{{{_RDF_NS}}}ID")
         if rid is not None:
-            return KIND_IRI, "#" + rid
+            return KIND_IRI, resolve("#" + rid, base)
         nid = el.get(f"{{{_RDF_NS}}}nodeID")
         if nid is not None:
             return KIND_BNODE, "_:" + nid
         return KIND_BNODE, new_anon()
 
-    def walk_node(el) -> tuple[int, str]:
-        skind, s = node_id(el)
+    def prop_attrs(el, s: str, base: str, lang: str) -> None:
+        for attr, val in el.attrib.items():
+            if attr in _SYNTAX_ATTRS:
+                continue
+            p = qname(attr)
+            if not p.startswith("http"):
+                continue  # unqualified attribute: not a property
+            if p == _RDF_NS + "type":
+                triples.append((s, RDF_type, KIND_IRI, resolve(val, base), "", ""))
+            else:
+                triples.append((s, p, KIND_LITERAL, val, "", lang))
+
+    def walk_node(el, base: str, lang: str) -> tuple[int, str]:
+        base, lang = scope(el, base, lang)
+        skind, s = node_id(el, base)
         tag = qname(el.tag)
         if tag != _RDF_NS + "Description":
             triples.append((s, RDF_type, KIND_IRI, tag, "", ""))
+        prop_attrs(el, s, base, lang)
+        li_count = [0]
         for prop in el:
-            p = qname(prop.tag)
-            res = prop.get(f"{{{_RDF_NS}}}resource")
-            nid = prop.get(f"{{{_RDF_NS}}}nodeID")
-            dt = prop.get(f"{{{_RDF_NS}}}datatype")
-            lang = prop.get("{http://www.w3.org/XML/1998/namespace}lang", "")
-            children = list(prop)
-            if res is not None:
-                triples.append((s, p, KIND_IRI, res, "", ""))
-            elif nid is not None:
-                triples.append((s, p, KIND_BNODE, "_:" + nid, "", ""))
-            elif children:
-                okind, o = walk_node(children[0])
-                triples.append((s, p, okind, o, "", ""))
-            else:
-                triples.append((s, p, KIND_LITERAL, prop.text or "", dt or "", lang))
+            walk_prop(prop, s, base, lang, li_count)
         return skind, s
 
+    def walk_prop(prop, s: str, base: str, lang: str, li_count: list) -> None:
+        pbase, plang = scope(prop, base, lang)
+        p = qname(prop.tag)
+        if p == _RDF_NS + "li":
+            li_count[0] += 1
+            p = f"{_RDF_NS}_{li_count[0]}"
+        res = prop.get(f"{{{_RDF_NS}}}resource")
+        nid = prop.get(f"{{{_RDF_NS}}}nodeID")
+        dt = prop.get(f"{{{_RDF_NS}}}datatype")
+        ptype = prop.get(f"{{{_RDF_NS}}}parseType")
+        children = list(prop)
+        if ptype == "Resource":
+            node = new_anon()
+            triples.append((s, p, KIND_BNODE, node, "", ""))
+            inner_li = [0]
+            for sub in children:
+                walk_prop(sub, node, pbase, plang, inner_li)
+            return
+        if ptype == "Collection":
+            if not children:
+                triples.append((s, p, KIND_IRI, RDF_nil, "", ""))
+                return
+            items = [walk_node(c, pbase, plang) for c in children]
+            head = new_anon()
+            triples.append((s, p, KIND_BNODE, head, "", ""))
+            cur = head
+            for idx, (okind, o) in enumerate(items):
+                triples.append((cur, RDF_first, okind, o, "", ""))
+                if idx == len(items) - 1:
+                    triples.append((cur, RDF_rest, KIND_IRI, RDF_nil, "", ""))
+                else:
+                    nxt = new_anon()
+                    triples.append((cur, RDF_rest, KIND_BNODE, nxt, "", ""))
+                    cur = nxt
+            return
+        if ptype == "Literal":
+            import xml.etree.ElementTree as ET
+
+            inner = (prop.text or "") + "".join(
+                ET.tostring(c, encoding="unicode") for c in children
+            )
+            triples.append(
+                (s, p, KIND_LITERAL, inner, _RDF_NS + "XMLLiteral", "")
+            )
+            return
+        if res is not None:
+            triples.append((s, p, KIND_IRI, resolve(res, pbase), "", ""))
+            obj_attrs = {
+                a: v for a, v in prop.attrib.items() if a not in _SYNTAX_ATTRS
+            }
+            if obj_attrs:
+                prop_attrs(prop, resolve(res, pbase), pbase, plang)
+            return
+        if nid is not None:
+            triples.append((s, p, KIND_BNODE, "_:" + nid, "", ""))
+            return
+        if children:
+            okind, o = walk_node(children[0], pbase, plang)
+            triples.append((s, p, okind, o, "", ""))
+            return
+        obj_attrs = {a: v for a, v in prop.attrib.items() if a not in _SYNTAX_ATTRS}
+        if obj_attrs and (prop.text or "").strip() == "":
+            # empty property element with property attributes → blank node
+            node = new_anon()
+            triples.append((s, p, KIND_BNODE, node, "", ""))
+            prop_attrs(prop, node, pbase, plang)
+            return
+        triples.append((s, p, KIND_LITERAL, prop.text or "", dt or "", plang))
+
+    root_base, root_lang = "", ""
     root_tag = qname(root.tag)
-    nodes = list(root) if root_tag == _RDF_NS + "RDF" else [root]
+    if root_tag == _RDF_NS + "RDF":
+        root_base, root_lang = scope(root, root_base, root_lang)
+        nodes = list(root)
+    else:
+        nodes = [root]
     for el in nodes:
-        walk_node(el)
+        walk_node(el, root_base, root_lang)
     return triples
 
 

@@ -167,6 +167,73 @@ def write_ntriples(triples, out_dir: str) -> list[str]:
     return sorted(r["path"] for r in manifest)
 
 
+_TTL_PREFIXES = [
+    ("qb", V.PREFIX_CUBE),
+    ("rdf", V.PREFIX_RDF),
+    ("rdfs", V.PREFIX_RDFS),
+    ("skos", V.PREFIX_SKOS),
+    ("owl", V.PREFIX_OWL),
+    ("xsd", V.PREFIX_XSD),
+]
+import re as _re
+
+_PN_LOCAL_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_\-]*$")
+
+
+def _ttl_iri(iri: str) -> str:
+    for p, ns in _TTL_PREFIXES:
+        if iri.startswith(ns) and _PN_LOCAL_RE.match(iri[len(ns):]):
+            return f"{p}:{iri[len(ns):]}"
+    return f"<{iri}>"
+
+
+def write_turtle(triples, out_dir: str) -> list[str]:
+    """Serialize the triple Dataset as Turtle (the reference's dominant
+    interchange format; exportModel accepts any Jena serialization,
+    NospaValidator.java:56-67).  One ``part-*.ttl`` per block, subjects
+    grouped with ``;`` predicate lists, vocabulary terms abbreviated with
+    the standard qb:/rdf:/rdfs:/skos:/owl:/xsd: prefixes, ``rdf:type``
+    as ``a``.  Round-trips through our own parser:
+    ``parse_turtle(written) == input`` term-for-term (bnode labels kept)."""
+    import os
+    import uuid
+
+    from ..model import KIND_BNODE, KIND_IRI, term_str
+
+    header = "".join(f"@prefix {p}: <{ns}> .\n" for p, ns in _TTL_PREFIXES)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lines = []
+        # stable statement grouping: one subject paragraph per (graph, subj)
+        for (_, subj), g in df.groupby(["graph", "subj"], sort=True):
+            st = subj if subj.startswith("_:") else _ttl_iri(subj)
+            po = []
+            for r in g.itertuples():
+                pred = "a" if r.pred == V.RDF_type else _ttl_iri(r.pred)
+                if r.obj_kind == KIND_IRI:
+                    obj = _ttl_iri(r.obj)
+                elif r.obj_kind == KIND_BNODE:
+                    obj = r.obj
+                else:
+                    obj = term_str(r.obj_kind, r.obj, r.obj_dt, r.obj_lang)
+                    if obj.endswith(">") and '"^^<' in obj:
+                        lex, dt = obj[:-1].rsplit("^^<", 1)
+                        obj = f"{lex}^^{_ttl_iri(dt)}"
+                po.append(f"{pred} {obj}")
+            lines.append(f"{st} " + " ;\n    ".join(po) + " .")
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.ttl")
+        with open(path, "w") as f:
+            f.write(header + "\n" + "\n\n".join(lines) + ("\n" if lines else ""))
+        return pa.table({"path": pa.array([path]), "rows": pa.array([len(df)])})
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = triples.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return sorted(r["path"] for r in manifest)
+
+
 def exact_dedup_triples(triples, num_buckets: int = 64):
     """Exact set-dedup of the triple table: per-batch identity hash →
     bucket shuffle → per-bucket drop_duplicates (the groupby-shuffle dedup

@@ -158,6 +158,70 @@ def test_block_threshold_pairs_equal_broadcast(ray_session):
     assert key(bc) == key(bl)
 
 
+def test_turtle_export_roundtrip(tmp_path, ray_session):
+    """parse(write_turtle(parse(fixture))) == parse(fixture), term-exact."""
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray import fixtures
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+    from nospa_rdf_data_cube_validator_ray.stages.export import write_turtle
+
+    triples = parse_corpus(ray.data.from_arrow(fixtures.corpus_table()))
+    want = {
+        (t["subj"], t["pred"], t["obj_kind"], t["obj"], t["obj_dt"], t["obj_lang"])
+        for t in triples.take_all()
+    }
+    paths = write_turtle(triples, str(tmp_path / "ttl"))
+    got = set()
+    for p in paths:
+        for t in P.parse_turtle(open(p).read()):
+            got.add(t)
+    assert got == want
+
+
+def test_turtle_export_escapes_roundtrip(tmp_path, ray_session):
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray.model import TRIPLE_SCHEMA
+    from nospa_rdf_data_cube_validator_ray.stages.export import write_turtle
+
+    nasty = 'line1\n\nline2\ttab "quoted" back\\slash'
+    tbl = pa.Table.from_pylist(
+        [
+            {
+                "graph": "g", "file_sha256": "x", "subj": "http://e/s",
+                "pred": "http://e/p", "obj_kind": 2, "obj": nasty,
+                "obj_dt": "", "obj_lang": "",
+            },
+            {
+                "graph": "g", "file_sha256": "x", "subj": "_:b1",
+                "pred": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                "obj_kind": 0, "obj": "http://purl.org/linked-data/cube#Observation",
+                "obj_dt": "", "obj_lang": "",
+            },
+        ],
+        schema=TRIPLE_SCHEMA,
+    )
+    paths = write_turtle(ray.data.from_arrow(tbl), str(tmp_path / "ttl2"))
+    got = []
+    for p in paths:
+        got.extend(P.parse_turtle(open(p).read()))
+    assert ("http://e/s", "http://e/p", 2, nasty, "", "") in got
+    assert (
+        "_:b1",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        0,
+        "http://purl.org/linked-data/cube#Observation",
+        "",
+        "",
+    ) in got
+
+
+def test_factory_sparql_routing():
+    from nospa_rdf_data_cube_validator_ray import create_validator
+
+    with pytest.raises(NotImplementedError, match="NoSPA"):
+        create_validator("SPARQL")
+
+
 def test_simhash_pairs_complete_for_hamming3(ray_session):
     """Band bucketing is pigeonhole-complete: pairs == brute force."""
     import ray.data
