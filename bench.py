@@ -98,7 +98,7 @@ def run_suite(
         fn()
         queries[name] = round(time.perf_counter() - t, 3)
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = td._docs(sf_dir)  # block-split read: single-file parquet is 1 block
     timed("dedup_exact", lambda: D.exact_dedup(docs).count())
     timed("dedup_minhash_lsh", lambda: D.minhash_lsh_pairs(docs, threshold=0.7).count())
     timed("dedup_simhash", lambda: D.simhash_pairs(docs).count())
@@ -108,12 +108,28 @@ def run_suite(
 
     timed("text_stats", lambda: td.q_text_stats(sf_dir).aggregate(Sum("n_tokens")))
     timed("events_hourly", lambda: len(rel.q_events_hourly(sf_dir)))
-    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", override_num_blocks=max(8, num_cpus)
+    )
     timed("knn_cosine_topk", lambda: E.knn_topk(embs, query_ids=list(range(10)), k=5))
     timed(
         "embedding_dup_pairs",
         lambda: E.cosine_threshold_pairs(embs, threshold=0.35).count(),
     )
+
+    # -- scaling pair in the SAME session/round (fresh subprocesses), so
+    # BENCH_rN carries headline + scaling + host-load context together and
+    # round-over-round numbers are comparable
+    try:
+        scal = run_scaling(sf_dir)
+        out["scaling"] = {
+            k: scal[k]
+            for k in ("scaling_efficiency", "triples_per_sec_lo", "triples_per_sec_hi")
+        }
+        out["scaling"].update(scal["queries"])
+    except Exception as e:  # never let the scaling add-on kill the bench line
+        out["scaling"] = {"error": str(e)[:200]}
+    out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     return out
 
 

@@ -26,7 +26,15 @@ from ..stages import multimodal as M
 
 
 def _docs(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # a single parquet file reads as ONE block, starving every downstream
+    # map_batches of parallelism; split the read up front (row order is
+    # irrelevant to these pipelines — every query keys on doc_id)
+    import ray
+
+    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", override_num_blocks=nb
+    )
 
 
 def _embs(sf_dir: str) -> "ray.data.Dataset":

@@ -327,19 +327,31 @@ def band_buckets(
     rows_per_band = num_perm // bands
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        ids, buckets = [], []
-        for doc_id, sig in zip(df["doc_id"], df["sig"]):
-            s = np.frombuffer(sig, dtype=np.uint64)
-            if s[0] == _M61:  # sentinel: empty doc
-                continue
+        if not len(df):
+            return pd.DataFrame(
+                {"bucket": pd.array([], dtype="int64"),
+                 "doc_id": pd.array([], dtype="int64")}
+            )
+        mat = np.frombuffer(b"".join(df["sig"]), dtype=np.uint64).reshape(
+            len(df), -1
+        )
+        keep = mat[:, 0] != _M61  # sentinel: docs with no shingles
+        mat = mat[keep]
+        ids = df["doc_id"].to_numpy(np.int64)[keep]
+        rows = mat.tolist()  # one C-level pass to python ints
+        md5 = hashlib.md5
+        buckets = np.empty(len(rows) * bands, dtype=np.uint64)
+        i = 0
+        for sig in rows:
             for b in range(bands):
-                chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
-                key = f"{b}:" + ",".join(str(int(v)) for v in chunk)
-                ids.append(doc_id)
-                buckets.append(_md5_u64(key))
+                key = "%d:%s" % (
+                    b, ",".join(map(str, sig[b * rows_per_band:(b + 1) * rows_per_band])),
+                )
+                buckets[i] = int.from_bytes(md5(key.encode()).digest()[8:], "little")
+                i += 1
         return pd.DataFrame(
-            {"bucket": np.array(buckets, dtype=np.uint64).astype(np.int64),
-             "doc_id": np.array(ids, dtype=np.int64)}
+            {"bucket": buckets.astype(np.int64),
+             "doc_id": np.repeat(ids, bands)}
         )
 
     return sigs.map_batches(to_buckets, batch_format="pandas")
@@ -379,9 +391,14 @@ def minhash_lsh_pairs(
 
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
 
+    # materialize the signature table ONCE: the bucket pipeline and both
+    # join probes consume it, and without a checkpoint each consumer would
+    # re-execute the MinHasher lineage (signatures are num_perm×8 B/doc —
+    # object-store-sized at any corpus scale, spilling if needed; at 10^12
+    # docs swap for a write_parquet checkpoint)
     sigs = minhash_signatures(
         ds, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency
-    )
+    ).materialize()
 
     buckets = band_buckets(sigs, num_perm=num_perm, bands=bands)
 
