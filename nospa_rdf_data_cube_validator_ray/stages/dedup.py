@@ -291,24 +291,29 @@ def _grouped_pairs(df: pd.DataFrame, key: str, max_bucket: int) -> pd.DataFrame:
     ).astype("int64")
 
 
-def _dedup_pairs(pairs: "ray.data.Dataset", extra_cols: tuple[str, ...] = ()) -> "ray.data.Dataset":
-    """Distinct (doc_id_a, doc_id_b) via coarse hash buckets + per-bucket
+def _dedup_pairs(
+    pairs: "ray.data.Dataset",
+    extra_cols: tuple[str, ...] = (),
+    id_cols: tuple[str, str] = ("doc_id_a", "doc_id_b"),
+) -> "ray.data.Dataset":
+    """Distinct id pairs via coarse hash buckets + per-bucket
     ``drop_duplicates`` — NOT one pandas group per pair."""
+    ca, cb = id_cols
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_pb"] = (
-            (df["doc_id_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             + df["doc_id_b"].to_numpy(np.uint64)) % np.uint64(_COARSE)
+            (df[ca].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + df[cb].to_numpy(np.uint64)) % np.uint64(_COARSE)
         ).astype("int32")
         return df
 
-    cols = ["doc_id_a", "doc_id_b", *extra_cols]
+    cols = [ca, cb, *extra_cols]
 
     def dedup(grp: pd.DataFrame) -> pd.DataFrame:
         return (
-            grp.sort_values(["doc_id_a", "doc_id_b"])
-            .drop_duplicates(["doc_id_a", "doc_id_b"], keep="first")[cols]
+            grp.sort_values([ca, cb])
+            .drop_duplicates([ca, cb], keep="first")[cols]
         )
 
     return (

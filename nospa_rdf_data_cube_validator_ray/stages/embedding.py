@@ -390,19 +390,33 @@ def lsh_cosine_pairs(
     n_planes: int = 8,
     seed: int = 42,
     max_bucket: int = 100_000,
+    n_tables: int = 1,
 ) -> "ray.data.Dataset":
     """Scale path: bucket by hyperplane signature, verify exact cosine only
-    within buckets (recall < 1 by construction — candidates missed when a
-    plane separates a near pair; raise recall with multiple tables).  A
-    bucket larger than ``max_bucket`` (skewed: near-identical vectors or
-    too few planes for the corpus) raises instead of silently going
-    quadratic — re-run with more planes."""
-    with_bucket = ds.map_batches(
-        _BucketJoin,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
-        batch_format="pandas",
-        concurrency=auto_concurrency(None),
-    )
+    within buckets.  Recall < 1 by construction for one table (a candidate
+    is missed when any plane separates a near pair); ``n_tables``
+    independent plane sets (seeds seed..seed+T−1) union their candidates,
+    recall ≈ 1−(1−(1−θ/π)^b)^T — the classic multi-table trade of compute
+    for recall.  Emitted pairs are exact-verified and deduped across
+    tables.  A bucket larger than ``max_bucket`` (skewed: near-identical
+    vectors or too few planes for the corpus) raises instead of silently
+    going quadratic — re-run with more planes."""
+    hashers = [hyperplane_params(dim, n_planes, seed + t) for t in range(n_tables)]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    planes_ref = ray.put(hashers)
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        ps = ray.get(planes_ref)
+        mat = _emb_matrix(df, "embedding")
+        parts = []
+        for t, planes in enumerate(ps):
+            out = df.copy()
+            signs = (mat @ planes.T) > 0
+            out["bucket"] = ((signs @ weights) + (t << n_planes)).astype(np.int64)
+            parts.append(out)
+        return pd.concat(parts, ignore_index=True)
+
+    with_bucket = ds.map_batches(fan_out, batch_format="pandas")
 
     def pairs(grp: pd.DataFrame) -> pd.DataFrame:
         if len(grp) > max_bucket:
@@ -422,7 +436,12 @@ def lsh_cosine_pairs(
             }
         )
 
-    return with_bucket.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    found = with_bucket.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    if n_tables == 1:
+        return found
+    from .dedup import _dedup_pairs
+
+    return _dedup_pairs(found, id_cols=("vec_id_a", "vec_id_b"))
 
 
 class _BucketJoin(_HyperplaneHasher):

@@ -234,6 +234,92 @@ def write_turtle(triples, out_dir: str) -> list[str]:
     return sorted(r["path"] for r in manifest)
 
 
+_NCNAME_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def _split_qname(iri: str) -> tuple[str, str]:
+    """(namespace, local) with a valid XML NCName local part, splitting at
+    the last #, / or : that yields one."""
+    for i in range(len(iri) - 1, 0, -1):
+        if iri[i] in "#/:":
+            local = iri[i + 1 :]
+            if local and _NCNAME_RE.match(local):
+                return iri[: i + 1], local
+            break
+    raise ValueError(f"IRI has no XML-serializable local name: {iri!r}")
+
+
+def write_rdfxml(triples, out_dir: str) -> list[str]:
+    """Serialize the triple Dataset as RDF/XML (exportModel parity for the
+    reference's default serialization, NospaValidator.java:56-67): one
+    ``part-*.rdf`` per block, one rdf:Description per (graph, subj) with
+    namespace prefixes collected per file.  Round-trips through
+    ``parse_rdfxml``."""
+    import os
+    import uuid
+    from xml.sax.saxutils import escape, quoteattr
+
+    from ..model import KIND_BNODE, KIND_IRI
+
+    os.makedirs(out_dir, exist_ok=True)
+    RDF_NS = V.PREFIX_RDF
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ns_prefix: dict[str, str] = {RDF_NS: "rdf"}
+
+        def pfx(ns: str) -> str:
+            p = ns_prefix.get(ns)
+            if p is None:
+                p = f"ns{len(ns_prefix)}"
+                ns_prefix[ns] = p
+            return p
+
+        bodies = []
+        for (_, subj), g in df.groupby(["graph", "subj"], sort=True):
+            if subj.startswith("_:"):
+                sattr = f"rdf:nodeID={quoteattr(subj[2:])}"
+            else:
+                sattr = f"rdf:about={quoteattr(subj)}"
+            props = []
+            for r in g.itertuples():
+                ns, local = _split_qname(r.pred)
+                tag = f"{pfx(ns)}:{local}"
+                if r.obj_kind == KIND_IRI:
+                    props.append(f"    <{tag} rdf:resource={quoteattr(r.obj)}/>")
+                elif r.obj_kind == KIND_BNODE:
+                    props.append(f"    <{tag} rdf:nodeID={quoteattr(r.obj[2:])}/>")
+                else:
+                    extra = ""
+                    if r.obj_dt:
+                        extra = f" rdf:datatype={quoteattr(r.obj_dt)}"
+                    elif r.obj_lang:
+                        extra = f" xml:lang={quoteattr(r.obj_lang)}"
+                    props.append(
+                        f"    <{tag}{extra}>{escape(r.obj)}</{tag}>"
+                    )
+            bodies.append(
+                f"  <rdf:Description {sattr}>\n" + "\n".join(props)
+                + "\n  </rdf:Description>"
+            )
+        decls = "".join(
+            f'\n    xmlns:{p}={quoteattr(ns)}' for ns, p in ns_prefix.items()
+        )
+        doc = (
+            '<?xml version="1.0" encoding="utf-8"?>\n'
+            f"<rdf:RDF{decls}>\n" + "\n".join(bodies) + "\n</rdf:RDF>\n"
+        )
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.rdf")
+        with open(path, "w") as f:
+            f.write(doc)
+        return pa.table({"path": pa.array([path]), "rows": pa.array([len(df)])})
+
+    manifest = triples.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return sorted(r["path"] for r in manifest)
+
+
 def exact_dedup_triples(triples, num_buckets: int = 64):
     """Exact set-dedup of the triple table: per-batch identity hash →
     bucket shuffle → per-bucket drop_duplicates (the groupby-shuffle dedup

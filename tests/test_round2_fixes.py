@@ -215,6 +215,51 @@ def test_turtle_export_escapes_roundtrip(tmp_path, ray_session):
     ) in got
 
 
+def test_rdfxml_export_roundtrip(tmp_path, ray_session):
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray import fixtures
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+    from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_rdfxml
+    from nospa_rdf_data_cube_validator_ray.stages.export import write_rdfxml
+
+    triples = parse_corpus(ray.data.from_arrow(fixtures.corpus_table()))
+    want = {
+        (t["subj"], t["pred"], t["obj_kind"], t["obj"], t["obj_dt"], t["obj_lang"])
+        for t in triples.take_all()
+    }
+    got = set()
+    for p in write_rdfxml(triples, str(tmp_path / "rdfxml")):
+        got.update(parse_rdfxml(open(p).read()))
+    assert got == want
+
+
+def test_lsh_multi_table_recall(ray_session):
+    """More tables → recall monotonically toward the exact pair set."""
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray.stages import embedding as E
+
+    rng = np.random.RandomState(23)
+    n, dim = 400, 32
+    base = rng.standard_normal((n, dim))
+    base[200:260] = base[100:160] + rng.standard_normal((60, dim)) * 0.05
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                      "embedding": list(base.astype(np.float32))})
+    )
+    key = lambda d: set(map(tuple, d[["vec_id_a", "vec_id_b"]].to_numpy()))
+    exact = key(E.cosine_threshold_pairs(ds, threshold=0.9, mode="broadcast").to_pandas())
+    assert exact
+    one = key(E.lsh_cosine_pairs(ds, dim=dim, threshold=0.9, n_planes=8).to_pandas())
+    many = key(
+        E.lsh_cosine_pairs(
+            ds, dim=dim, threshold=0.9, n_planes=8, n_tables=8
+        ).to_pandas()
+    )
+    assert one <= exact and many <= exact   # LSH pairs are exact-verified
+    assert len(many) >= len(one)            # more tables, more recall
+    assert len(many) / len(exact) >= 0.9    # 8 tables ≈ near-full recall
+
+
 def test_factory_sparql_routing():
     from nospa_rdf_data_cube_validator_ray import create_validator
 
