@@ -168,6 +168,76 @@ def q_ivf_recall(sf_dir: str):
     )
 
 
+def q_vocab_topk(sf_dir: str, k: int = 50):
+    """Corpus-wide token frequency top-k with MAP-SIDE COMBINING: each
+    batch emits its local Counter (one row per distinct token per block —
+    the partial-aggregate pattern that keeps the shuffle vocabulary-sized,
+    not token-occurrence-sized), a small groupby sums partials, then
+    per-block top-k candidates merge on the driver (exact: counts are
+    final after the groupby, so the global top-k ⊆ union of block
+    top-ks)."""
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for t in df["text"].fillna(""):
+            c.update(t.split())
+        return pd.DataFrame(
+            {"token": list(c.keys()),
+             "n": pd.array(list(c.values()), dtype="int64")}
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("token")
+        .sum("n")
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n"})
+        return df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+
+    cands = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    out = (
+        cands.sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 10% hash sample (md5 of doc_id) — reproducible across
+    cluster sizes and retries, unlike random_shuffle-based sampling; the
+    sampling predicate is the same md5_number_lower the SQL oracle runs."""
+    from ..stages.dedup import _md5_u64
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        keep = [(_md5_u64(str(i)) % 100) < 10 for i in ids]
+        return df.loc[keep, ["doc_id", "lang", "n_chars"]]
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+_SQL_VOCAB_TOPK = r"""
+SELECT token, count(*)::BIGINT AS n FROM (
+  SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS token
+  FROM documents
+) GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+_SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR) % 100 < 10
+"""
+
+
 # -- multimodal (stubbed decode; plumbing real) -----------------------------
 
 
@@ -195,6 +265,8 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "knn_ivf_recall": q_ivf_recall,
     "multimodal_features": q_multimodal,
+    "vocab_topk": q_vocab_topk,
+    "docs_hash_sample": q_hash_sample,
 }
 
 # ---------------------------------------------------------------------------
@@ -480,4 +552,6 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "doc_fingerprint": _SQL_FINGERPRINT,
     "lsh_buckets": _lsh_buckets_sql(),
     "knn_ivf_recall": _SQL_IVF_RECALL,
+    "vocab_topk": _SQL_VOCAB_TOPK,
+    "docs_hash_sample": _SQL_HASH_SAMPLE,
 }

@@ -246,6 +246,22 @@ class CubeValidator:
         p2 = phase2_triples(triples, self._index_ref)
         return exact_dedup_triples(triples.union(p2), self.num_buckets)
 
-    def export_model(self, out_dir: str):
-        self.normalized_triples().write_parquet(out_dir)
+    def export_model(self, out_dir: str, fmt: str = "parquet"):
+        """exportModel parity (NospaValidator.java:56-67): serialize the
+        fully-normalized model.  ``fmt`` ∈ parquet (canonical) | ntriples
+        | turtle | rdfxml, mirroring the reference's Jena format choice."""
+        t = self.normalized_triples()
+        if fmt == "parquet":
+            t.write_parquet(out_dir)
+            return out_dir
+        from ..stages import export as X
+
+        if fmt in ("ntriples", "nt"):
+            X.write_ntriples(t, out_dir)
+        elif fmt in ("turtle", "ttl"):
+            X.write_turtle(t, out_dir)
+        elif fmt in ("rdfxml", "rdf", "xml"):
+            X.write_rdfxml(t, out_dir)
+        else:
+            raise ValueError(f"unknown export format {fmt!r}")
         return out_dir
