@@ -140,6 +140,137 @@ def canonicalize(
     )
 
 
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def _ren(ds, mapping: dict):
+    """Column rename via a pandas map_batches — Ray's Project operator
+    chokes on the schema-less empty pandas blocks a sparse groupby can
+    emit (see graft-env-quirks)."""
+    return ds.map_batches(
+        lambda df, m=mapping: df.rename(columns=m), batch_format="pandas"
+    )
+
+
+def _sameas_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Normalized, undirected (src, dst) edge Dataset from owl:sameAs."""
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["subj"].map(normalize_iri)
+        b = df["obj"].map(normalize_iri)
+        return pd.DataFrame(
+            {"src": pd.concat([a, b], ignore_index=True),
+             "dst": pd.concat([b, a], ignore_index=True)}
+        )
+
+    return (
+        triples.filter(expr=f"pred == '{OWL_SAMEAS}' and obj_kind == 0")
+        .select_columns(["subj", "obj"])
+        .map_batches(norm, batch_format="pandas")
+    )
+
+
+def sameas_alias_table(
+    triples: "ray.data.Dataset",
+    *,
+    max_iters: int = 15,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Distributed connected components over owl:sameAs edges: iterative
+    min-label propagation (label(v) ← min(label(v), min over neighbors'
+    labels)), each round ONE hash join + ONE groupby-min, converging in
+    ≤ diameter rounds with early exit on a per-round fixpoint signature.
+    Returns a Dataset (node, root) — root is the lexicographic minimum of
+    the component, matching :func:`sameas_aliases` exactly.
+
+    This is the corpus-scale path: no edge list ever reaches the driver;
+    pair it with :func:`canonicalize_with_alias_table` (join-based
+    aliasing) when the alias table outgrows a broadcast dict."""
+    import hashlib as _h
+
+    edges = _sameas_edges(triples).materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["src"], "label": df["src"]})
+
+    labels = _ren(
+        edges.map_batches(init_labels, batch_format="pandas")
+        .groupby("node")
+        .min("label"),
+        {"min(label)": "label"},
+    ).materialize()
+
+    def signature(ds) -> int:
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            acc = 0
+            for n, l in zip(df["node"], df["label"]):
+                acc ^= int.from_bytes(
+                    _h.md5(f"{n}\x00{l}".encode()).digest()[:8], "big"
+                ) & ((1 << 63) - 1)  # keep the xor int64-safe
+            return pd.DataFrame({"h": pd.array([acc], dtype="int64")})
+
+        return sum(r["h"] for r in ds.map_batches(h, batch_format="pandas").take_all())
+
+    sig = signature(labels)
+    for _ in range(max_iters):
+        # neighbor labels: edges ⋈ labels on src → candidate label for dst
+        cand = (
+            edges.join(
+                _ren(labels, {"node": "src"}), "inner",
+                num_partitions, on=("src",),
+            )
+            .map_batches(
+                lambda df: pd.DataFrame({"node": df["dst"], "label": df["label"]}),
+                batch_format="pandas",
+            )
+        )
+        labels = _ren(
+            labels.union(cand).groupby("node").min("label"),
+            {"min(label)": "label"},
+        ).materialize()
+        new_sig = signature(labels)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return _ren(labels.filter(expr="node != label"), {"label": "root"})
+
+
+def canonicalize_with_alias_table(
+    triples: "ray.data.Dataset",
+    alias_table: "ray.data.Dataset",
+    *,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Entity-link via hash JOINs against a (node, root) alias Dataset —
+    the path for alias tables too large to broadcast: subj then obj are
+    left-joined to the table and replaced where a root exists.  (IRI
+    normalization still happens map-side via :func:`canonicalize` with an
+    empty alias dict before this join.)"""
+    def app(col: str, kind_guard):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            m = df["root"].notna() & kind_guard(df)
+            out.loc[m, col] = df.loc[m, "root"]
+            return out.drop(columns=["node", "root"], errors="ignore")
+
+        return f
+
+    t = triples.join(
+        _ren(alias_table, {"node": "subj"}), "left_outer",
+        num_partitions, on=("subj",), right_suffix="_r",
+    ).map_batches(
+        app("subj", lambda df: ~df["subj"].str.startswith("_:")),
+        batch_format="pandas",
+    )
+    t = t.join(
+        _ren(alias_table, {"node": "obj"}), "left_outer",
+        num_partitions, on=("obj",), right_suffix="_r",
+    ).map_batches(
+        app("obj", lambda df: df["obj_kind"] == 0), batch_format="pandas"
+    )
+    return t
+
+
 def sameas_aliases(triples: "ray.data.Dataset") -> dict[str, str]:
     """Build the alias map from owl:sameAs edges in the stream: each
     connected component maps to its lexicographically-smallest member

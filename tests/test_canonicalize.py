@@ -60,3 +60,64 @@ def test_canonicalize_deterministic():
     a = canonicalize(ds).to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
     b = canonicalize(ds).to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def chain_ds(n_chain=4, n_comp=3):
+    """Several sameAs chains (diameter > 1 forces multiple propagation
+    rounds) plus non-sameAs noise triples."""
+    rows = []
+    for c in range(n_comp):
+        for i in range(n_chain - 1):
+            rows.append(
+                ("g", f"http://ex.org/c{c}/n{i}",
+                 "http://www.w3.org/2002/07/owl#sameAs", 0,
+                 f"http://ex.org/c{c}/n{i+1}", "", "")
+            )
+    rows.append(("g", "http://ex.org/c0/n2", "http://ex.org/p", 0,
+                 "http://ex.org/c1/n3", "", ""))
+    df = pd.DataFrame(
+        rows,
+        columns=["graph", "subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang"],
+    )
+    df["file_sha256"] = "s"
+    return ray.data.from_pandas(df[["graph", "file_sha256", "subj", "pred",
+                                    "obj_kind", "obj", "obj_dt", "obj_lang"]])
+
+
+def test_distributed_alias_table_matches_driver_union_find():
+    from nospa_rdf_data_cube_validator_ray.stages.canonicalize import (
+        sameas_alias_table,
+    )
+
+    ds = chain_ds()
+    want = sameas_aliases(ds)
+    got_df = sameas_alias_table(ds, num_partitions=2).to_pandas()
+    got = dict(zip(got_df["node"], got_df["root"]))
+    assert got == want
+    # every chain collapses to its lexicographic minimum (n0)
+    assert got["http://ex.org/c2/n3"] == "http://ex.org/c2/n0"
+
+
+def test_join_based_aliasing_matches_broadcast():
+    from nospa_rdf_data_cube_validator_ray.stages.canonicalize import (
+        canonicalize_with_alias_table,
+        sameas_alias_table,
+    )
+
+    ds = chain_ds()
+    aliases = sameas_aliases(ds)
+    want = (
+        canonicalize(ds, aliases=aliases)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    table = sameas_alias_table(ds, num_partitions=2)
+    normalized = canonicalize(ds)  # normalization only, empty alias dict
+    got = (
+        canonicalize_with_alias_table(normalized, table, num_partitions=2)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, want)
