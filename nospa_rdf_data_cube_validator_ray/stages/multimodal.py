@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The real decode libraries (PIL/torchaudio/ffmpeg) are not in this
-container, so the decode kernel is STUBBED — ``DecodeFeatures`` raises
-``NotImplementedError`` in ``mode="real"`` and computes a deterministic
-byte-level feature vector in ``mode="fake"``.  Everything Ray-side is
-real and tested: schema (binary column + metadata), actor-pool stage
-shape (decoder "model" built once per actor in ``__init__``), small
-batch sizes for large payloads, and list<float> feature output layout.
+Heavy decode libraries (PIL/torchaudio/ffmpeg) are not in this container,
+so ``mode="real"`` decodes the simple end of each modality with the
+pure-numpy codecs in ``functions/codecs.py`` — 24-bit BMP images, PCM16
+WAV audio, and the documented NBV concatenated-BMP video container — and
+raises for media types it cannot decode (an honest error, not a silent
+fake).  ``mode="fake"`` keeps the deterministic byte-level features for
+opaque payloads.  Everything Ray-side is identical in both modes: schema
+(binary column + metadata), actor-pool stage shape (decoder state built
+once per actor in ``__init__``), small batch sizes for large payloads,
+and list<float> feature output layout.
 """
 
 from __future__ import annotations
@@ -14,21 +17,63 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..functions import codecs as C
+
 
 def attach_payload(
-    ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    media: str = "bytes",
 ) -> "ray.data.Dataset":
-    """Synthesize an opaque binary payload column + metadata from text
-    (stand-in for image/audio bytes; deterministic)."""
+    """Synthesize an opaque binary payload column + metadata from text.
+
+    media="bytes" — raw utf-8 (opaque; pairs with mode="fake").
+    media="bmp"   — a real 24-bit BMP whose pixels derive from the text
+                    bytes (decodable by any image tool).
+    media="wav"   — a real PCM16 WAV whose samples derive from the text.
+    media="nbv"   — a multi-frame NBV clip of BMP frames.
+    All deterministic functions of the row, so retries emit identical
+    payloads."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        payloads = [t.encode("utf-8") for t in df[text_col].fillna("")]
+        payloads, mtypes = [], []
+        for doc_id, t in zip(df[id_col], df[text_col].fillna("")):
+            raw = t.encode("utf-8")
+            if media == "bytes":
+                payloads.append(raw)
+                mtypes.append("application/octet-stream")
+                continue
+            b = np.frombuffer(raw, dtype=np.uint8)
+            if media == "bmp":
+                side = max(4, min(32, int(len(b) ** 0.5)))
+                px = np.resize(b, side * side * 3).reshape(side, side, 3)
+                payloads.append(C.encode_bmp(px))
+                mtypes.append("image/bmp")
+            elif media == "wav":
+                n = max(64, min(4000, len(b) * 4))
+                samples = (
+                    np.resize(b.astype(np.int16) - 128, n) * 256
+                ).astype(np.int16)
+                payloads.append(C.encode_wav(samples, rate=8000))
+                mtypes.append("audio/wav")
+            elif media == "nbv":
+                side = 8
+                frames = []
+                for k in range(4):
+                    px = np.resize(b[k:], side * side * 3).reshape(side, side, 3)
+                    frames.append(px)
+                payloads.append(C.encode_nbv(frames))
+                mtypes.append("video/x-nbv")
+            else:
+                raise ValueError(f"unknown media kind {media!r}")
         return pd.DataFrame(
             {
                 "doc_id": df[id_col].astype("int64"),
                 "payload": payloads,
                 "n_bytes": np.array([len(p) for p in payloads], dtype=np.int64),
-                "media_type": "application/octet-stream",
+                "media_type": mtypes,
             }
         )
 
@@ -37,13 +82,12 @@ def attach_payload(
 
 class DecodeFeatures:
     """Actor-pool decode stage (the shape a real image/audio decoder uses:
-    heavy model/codec init once per actor, per-batch decode in __call__).
+    codec/state init once per actor, per-batch decode in __call__).
 
-    mode="real" — would decode via PIL/libav; raises NotImplementedError
-    here (libraries not installed, clearly marked stub).
-    mode="fake" — deterministic 16-bin byte histogram as the "feature
-    vector" so the Ray plumbing (schema in/out, batch sizing, actor reuse)
-    is fully exercised and testable.
+    mode="real" — decode by media_type: image/bmp → (h, w, per-channel
+    mean, overall std); audio/wav → (rate, n_samples, rms,
+    zero-crossings).  Unknown media types raise.
+    mode="fake" — deterministic 16-bin byte histogram (opaque payloads).
     """
 
     def __init__(self, mode: str = "fake", n_bins: int = 16):
@@ -51,22 +95,40 @@ class DecodeFeatures:
             raise ValueError(mode)
         self.mode = mode
         self.n_bins = n_bins
-        # real path would load the codec/model HERE, once per actor
         self.edges = np.linspace(0, 256, n_bins + 1)
 
+    def _real_features(self, payload: bytes, media_type: str) -> list[float]:
+        if media_type == "image/bmp":
+            px = C.decode_bmp(payload)
+            means = px.reshape(-1, 3).mean(axis=0)
+            return [
+                float(px.shape[0]), float(px.shape[1]),
+                float(means[0]), float(means[1]), float(means[2]),
+                float(px.std()),
+            ]
+        if media_type == "audio/wav":
+            rate, s = C.decode_wav(payload)
+            x = s.astype(np.float64)
+            rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+            zc = int(((s[:-1] < 0) != (s[1:] < 0)).sum()) if len(s) > 1 else 0
+            return [float(rate), float(len(s)), rms, float(zc)]
+        raise ValueError(
+            f"no decoder for media type {media_type!r} (real mode decodes "
+            "image/bmp and audio/wav in this environment)"
+        )
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "real decode requires PIL/libav — not available in this "
-                "environment; use mode='fake' for the deterministic stub"
-            )
         feats = []
-        for p in df["payload"]:
-            b = np.frombuffer(bytes(p), dtype=np.uint8)
-            hist = np.histogram(b, bins=self.edges)[0] if len(b) else np.zeros(
-                self.n_bins, dtype=np.int64
-            )
-            feats.append(hist.astype(np.float32).tolist())
+        if self.mode == "real":
+            for p, mt in zip(df["payload"], df["media_type"]):
+                feats.append(self._real_features(bytes(p), mt))
+        else:
+            for p in df["payload"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.histogram(b, bins=self.edges)[0] if len(b) else np.zeros(
+                    self.n_bins, dtype=np.int64
+                )
+                feats.append(hist.astype(np.float32).tolist())
         out = df[["doc_id", "n_bytes"]].copy()
         out["features"] = feats
         return out
@@ -77,42 +139,54 @@ def decode_features(
     *,
     mode: str = "fake",
     batch_size: int = 64,
-    concurrency: int = 4,
+    concurrency=None,
 ) -> "ray.data.Dataset":
     """Payload table → (doc_id, n_bytes, features list<float>).  Small
     ``batch_size``: payload batches are large; batch × concurrency must
     fit the worker heap."""
+    from ..util import auto_concurrency
+
     return ds.map_batches(
         DecodeFeatures,
         fn_constructor_kwargs={"mode": mode},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=auto_concurrency(concurrency),
     )
 
 
 class ResizeImage:
-    """Actor-pool resize stage (image downscale shape).  mode="real" would
-    decode + resample via PIL — NotImplementedError here; mode="fake"
-    deterministically subsamples the byte payload to ``target_bytes`` so
-    output layout (smaller binary payload + updated metadata) is real."""
+    """Actor-pool resize stage.  mode="real": decode BMP → nearest-neighbor
+    resample to ``target_side``² → re-encode BMP (pure numpy, real image
+    semantics).  mode="fake": subsample the raw byte payload to
+    ``target_bytes`` (opaque payloads; output layout identical)."""
 
-    def __init__(self, target_bytes: int = 256, mode: str = "fake"):
+    def __init__(
+        self, target_bytes: int = 256, mode: str = "fake", target_side: int = 8
+    ):
         if mode not in ("fake", "real"):
             raise ValueError(mode)
         self.mode = mode
         self.target = target_bytes
+        self.side = target_side
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if self.mode == "real":
-            raise NotImplementedError("real resize requires PIL — stubbed")
         out_payloads = []
-        for p in df["payload"]:
-            b = np.frombuffer(bytes(p), dtype=np.uint8)
-            if len(b) > self.target:
-                idx = np.linspace(0, len(b) - 1, self.target).astype(np.int64)
-                b = b[idx]
-            out_payloads.append(b.tobytes())
+        for p, mt in zip(df["payload"], df["media_type"]):
+            b = bytes(p)
+            if self.mode == "real":
+                if mt != "image/bmp":
+                    raise ValueError(f"real resize needs image/bmp, got {mt!r}")
+                px = C.decode_bmp(b)
+                out_payloads.append(
+                    C.encode_bmp(C.resize_nn(px, self.side, self.side))
+                )
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8)
+            if len(arr) > self.target:
+                idx = np.linspace(0, len(arr) - 1, self.target).astype(np.int64)
+                arr = arr[idx]
+            out_payloads.append(arr.tobytes())
         out = df[["doc_id", "media_type"]].copy()
         out["payload"] = out_payloads
         out["n_bytes"] = np.array([len(p) for p in out_payloads], dtype=np.int64)
@@ -120,9 +194,10 @@ class ResizeImage:
 
 
 class SampleFrames:
-    """Actor-pool frame-sampling stage (video → every k-th frame shape).
-    mode="fake" splits the payload into fixed-size pseudo-frames and keeps
-    every ``stride``-th one as a list<binary> column."""
+    """Actor-pool frame-sampling stage (video → every ``stride``-th frame).
+    mode="real": walk the NBV container index and keep every stride-th BMP
+    frame WITHOUT decoding dropped frames (what a real sampler does with
+    keyframes).  mode="fake": fixed-size pseudo-frames from raw bytes."""
 
     def __init__(self, frame_bytes: int = 64, stride: int = 4, mode: str = "fake"):
         if mode not in ("fake", "real"):
@@ -132,15 +207,18 @@ class SampleFrames:
         self.stride = stride
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if self.mode == "real":
-            raise NotImplementedError("real frame sampling requires libav — stubbed")
         frames_col, counts = [], []
-        for p in df["payload"]:
+        for p, mt in zip(df["payload"], df["media_type"]):
             b = bytes(p)
-            frames = [
-                b[i : i + self.frame_bytes]
-                for i in range(0, len(b), self.frame_bytes)
-            ][:: self.stride]
+            if self.mode == "real":
+                if mt != "video/x-nbv":
+                    raise ValueError(f"real sampling needs video/x-nbv, got {mt!r}")
+                frames = list(C.iter_nbv_frames(b))[:: self.stride]
+            else:
+                frames = [
+                    b[i : i + self.frame_bytes]
+                    for i in range(0, len(b), self.frame_bytes)
+                ][:: self.stride]
             frames_col.append(frames)
             counts.append(len(frames))
         out = df[["doc_id"]].copy()
@@ -149,17 +227,33 @@ class SampleFrames:
         return out
 
 
-def resize_payloads(ds, *, target_bytes: int = 256, concurrency: int = 4):
+def resize_payloads(
+    ds, *, target_bytes: int = 256, mode: str = "fake", target_side: int = 8,
+    concurrency=None,
+):
+    from ..util import auto_concurrency
+
     return ds.map_batches(
         ResizeImage,
-        fn_constructor_kwargs={"target_bytes": target_bytes},
-        batch_format="pandas", batch_size=64, concurrency=concurrency,
+        fn_constructor_kwargs={
+            "target_bytes": target_bytes, "mode": mode, "target_side": target_side,
+        },
+        batch_format="pandas", batch_size=64,
+        concurrency=auto_concurrency(concurrency),
     )
 
 
-def sample_frames(ds, *, frame_bytes: int = 64, stride: int = 4, concurrency: int = 4):
+def sample_frames(
+    ds, *, frame_bytes: int = 64, stride: int = 4, mode: str = "fake",
+    concurrency=None,
+):
+    from ..util import auto_concurrency
+
     return ds.map_batches(
         SampleFrames,
-        fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride},
-        batch_format="pandas", batch_size=64, concurrency=concurrency,
+        fn_constructor_kwargs={
+            "frame_bytes": frame_bytes, "stride": stride, "mode": mode,
+        },
+        batch_format="pandas", batch_size=64,
+        concurrency=auto_concurrency(concurrency),
     )

@@ -185,8 +185,12 @@ def test_multimodal_fake_and_real():
     assert len(row["features"]) == 16
     with pytest.raises(ValueError):
         M.DecodeFeatures(mode="nope")
-    with pytest.raises(NotImplementedError):
-        M.DecodeFeatures(mode="real")(pd.DataFrame({"payload": [b"x"], "doc_id": [0], "n_bytes": [1]}))
+    # real mode decodes bmp/wav, raises for opaque media types
+    with pytest.raises(ValueError, match="no decoder"):
+        M.DecodeFeatures(mode="real")(
+            pd.DataFrame({"payload": [b"x"], "doc_id": [0], "n_bytes": [1],
+                          "media_type": ["application/octet-stream"]})
+        )
 
 
 def test_multimodal_resize_and_frames():
@@ -203,5 +207,56 @@ def test_multimodal_resize_and_frames():
     orig = payloads.to_pandas().set_index("doc_id").loc[0, "n_bytes"]
     expected = len(range(0, int(orig), 64)[::4])
     assert r["n_frames"] == expected
-    with pytest.raises(NotImplementedError):
-        M.SampleFrames(mode="real")(pd.DataFrame({"payload": [b"x"], "doc_id": [0]}))
+    with pytest.raises(ValueError, match="video/x-nbv"):
+        M.SampleFrames(mode="real")(
+            pd.DataFrame({"payload": [b"x"], "doc_id": [0],
+                          "media_type": ["application/octet-stream"]})
+        )
+
+
+def test_codecs_roundtrip():
+    import numpy as np
+
+    from nospa_rdf_data_cube_validator_ray.functions import codecs as C
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)  # odd width → row padding
+    assert (C.decode_bmp(C.encode_bmp(px)) == px).all()
+    s = rng.randint(-32768, 32767, size=333).astype(np.int16)
+    rate, got = C.decode_wav(C.encode_wav(s, rate=8000))
+    assert rate == 8000 and (got == s).all()
+    frames = [rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8) for _ in range(5)]
+    back = [C.decode_bmp(f) for f in C.iter_nbv_frames(C.encode_nbv(frames))]
+    assert len(back) == 5 and all((a == b).all() for a, b in zip(back, frames))
+    small = C.resize_nn(px, 3, 2)
+    assert small.shape == (3, 2, 3)
+
+
+def test_multimodal_real_decode_pipeline():
+    """mode='real' over real BMP / WAV / NBV payloads end-to-end."""
+    _, ds = docs_ds()
+    # image: decode features carry true dimensions
+    bmp = M.attach_payload(ds, media="bmp").materialize()
+    feats = M.decode_features(bmp, mode="real").to_pandas()
+    f0 = feats.set_index("doc_id").loc[0, "features"]
+    assert len(f0) == 6 and f0[0] >= 4 and f0[0] == f0[1]  # square side ≥ 4
+    # image: real resize → valid BMP at target side
+    from nospa_rdf_data_cube_validator_ray.functions import codecs as C
+
+    rez = M.resize_payloads(bmp, mode="real", target_side=6).to_pandas()
+    assert all(
+        C.decode_bmp(bytes(p)).shape == (6, 6, 3) for p in rez["payload"]
+    )
+    # audio: rate + sample count features
+    wav = M.attach_payload(ds, media="wav")
+    af = M.decode_features(wav, mode="real").to_pandas()
+    a0 = af.set_index("doc_id").loc[0, "features"]
+    assert a0[0] == 8000.0 and a0[1] >= 64
+    # video: stride-2 keeps every other frame of the 4-frame clips
+    nbv = M.attach_payload(ds, media="nbv")
+    fr = M.sample_frames(nbv, stride=2, mode="real").to_pandas()
+    assert (fr["n_frames"] == 2).all()
+    assert all(
+        C.decode_bmp(bytes(f)).shape == (8, 8, 3)
+        for f in fr["frames"].iloc[0]
+    )
