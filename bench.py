@@ -117,10 +117,13 @@ def run_suite(
         lambda: E.cosine_threshold_pairs(embs, threshold=0.35).count(),
     )
 
-    # -- scaling pair in the SAME session/round (fresh subprocesses), so
-    # BENCH_rN carries headline + scaling + host-load context together and
-    # round-over-round numbers are comparable
+    # -- scaling pair in the SAME round (fresh subprocesses), so BENCH_rN
+    # carries headline + scaling + host-load context together and
+    # round-over-round numbers are comparable.  Shut the suite's Ray
+    # session down first: its idle 32-cpu worker pool otherwise shares the
+    # machine with the measured subprocesses and poisons the pair.
     try:
+        ray.shutdown()
         scal = run_scaling(sf_dir)
         out["scaling"] = {
             k: scal[k]
