@@ -92,3 +92,52 @@ def test_turtle_parse_deterministic(seed):
         doc.append(f"ex:s{i} ex:p{i % 3} {objs} .")
     text = "\n".join(doc)
     assert parse_turtle(text) == parse_turtle(text)
+
+
+# -- split_turtle invariance -------------------------------------------------
+
+_word = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+_lit_body = st.text(
+    alphabet=string.ascii_letters + ' .\n"', min_size=0, max_size=40
+)
+
+
+@st.composite
+def turtle_docs(draw):
+    """Random flat Turtle documents whose statements are separated by blank
+    lines, with a mix of IRI objects, plain literals and triple-quoted
+    long literals that may contain blank lines and trailing dots."""
+    stmts = []
+    n = draw(st.integers(min_value=3, max_value=25))
+    for i in range(n):
+        kind = draw(st.integers(min_value=0, max_value=2))
+        s = f"<http://e.org/s{i}>"
+        p = f"<http://e.org/p{draw(st.integers(0, 3))}>"
+        if kind == 0:
+            o = f"<http://e.org/o{draw(st.integers(0, 9))}>"
+        elif kind == 1:
+            w = draw(_word)
+            o = f'"{w}"'
+        else:
+            body = draw(_lit_body).replace('"""', "'x'")
+            # avoid a quote right at the delimiter boundary
+            if body.endswith('"'):
+                body += "x"
+            if body.startswith('"'):
+                body = "x" + body
+            o = f'"""{body}"""'
+        stmts.append(f"{s} {p} {o} .")
+    return "\n\n".join(stmts)
+
+
+@given(doc=turtle_docs(), chunk=st.integers(min_value=40, max_value=600))
+@settings(max_examples=60, deadline=None)
+def test_split_turtle_chunked_parse_equals_whole(doc, chunk):
+    from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import split_turtle
+
+    whole = sorted(parse_turtle(doc))
+    chunks = split_turtle(doc, chunk)
+    got = []
+    for c in chunks:
+        got.extend(parse_turtle(c))
+    assert sorted(got) == whole
