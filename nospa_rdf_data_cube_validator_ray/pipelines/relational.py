@@ -167,6 +167,85 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_events_sliding(sf_dir: str, width_hours: int = 3):
+    """SLIDING window aggregate (width 3 h, slide 1 h): each event lands in
+    ``width`` windows via a map-side fan-out (the replicate-to-windows
+    pattern — no per-window shuffle), then the same coarse-bucket
+    vectorized aggregate as the tumbling case."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    num_buckets = 32
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        hour_id = ((df["ts"] - pd.Timestamp(0)) // pd.Timedelta(hours=1)).astype(
+            "int64"
+        )
+        parts = []
+        for off in range(width_hours):
+            w = hour_id - off  # window [w, w+width) contains this event
+            parts.append(
+                pd.DataFrame({"window_start": w, "event_type": df["event_type"]})
+            )
+        out = pd.concat(parts, ignore_index=True)
+        h = pd.util.hash_pandas_object(
+            out["window_start"].astype(str) + "\x00" + out["event_type"], index=False
+        ).to_numpy()
+        out["kb"] = (h % num_buckets).astype("int64")
+        return out
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["window_start", "event_type"], sort=False)
+        return g.size().rename("n").reset_index()
+
+    out = (
+        ds.map_batches(fan_out, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(agg, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("window_start", "n"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_SQL_EVENTS_SLIDING = """
+SELECT ((epoch_us(ts) // 3600000000) - off)::BIGINT AS window_start,
+       event_type, count(*)::BIGINT AS n
+FROM events, (SELECT unnest(generate_series(0, 2)) AS off)
+GROUP BY 1, 2
+"""
+
+
+def q_events_topk_hourly(sf_dir: str, k: int = 2):
+    """Windowed top-k: the 2 busiest event types per hour (distributed
+    tumbling aggregate, then per-group rank with deterministic (n desc,
+    type asc) tie-break — group cardinality is window-scale, so the rank
+    runs on the aggregate, not the stream)."""
+    hourly = q_events_hourly(sf_dir)[["hour_id", "event_type", "n"]]
+    hourly = hourly.sort_values(
+        ["hour_id", "n", "event_type"], ascending=[True, False, True]
+    )
+    top = hourly.groupby("hour_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = (top.groupby("hour_id").cumcount() + 1).astype("int64")
+    return top
+
+
+_SQL_EVENTS_TOPK = """
+SELECT hour_id, event_type, n, rank FROM (
+  SELECT hour_id, event_type, n,
+         row_number() OVER (
+           PARTITION BY hour_id ORDER BY n DESC, event_type
+         )::BIGINT AS rank
+  FROM (
+    SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour_id, event_type,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rank <= 2
+"""
+
+
 def q_top_customers(sf_dir: str):
     """Top-10 customers by order count (groupby-count → sort → limit),
     deterministic tie-break on customer key."""
@@ -189,6 +268,8 @@ QUERIES = {
     "cube_star_supp": q_cube_star_supp,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_sessionize,
+    "events_sliding": q_events_sliding,
+    "events_topk_hourly": q_events_topk_hourly,
     "top_customers": q_top_customers,
 }
 
@@ -196,5 +277,7 @@ ORACLES = {
     "cube_star_supp": _SQL_STAR_SUPP,
     "events_hourly": _SQL_EVENTS_HOURLY,
     "events_sessionize": _SQL_SESSIONIZE,
+    "events_sliding": _SQL_EVENTS_SLIDING,
+    "events_topk_hourly": _SQL_EVENTS_TOPK,
     "top_customers": _SQL_TOP_CUSTOMERS,
 }
