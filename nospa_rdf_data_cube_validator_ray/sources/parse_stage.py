@@ -170,8 +170,10 @@ class ParseRDF:
                 # at target_max_block_size by BYTES, and long IRIs/literals
                 # can blow past it under the row cap, silently splitting a
                 # graph across blocks.  Estimate serialized size from a
-                # strided sample and fail fast the same way.
-                stride = 8 if n >= 64 else 1
+                # bounded (≤2048-triple) strided sample — constant cost per
+                # file; this VM is bandwidth-bound at wide parallelism, so
+                # the guard must not add per-triple traffic.
+                stride = max(1, n // 2048)
                 est = stride * sum(
                     len(t[0]) + len(t[1]) + len(t[3]) + len(t[4]) + len(t[5]) + 16
                     for t in triples[::stride]
