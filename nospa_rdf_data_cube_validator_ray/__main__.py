@@ -20,7 +20,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nospa_rdf_data_cube_validator_ray")
     ap.add_argument("corpus", help="parquet file/dir of (repo,path,commit,lang,content)")
     ap.add_argument("--report", default=None, help="write markdown report here")
-    ap.add_argument("--export-model", default=None, help="write normalized triples (parquet)")
+    ap.add_argument("--export-model", default=None, help="write normalized triples")
+    ap.add_argument(
+        "--export-format", default="parquet",
+        choices=["parquet", "ntriples", "turtle", "rdfxml"],
+        help="serialization for --export-model (exportModel parity)",
+    )
     ap.add_argument("--export-nt", default=None, help="write normalized triples (N-Triples)")
     ap.add_argument("--ics", nargs="*", default=None, help="subset of IC1..IC21")
     ap.add_argument("--mode", default="auto", choices=["auto", "local", "shuffle"])
@@ -56,8 +61,11 @@ def main(argv=None) -> int:
         print(render_markdown(findings))
 
     if args.export_model:
-        v.export_model(args.export_model)
-        print(f"normalized model written to {args.export_model}")
+        v.export_model(args.export_model, fmt=args.export_format)
+        print(
+            f"normalized model written to {args.export_model} "
+            f"({args.export_format})"
+        )
     if args.export_nt:
         from .stages.export import write_ntriples
 
