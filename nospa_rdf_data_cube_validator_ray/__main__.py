@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ics", nargs="*", default=None, help="subset of IC1..IC21")
     ap.add_argument("--mode", default="auto", choices=["auto", "local", "shuffle"])
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--stats", action="store_true",
+        help="print per-stage Ray Data execution stats (ds.stats())",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -51,6 +55,11 @@ def main(argv=None) -> int:
         findings = v.findings_df()
     elapsed_ms = int((time.time() - t0) * 1000)
     print(f"validation finished in {elapsed_ms} ms: {len(findings)} violation(s)")
+    if args.stats:
+        # per-stage wall/CPU breakdown of the materialized triple stream —
+        # the reference logs elapsed ms only (Main.java:51-57); Ray Data
+        # gives per-operator task counts, remote wall time and throughput
+        print(v.normalize().stats())
 
     if args.report:
         from .pipelines.report import write_report
