@@ -119,3 +119,23 @@ def test_non_rdf_only_corpus():
     df = v.findings_df()
     assert len(df) == 0
     assert list(df.columns) == ["graph", "file_sha256", "ic", "subject", "detail"]
+
+
+def test_empty_and_nonrdf_corpora(ray_session):
+    """Zero-RDF and minimal corpora flow through without schema-less-block
+    crashes; findings are empty."""
+    import pyarrow as pa
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray import CubeValidator
+
+    t = pa.table(
+        {"repo": ["r"], "path": ["x.py"], "commit": ["c"],
+         "lang": ["python"], "content": ["print(1)"]}
+    )
+    assert len(CubeValidator(corpus=ray.data.from_arrow(t)).findings_df()) == 0
+    t2 = pa.table(
+        {"repo": ["r"], "path": ["a.ttl"], "commit": ["c"], "lang": ["turtle"],
+         "content": ["<http://e/s> <http://e/p> <http://e/o> ."]}
+    )
+    assert len(CubeValidator(corpus=ray.data.from_arrow(t2)).findings_df()) == 0
