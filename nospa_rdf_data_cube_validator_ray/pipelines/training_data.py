@@ -223,6 +223,72 @@ def q_hash_sample(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
+def q_doc_familiarity(sf_dir: str):
+    """Corpus-familiarity score (unigram-LM shape with integer arithmetic
+    so the oracle is exact): global token counts are aggregated once
+    (map-side Counter → vocabulary-sized groupby), broadcast via ray.put,
+    and each document scores as the sum of its tokens' corpus frequencies
+    — the aggregate-then-broadcast two-phase pattern a perplexity filter
+    uses.  At corpora where the vocabulary outgrows a broadcast, swap the
+    broadcast for a token-keyed join (same shape as
+    canonicalize_with_alias_table)."""
+    import ray
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for t in df["text"].fillna(""):
+            c.update(t.split())
+        return pd.DataFrame(
+            {"token": list(c.keys()),
+             "n": pd.array(list(c.values()), dtype="int64")}
+        )
+
+    docs = _docs(sf_dir)
+    vocab_df = (
+        docs.map_batches(partial_counts, batch_format="pandas")
+        .groupby("token")
+        .sum("n")
+        .to_pandas()
+    )
+    vocab = dict(zip(vocab_df["token"], vocab_df["sum(n)"].astype("int64")))
+    vref = ray.put(vocab)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vref)
+        fams, ntoks = [], []
+        for t in df["text"].fillna(""):
+            toks = t.split()
+            fams.append(sum(v.get(w, 0) for w in toks))
+            ntoks.append(len(toks))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "familiarity": pd.array(fams, dtype="int64"),
+                "n_tokens": pd.array(ntoks, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+_SQL_DOC_FAMILIARITY = r"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+  FROM documents
+),
+vc AS (SELECT t, count(*)::BIGINT AS c FROM tk GROUP BY t)
+SELECT d.doc_id,
+       coalesce(sum(vc.c), 0)::BIGINT AS familiarity,
+       count(tk.t)::BIGINT AS n_tokens
+FROM documents d
+LEFT JOIN tk ON tk.doc_id = d.doc_id
+LEFT JOIN vc ON vc.t = tk.t
+GROUP BY d.doc_id
+"""
+
+
 _SQL_VOCAB_TOPK = r"""
 SELECT token, count(*)::BIGINT AS n FROM (
   SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS token
@@ -267,6 +333,7 @@ QUERIES = {
     "multimodal_features": q_multimodal,
     "vocab_topk": q_vocab_topk,
     "docs_hash_sample": q_hash_sample,
+    "doc_familiarity": q_doc_familiarity,
 }
 
 # ---------------------------------------------------------------------------
@@ -554,4 +621,5 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "knn_ivf_recall": _SQL_IVF_RECALL,
     "vocab_topk": _SQL_VOCAB_TOPK,
     "docs_hash_sample": _SQL_HASH_SAMPLE,
+    "doc_familiarity": _SQL_DOC_FAMILIARITY,
 }
