@@ -293,3 +293,56 @@ def test_simhash_pairs_complete_for_hamming3(ray_session):
         "int64"
     )
     pd.testing.assert_frame_equal(got, want_df)
+
+
+def test_writer_roundtrips_hypothesis(ray_session):
+    """Randomized literal round-trips through BOTH text writers."""
+    import string
+
+    from hypothesis import given, settings, strategies as st
+
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray.model import TRIPLE_SCHEMA
+    from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_rdfxml
+    from nospa_rdf_data_cube_validator_ray.stages.export import (
+        write_rdfxml,
+        write_turtle,
+    )
+
+    # XML 1.0 forbids most control chars; Turtle handles them via escapes,
+    # so give each writer its own alphabet
+    ttl_alpha = string.printable
+    xml_alpha = string.ascii_letters + string.digits + ' .,;:!?"\'\\<>&#@-_\n\t'
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        lex_ttl=st.text(alphabet=ttl_alpha, max_size=50).filter(lambda s: "\r" not in s),
+        lex_xml=st.text(alphabet=xml_alpha, max_size=50).filter(lambda s: "\r" not in s),
+        lang=st.sampled_from(["", "en", "de-AT"]),
+    )
+    def roundtrip(lex_ttl, lex_xml, lang):
+        import tempfile
+
+        rows = []
+        for i, (lex, _) in enumerate([(lex_ttl, 0), (lex_xml, 1)]):
+            rows.append(
+                {
+                    "graph": "g", "file_sha256": "x",
+                    "subj": f"http://e/s{i}", "pred": "http://e/p",
+                    "obj_kind": 2, "obj": lex, "obj_dt": "",
+                    "obj_lang": lang,
+                }
+            )
+        tbl = pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA)
+        ds = ray.data.from_arrow(tbl)
+        with tempfile.TemporaryDirectory() as d:
+            got_t = []
+            for p_ in write_turtle(ds, d + "/t"):
+                got_t.extend(P.parse_turtle(open(p_).read()))
+            assert ("http://e/s0", "http://e/p", 2, lex_ttl, "", lang) in got_t
+            got_x = []
+            for p_ in write_rdfxml(ds, d + "/x"):
+                got_x.extend(parse_rdfxml(open(p_).read()))
+            assert ("http://e/s1", "http://e/p", 2, lex_xml, "", lang) in got_x
+
+    roundtrip()
