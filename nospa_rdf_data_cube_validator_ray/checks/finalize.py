@@ -152,13 +152,14 @@ def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64) -> pd.DataFrame:
         all_wild = pt_ds.filter(
             lambda r, wk=wild_keys: (r["graph"], r["dataset"]) in wk
         ).take_all()
-        if len(all_wild) > 100_000:
-            raise RuntimeError("IC-17 wildcard fallback exceeded cap")
         by_ds: dict = {}
         for r in all_wild:
             by_ds.setdefault((r["graph"], r["dataset"]), []).append(r)
         for (g, d) in sorted(by_ds):
             drows = by_ds[(g, d)]
+            # cap is PER DATASET (the quadratic unit), matching _ic17_local
+            if len(drows) > 100_000:
+                raise RuntimeError("IC-17 wildcard fallback exceeded cap")
             points = []
             for r in drows:
                 vec = dict(kv.split("=", 1) for kv in r["key"].split(_DETAIL_SEP) if kv)

@@ -168,6 +168,21 @@ def q_ivf_recall(sf_dir: str):
     )
 
 
+
+def _token_partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """Map-side combiner: one (token, n) row per distinct token per batch —
+    shared by vocab_topk and doc_familiarity so their tokenization (and
+    their SQL oracles) can never desynchronize."""
+    from collections import Counter
+
+    c = Counter()
+    for t in df["text"].fillna(""):
+        c.update(t.split())
+    return pd.DataFrame(
+        {"token": list(c.keys()), "n": pd.array(list(c.values()), dtype="int64")}
+    )
+
+
 def q_vocab_topk(sf_dir: str, k: int = 50):
     """Corpus-wide token frequency top-k with MAP-SIDE COMBINING: each
     batch emits its local Counter (one row per distinct token per block —
@@ -177,20 +192,9 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
     final after the groupby, so the global top-k ⊆ union of block
     top-ks)."""
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        c = Counter()
-        for t in df["text"].fillna(""):
-            c.update(t.split())
-        return pd.DataFrame(
-            {"token": list(c.keys()),
-             "n": pd.array(list(c.values()), dtype="int64")}
-        )
-
     agg = (
         _docs(sf_dir)
-        .map_batches(partial_counts, batch_format="pandas")
+        .map_batches(_token_partial_counts, batch_format="pandas")
         .groupby("token")
         .sum("n")
     )
@@ -234,20 +238,9 @@ def q_doc_familiarity(sf_dir: str):
     canonicalize_with_alias_table)."""
     import ray
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        c = Counter()
-        for t in df["text"].fillna(""):
-            c.update(t.split())
-        return pd.DataFrame(
-            {"token": list(c.keys()),
-             "n": pd.array(list(c.values()), dtype="int64")}
-        )
-
     docs = _docs(sf_dir)
     vocab_df = (
-        docs.map_batches(partial_counts, batch_format="pandas")
+        docs.map_batches(_token_partial_counts, batch_format="pandas")
         .groupby("token")
         .sum("n")
         .to_pandas()

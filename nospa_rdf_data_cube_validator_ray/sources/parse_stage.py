@@ -72,8 +72,15 @@ class SplitLargeFiles:
                     chunks = [content]  # unsplittable layout → whole-file parse
             else:
                 chunks = [content]
-            for i, c in enumerate(chunks):
-                emit(repo, path, commit, lang, c, i, sha)
+            if len(chunks) == 1:
+                emit(repo, path, commit, lang, chunks[0], 0, sha)
+            else:
+                # 1-based so chunk_id is truthy for EVERY chunk of a split
+                # file — downstream "is this a chunk row" guards (lenient-
+                # mode corruption raise, chunk-scoped bnode prefixes) must
+                # fire for the first chunk too
+                for i, c in enumerate(chunks):
+                    emit(repo, path, commit, lang, c, i + 1, sha)
 
         return pa.table(
             {

@@ -576,9 +576,9 @@ def parse_rdfxml(text: str) -> list[Triple]:
         for attr, val in el.attrib.items():
             if attr in _SYNTAX_ATTRS:
                 continue
+            if not attr.startswith("{"):
+                continue  # no namespace → not a property attribute
             p = qname(attr)
-            if not p.startswith("http"):
-                continue  # unqualified attribute: not a property
             if p == _RDF_NS + "type":
                 triples.append((s, RDF_type, KIND_IRI, resolve(val, base), "", ""))
             else:
@@ -663,7 +663,11 @@ def parse_rdfxml(text: str) -> list[Triple]:
             triples.append((s, p, KIND_BNODE, node, "", ""))
             prop_attrs(prop, node, pbase, plang)
             return
-        triples.append((s, p, KIND_LITERAL, prop.text or "", dt or "", plang))
+        # a datatyped literal has NO language tag (the inherited xml:lang
+        # does not apply once rdf:datatype is present)
+        triples.append(
+            (s, p, KIND_LITERAL, prop.text or "", dt or "", "" if dt else plang)
+        )
 
     root_base, root_lang = "", ""
     root_tag = qname(root.tag)

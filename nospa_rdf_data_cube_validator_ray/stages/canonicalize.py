@@ -212,6 +212,7 @@ def sameas_alias_table(
         return sum(r["h"] for r in ds.map_batches(h, batch_format="pandas").take_all())
 
     sig = signature(labels)
+    converged = False
     for _ in range(max_iters):
         # neighbor labels: edges ⋈ labels on src → candidate label for dst
         cand = (
@@ -230,8 +231,18 @@ def sameas_alias_table(
         ).materialize()
         new_sig = signature(labels)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # min-label propagation advances one hop per round: a component
+        # whose diameter exceeds max_iters would silently get WRONG roots —
+        # fail loudly instead of linking entities to intermediate labels
+        raise RuntimeError(
+            f"sameas_alias_table did not converge within {max_iters} rounds "
+            "(a sameAs component's diameter exceeds it); re-run with a "
+            "larger max_iters"
+        )
     return _ren(labels.filter(expr="node != label"), {"label": "root"})
 
 

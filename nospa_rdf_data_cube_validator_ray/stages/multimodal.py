@@ -20,6 +20,14 @@ import pandas as pd
 from ..functions import codecs as C
 
 
+def _media_types(df: pd.DataFrame):
+    """media_type column, defaulting to opaque bytes — fake-mode callers
+    with plain (doc_id, payload) frames keep working."""
+    if "media_type" in df.columns:
+        return df["media_type"]
+    return ["application/octet-stream"] * len(df)
+
+
 def attach_payload(
     ds: "ray.data.Dataset",
     *,
@@ -120,7 +128,7 @@ class DecodeFeatures:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         feats = []
         if self.mode == "real":
-            for p, mt in zip(df["payload"], df["media_type"]):
+            for p, mt in zip(df["payload"], _media_types(df)):
                 feats.append(self._real_features(bytes(p), mt))
         else:
             for p in df["payload"]:
@@ -172,7 +180,8 @@ class ResizeImage:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out_payloads = []
-        for p, mt in zip(df["payload"], df["media_type"]):
+        mts = _media_types(df)
+        for p, mt in zip(df["payload"], mts):
             b = bytes(p)
             if self.mode == "real":
                 if mt != "image/bmp":
@@ -187,7 +196,8 @@ class ResizeImage:
                 idx = np.linspace(0, len(arr) - 1, self.target).astype(np.int64)
                 arr = arr[idx]
             out_payloads.append(arr.tobytes())
-        out = df[["doc_id", "media_type"]].copy()
+        out = df[["doc_id"]].copy()
+        out["media_type"] = list(_media_types(df))
         out["payload"] = out_payloads
         out["n_bytes"] = np.array([len(p) for p in out_payloads], dtype=np.int64)
         return out
@@ -208,7 +218,7 @@ class SampleFrames:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         frames_col, counts = [], []
-        for p, mt in zip(df["payload"], df["media_type"]):
+        for p, mt in zip(df["payload"], _media_types(df)):
             b = bytes(p)
             if self.mode == "real":
                 if mt != "video/x-nbv":

@@ -346,3 +346,74 @@ def test_writer_roundtrips_hypothesis(ray_session):
             assert ("http://e/s1", "http://e/p", 2, lex_xml, "", lang) in got_x
 
     roundtrip()
+
+
+def test_chunk_zero_corruption_raises_in_lenient_mode():
+    """A SPLIT file's first chunk failing to parse must raise even with
+    strict=False — skipping it would silently drop triples (chunk ids are
+    1-based for split files so the guard fires for every chunk)."""
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import ParseRDF
+
+    batch = pa.table(
+        {
+            "repo": ["r", "r"], "path": ["f.ttl", "f.ttl"], "commit": ["c", "c"],
+            "lang": ["turtle", "turtle"],
+            "content": ["THIS IS NOT TURTLE @@@", "<http://e/s> <http://e/p> <http://e/o> ."],
+            "chunk_id": pa.array([1, 2], pa.int32()),
+            "file_sha": ["x", "x"],
+        }
+    )
+    with pytest.raises(P.RDFSyntaxError, match="chunk 1"):
+        ParseRDF(strict=False)(batch)
+    # an UNSPLIT bad row (chunk_id 0) still skips silently in lenient mode
+    batch0 = pa.table(
+        {
+            "repo": ["r"], "path": ["g.ttl"], "commit": ["c"], "lang": ["turtle"],
+            "content": ["ALSO NOT TURTLE @@@"],
+            "chunk_id": pa.array([0], pa.int32()), "file_sha": ["y"],
+        }
+    )
+    assert ParseRDF(strict=False)(batch0).num_rows == 0
+
+
+def test_split_files_get_truthy_chunk_ids():
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import SplitLargeFiles
+
+    doc = "\n\n".join(f'<http://e/s{i}> <http://e/p> "v{i}" .' for i in range(50))
+    batch = pa.table(
+        {"repo": ["r", "r"], "path": ["big.ttl", "small.ttl"], "commit": ["c", "c"],
+         "lang": ["turtle", "turtle"], "content": [doc, doc[:40]]}
+    )
+    out = SplitLargeFiles(threshold=100, chunk_bytes=300)(batch).to_pandas()
+    big = out[out["path"] == "big.ttl"]
+    assert len(big) > 1 and (big["chunk_id"] > 0).all()
+    small = out[out["path"] == "small.ttl"]
+    assert list(small["chunk_id"]) == [0]
+
+
+def test_rdfxml_datatype_beats_inherited_lang():
+    from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_rdfxml
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    xml = f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="http://e/" xml:lang="en">
+  <rdf:Description rdf:about="http://e/s">
+    <ex:size rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">4</ex:size>
+    <ex:urn_attr_test xmlns:u="urn:ex:" u:code="x"/>
+  </rdf:Description>
+</rdf:RDF>"""
+    got = set(parse_rdfxml(xml))
+    assert ("http://e/s", "http://e/size", 2, "4",
+            "http://www.w3.org/2001/XMLSchema#integer", "") in got
+    # urn:-namespaced property ATTRIBUTES are kept (not just http ones)
+    assert any(p == "urn:ex:code" and o == "x" for (_, p, _k, o, _d, _l) in got)
+
+
+def test_sameas_alias_table_raises_on_nonconvergence(ray_session):
+    from nospa_rdf_data_cube_validator_ray.stages.canonicalize import (
+        sameas_alias_table,
+    )
+    from tests.test_canonicalize import chain_ds
+
+    with pytest.raises(RuntimeError, match="converge"):
+        sameas_alias_table(chain_ds(), num_partitions=2, max_iters=1)
