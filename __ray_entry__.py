@@ -297,6 +297,50 @@ def q_cube_triples_by_pred(sf_dir: str):
     return state["raw_by_pred"]
 
 
+def q_cube_xml_by_pred(sf_dir: str):
+    """RDF/XML parser oracle-checked at TPC-H scale: every Turtle corpus
+    file is parsed, re-serialized as RDF/XML (stages/export.rdfxml_document)
+    and re-parsed by the RDF/XML reader; the per-predicate counts must
+    equal the Turtle corpus's (same oracle as cube_triples_by_pred) —
+    round-trip fidelity of both serializers/parsers on the full corpus."""
+    state = _CACHE.setdefault(sf_dir, {})
+    if "xml_by_pred" not in state:
+        import pyarrow as pa
+        import ray.data
+
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
+        from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+        from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_turtle
+        from nospa_rdf_data_cube_validator_ray.stages.export import rdfxml_document
+
+        corpus = ray.data.from_arrow(tpch_cube_corpus(sf_dir))
+
+        def to_xml(batch: pa.Table) -> pa.Table:
+            cols = {c: batch.column(c).to_pylist()
+                    for c in ("repo", "path", "commit", "lang", "content")}
+            out = {k: [] for k in cols}
+            for repo, path, commit, _lang, content in zip(
+                cols["repo"], cols["path"], cols["commit"],
+                cols["lang"], cols["content"],
+            ):
+                out["repo"].append(repo)
+                out["path"].append(path.rsplit(".", 1)[0] + ".rdf")
+                out["commit"].append(commit)
+                out["lang"].append("rdfxml")
+                out["content"].append(rdfxml_document(parse_turtle(content)))
+            return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
+
+        xml_corpus = corpus.map_batches(to_xml, batch_format="pyarrow", batch_size=1)
+        ds = (
+            parse_corpus(xml_corpus)
+            .groupby("pred")
+            .count()
+            .rename_columns({"count()": "n"})
+        )
+        state["xml_by_pred"] = ds.to_pandas()
+    return state["xml_by_pred"]
+
+
 def q_cube_phase2_by_pred(sf_dir: str):
     """Phase-2 normalization materialization (the export path,
     Normalizer.java:90-189): the DataSet-attached tp:a_unit is pushed down
@@ -591,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_mt_ic16": q_mt_ic16,
         "cube_mt_ic17": q_mt_ic17,
         "cube_triples_by_pred": q_cube_triples_by_pred,
+        "cube_xml_by_pred": q_cube_xml_by_pred,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -625,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_mt_ic16": _SQL_MT_IC16,
         "cube_mt_ic17": _SQL_MT_IC17,
         "cube_triples_by_pred": _SQL_TRIPLES_BY_PRED,
+        "cube_xml_by_pred": _SQL_TRIPLES_BY_PRED,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

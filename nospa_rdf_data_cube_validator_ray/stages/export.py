@@ -249,66 +249,78 @@ def _split_qname(iri: str) -> tuple[str, str]:
     raise ValueError(f"IRI has no XML-serializable local name: {iri!r}")
 
 
-def write_rdfxml(triples, out_dir: str) -> list[str]:
-    """Serialize the triple Dataset as RDF/XML (exportModel parity for the
-    reference's default serialization, NospaValidator.java:56-67): one
-    ``part-*.rdf`` per block, one rdf:Description per (graph, subj) with
-    namespace prefixes collected per file.  Round-trips through
+def rdfxml_document(rows) -> str:
+    """RDF/XML document string from (subj, pred, obj_kind, obj, obj_dt,
+    obj_lang) tuples: one rdf:Description per subject (in given order),
+    namespace prefixes collected per document.  Round-trips through
     ``parse_rdfxml``."""
-    import os
-    import uuid
     from xml.sax.saxutils import escape, quoteattr
 
     from ..model import KIND_BNODE, KIND_IRI
 
+    ns_prefix: dict[str, str] = {V.PREFIX_RDF: "rdf"}
+
+    def pfx(ns: str) -> str:
+        p = ns_prefix.get(ns)
+        if p is None:
+            p = f"ns{len(ns_prefix)}"
+            ns_prefix[ns] = p
+        return p
+
+    by_subj: dict[str, list] = {}
+    for r in rows:
+        by_subj.setdefault(r[0], []).append(r)
+    bodies = []
+    for subj, rs in by_subj.items():
+        if subj.startswith("_:"):
+            sattr = f"rdf:nodeID={quoteattr(subj[2:])}"
+        else:
+            sattr = f"rdf:about={quoteattr(subj)}"
+        props = []
+        for _s, pred, kind, obj, dt, lang_ in rs:
+            ns, local = _split_qname(pred)
+            tag = f"{pfx(ns)}:{local}"
+            if kind == KIND_IRI:
+                props.append(f"    <{tag} rdf:resource={quoteattr(obj)}/>")
+            elif kind == KIND_BNODE:
+                props.append(f"    <{tag} rdf:nodeID={quoteattr(obj[2:])}/>")
+            else:
+                extra = ""
+                if dt:
+                    extra = f" rdf:datatype={quoteattr(dt)}"
+                elif lang_:
+                    extra = f" xml:lang={quoteattr(lang_)}"
+                props.append(f"    <{tag}{extra}>{escape(obj)}</{tag}>")
+        bodies.append(
+            f"  <rdf:Description {sattr}>\n" + "\n".join(props)
+            + "\n  </rdf:Description>"
+        )
+    decls = "".join(
+        f'\n    xmlns:{p}={quoteattr(ns)}' for ns, p in ns_prefix.items()
+    )
+    return (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        f"<rdf:RDF{decls}>\n" + "\n".join(bodies) + "\n</rdf:RDF>\n"
+    )
+
+
+def write_rdfxml(triples, out_dir: str) -> list[str]:
+    """Serialize the triple Dataset as RDF/XML (exportModel parity for the
+    reference's default serialization, NospaValidator.java:56-67): one
+    ``part-*.rdf`` per block, one rdf:Description per (graph, subj) with
+    namespace prefixes collected per file."""
+    import os
+    import uuid
+
     os.makedirs(out_dir, exist_ok=True)
-    RDF_NS = V.PREFIX_RDF
 
     def write_block(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        ns_prefix: dict[str, str] = {RDF_NS: "rdf"}
-
-        def pfx(ns: str) -> str:
-            p = ns_prefix.get(ns)
-            if p is None:
-                p = f"ns{len(ns_prefix)}"
-                ns_prefix[ns] = p
-            return p
-
-        bodies = []
-        for (_, subj), g in df.groupby(["graph", "subj"], sort=True):
-            if subj.startswith("_:"):
-                sattr = f"rdf:nodeID={quoteattr(subj[2:])}"
-            else:
-                sattr = f"rdf:about={quoteattr(subj)}"
-            props = []
-            for r in g.itertuples():
-                ns, local = _split_qname(r.pred)
-                tag = f"{pfx(ns)}:{local}"
-                if r.obj_kind == KIND_IRI:
-                    props.append(f"    <{tag} rdf:resource={quoteattr(r.obj)}/>")
-                elif r.obj_kind == KIND_BNODE:
-                    props.append(f"    <{tag} rdf:nodeID={quoteattr(r.obj[2:])}/>")
-                else:
-                    extra = ""
-                    if r.obj_dt:
-                        extra = f" rdf:datatype={quoteattr(r.obj_dt)}"
-                    elif r.obj_lang:
-                        extra = f" xml:lang={quoteattr(r.obj_lang)}"
-                    props.append(
-                        f"    <{tag}{extra}>{escape(r.obj)}</{tag}>"
-                    )
-            bodies.append(
-                f"  <rdf:Description {sattr}>\n" + "\n".join(props)
-                + "\n  </rdf:Description>"
-            )
-        decls = "".join(
-            f'\n    xmlns:{p}={quoteattr(ns)}' for ns, p in ns_prefix.items()
+        df = batch.to_pandas().sort_values(["graph", "subj"], kind="stable")
+        rows = zip(
+            df["subj"], df["pred"], df["obj_kind"], df["obj"],
+            df["obj_dt"], df["obj_lang"],
         )
-        doc = (
-            '<?xml version="1.0" encoding="utf-8"?>\n'
-            f"<rdf:RDF{decls}>\n" + "\n".join(bodies) + "\n</rdf:RDF>\n"
-        )
+        doc = rdfxml_document(rows)
         path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.rdf")
         with open(path, "w") as f:
             f.write(doc)
