@@ -30,8 +30,11 @@ import pyarrow as pa
 
 GRAPH_SEP = "\x1f"
 
-_UNESC_RE = re.compile(r'\\(["\\nrt])')
-_UNESC_MAP = {'"': '"', "\\": "\\", "n": "\n", "r": "\r", "t": "\t"}
+_UNESC_RE = re.compile(r'\\(["\\nrt]|u001[Ee])')
+_UNESC_MAP = {
+    '"': '"', "\\": "\\", "n": "\n", "r": "\r", "t": "\t",
+    "u001E": "\x1e", "u001e": "\x1e",
+}
 
 KIND_IRI = 0
 KIND_BNODE = 1
@@ -85,13 +88,19 @@ def term_str(kind: int, lex: str, dt: str = "", lang: str = "") -> str:
         return f"<{lex}>"
     if kind == KIND_BNODE:
         return lex
-    if '"' in lex or "\\" in lex or "\n" in lex or "\r" in lex or "\t" in lex:
+    if (
+        '"' in lex or "\\" in lex or "\n" in lex or "\r" in lex
+        or "\t" in lex or "\x1e" in lex
+    ):
+        # \x1e doubles as the engine's detail/key separator (_DETAIL_SEP),
+        # so it must never survive raw inside a rendered term
         lex = (
             lex.replace("\\", "\\\\")
             .replace('"', '\\"')
             .replace("\n", "\\n")
             .replace("\r", "\\r")
             .replace("\t", "\\t")
+            .replace("\x1e", "\\u001E")
         )
     if lang:
         return f'"{lex}"@{lang}'

@@ -236,6 +236,9 @@ def write_turtle(triples, out_dir: str) -> list[str]:
 
 _NCNAME_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
 
+# code points XML 1.0 cannot carry in any form (C0 controls minus \t\n\r)
+_XML_ILLEGAL_RE = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
 
 def _split_qname(iri: str) -> tuple[str, str]:
     """(namespace, local) with a valid XML NCName local part, splitting at
@@ -285,6 +288,15 @@ def rdfxml_document(rows) -> str:
             elif kind == KIND_BNODE:
                 props.append(f"    <{tag} rdf:nodeID={quoteattr(obj[2:])}/>")
             else:
+                if _XML_ILLEGAL_RE.search(obj):
+                    # XML 1.0 cannot represent these code points AT ALL
+                    # (not even as character references) — fail loudly
+                    # rather than emit a document no parser accepts;
+                    # Turtle/N-Triples serialize such literals fine
+                    raise ValueError(
+                        "literal contains XML-1.0-illegal control chars; "
+                        "export this model as turtle/ntriples instead"
+                    )
                 extra = ""
                 if dt:
                     extra = f" rdf:datatype={quoteattr(dt)}"

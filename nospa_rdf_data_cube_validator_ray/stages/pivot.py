@@ -61,6 +61,11 @@ class _IndexCache:
 
     @classmethod
     def get(cls, ref):
+        if isinstance(ref, dict):
+            # already-resolved indexes (the self-indexing per-block path):
+            # pass through — caching by id() would churn the shared cache
+            # every block and pin the last block's indexes forever
+            return ref
         key = ref.hex() if hasattr(ref, "hex") else id(ref)
         if key not in cls._cached:
             cls._cached.clear()
@@ -82,13 +87,26 @@ def _obj_term_vec(df: pd.DataFrame) -> np.ndarray:
     lit = kind == KIND_LITERAL
     if lit.any():
         ol = o[lit]
-        esc = ol.str.contains('"', regex=False) | ol.str.contains("\\", regex=False)
+        # MUST mirror model.term_str exactly: the schema index renders its
+        # values with term_str, and any divergence (e.g. a literal with a
+        # newline escaped on one side only) splits IC-12/17 keys
+        esc = (
+            ol.str.contains('"', regex=False)
+            | ol.str.contains("\\", regex=False)
+            | ol.str.contains("\n", regex=False)
+            | ol.str.contains("\r", regex=False)
+            | ol.str.contains("\t", regex=False)
+            | ol.str.contains("\x1e", regex=False)
+        )
         if esc.any():
             ol = ol.where(
                 ~esc,
-                ol.str.replace("\\", "\\\\", regex=False).str.replace(
-                    '"', '\\"', regex=False
-                ),
+                ol.str.replace("\\", "\\\\", regex=False)
+                .str.replace('"', '\\"', regex=False)
+                .str.replace("\n", "\\n", regex=False)
+                .str.replace("\r", "\\r", regex=False)
+                .str.replace("\t", "\\t", regex=False)
+                .str.replace("\x1e", "\\u001E", regex=False),
             )
         dt = df["obj_dt"][lit].astype(str)
         lg = df["obj_lang"][lit].astype(str)
@@ -231,9 +249,12 @@ class PivotInputBuilder:
             d = df[tym]
             parts.append(mk(d["graph"], d["file_sha256"], d["subj"], ROLE_TYPE, "", ""))
 
-        # schema-relevant property values (per-graph predicate sets)
+        # schema-relevant property values (per-graph predicate sets).
+        # NOT masked by dsm/obm: a (pathological) DSD may declare
+        # qb:dataSet / qb:observation themselves as components, and the
+        # reference would still see those triples as property values
         if len(tabs["rel"]):
-            d = df[~dsm & ~obm].merge(tabs["rel"], on=["graph", "pred"])
+            d = df.merge(tabs["rel"], on=["graph", "pred"])
             if len(d):
                 parts.append(
                     mk(d["graph"], d["file_sha256"], d["subj"], ROLE_PROP,
@@ -395,7 +416,19 @@ class PivotCheck:
         # (string factorization inside pandas merges was ~half the stage)
         g_codes, _gu = pd.factorize(df["graph"])
         s_codes, _su = pd.factorize(df["subj"])
-        df = df.assign(_gs=(g_codes.astype("int64") << 40) | s_codes.astype("int64"))
+        if len(_gu) < (1 << 23) and len(_su) < (1 << 40):
+            df = df.assign(
+                _gs=(g_codes.astype("int64") << 40) | s_codes.astype("int64")
+            )
+        else:
+            # composite would wrap int64 and silently fuse unrelated
+            # (graph, subj) cohorts — fall back to a combined-key factorize
+            # (slower, only ever reached when ONE bucket frame holds ≥ 2^23
+            # distinct graphs)
+            comb, _ = pd.factorize(
+                df["graph"].astype(str) + "\x1f" + df["subj"].astype(str)
+            )
+            df = df.assign(_gs=comb.astype("int64"))
         lookup = df.drop_duplicates("_gs")[["_gs", "graph", "subj"]]
 
         ds_pairs = df.loc[
@@ -757,8 +790,6 @@ class LocalCheck:
         self._check = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         from ..checks.finalize import (
             ic2_typed_findings,
             local_finalize,
@@ -772,7 +803,15 @@ class LocalCheck:
                 self._builder = PivotInputBuilder(self._indexes, 1)
                 self._check = PivotCheck(self._indexes)
             indexes = self._indexes
-            schema_parts = []
+            # schema-only ICs still come from THIS block's graphs (each
+            # graph lives in exactly one block on the local path, so no
+            # duplication) — a broadcast index must not silently drop
+            # IC-3..IC-10 and typed-IC-2 findings
+            import pyarrow.compute as pc
+
+            graphs = set(pc.unique(batch.column("graph")).to_pylist())
+            blk = {g: idx for g, idx in indexes.items() if g in graphs}
+            schema_parts = [schema_findings_df(blk), ic2_typed_findings(blk)]
         else:
             from .schema_index import extract_indexes_from_batch
 

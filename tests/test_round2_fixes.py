@@ -314,6 +314,19 @@ def test_writer_roundtrips_hypothesis(ray_session):
     ttl_alpha = string.printable
     xml_alpha = string.ascii_letters + string.digits + ' .,;:!?"\'\\<>&#@-_\n\t'
 
+    def one_row(lex, lang):
+        return pa.Table.from_pylist(
+            [
+                {
+                    "graph": "g", "file_sha256": "x",
+                    "subj": "http://e/s0", "pred": "http://e/p",
+                    "obj_kind": 2, "obj": lex, "obj_dt": "",
+                    "obj_lang": lang,
+                }
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
     @settings(max_examples=15, deadline=None)
     @given(
         lex_ttl=st.text(alphabet=ttl_alpha, max_size=50).filter(lambda s: "\r" not in s),
@@ -323,29 +336,36 @@ def test_writer_roundtrips_hypothesis(ray_session):
     def roundtrip(lex_ttl, lex_xml, lang):
         import tempfile
 
-        rows = []
-        for i, (lex, _) in enumerate([(lex_ttl, 0), (lex_xml, 1)]):
-            rows.append(
-                {
-                    "graph": "g", "file_sha256": "x",
-                    "subj": f"http://e/s{i}", "pred": "http://e/p",
-                    "obj_kind": 2, "obj": lex, "obj_dt": "",
-                    "obj_lang": lang,
-                }
-            )
-        tbl = pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA)
-        ds = ray.data.from_arrow(tbl)
         with tempfile.TemporaryDirectory() as d:
             got_t = []
-            for p_ in write_turtle(ds, d + "/t"):
+            for p_ in write_turtle(ray.data.from_arrow(one_row(lex_ttl, lang)), d + "/t"):
                 got_t.extend(P.parse_turtle(open(p_).read()))
             assert ("http://e/s0", "http://e/p", 2, lex_ttl, "", lang) in got_t
             got_x = []
-            for p_ in write_rdfxml(ds, d + "/x"):
+            for p_ in write_rdfxml(ray.data.from_arrow(one_row(lex_xml, lang)), d + "/x"):
                 got_x.extend(parse_rdfxml(open(p_).read()))
-            assert ("http://e/s1", "http://e/p", 2, lex_xml, "", lang) in got_x
+            assert ("http://e/s0", "http://e/p", 2, lex_xml, "", lang) in got_x
 
     roundtrip()
+
+
+def test_rdfxml_writer_rejects_xml_illegal_chars(ray_session, tmp_path):
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray.model import TRIPLE_SCHEMA
+    from nospa_rdf_data_cube_validator_ray.stages.export import write_rdfxml
+
+    tbl = pa.Table.from_pylist(
+        [
+            {
+                "graph": "g", "file_sha256": "x", "subj": "http://e/s",
+                "pred": "http://e/p", "obj_kind": 2, "obj": "bad\x0cchar",
+                "obj_dt": "", "obj_lang": "",
+            }
+        ],
+        schema=TRIPLE_SCHEMA,
+    )
+    with pytest.raises(Exception, match="XML-1.0-illegal|illegal"):
+        write_rdfxml(ray.data.from_arrow(tbl), str(tmp_path / "x"))
 
 
 def test_chunk_zero_corruption_raises_in_lenient_mode():
@@ -417,3 +437,59 @@ def test_sameas_alias_table_raises_on_nonconvergence(ray_session):
 
     with pytest.raises(RuntimeError, match="converge"):
         sameas_alias_table(chain_ds(), num_partitions=2, max_iters=1)
+
+
+# -- pivot review fixes ------------------------------------------------------
+
+
+def test_obj_term_vec_matches_term_str_on_control_chars():
+    from nospa_rdf_data_cube_validator_ray.model import term_str
+    from nospa_rdf_data_cube_validator_ray.stages.pivot import _obj_term_vec
+
+    lexes = ["plain", "a\nb", "t\tab", "r\rx", 'q"uote', "back\\slash",
+             "sep\x1eparated", 'all\n\t"\\\x1e']
+    df = pd.DataFrame(
+        {
+            "obj_kind": [2] * len(lexes),
+            "obj": lexes,
+            "obj_dt": [""] * len(lexes),
+            "obj_lang": [""] * len(lexes),
+        }
+    )
+    got = list(_obj_term_vec(df))
+    want = [term_str(2, l, "", "") for l in lexes]
+    assert got == want
+    # rendered terms never contain a raw record separator
+    assert all("\x1e" not in t for t in got)
+
+
+def test_term_str_parse_term_roundtrip_with_separator():
+    from nospa_rdf_data_cube_validator_ray.model import parse_term, term_str
+
+    for lex in ["a\x1eb", "\x1e", "x\\u001E"]:
+        t = term_str(2, lex, "", "")
+        assert parse_term(t) == (2, lex, "", "")
+
+
+def test_local_findings_ref_form_includes_schema_ics(ray_session):
+    """The broadcast-index form must emit IC-3..IC-10 findings too (scoped
+    to each block's graphs), identical to the self-indexing form."""
+    import ray
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import corpus_table
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+    from nospa_rdf_data_cube_validator_ray.stages.pivot import local_findings
+    from nospa_rdf_data_cube_validator_ray.stages.schema_index import (
+        build_schema_indexes_local,
+    )
+
+    t = parse_corpus(ray.data.from_arrow(corpus_table())).materialize()
+    a = local_findings(t).to_pandas()
+    ref = ray.put(build_schema_indexes_local(t))
+    b = local_findings(t, ref).to_pandas()
+    key = lambda df: sorted(
+        (r.graph, r.ic, r.subject, tuple(sorted(r.detail))) for r in df.itertuples()
+    )
+    assert "IC4" in set(a["ic"])
+    assert key(a) == key(b)
