@@ -154,33 +154,50 @@ def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64) -> pd.DataFrame:
         ).take_all()
         by_ds: dict = {}
         for r in all_wild:
-            by_ds.setdefault((r["graph"], r["dataset"]), []).append(r)
-        for (g, d) in sorted(by_ds):
-            drows = by_ds[(g, d)]
-            # cap is PER DATASET (the quadratic unit), matching _ic17_local
-            if len(drows) > 100_000:
-                raise RuntimeError("IC-17 wildcard fallback exceeded cap")
-            points = []
-            for r in drows:
-                vec = dict(kv.split("=", 1) for kv in r["key"].split(_DETAIL_SEP) if kv)
-                points.append((r["subject"], r["file_sha256"], vec))
-            nm = nmeas.get((g, d))
-            n1 = len(points)
-            for s1, sha, v1 in points:
-                eq = 0
-                for _s2, _sha2, v2 in points:
-                    same = True
-                    for dim, a in v1.items():
-                        b = v2.get(dim, "*")
-                        if a != "*" and b != "*" and a != b:
-                            same = False
-                            break
-                    if same:
-                        eq += 1
-                if eq != nm:
-                    rows.append((g, sha, "IC17", s1, str(n1 - eq)))
+            by_ds.setdefault((r["graph"], r["dataset"]), []).append(
+                (r["subject"], r["file_sha256"], r["key"])
+            )
+        rows.extend(_ic17_wildcard_rows(by_ds, nmeas))
 
     return _fdf(rows)
+
+
+def _parse_point(key: str) -> dict:
+    """dim→value map from a pt-row key (entries joined by \\x1e, dim and
+    value joined by \\x1f — \\x1f never appears raw in a rendered term, so
+    the parse is unambiguous even for dim IRIs containing '=')."""
+    return dict(kv.split("\x1f", 1) for kv in key.split(_DETAIL_SEP) if kv)
+
+
+def _ic17_wildcard_rows(by_ds: dict, nmeas: dict) -> list:
+    """Exact pairwise reference semantics (ValidatorIC17.java:46-96) for
+    wildcard datasets — ONE shared implementation for the shuffle and
+    local paths.  ``by_ds``: (graph, dataset) → [(subject, sha, key)].
+    Quadratic per dataset, capped."""
+    rows = []
+    for (g, d) in sorted(by_ds):
+        drows = by_ds[(g, d)]
+        if len(drows) > 100_000:
+            raise RuntimeError("IC-17 wildcard fallback exceeded cap")
+        nm = nmeas.get((g, d))
+        if nm is None:
+            continue
+        points = [(s, sha, _parse_point(key)) for s, sha, key in drows]
+        n1 = len(points)
+        for s1, sha, v1 in points:
+            eq = 0
+            for _s2, _sha2, v2 in points:
+                same = True
+                for dim, a in v1.items():
+                    b = v2.get(dim, "*")
+                    if a != "*" and b != "*" and a != b:
+                        same = False
+                        break
+                if same:
+                    eq += 1
+            if eq != nm:
+                rows.append((g, sha, "IC17", s1, str(n1 - eq)))
+    return rows
 
 
 def _merge_vals(df: pd.DataFrame) -> pd.DataFrame:
@@ -237,32 +254,13 @@ def _ic17_local(pt: pd.DataFrame, indexes: dict) -> pd.DataFrame:
     ]
     # wildcard datasets: exact pairwise reference semantics (pathological)
     wild_pairs = d2[wild_ds][["graph", "dataset"]].drop_duplicates()
+    by_ds: dict = {}
     for g, d in wild_pairs.itertuples(index=False):
         drows = d2[(d2["graph"] == g) & (d2["dataset"] == d)]
-        if len(drows) > 100_000:
-            raise RuntimeError("IC-17 wildcard fallback exceeded cap")
-        nm1 = nmeas.get((g, d))
-        if nm1 is None:
-            continue
-        points = [
-            (r.subject, r.file_sha256,
-             dict(kv.split("=", 1) for kv in r.key.split(_DETAIL_SEP) if kv))
-            for r in drows.itertuples()
+        by_ds[(g, d)] = [
+            (r.subject, r.file_sha256, r.key) for r in drows.itertuples()
         ]
-        n1 = len(points)
-        for s1, sha, v1 in points:
-            eq = 0
-            for _s2, _sh, v2 in points:
-                same = True
-                for dim, a in v1.items():
-                    b = v2.get(dim, "*")
-                    if a != "*" and b != "*" and a != b:
-                        same = False
-                        break
-                if same:
-                    eq += 1
-            if eq != nm1:
-                rows.append((g, sha, "IC17", s1, str(n1 - eq)))
+    rows.extend(_ic17_wildcard_rows(by_ds, nmeas))
     return _fdf(rows)
 
 

@@ -330,7 +330,7 @@ class PivotCheck:
             return
         indexes = self._indexes
         dims, req13, req14 = [], [], []
-        mt_ds, mtm, ic17d = [], [], []
+        mt_ds, mtm, ic17d, ic17ds = [], [], [], []
         ic19m, ic19a, ctyped = [], [], []
         hmeta, hdir, hinv = [], [], []
         special = set()
@@ -347,6 +347,7 @@ class PivotCheck:
                 mt_ds.append((g, d))
                 mtm.extend((g, d, m) for m in measures)
             for d, ps in idx.ic17_dims_by_ds.items():
+                ic17ds.append((g, d))
                 ic17d.extend((g, d, p, i) for i, p in enumerate(ps))
             for d, probes in idx.ic19_by_ds.items():
                 special.add((g, d))
@@ -372,6 +373,7 @@ class PivotCheck:
             "mt_ds": pd.DataFrame(mt_ds, columns=["graph", "dataset"]),
             "mtm": pd.DataFrame(mtm, columns=["graph", "dataset", "measure"]),
             "ic17d": pd.DataFrame(ic17d, columns=cols),
+            "ic17ds": pd.DataFrame(ic17ds, columns=["graph", "dataset"]),
             "ic19m": pd.DataFrame(
                 ic19m, columns=["graph", "dataset", "dim_prop", "probe_id", "cls"]
             ),
@@ -600,6 +602,68 @@ class PivotCheck:
                     self._special_checks(sp, prop, sha_by_graph, fdf, lookup)
                 )
 
+        # -- IC-17 point rows (ValidatorIC17.java:28-96) ------------------
+        # EVERY dataset with a DSD participates; observations are filtered
+        # to those CARRYING a qb:measureType property (obsWithMeasure in
+        # the reference) — not to datasets declaring it as a component.
+        # Entries join dim and value with \x1f (never raw in rendered
+        # terms) so the wildcard fallback can reparse the point even when
+        # a dim IRI contains '='.
+        if len(self._req["ic17ds"]):
+            mt_obs = prop.loc[
+                prop["pred"] == V.QB_measureType, ["_gs"]
+            ].drop_duplicates()
+            if len(mt_obs):
+                base = cohort.merge(
+                    self._req["ic17ds"], on=["graph", "dataset"]
+                ).merge(mt_obs, on="_gs")
+                if len(base):
+                    pvb = prop.merge(base[["_gs"]].drop_duplicates(), on="_gs")
+                    pvb = pvb.sort_values(["_gs", "pred", "obj_term"])
+                    g2 = pvb.groupby(["_gs", "pred"], sort=False)
+                    fv = pvb.drop_duplicates(["_gs", "pred"]).copy()
+                    fv["cnt"] = g2.size().to_numpy()
+                    pts = base.merge(
+                        self._req["ic17d"], on=["graph", "dataset"], how="left"
+                    )
+                    res_frames = []
+                    with_d = pts[pts["pred"].notna()]
+                    if len(with_d):
+                        wd = with_d.merge(
+                            fv[["_gs", "pred", "obj_term", "cnt"]],
+                            on=["_gs", "pred"], how="left",
+                        )
+                        one = wd["cnt"].fillna(0).eq(1)
+                        wd["_e"] = np.where(
+                            one,
+                            wd["pred"] + "\x1f" + wd["obj_term"].fillna(""),
+                            wd["pred"] + "\x1f*",
+                        )
+                        wd["_w"] = ~one
+                        wd = wd.sort_values(["_gs", "dataset", "ord"])
+                        gb = wd.groupby(["_gs", "dataset"], sort=False)
+                        res_frames.append(
+                            gb.agg(key=("_e", _DETAIL_SEP.join), wild=("_w", "max"))
+                            .reset_index().merge(lookup, on="_gs")
+                        )
+                    no_d = pts[pts["pred"].isna()]
+                    if len(no_d):
+                        # no declared non-measureType dims: every obs pair
+                        # compares equal (empty dim loop) — one empty-key
+                        # point per observation
+                        res_frames.append(
+                            no_d[["_gs", "dataset"]].drop_duplicates()
+                            .assign(key="", wild=False).merge(lookup, on="_gs")
+                        )
+                    for res in res_frames:
+                        parts.append(
+                            fdf(res["graph"], res["graph"].map(sha_by_graph), "",
+                                _sterm_series(res["subj"]),
+                                np.where(res["wild"], "w", ""),
+                                dataset=res["dataset"], key=res["key"],
+                                kind="pt")
+                        )
+
         if not parts:
             return pd.DataFrame(
                 {k: pd.Series(dtype=object) for k in _OUT_COLUMNS},
@@ -673,36 +737,6 @@ class PivotCheck:
                         fdf(viol["graph"], sha(viol), "IC15",
                             _sterm_series(viol["subj"]), viol["obj_term"])
                     )
-
-        # IC-17 point rows (ValidatorIC17.java:24-96): textual dim-point
-        # key (the wildcard fallback must reconstruct the point)
-        if len(self._req["ic17d"]):
-            has_mt = firstv.loc[firstv["pred"] == V.QB_measureType, ["_gs"]]
-            pts = sp.merge(self._req["ic17d"], on=["graph", "dataset"]).merge(
-                has_mt, on="_gs"
-            )
-            if len(pts):
-                pts = pts.merge(
-                    firstv[["_gs", "pred", "obj_term", "cnt"]],
-                    on=["_gs", "pred"], how="left",
-                )
-                one = pts["cnt"].fillna(0).eq(1)
-                pts["_e"] = np.where(
-                    one, pts["pred"] + "=" + pts["obj_term"].fillna(""),
-                    pts["pred"] + "=*",
-                )
-                pts["_w"] = ~one
-                pts = pts.sort_values(["_gs", "dataset", "ord"])
-                gb = pts.groupby(["_gs", "dataset"], sort=False)
-                res = gb.agg(
-                    key=("_e", _DETAIL_SEP.join), wild=("_w", "max")
-                ).reset_index().merge(lookup, on="_gs")
-                out.append(
-                    fdf(res["graph"], sha(res), "",
-                        _sterm_series(res["subj"]),
-                        np.where(res["wild"], "w", ""),
-                        dataset=res["dataset"], key=res["key"], kind="pt")
-                )
 
         # single-valued dimension values (shared by IC-19/20/21 probes)
         v1 = firstv[firstv["cnt"] == 1][

@@ -126,14 +126,49 @@ def _distinct(t: pa.Table) -> pa.Table:
     return t.group_by(t.column_names).aggregate([]).select(t.column_names)
 
 
+# hoisted: these value-set arrays are identical for every batch of the
+# streaming passes — rebuilding+sorting them per batch was pure overhead
+_SCHEMA_PREDS_ARR = pa.array(sorted(SCHEMA_PREDS))
+_SCHEMA_CLASSES_ARR = pa.array(sorted(SCHEMA_CLASSES))
+
+
 def _filter_pass1(batch: pa.Table) -> pa.Table:
     pred = batch.column("pred")
-    m1 = pc.is_in(pred, value_set=pa.array(sorted(SCHEMA_PREDS)))
+    m1 = pc.is_in(pred, value_set=_SCHEMA_PREDS_ARR)
     m2 = pc.and_(
         pc.equal(pred, V.RDF_type),
-        pc.is_in(batch.column("obj"), value_set=pa.array(sorted(SCHEMA_CLASSES))),
+        pc.is_in(batch.column("obj"), value_set=_SCHEMA_CLASSES_ARR),
     )
     return _distinct(batch.filter(pc.or_(m1, m2)))
+
+
+def _discover_pass2_keys(t1: pa.Table) -> tuple[set, set]:
+    """Pass-2 key discovery from the pass-1 schema slice: schema SUBJECTS
+    (datasets / slices) and hierarchy edge PREDICATES (pcp / inverse pcp).
+    Shared by the driver-collected and the per-block self-indexing paths."""
+    subj_keys: set[str] = set()
+    edge_preds: set[str] = set()
+    if t1.num_rows == 0 or "graph" not in t1.column_names:
+        return subj_keys, edge_preds
+    for g, s, p, k, o in zip(
+        t1.column("graph").to_pylist(),
+        t1.column("subj").to_pylist(),
+        t1.column("pred").to_pylist(),
+        t1.column("obj_kind").to_pylist(),
+        t1.column("obj").to_pylist(),
+    ):
+        if p == V.QB_slice:
+            subj_keys.add(g + "\x00" + s)          # dataset subjects
+            if k != KIND_LITERAL:
+                subj_keys.add(g + "\x00" + o)      # slice subjects
+        elif p in (V.QB_structure, V.QB_sliceStructure):
+            subj_keys.add(g + "\x00" + s)          # datasets / slices
+        elif p == V.QB_parentChildProperty and k != KIND_LITERAL:
+            if not o.startswith("_:"):
+                edge_preds.add(o)                  # direct pcp
+        elif p == V.OWL_inverseOf and k != KIND_LITERAL and not o.startswith("_:"):
+            edge_preds.add(o)                      # inverse pcp
+    return subj_keys, edge_preds
 
 
 class _FilterPass2:
@@ -167,27 +202,7 @@ def collect_schema_tables(triples) -> list[pa.Table]:
     pass1 = triples.map_batches(_filter_pass1, batch_format="pyarrow")
     t1 = _collect(pass1)
 
-    # discover pass-2 keys
-    subj_keys: set[str] = set()
-    edge_preds: set[str] = set()
-    for g, s, p, k, o in zip(
-        t1.column("graph").to_pylist(),
-        t1.column("subj").to_pylist(),
-        t1.column("pred").to_pylist(),
-        t1.column("obj_kind").to_pylist(),
-        t1.column("obj").to_pylist(),
-    ):
-        if p == V.QB_slice:
-            subj_keys.add(g + "\x00" + s)          # dataset subjects
-            if k != KIND_LITERAL:
-                subj_keys.add(g + "\x00" + o)      # slice subjects
-        elif p in (V.QB_structure, V.QB_sliceStructure):
-            subj_keys.add(g + "\x00" + s)          # datasets / slices
-        elif p == V.QB_parentChildProperty and k != KIND_LITERAL:
-            if not o.startswith("_:"):
-                edge_preds.add(o)                  # direct pcp
-        elif p == V.OWL_inverseOf and k != KIND_LITERAL and not o.startswith("_:"):
-            edge_preds.add(o)                      # inverse pcp
+    subj_keys, edge_preds = _discover_pass2_keys(t1)
     if not subj_keys and not edge_preds:
         return [t1]
     pass2 = triples.map_batches(
@@ -320,10 +335,15 @@ def _build_one(graph: str, sha: str, lg: LocalGraph) -> GraphIndex:
         idx.ic14_req_by_ds[ds] = _props(comps if has_mt else comps & measures_typed)
         if has_mt:
             idx.mt_measures_by_ds[ds] = tuple(sorted(comps & measures_typed))
-            idx.ic17_dims_by_ds[ds] = tuple(
-                p for p in _props(comps & dims_typed) if p != V.QB_measureType
-            )
-            idx.ic17_nmeas_by_ds[ds] = len(comps & measures_typed)
+        # IC-17 state for EVERY dataset with a DSD: the reference runs
+        # IC-17 over all compPropByDataset keys and filters observations
+        # to those carrying a qb:measureType property — it does NOT
+        # require measureType to be a declared component
+        # (ValidatorIC17.java:28-43)
+        idx.ic17_dims_by_ds[ds] = tuple(
+            p for p in _props(comps & dims_typed) if p != V.QB_measureType
+        )
+        idx.ic17_nmeas_by_ds[ds] = len(comps & measures_typed)
 
     # ---- normalization phase-2 pushdown state (Normalizer.java:90-189) ----
     for ds in specs_by_ds:
@@ -506,7 +526,8 @@ def _build_one(graph: str, sha: str, lg: LocalGraph) -> GraphIndex:
             rel.update(props)
     for ms in idx.mt_measures_by_ds.values():
         rel.update(i for i in (iri_of(m) for m in ms) if i)
-    if idx.mt_measures_by_ds:
+    if idx.ic17_nmeas_by_ds:
+        # any DSD dataset: IC-17 keys on observations CARRYING measureType
         rel.add(V.QB_measureType)
     for per_dim in idx.ic19_by_ds.values():
         rel.update(per_dim.keys())
@@ -533,26 +554,7 @@ def extract_indexes_from_batch(batch: pa.Table) -> dict[str, GraphIndex]:
     componentAttachment value carriers) are discovered from the block's own
     pass-1 slice, because schema subjects never cross a file either."""
     t1 = _filter_pass1(batch)
-    subj_keys: set[str] = set()
-    edge_preds: set[str] = set()
-    for g, s, p, k, o in zip(
-        t1.column("graph").to_pylist(),
-        t1.column("subj").to_pylist(),
-        t1.column("pred").to_pylist(),
-        t1.column("obj_kind").to_pylist(),
-        t1.column("obj").to_pylist(),
-    ):
-        if p == V.QB_slice:
-            subj_keys.add(g + "\x00" + s)
-            if k != KIND_LITERAL:
-                subj_keys.add(g + "\x00" + o)
-        elif p in (V.QB_structure, V.QB_sliceStructure):
-            subj_keys.add(g + "\x00" + s)
-        elif p == V.QB_parentChildProperty and k != KIND_LITERAL:
-            if not o.startswith("_:"):
-                edge_preds.add(o)
-        elif p == V.OWL_inverseOf and k != KIND_LITERAL and not o.startswith("_:"):
-            edge_preds.add(o)
+    subj_keys, edge_preds = _discover_pass2_keys(t1)
     tables = [t1]
     if subj_keys or edge_preds:
         tables.append(

@@ -493,3 +493,101 @@ def test_local_findings_ref_form_includes_schema_ics(ray_session):
     )
     assert "IC4" in set(a["ic"])
     assert key(a) == key(b)
+
+
+# -- IC-17 reference-semantics extensions ------------------------------------
+
+_IC17_HEADER = """\
+@prefix qb: <http://purl.org/linked-data/cube#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix ex: <http://e.org/> .
+"""
+
+
+def _ic17_corpus(content):
+    return pa.table(
+        {"repo": ["r"], "path": ["c.ttl"], "commit": ["c0"], "lang": ["turtle"],
+         "content": [content]}
+    )
+
+
+def _findings(content, mode="local"):
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray import CubeValidator
+
+    return CubeValidator(
+        corpus=ray.data.from_arrow(_ic17_corpus(content)), mode=mode
+    ).findings_df()
+
+
+def test_ic17_runs_without_declared_measuretype(ray_session):
+    """ValidatorIC17.java:28-43: IC-17 runs for EVERY dataset with a DSD,
+    keyed on observations CARRYING qb:measureType — declaring it as a
+    component is not required."""
+    ttl = _IC17_HEADER + """
+ex:ds qb:structure ex:dsd .
+ex:dsd qb:component [ qb:dimension ex:d ], [ qb:measure ex:m1 ],
+    [ qb:measure ex:m2 ] .
+ex:d a qb:DimensionProperty .
+ex:m1 a qb:MeasureProperty .
+ex:m2 a qb:MeasureProperty .
+ex:o1 qb:dataSet ex:ds ; ex:d ex:v ; qb:measureType ex:m1 ; ex:m1 1 .
+ex:o2 qb:dataSet ex:ds ; ex:d ex:v ; qb:measureType ex:m2 ; ex:m2 2 .
+ex:o3 qb:dataSet ex:ds ; ex:d ex:v ; qb:measureType ex:m1 ; ex:m1 3 .
+"""
+    for mode in ("local", "shuffle"):
+        f = _findings(ttl, mode)
+        ic17 = f[f["ic"] == "IC17"]
+        # 3 matching obs != 2 measures → all three flagged, 0 non-matching
+        assert sorted(ic17["subject"]) == [
+            "<http://e.org/o1>", "<http://e.org/o2>", "<http://e.org/o3>"
+        ], mode
+        assert all(d == ["0"] for d in ic17["detail"]), mode
+
+
+def test_ic17_empty_dimension_set(ray_session):
+    """A measureType dataset with NO other typed dimensions: every obs pair
+    compares equal (empty dim loop), so all obs are flagged when the obs
+    count differs from the measure count."""
+    ttl = _IC17_HEADER + """
+ex:ds qb:structure ex:dsd .
+ex:dsd qb:component [ qb:dimension qb:measureType ], [ qb:measure ex:m1 ],
+    [ qb:measure ex:m2 ] .
+qb:measureType a qb:DimensionProperty .
+ex:m1 a qb:MeasureProperty .
+ex:m2 a qb:MeasureProperty .
+ex:o1 qb:dataSet ex:ds ; qb:measureType ex:m1 ; ex:m1 1 .
+ex:o2 qb:dataSet ex:ds ; qb:measureType ex:m2 ; ex:m2 2 .
+ex:o3 qb:dataSet ex:ds ; qb:measureType ex:m1 ; ex:m1 3 .
+"""
+    for mode in ("local", "shuffle"):
+        f = _findings(ttl, mode)
+        ic17 = f[f["ic"] == "IC17"]
+        assert sorted(ic17["subject"]) == [
+            "<http://e.org/o1>", "<http://e.org/o2>", "<http://e.org/o3>"
+        ], mode
+
+
+def test_ic17_still_silent_when_counts_match(ray_session):
+    """Control: 2 matching obs == 2 measures → no IC-17 findings."""
+    ttl = _IC17_HEADER + """
+ex:ds qb:structure ex:dsd .
+ex:dsd qb:component [ qb:dimension ex:d ], [ qb:measure ex:m1 ],
+    [ qb:measure ex:m2 ] .
+ex:d a qb:DimensionProperty .
+ex:m1 a qb:MeasureProperty .
+ex:m2 a qb:MeasureProperty .
+ex:o1 qb:dataSet ex:ds ; ex:d ex:v ; qb:measureType ex:m1 ; ex:m1 1 .
+ex:o2 qb:dataSet ex:ds ; ex:d ex:v ; qb:measureType ex:m2 ; ex:m2 2 .
+"""
+    for mode in ("local", "shuffle"):
+        f = _findings(ttl, mode)
+        assert len(f[f["ic"] == "IC17"]) == 0, mode
+
+
+def test_empty_schema_shuffle_mode(ray_session):
+    """Shuffle-mode validation of non-cube RDF (zero schema triples) must
+    return empty findings, not crash in schema collection."""
+    ttl = "<http://e/s> <http://e/p> <http://e/o> ."
+    f = _findings(ttl, "shuffle")
+    assert len(f) == 0
