@@ -2,9 +2,9 @@
 
 The reference's entire query engine is six HashMap functions
 (ValidatorBase.java:34-293).  The schema-scale versions live in the
-broadcast GraphIndex (stages/schema_index.py); THESE are the
-stream-scale equivalents — real Ray Data joins for when the probed side
-is too big to broadcast:
+broadcast GraphIndex / LocalGraph (stages/schema_index.py,
+state/graphstore.py); THESE are the stream-scale equivalents — real Ray
+Data joins for when the probed side is too big to broadcast:
 
 * ``edges(triples, pred)``            — σ_pred projection (graph, subj, obj)
 * ``star_pairs(triples, p1, p2)``     — (x p1 a), (x p2 b) → (a, b): the
@@ -13,10 +13,19 @@ is too big to broadcast:
 * ``path_visit(triples, [p1..pk])``   — k-hop property-path join
   (searchByPathVisit, ValidatorBase.java:34-74): chain of hash joins
   obj_i = subj_{i+1}.
-* ``reachable(triples, pred, roots)`` — s →p* o fixpoint
+* ``reachable(triples, pred, roots)`` — 1+-hop fixpoint closure
   (connectedByRepeatedProp, ValidatorBase.java:234-293) as iterative
   frontier joins WITH a visited set (the reference loops forever on
   cycles; we terminate).
+
+Object-side parity with the LocalGraph twins: objects/path-ends are
+rendered as TERM strings (``<iri>`` / ``_:b`` / ``"lex"^^<dt>``) wherever
+the twin returns terms, and literals are kept where Jena keeps them
+(objects_of / subjects_with / the FINAL path hop) while intermediate path
+hops and reachability traverse resources only (nodeToResource,
+ValidatorBase.java:178-188).  One divergence by representation: a subject
+whose path dead-ends has an empty end-set in the dict twin and simply no
+row here.
 
 All operate per-graph: every join key includes ``graph`` so one logical
 shuffle co-locates a graph's edges, and skew is bounded by file size.
@@ -24,30 +33,88 @@ shuffle co-locates a graph's edges, and skew is bounded by file size.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
+_DEDUP_BUCKETS = 64
+
 
 def distinct(ds: "ray.data.Dataset", cols: list[str] | None = None) -> "ray.data.Dataset":
-    """Exact distinct over ``cols`` (default: all columns) — map-side dedup
-    then one groupby shuffle (count discarded)."""
+    """Exact distinct over ``cols`` (default: all columns) — map-side dedup,
+    coarse-bucket shuffle, per-bucket ``drop_duplicates`` (the project's
+    standard dedup shape; avoids the groupby-count Project path that
+    breaks on schema-less empty blocks)."""
     cols = cols or ds.schema().names
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
-        return df[cols].drop_duplicates().reset_index(drop=True)
+        out = df[cols].drop_duplicates().reset_index(drop=True)
+        key = out[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + "\x00" + out[c].astype(str)
+        out["_db"] = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy()
+            % _DEDUP_BUCKETS
+        ).astype("int32")
+        return out
 
-    pre = ds.map_batches(local, batch_format="pandas")
-    return pre.groupby(cols).count().select_columns(cols)
+    def dedup(grp: pd.DataFrame) -> pd.DataFrame:
+        return grp.drop_duplicates(cols)[cols]
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(dedup, batch_format="pandas")
+    )
 
 
-def edges(triples: "ray.data.Dataset", pred: str, *, kinds=(0, 1)) -> "ray.data.Dataset":
+def _term_vec(df: pd.DataFrame) -> np.ndarray:
+    from ..stages.pivot import _obj_term_vec
+
+    return _obj_term_vec(df)
+
+
+def edges(
+    triples: "ray.data.Dataset",
+    pred: str,
+    *,
+    kinds=(0, 1),
+    terms: bool = False,
+) -> "ray.data.Dataset":
     """σ pred=... → (graph, subj, obj); object restricted to IRI/bnode by
-    default (kinds), matching nodeToResource (ValidatorBase.java:178-188)."""
-    kindlist = list(kinds)
-    return triples.filter(
-        expr=f"pred == '{pred}' and obj_kind in {kindlist}"
-    ).select_columns(["graph", "subj", "obj"])
+    default (``kinds``; pass None for all kinds), matching nodeToResource
+    (ValidatorBase.java:178-188).  ``terms=True`` renders the object as a
+    canonical term string (the LocalGraph twins' representation).  The
+    predicate is matched with a compute kernel, never interpolated into a
+    filter expression (IRIs may contain quotes)."""
+    kindlist = None if kinds is None else list(kinds)
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("pred"), pred)
+        if kindlist is not None:
+            mask = pc.and_(
+                mask, pc.is_in(batch.column("obj_kind"), value_set=pa.array(
+                    kindlist, pa.int8()
+                ))
+            )
+        t = batch.filter(mask)
+        if not terms:
+            return t.select(["graph", "subj", "obj"])
+        df = t.to_pandas()
+        return pa.table(
+            {
+                "graph": pa.array(df["graph"], pa.string()),
+                "subj": pa.array(df["subj"], pa.string()),
+                "obj": pa.array(
+                    _term_vec(df) if len(df) else [], pa.string()
+                ),
+            }
+        )
+
+    return triples.map_batches(f, batch_format="pyarrow")
 
 
 def star_pairs(
@@ -67,15 +134,31 @@ def path_visit(
     triples: "ray.data.Dataset", preds: list[str], *, num_partitions: int = 16
 ) -> "ray.data.Dataset":
     """(graph, start, end) pairs connected by the property path p1/p2/…/pk
-    — searchByPathVisit's both-free mode as chained hash joins."""
+    — searchByPathVisit's both-free mode as chained hash joins.  Literals
+    are filtered BETWEEN hops only (they cannot be traversed); the final
+    hop keeps them, rendered as terms — matching LocalGraph.path_visit."""
+    *mid, last = preds
+    if not mid:
+        cur = edges(triples, last, kinds=None, terms=True).rename_columns(
+            {"subj": "start", "obj": "end"}
+        )
+        return distinct(cur, ["graph", "start", "end"])
     cur = edges(triples, preds[0]).rename_columns({"subj": "start", "obj": "end"})
-    for p in preds[1:]:
+    for p in mid[1:]:
         nxt = edges(triples, p).rename_columns({"subj": "end", "obj": "end2"})
         cur = (
             cur.join(nxt, "inner", num_partitions, on=("graph", "end"))
             .select_columns(["graph", "start", "end2"])
             .rename_columns({"end2": "end"})
         )
+    fin = edges(triples, last, kinds=None, terms=True).rename_columns(
+        {"subj": "end", "obj": "end2"}
+    )
+    cur = (
+        cur.join(fin, "inner", num_partitions, on=("graph", "end"))
+        .select_columns(["graph", "start", "end2"])
+        .rename_columns({"end2": "end"})
+    )
     return distinct(cur, ["graph", "start", "end"])
 
 
@@ -83,8 +166,9 @@ def objects_of(
     triples: "ray.data.Dataset", pred: str, subjects: set[tuple[str, str]]
 ) -> "ray.data.Dataset":
     """searchObjectsOfProperty (ValidatorBase.java:147-155): ∪ objects(s,p)
-    for s in a broadcast (graph, subj) set — semi-join + project, the
-    broadcast-small-side form."""
+    for s in a broadcast (graph, subj) set — semi-join + project.  Objects
+    of ALL kinds (Jena's listObjectsOfProperty does not filter literals),
+    rendered as term strings; exact distinct across blocks."""
     import ray
 
     ref = ray.put(frozenset(subjects))
@@ -95,14 +179,20 @@ def objects_of(
         out = df[pd.Series(keep, index=df.index)]
         return out[["graph", "obj"]].drop_duplicates().reset_index(drop=True)
 
-    return edges(triples, pred).map_batches(f, batch_format="pandas")
+    hits = edges(triples, pred, kinds=None, terms=True).map_batches(
+        f, batch_format="pandas"
+    )
+    return distinct(hits, ["graph", "obj"])
 
 
 def subjects_with(
     triples: "ray.data.Dataset", pred: str, objects: set[tuple[str, str]]
 ) -> "ray.data.Dataset":
     """searchSubjectsWithProperty (ValidatorBase.java:163-171): the reverse
-    semi-join — subjects whose (p, o) hits a broadcast (graph, obj) set."""
+    semi-join — subjects whose (p, o) hits a broadcast (graph, obj_term)
+    set.  Objects are compared as TERM strings (so literal-valued
+    properties like qb:componentRequired \"true\"^^xsd:boolean work);
+    exact distinct across blocks."""
     import ray
 
     ref = ray.put(frozenset(objects))
@@ -113,7 +203,22 @@ def subjects_with(
         out = df[pd.Series(keep, index=df.index)]
         return out[["graph", "subj"]].drop_duplicates().reset_index(drop=True)
 
-    return edges(triples, pred).map_batches(f, batch_format="pandas")
+    hits = edges(triples, pred, kinds=None, terms=True).map_batches(
+        f, batch_format="pandas"
+    )
+    return distinct(hits, ["graph", "subj"])
+
+
+def _nodes_table(rows) -> "ray.data.Dataset":
+    rows = sorted(rows)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "graph": pa.array([g for g, _ in rows], pa.string()),
+                "node": pa.array([n for _, n in rows], pa.string()),
+            }
+        )
+    )
 
 
 def reachable(
@@ -124,10 +229,15 @@ def reachable(
     max_hops: int = 64,
     direction: str = "forward",
 ) -> "ray.data.Dataset":
-    """Fixpoint closure: all (graph, node) reachable from ``roots``
-    (columns graph, node) via 0+ ``pred`` edges.  Broadcast-frontier BFS
-    with a visited set — cycle-safe, unlike the reference
-    (ValidatorBase.java:280-293 has no visited set).
+    """1+-hop fixpoint closure: all (graph, node) reachable from ``roots``
+    (columns graph, node) via one or more ``pred`` edges — a root appears
+    in the result only if some edge REACHES it (connectedByRepeatedProp
+    accumulates hop objects and never the start node,
+    ValidatorBase.java:234-293; matching graphstore.reachable_from).
+    Broadcast-frontier BFS with a visited set — cycle-safe, unlike the
+    reference (no visited set there).  Raises if ``max_hops`` is exhausted
+    with a live frontier rather than returning a silently truncated
+    closure.
 
     The edge stream scans distributed once per hop; the frontier / visited
     sets are broadcast (``ray.put``) — code-list closures are schema-scale
@@ -146,13 +256,16 @@ def reachable(
     else:
         raise ValueError(direction)
     e = edges(triples, pred).rename_columns(cols).materialize()
-    visited: set[tuple[str, str]] = {
+    root_set: set[tuple[str, str]] = {
         (r["graph"], r["node"]) for r in roots.take_all()
     }
-    frontier = visited
+    expanded: set[tuple[str, str]] = set()   # nodes whose edges were followed
+    reached: set[tuple[str, str]] = set()    # nodes hit via ≥1 edge
+    frontier = set(root_set)
     for _ in range(max_hops):
         if not frontier:
             break
+        expanded |= frontier
         fref = ray.put(frontier)
 
         def step_fn(df: pd.DataFrame, fref=fref) -> pd.DataFrame:
@@ -166,10 +279,13 @@ def reachable(
             ).drop_duplicates()
 
         step = e.map_batches(step_fn, batch_format="pandas").take_all()
-        new = {(r["graph"], r["node"]) for r in step} - visited
-        visited |= new
-        frontier = new
-    rows = sorted(visited)
-    return ray.data.from_pandas(
-        pd.DataFrame(rows, columns=["graph", "node"])
-    )
+        hit = {(r["graph"], r["node"]) for r in step}
+        reached |= hit
+        frontier = hit - expanded
+    else:
+        if frontier:
+            raise RuntimeError(
+                f"reachable() exhausted max_hops={max_hops} with a live "
+                "frontier — raise max_hops for this hierarchy depth"
+            )
+    return _nodes_table(reached)

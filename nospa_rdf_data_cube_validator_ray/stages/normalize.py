@@ -51,28 +51,36 @@ def phase1_derive(batch: pa.Table) -> pa.Table:
     spreds = sub.column("pred").to_pylist()
     okinds = sub.column("obj_kind").to_pylist()
     objs = sub.column("obj").to_pylist()
+    odts = sub.column("obj_dt").to_pylist()
+    olangs = sub.column("obj_lang").to_pylist()
 
-    og, osha, osubj, opred, okind, oobj = [], [], [], [], [], []
+    og, osha, osubj, opred, okind, oobj, odt, olang = [], [], [], [], [], [], [], []
 
-    def emit(g, sha, s, p, k, o):
+    def emit(g, sha, s, p, k, o, dt="", lang=""):
         og.append(g)
         osha.append(sha)
         osubj.append(s)
         opred.append(p)
         okind.append(k)
         oobj.append(o)
+        odt.append(dt)
+        olang.append(lang)
 
-    for g, sha, s, p, k, o in zip(graphs, shas, subjs, spreds, okinds, objs):
+    for g, sha, s, p, k, o, dt, lang in zip(
+        graphs, shas, subjs, spreds, okinds, objs, odts, olangs
+    ):
         subj_type, obj_type, comp_prop = _P1_RULES[p]
         if subj_type is not None:
             emit(g, sha, s, V.RDF_type, KIND_IRI, subj_type)
         if obj_type is not None and k != KIND_LITERAL:
             emit(g, sha, o, V.RDF_type, KIND_IRI, obj_type)
         if comp_prop:
-            # qb:componentProperty copies the object verbatim (any kind)
-            emit(g, sha, s, V.QB_componentProperty, k, o)
+            # qb:componentProperty copies the object verbatim — ANY kind,
+            # INCLUDING a literal's datatype/language tag (stripping them
+            # would corrupt term identity in the exported model and
+            # diverge from the broadcast phase-1 twin)
+            emit(g, sha, s, V.QB_componentProperty, k, o, dt, lang)
 
-    n = len(og)
     return pa.Table.from_arrays(
         [
             pa.array(og, pa.string()),
@@ -81,8 +89,8 @@ def phase1_derive(batch: pa.Table) -> pa.Table:
             pa.array(opred, pa.string()),
             pa.array(okind, pa.int8()),
             pa.array(oobj, pa.string()),
-            pa.array([""] * n, pa.string()),
-            pa.array([""] * n, pa.string()),
+            pa.array(odt, pa.string()),
+            pa.array(olang, pa.string()),
         ],
         schema=TRIPLE_SCHEMA,
     )

@@ -28,7 +28,8 @@ def triples_ds():
 def test_path_visit_two_hops():
     out = K.path_visit(triples_ds(), ["p", "p"]).to_pandas()
     got = {(g, s, e) for g, s, e in zip(out["graph"], out["start"], out["end"])}
-    assert got == {("g1", "a", "c"), ("g1", "b", "a"), ("g1", "c", "b")}
+    # path ENDS are term strings (LocalGraph.path_visit parity)
+    assert got == {("g1", "a", "<c>"), ("g1", "b", "<a>"), ("g1", "c", "<b>")}
 
 
 def test_star_pairs():
@@ -55,7 +56,37 @@ def test_semi_joins():
     t = triples_ds()
     objs = K.objects_of(t, "p", {("g1", "a"), ("g2", "a")}).to_pandas()
     assert {(g, o) for g, o in zip(objs["graph"], objs["obj"])} == {
-        ("g1", "b"), ("g2", "z"),
+        ("g1", "<b>"), ("g2", "<z>"),
     }
-    subs = K.subjects_with(t, "p", {("g1", "a")}).to_pandas()
+    # objects are compared as TERM strings (literal-valued props work)
+    subs = K.subjects_with(t, "p", {("g1", "<a>")}).to_pandas()
     assert {(g, s) for g, s in zip(subs["graph"], subs["subj"])} == {("g1", "c")}
+
+
+def test_semi_joins_literal_objects():
+    """Literal-valued properties flow through the stream kernels (Jena's
+    listObjects/listSubjects do not filter literals)."""
+    rows = [
+        ("g1", "s1", "req", 2, "true", "http://www.w3.org/2001/XMLSchema#boolean", ""),
+        ("g1", "s2", "req", 2, "false", "http://www.w3.org/2001/XMLSchema#boolean", ""),
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=["graph", "subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang"],
+    )
+    df["file_sha256"] = "s"
+    t = ray.data.from_pandas(df[["graph", "file_sha256", "subj", "pred",
+                                 "obj_kind", "obj", "obj_dt", "obj_lang"]])
+    term = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+    subs = K.subjects_with(t, "req", {("g1", term)}).to_pandas()
+    assert set(subs["subj"]) == {"s1"}
+    objs = K.objects_of(t, "req", {("g1", "s2")}).to_pandas()
+    assert set(objs["obj"]) == {'"false"^^<http://www.w3.org/2001/XMLSchema#boolean>'}
+
+
+def test_reachable_max_hops_exhaustion_raises():
+    import pytest
+
+    roots = ray.data.from_pandas(pd.DataFrame({"graph": ["g1"], "node": ["a"]}))
+    with pytest.raises(RuntimeError, match="max_hops"):
+        K.reachable(triples_ds(), "p", roots, max_hops=1)
