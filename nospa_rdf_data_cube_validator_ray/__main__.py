@@ -64,10 +64,10 @@ def main(argv=None) -> int:
     if args.report:
         from .pipelines.report import write_report
 
-        write_report(findings, args.report)
+        write_report(findings, args.report, ics=args.ics)
         print(f"report written to {args.report}")
     else:
-        print(render_markdown(findings))
+        print(render_markdown(findings, ics=args.ics))
 
     if args.export_model:
         v.export_model(args.export_model, fmt=args.export_format)

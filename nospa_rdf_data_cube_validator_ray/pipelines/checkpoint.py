@@ -39,15 +39,16 @@ def _fingerprint(path: str) -> dict:
     return {"path": path, "bytes": st.st_size, "mtime": st.st_mtime}
 
 
-def _partition_done(part_dir: str, fp: dict) -> bool:
+def _partition_record(part_dir: str, fp: dict) -> dict | None:
+    """The partition's lineage record iff it exists and its input
+    fingerprint still matches; None otherwise (one read, no TOCTOU
+    between the check and the reuse)."""
     lineage = os.path.join(part_dir, "_lineage.json")
-    if not os.path.exists(lineage):
-        return False
     try:
         rec = json.load(open(lineage))
     except (OSError, json.JSONDecodeError):
-        return False
-    return rec.get("input") == fp
+        return None
+    return rec if rec.get("input") == fp else None
 
 
 def run_resumable(
@@ -56,9 +57,13 @@ def run_resumable(
     *,
     num_buckets: int = 64,
     force: bool = False,
+    **validator_kwargs,
 ) -> dict:
     """Validate every parquet shard under ``corpus_dir``; returns a summary
-    {partitions, skipped, recomputed, findings}."""
+    {partitions, skipped, recomputed, findings}.  Extra keyword arguments
+    pass through to :class:`CubeValidator` (e.g. ``mode="shuffle"`` for
+    shards holding files too large for the one-block local path,
+    ``strict_parse=True``)."""
     shards = sorted(
         os.path.join(corpus_dir, f)
         for f in os.listdir(corpus_dir)
@@ -74,14 +79,16 @@ def run_resumable(
         stem = os.path.splitext(os.path.basename(shard))[0]
         part_dir = os.path.join(out_dir, f"part={stem}")
         fp = _fingerprint(shard)
-        if not force and _partition_done(part_dir, fp):
-            rec = json.load(open(os.path.join(part_dir, "_lineage.json")))
+        rec = None if force else _partition_record(part_dir, fp)
+        if rec is not None:
             total_findings += rec["n_findings"]
             skipped.append(stem)
             continue
 
         t0 = time.perf_counter()
-        v = CubeValidator(corpus_path=shard, num_buckets=num_buckets)
+        v = CubeValidator(
+            corpus_path=shard, num_buckets=num_buckets, **validator_kwargs
+        )
         n_triples = v.normalize().count()
         findings = v.validate_all()
         n_findings = findings.count()
@@ -115,12 +122,28 @@ def run_resumable(
 
 
 def read_findings(out_dir: str) -> "ray.data.Dataset":
+    """All completed partitions' findings.  In-flight ``part=*.tmp``
+    working dirs are excluded (a kill mid-recompute must not surface a
+    partition twice), and a fully clean corpus (every partition wrote
+    zero findings, so no parquet files exist) returns an EMPTY findings
+    Dataset rather than crashing read_parquet on an empty path list."""
     import glob
+
+    import pyarrow as pa
+
+    from ..model import FINDINGS_SCHEMA
 
     files = sorted(
         f
         for d in os.listdir(out_dir)
-        if d.startswith("part=")
+        if d.startswith("part=") and not d.endswith(".tmp")
         for f in glob.glob(os.path.join(out_dir, d, "findings", "*.parquet"))
     )
+    if not files:
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], f.type) for f in FINDINGS_SCHEMA],
+                schema=FINDINGS_SCHEMA,
+            )
+        )
     return ray.data.read_parquet(files)

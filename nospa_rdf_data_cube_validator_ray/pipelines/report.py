@@ -34,7 +34,17 @@ IC_TITLES = {
 }
 
 
-def render_markdown(findings_df: pd.DataFrame, *, title: str = "Validation results") -> str:
+def render_markdown(
+    findings_df: pd.DataFrame,
+    *,
+    title: str = "Validation results",
+    ics: list[str] | None = None,
+) -> str:
+    """``ics`` limits the report to the checks that actually RAN: an IC
+    outside the scope renders "Not checked." — "Pass." is an affirmative
+    clean verdict and must never appear for a filtered-out check (the
+    reference's result appender only logs checks it executed)."""
+    scope = set(ics) if ics is not None else set(IC_TITLES)
     lines = [f"# {title}", ""]
     n = len(findings_df)
     lines.append(f"{n} violation(s) across {findings_df['graph'].nunique() if n else 0} graph(s).")
@@ -42,6 +52,10 @@ def render_markdown(findings_df: pd.DataFrame, *, title: str = "Validation resul
     for ic in sorted(IC_TITLES, key=lambda x: int(x[2:])):
         sub = findings_df[findings_df["ic"] == ic] if n else findings_df
         lines.append(f"## {ic} — {IC_TITLES[ic]}")
+        if ic not in scope:
+            lines.append("Not checked.")
+            lines.append("")
+            continue
         if not len(sub):
             lines.append("Pass.")
             lines.append("")

@@ -29,7 +29,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..model import FINDINGS_SCHEMA
+from ..model import FINDINGS_SCHEMA, TRIPLE_SCHEMA
 from ..sources.parse_stage import parse_corpus, read_corpus
 from ..stages.normalize import with_phase1
 from ..stages.pivot import run_pivot
@@ -92,6 +92,15 @@ class CubeValidator:
             mode = "shuffle" if (checkpoint_dir or triples is not None) else "local"
         if mode not in ("local", "shuffle"):
             raise ValueError(mode)
+        if mode == "local" and (checkpoint_dir or triples is not None):
+            # the local path's correctness rests on one-graph-per-block,
+            # which only the parse pipeline guarantees; an external triple
+            # Dataset or a parquet checkpoint is not file-aligned and
+            # would silently self-index partial graphs
+            raise ValueError(
+                "mode='local' requires the file-aligned parse path; use "
+                "mode='auto'/'shuffle' with triples= or checkpoint_dir"
+            )
         self.mode = mode
         if corpus is None and corpus_path is not None:
             corpus = read_corpus(corpus_path)
@@ -137,8 +146,27 @@ class CubeValidator:
             )
         t = with_phase1(t)
         if self.checkpoint_dir:
+            import glob
+            import os
+            import shutil
+
+            # Ray's write_parquet APPENDS: a stale/partial checkpoint from
+            # an earlier run or corpus version would silently merge into
+            # this one — start from an empty directory
+            if os.path.isdir(self.checkpoint_dir):
+                shutil.rmtree(self.checkpoint_dir)
             t.write_parquet(self.checkpoint_dir)
-            t = ray.data.read_parquet(self.checkpoint_dir)
+            if glob.glob(os.path.join(self.checkpoint_dir, "*.parquet")):
+                t = ray.data.read_parquet(self.checkpoint_dir)
+            else:
+                # zero-triple corpus: Ray skips empty blocks entirely, so
+                # the directory has no files to read — empty triple stream
+                t = ray.data.from_arrow(
+                    pa.Table.from_arrays(
+                        [pa.array([], f.type) for f in TRIPLE_SCHEMA],
+                        schema=TRIPLE_SCHEMA,
+                    )
+                )
         else:
             t = t.materialize()
         self._triples = t
@@ -223,6 +251,12 @@ class CubeValidator:
         the engine amortizes all ICs over shared shuffles, so selection is
         a filter on the findings."""
         ics = set(ics)
+        unknown = ics - set(ALL_ICS)
+        if unknown:
+            # a typo ("ic12", "IC-12") must not masquerade as a clean run
+            raise ValueError(
+                f"unknown IC name(s) {sorted(unknown)}; valid: IC1..IC21"
+            )
         return self.validate_all().filter(lambda r: r["ic"] in ics)
 
     def findings_df(self) -> pd.DataFrame:
