@@ -14,12 +14,15 @@ import re
 import numpy as np
 import pandas as pd
 
-_TOKEN_RE = re.compile(r"\S+")
+# re.ASCII: \S matches everything but ASCII whitespace — the same
+# semantics as RE2's \S in the DuckDB oracles (Unicode whitespace like
+# \u00a0 is token material on BOTH sides)
+_TOKEN_RE = re.compile(r"\S+", re.ASCII)
 _PUNCT_RE = re.compile(r"[.,!?;:]")
 _UPPER_RE = re.compile(r"[A-Z]")
 _DIGIT_RE = re.compile(r"[0-9]")
 # BPE-ish subword pieces: word chars, or runs of punctuation, GPT-2 style
-_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+")
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+", re.ASCII)
 
 
 def text_stats(df: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> pd.DataFrame:
@@ -121,7 +124,7 @@ def lang_id(df: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_id")
     n_cjk = s.str.count(_CJK_RE).to_numpy(dtype=np.int64)
     n_sample = s.str.len().to_numpy(dtype=np.int64)
     hit_cols = {}
-    token_sets = [frozenset(t.lower().split()) for t in s]
+    token_sets = [frozenset(_TOKEN_RE.findall(t.lower())) for t in s]
     for lang in _LID_LANGS:
         sw = _LID_SETS[lang]
         hit_cols[lang] = np.array(

@@ -38,7 +38,14 @@ def _docs(sf_dir: str) -> "ray.data.Dataset":
 
 
 def _embs(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    import ray
+
+    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # order-preserving split: blocks keep file order, so ds.limit() (the
+    # IVF train sample) still sees the same leading rows
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", override_num_blocks=nb
+    )
 
 
 # -- text analysis ----------------------------------------------------------
@@ -175,9 +182,11 @@ def _token_partial_counts(df: pd.DataFrame) -> pd.DataFrame:
     their SQL oracles) can never desynchronize."""
     from collections import Counter
 
+    from ..stages.dedup import tokens
+
     c = Counter()
     for t in df["text"].fillna(""):
-        c.update(t.split())
+        c.update(tokens(t))
     return pd.DataFrame(
         {"token": list(c.keys()), "n": pd.array(list(c.values()), dtype="int64")}
     )
@@ -251,8 +260,10 @@ def q_doc_familiarity(sf_dir: str):
     def score(df: pd.DataFrame) -> pd.DataFrame:
         v = ray.get(vref)
         fams, ntoks = [], []
+        from ..stages.dedup import tokens as _tok
+
         for t in df["text"].fillna(""):
-            toks = t.split()
+            toks = _tok(t)
             fams.append(sum(v.get(w, 0) for w in toks))
             ntoks.append(len(toks))
         return pd.DataFrame(
@@ -558,7 +569,7 @@ FROM documents
 """,
     "dedup_exact": """
 SELECT min(doc_id)::BIGINT AS doc_id, min(n_chars)::BIGINT AS n_chars
-FROM documents GROUP BY text
+FROM documents GROUP BY coalesce(text, '')
 """,
     "corpus_clean_summary": r"""
 WITH kept AS (
@@ -581,7 +592,9 @@ SELECT a.doc_id::BIGINT AS doc_id_a, b.doc_id::BIGINT AS doc_id_b,
         - length(list_intersect(a.words, b.words)))::BIGINT AS n_union
 FROM w a JOIN w b
   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE length(list_intersect(a.words, b.words)) * 10 >=
+WHERE (length(a.words) + length(b.words)
+       - length(list_intersect(a.words, b.words))) > 0
+  AND length(list_intersect(a.words, b.words)) * 10 >=
       (length(a.words) + length(b.words) - length(list_intersect(a.words, b.words))) * 4
 """,
     "knn_cosine_topk": """

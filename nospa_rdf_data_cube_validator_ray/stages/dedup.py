@@ -41,11 +41,20 @@ exploding.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
 
 import ray.data
+
+# \S+ with ASCII \s semantics == RE2's \S in the DuckDB oracles: Unicode
+# whitespace (\u00a0 etc.) is token material on BOTH sides
+_TOKENS_RE = re.compile(r"\S+", re.ASCII)
+
+
+def tokens(text: str) -> list[str]:
+    return _TOKENS_RE.findall(text)
 
 _M61 = (1 << 61) - 1          # Mersenne modulus for permutation hashing
 _B61 = np.uint64(1 << 61)     # shingle-hash domain (mask to 61 bits)
@@ -107,7 +116,7 @@ def shingle_set(text: str, k: int) -> list[str]:
     """Distinct k-token shingle strings (space-joined); fewer than k tokens
     ⇒ one whole-text shingle.  Mirrored in SQL by
     list_distinct(list_transform(...array_to_string(w[i:i+k-1])))."""
-    toks = text.split()
+    toks = tokens(text)
     if not toks:
         return []
     if len(toks) < k:
@@ -188,7 +197,7 @@ def jaccard_block_pairs(
     """
 
     def shingles(text: str) -> set:
-        toks = text.split()
+        toks = tokens(text)
         if ngram <= 1 or len(toks) < ngram:
             return set(toks)
         return {" ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)}
@@ -266,6 +275,13 @@ def minhash_signatures(
     )
 
 
+
+def _segment_bounds(keys: np.ndarray) -> np.ndarray:
+    """Boundaries of equal-key runs in a SORTED key array (shared by every
+    per-bucket pair generator so the segmentation logic exists once)."""
+    return np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+
+
 def _grouped_pairs(df: pd.DataFrame, key: str, max_bucket: int) -> pd.DataFrame:
     """All within-group id pairs for every group of ``key`` present in this
     (coarse) partition: sort once, slice per group — a python loop only
@@ -273,7 +289,7 @@ def _grouped_pairs(df: pd.DataFrame, key: str, max_bucket: int) -> pd.DataFrame:
     df = df[[key, "doc_id"]].drop_duplicates().sort_values([key, "doc_id"])
     keys = df[key].to_numpy()
     ids = df["doc_id"].to_numpy()
-    bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+    bounds = _segment_bounds(keys)
     outs_a, outs_b = [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
         n = e - s
@@ -329,6 +345,11 @@ def band_buckets(
     """(bucket, doc_id) rows: one md5_u64 bucket key per signature band
     (``band:h0,h1,...`` — the exact string a SQL oracle re-derives with
     string_agg).  Docs with no shingles (sentinel signature) emit nothing."""
+    if num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}): trailing "
+            "permutations would silently drop out of candidate generation"
+        )
     rows_per_band = num_perm // bands
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
@@ -485,7 +506,7 @@ def _simhash_batch(texts: "pd.Series") -> np.ndarray:
     """64-bit simhash per text, vectorized across the whole batch: one flat
     token-hash array + reduceat per document (token multiplicity counts,
     per the classic Charikar construction)."""
-    tok_lists = [t.split() for t in texts]
+    tok_lists = [tokens(t) for t in texts]
     lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
     flat = [tok for toks in tok_lists for tok in toks]
     if not flat:
@@ -571,7 +592,7 @@ def simhash_pairs(
         keys = grp["bkey"].to_numpy()
         ids = grp["doc_id"].to_numpy()
         hs = grp["simhash"].to_numpy().view(np.uint64)
-        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        bounds = _segment_bounds(keys)
         rows_a, rows_b, rows_d = [], [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             n = e - s

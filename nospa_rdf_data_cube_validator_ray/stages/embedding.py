@@ -40,6 +40,8 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _emb_matrix(df: pd.DataFrame, col: str) -> np.ndarray:
+    if not len(df):
+        return np.zeros((0, 0), dtype=np.float64)  # keep 2-D for _normalize
     return np.array(df[col].tolist(), dtype=np.float64)
 
 
@@ -53,6 +55,8 @@ class _BlockTopK:
         self.k = k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
         mat = _normalize(_emb_matrix(df, "embedding"))
         ids = df["vec_id"].to_numpy()
         sims = self.qmat @ mat.T                     # (n_query, n_block)
@@ -87,8 +91,7 @@ def knn_topk(
 
     Returns (query_id, neighbor_id, rank) with rank 1..k, ties broken by
     neighbor_id — deterministic across parallelism levels."""
-    qset = set(query_ids)
-    qrows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    qrows = ds.filter(expr=f"{id_col} in {sorted(set(query_ids))}").take_all()
     order = {v: i for i, v in enumerate(query_ids)}
     qrows.sort(key=lambda r: order[r[id_col]])
     qmat = _normalize(np.array([r[emb_col] for r in qrows], dtype=np.float64))
@@ -117,6 +120,8 @@ class _ThresholdPairs:
         self.threshold = threshold
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": []}).astype("int64")
         mat = _normalize(_emb_matrix(df, "embedding"))
         ids = df["vec_id"].to_numpy()
         sims = mat @ self.rmat.T                     # (n_block, n_ref)
@@ -185,6 +190,13 @@ def _block_threshold_pairs(
     blocks, not the corpus."""
 
     def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"_gk": pd.array([], dtype="int64"),
+                 "_bid": pd.array([], dtype="int64"),
+                 id_col: pd.array([], dtype="int64"),
+                 emb_col: []}
+            )
         ids = df[id_col].to_numpy(np.int64)
         bid = ids % blocks
         parts = []
@@ -270,6 +282,10 @@ class IVFIndex:
         cref = ray.put(self.centroids)
 
         def f(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                out = df.copy()
+                out["ivf_list"] = pd.array([], dtype="int64")
+                return out
             c = ray.get(cref)
             mat = _normalize(_emb_matrix(df, emb_col))
             out = df.copy()
@@ -294,6 +310,8 @@ class IVFIndex:
         qref = ray.put({"q": q, "ids": np.asarray(query_ids), "probe": probe})
 
         def f(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(columns=["query_id", "neighbor_id", "cos"])
             s = ray.get(qref)
             mat = _normalize(_emb_matrix(df, emb_col))
             ids = df[id_col].to_numpy()
@@ -336,8 +354,7 @@ def ivf_topk(
     )
     index = IVFIndex(nlist=nlist, nprobe=nprobe).train(sample)
     assigned = index.assign(ds, emb_col=emb_col).materialize()
-    qset = set(query_ids)
-    qrows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    qrows = ds.filter(expr=f"{id_col} in {sorted(set(query_ids))}").take_all()
     order = {v: i for i, v in enumerate(query_ids)}
     qrows.sort(key=lambda r: order[r[id_col]])
     qmat = np.array([r[emb_col] for r in qrows], dtype=np.float64)
@@ -361,6 +378,11 @@ class _HyperplaneHasher:
         self.weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"vec_id": pd.array([], dtype="int64"),
+                 "bucket": pd.array([], dtype="int64")}
+            )
         mat = _emb_matrix(df, "embedding")
         signs = (mat @ self.planes.T) > 0
         return pd.DataFrame(
@@ -406,6 +428,10 @@ def lsh_cosine_pairs(
     planes_ref = ray.put(hashers)
 
     def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.copy()
+            out["bucket"] = pd.array([], dtype="int64")
+            return out
         ps = ray.get(planes_ref)
         mat = _emb_matrix(df, "embedding")
         parts = []
@@ -442,12 +468,3 @@ def lsh_cosine_pairs(
     from .dedup import _dedup_pairs
 
     return _dedup_pairs(found, id_cols=("vec_id_a", "vec_id_b"))
-
-
-class _BucketJoin(_HyperplaneHasher):
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:  # keep embedding col
-        mat = _emb_matrix(df, "embedding")
-        signs = (mat @ self.planes.T) > 0
-        out = df.copy()
-        out["bucket"] = (signs @ self.weights).astype("int64")
-        return out
