@@ -235,14 +235,21 @@ def parse_corpus(
     sweet spot without holding many parsed documents in one heap.
     """
     if split_threshold is not None:
-        # chunk giant files, then repartition so chunk rows land in their
-        # own blocks — otherwise all chunks of one file stay in one task
+        # chunk giant files, then repartition ONLY the chunk rows so each
+        # lands in its own block — repartitioning the whole corpus would
+        # shuffle every unsplit file's content through the object store
+        # for nothing (chunk ids are 1-based for split files, 0 otherwise)
         chunked = corpus.map_batches(
             SplitLargeFiles(split_threshold, chunk_bytes),
             batch_format="pyarrow",
             batch_size=1,
         ).materialize()
-        corpus = chunked.repartition(max(1, chunked.count()))
+        n_chunks = chunked.filter(expr="chunk_id > 0").count()
+        if n_chunks:
+            big = chunked.filter(expr="chunk_id > 0").repartition(n_chunks)
+            corpus = chunked.filter(expr="chunk_id == 0").union(big)
+        else:
+            corpus = chunked
     return corpus.map_batches(
         ParseRDF(strict, max_triples_per_file, max_bytes_per_file),
         batch_format="pyarrow",

@@ -57,7 +57,7 @@ _TOKEN_RE = re.compile(
   | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
   | (?P<PREFIX_DECL>@prefix|@base|(?i:PREFIX(?=\s))|(?i:BASE(?=\s)))
   | (?P<BNODE>_:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])
-  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.\-]*)?:(?:[A-Za-z0-9_:%\-\\]|\.(?=[A-Za-z0-9_:%\-\\.])|[^\x00-\x7F])*|[A-Za-z_][A-Za-z0-9_\-]*)
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.\-]*)?:(?:\\[_~.\-!$&'()*+,;=/?\#@%]|[A-Za-z0-9_:%\-]|\.(?=[A-Za-z0-9_:%\-\\.])|[^\x00-\x7F])*|[A-Za-z_][A-Za-z0-9_\-]*)
   | (?P<DOUBLE>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.?\d+[eE][+-]?\d+))
   | (?P<DECIMAL>[+-]?\d*\.\d+)
   | (?P<INTEGER>[+-]?\d+)
@@ -135,6 +135,7 @@ class TurtleParser:
         self._pred_cache: dict[str, str] = {}
         self._anon_prefix = "a"   # chunked parses use "c<i>_a" to keep
                                   # anonymous bnode ids document-unique
+        self._used_labels: set[str] = set()
 
     # -- token helpers ----------------------------------------------------
 
@@ -154,15 +155,27 @@ class TurtleParser:
             raise RDFSyntaxError(f"expected {ch!r}, got {kind} {val!r} at token {self._i}")
 
     def _new_anon(self) -> str:
-        self._anon += 1
-        return f"_:{self._anon_prefix}{self._anon}"
+        # deterministic ids that can NEVER merge with a user-labelled
+        # blank node: skip over labels the document itself uses (collected
+        # once in parse(); Jena keeps labelled and anonymous nodes distinct)
+        while True:
+            self._anon += 1
+            label = f"{self._anon_prefix}{self._anon}"
+            if label not in self._used_labels:
+                return f"_:{label}"
 
     # -- term production --------------------------------------------------
 
     def _resolve_iri(self, raw: str) -> str:
         iri = _unescape(raw[1:-1])
         if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
-            return self.base + iri
+            # RFC 3986 reference resolution (dot segments, fragments,
+            # absolute paths) — naive concatenation produced IRIs Jena
+            # never would (e.g. base <http://x/a/b> + <c> must be
+            # <http://x/a/c>, not <http://x/a/bc>)
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, iri)
         return iri
 
     def _resolve_pname(self, raw: str) -> str:
@@ -179,7 +192,7 @@ class TurtleParser:
             return _unescape(val[3:-3])
         return _unescape(val[1:-1])
 
-    def _parse_term(self, kind: str, val: str, as_subject: bool = False):
+    def _parse_term(self, kind: str, val: str):
         """Returns (kind, lex, dt, lang)."""
         cached = self._term_cache.get(val) if kind[0] in "IPBD" else None
         if cached is not None:
@@ -237,7 +250,9 @@ class TurtleParser:
                 self._expect_punct("]")
             return (KIND_BNODE, node, "", "")
         if kind == "PUNCT" and val == "(":
-            return (KIND_BNODE, self._parse_collection(), "", "")
+            head = self._parse_collection()
+            # an empty collection IS the IRI rdf:nil, not a blank node
+            return (KIND_IRI if head == RDF_nil else KIND_BNODE, head, "", "")
         raise RDFSyntaxError(f"unexpected token {kind} {val!r}")
 
     def _parse_collection(self) -> str:
@@ -305,7 +320,14 @@ class TurtleParser:
                 nkind, nval = tokens[self._i]
                 if nkind == "PUNCT" and nval == ";":
                     self._i += 1
-                    # allow trailing ; before . or ]
+                    # the grammar is (';' (verb objectList)?)*: consecutive
+                    # and trailing semicolons are all legal — skip them
+                    while self._i < n:
+                        nkind, nval = tokens[self._i]
+                        if nkind == "PUNCT" and nval == ";":
+                            self._i += 1
+                            continue
+                        break
                     if self._i < n:
                         nkind, nval = tokens[self._i]
                         if nkind == "PUNCT" and (nval == "." or nval == "]"):
@@ -316,6 +338,9 @@ class TurtleParser:
     def parse(self, text: str) -> list[Triple]:
         self._tokens = _tokenize(text)
         self._i = 0
+        self._used_labels = {
+            v[2:] for k, v in self._tokens if k == "BNODE"
+        }
         while True:
             kind, val = self._next()
             if kind == "EOF":
@@ -354,7 +379,7 @@ class TurtleParser:
                     self._expect_punct(".")
                 continue
             # subject
-            skind, slex, _, _ = self._parse_term(kind, val, as_subject=True)
+            skind, slex, _, _ = self._parse_term(kind, val)
             if skind == KIND_LITERAL:
                 raise RDFSyntaxError("literal cannot be a subject")
             nkind, nval = self._peek()
@@ -460,15 +485,33 @@ def split_turtle(text: str, chunk_bytes: int) -> list[str]:
     literal is data, not a boundary).  Raises if a candidate boundary does
     not close a statement — the caller then falls back to whole-document
     parsing."""
-    header = "\n".join(_PREFIX_LINE_RE.findall(text)) + "\n"
     spans = _long_string_spans(text)
-    chunks: list[str] = []
+
+    def outside_spans(pos: int) -> bool:
+        for s0, e0 in spans:
+            if s0 <= pos < e0:
+                return False
+            if s0 > pos:
+                break
+        return True
+
+    # positional prefix/base declarations, EXCLUDING prefix-looking lines
+    # inside long-string literals (data, not declarations) — each chunk's
+    # header replays only the declarations in force at its start position,
+    # in document order, so mid-document redefinition resolves identically
+    # to the whole-file parse
+    decls = [
+        (m.start(), m.group(0))
+        for m in _PREFIX_LINE_RE.finditer(text)
+        if outside_spans(m.start())
+    ]
+    chunks: list[tuple[int, str]] = []
     n = len(text)
     start = 0
     si = 0
     while start < n:
         if n - start <= chunk_bytes:
-            chunks.append(text[start:])
+            chunks.append((start, text[start:]))
             break
         cut = text.find("\n\n", start + chunk_bytes)
         while cut != -1:
@@ -479,7 +522,7 @@ def split_turtle(text: str, chunk_bytes: int) -> list[str]:
                 continue
             break
         if cut == -1:
-            chunks.append(text[start:])
+            chunks.append((start, text[start:]))
             break
         piece = text[start:cut]
         if not piece.rstrip().endswith("."):
@@ -487,9 +530,17 @@ def split_turtle(text: str, chunk_bytes: int) -> list[str]:
                 "blank-line boundary does not close a statement; "
                 "cannot chunk this document"
             )
-        chunks.append(piece)
+        chunks.append((start, piece))
         start = cut + 2
-    return [c if i == 0 else header + c for i, c in enumerate(chunks)]
+
+    out = []
+    for i, (pos, c) in enumerate(chunks):
+        if i == 0:
+            out.append(c)
+            continue
+        header = "\n".join(d for p, d in decls if p < pos)
+        out.append(header + "\n" + c if header else c)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -536,6 +587,11 @@ def parse_rdfxml(text: str) -> list[Triple]:
 
     triples: list[Triple] = []
     anon = [0]
+    used_labels = {
+        el.get(f"{{{PREFIX_RDF}}}nodeID")
+        for el in root.iter()
+        if el.get(f"{{{PREFIX_RDF}}}nodeID") is not None
+    }
 
     def qname(tag: str) -> str:
         if tag.startswith("{"):
@@ -544,8 +600,11 @@ def parse_rdfxml(text: str) -> list[Triple]:
         return tag
 
     def new_anon() -> str:
-        anon[0] += 1
-        return f"_:a{anon[0]}"
+        # never collide with a document-labelled rdf:nodeID
+        while True:
+            anon[0] += 1
+            if f"a{anon[0]}" not in used_labels:
+                return f"_:a{anon[0]}"
 
     def resolve(iri: str, base: str) -> str:
         if not base or _ABS_IRI_RE.match(iri):

@@ -39,14 +39,17 @@ class LocalGraph:
     # -- kernel functions (relational reading in SURVEY.md §2.2) ----------
 
     def objects_of(self, subj: str, pred: str) -> set[str]:
-        """Jena listObjectsOfProperty(s, p) — ValidatorBase.java:147-155."""
-        return self._spo.get(pred, {}).get(subj, set())
+        """Jena listObjectsOfProperty(s, p) — ValidatorBase.java:147-155.
+        Returns a COPY: callers may mutate the result (retainAll-style set
+        algebra everywhere in the checks) without corrupting the index."""
+        return set(self._spo.get(pred, {}).get(subj, ()))
 
     def subjects_with(self, pred: str, obj: str | None = None) -> set[str]:
-        """Jena listSubjectsWithProperty — ValidatorBase.java:163-171."""
+        """Jena listSubjectsWithProperty — ValidatorBase.java:163-171.
+        Returns a COPY (see objects_of)."""
         if obj is None:
             return set(self._spo.get(pred, {}).keys())
-        return self._pos.get(pred, {}).get(obj, set())
+        return set(self._pos.get(pred, {}).get(obj, ()))
 
     def all_objects_of(self, pred: str) -> set[str]:
         out: set[str] = set()

@@ -591,3 +591,92 @@ def test_empty_schema_shuffle_mode(ray_session):
     ttl = "<http://e/s> <http://e/p> <http://e/o> ."
     f = _findings(ttl, "shuffle")
     assert len(f) == 0
+
+
+# -- parser review fixes -----------------------------------------------------
+
+
+def test_split_turtle_mid_document_prefix_redefinition():
+    """Chunk headers replay only the declarations in force at the chunk's
+    start, so a prefix redefined mid-document resolves per-position."""
+    stmts_a = [f"p:x{i} p:y p:z ." for i in range(12)]
+    stmts_b = [f"p:u{i} p:y p:z ." for i in range(12)]
+    doc = (
+        "@prefix p: <http://A/> .\n\n" + "\n\n".join(stmts_a)
+        + "\n\n@prefix p: <http://B/> .\n\n" + "\n\n".join(stmts_b)
+    )
+    whole = sorted(P.parse_turtle(doc))
+    for cb in (60, 120, 200):
+        got = []
+        for c in P.split_turtle(doc, cb):
+            got.extend(P.parse_turtle(c))
+        assert sorted(got) == whole, f"chunk_bytes={cb}"
+    assert ("http://A/x0", "http://A/y", 0, "http://A/z", "", "") in whole
+    assert ("http://B/u0", "http://B/y", 0, "http://B/z", "", "") in whole
+
+
+def test_split_turtle_ignores_prefix_lines_inside_literals():
+    stmts = [f'<http://e/s{i}> <http://e/p> "v{i}" .' for i in range(10)]
+    evil = '<http://e/sl> <http://e/p> """\n@prefix p: <http://EVIL/> .\n""" .'
+    doc = "@prefix q: <http://OK/> .\n\n" + "\n\n".join(stmts[:5] + [evil] + stmts[5:] + ["q:a q:b q:c ."])
+    whole = sorted(P.parse_turtle(doc))
+    got = []
+    for c in P.split_turtle(doc, 80):
+        got.extend(P.parse_turtle(c))
+    assert sorted(got) == whole
+    assert not any("EVIL" in t[0] for t in whole)
+
+
+def test_anon_bnode_never_collides_with_labelled():
+    triples = P.parse_turtle(
+        "_:a1 <http://e/p> <http://e/o> . <http://e/s> <http://e/q> [ <http://e/r> <http://e/t> ] ."
+    )
+    anon = {s for s, p, *_ in triples if p == "http://e/r"}
+    assert anon and "_:a1" not in anon  # generated id skipped the used label
+    # the labelled node keeps exactly its own triple
+    assert sum(1 for s, *_ in triples if s == "_:a1") == 1
+
+
+def test_pname_local_escapes():
+    got = P.parse_turtle(
+        "@prefix ex: <http://e/> .\nex:s ex:p ex:foo\\. .\nex:s ex:p ex:o\;x ."
+    )
+    objs = {o for *_, _k, o, _dt, _lg in [(t[0], t[1], t[2], t[3], t[4], t[5]) for t in got]}
+    objs = {t[3] for t in got}
+    assert "http://e/foo." in objs
+    assert "http://e/o;x" in objs
+
+
+def test_empty_collection_is_nil_iri():
+    got = P.parse_turtle("<http://e/s> <http://e/p> () .")
+    (t,) = got
+    assert t[2] == 0  # KIND_IRI
+    assert t[3].endswith("#nil")
+
+
+def test_base_resolution_rfc3986():
+    got = P.parse_turtle(
+        "@base <http://x/a/b> .\n<c> <http://e/p> <../d> .\n<#f> <http://e/p> </g> ."
+    )
+    subjects = {t[0] for t in got}
+    objects = {t[3] for t in got}
+    assert "http://x/a/c" in subjects
+    assert "http://x/d" in objects
+    assert "http://x/a/b#f" in subjects
+    assert "http://x/g" in objects
+
+
+def test_consecutive_semicolons_are_legal():
+    got = P.parse_turtle(
+        "<http://e/s> <http://e/p> <http://e/o> ; ; <http://e/q> <http://e/r> ; ."
+    )
+    assert len(got) == 2
+
+
+def test_graphstore_returns_copies():
+    from nospa_rdf_data_cube_validator_ray.state.graphstore import LocalGraph
+
+    g = LocalGraph()
+    g.add("s", "p", "<o>")
+    g.objects_of("s", "p").clear()
+    assert g.has("s", "p", "<o>")
