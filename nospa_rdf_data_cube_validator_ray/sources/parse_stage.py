@@ -235,19 +235,21 @@ def parse_corpus(
     sweet spot without holding many parsed documents in one heap.
     """
     if split_threshold is not None:
-        # chunk giant files, then repartition ONLY the chunk rows so each
-        # lands in its own block — repartitioning the whole corpus would
-        # shuffle every unsplit file's content through the object store
-        # for nothing (chunk ids are 1-based for split files, 0 otherwise)
+        # chunk giant files, then repartition so every chunk row lands in
+        # its own block (repartition defaults to shuffle=False — a local
+        # block split/merge, not an all-to-all — and one-row-one-block is
+        # the same one-graph-one-block invariant local mode relies on).
+        # Probe for chunks on the pruned chunk_id column first so a corpus
+        # with no giant files skips the block rewrite entirely
+        # (chunk ids are 1-based for split files, 0 otherwise).
         chunked = corpus.map_batches(
             SplitLargeFiles(split_threshold, chunk_bytes),
             batch_format="pyarrow",
             batch_size=1,
         ).materialize()
-        n_chunks = chunked.filter(expr="chunk_id > 0").count()
-        if n_chunks:
-            big = chunked.filter(expr="chunk_id > 0").repartition(n_chunks)
-            corpus = chunked.filter(expr="chunk_id == 0").union(big)
+        max_chunk = chunked.select_columns(["chunk_id"]).max("chunk_id")
+        if max_chunk and max_chunk > 0:
+            corpus = chunked.repartition(max(1, chunked.count()))
         else:
             corpus = chunked
     return corpus.map_batches(
