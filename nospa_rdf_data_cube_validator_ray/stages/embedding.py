@@ -316,14 +316,26 @@ class IVFIndex:
             mat = _normalize(_emb_matrix(df, emb_col))
             ids = df[id_col].to_numpy()
             lists = df["ivf_list"].to_numpy()
-            rows = []
             sims = s["q"] @ mat.T
+            frames = []
             for qi in range(len(s["ids"])):
-                in_probe = np.isin(lists, s["probe"][qi])
-                for j in np.nonzero(in_probe)[0]:
-                    if ids[j] != s["ids"][qi]:
-                        rows.append((s["ids"][qi], ids[j], sims[qi, j]))
-            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+                j = np.nonzero(
+                    np.isin(lists, s["probe"][qi]) & (ids != s["ids"][qi])
+                )[0]
+                if not len(j):
+                    continue
+                # block-local top-k in the exact global (-cos, neighbor_id)
+                # order, so truncation here cannot change the driver merge
+                # and the driver holds ≤ blocks × queries × k rows
+                jj = j[np.lexsort((ids[j], -sims[qi, j]))[:k]]
+                frames.append(pd.DataFrame({
+                    "query_id": s["ids"][qi],
+                    "neighbor_id": ids[jj],
+                    "cos": sims[qi, jj],
+                }))
+            if not frames:
+                return pd.DataFrame(columns=["query_id", "neighbor_id", "cos"])
+            return pd.concat(frames, ignore_index=True)
 
         cands = assigned.filter(
             expr=f"ivf_list in {lists_needed}"
