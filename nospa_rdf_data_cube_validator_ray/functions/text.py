@@ -94,6 +94,74 @@ def quality_scores(df: pd.DataFrame, *, text_col: str = "text", id_col: str = "d
     )
 
 
+def repetition_stats(df: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> pd.DataFrame:
+    """Gopher-style token-repetition signals, exact-integer and
+    SQL-replicable (training_data.ORACLES["text_repetition"]).
+
+    Per document: token count, distinct-token count, the most frequent
+    token (ties → lexicographically smallest, matching the oracle's
+    ``ORDER BY n DESC, tok``) with its count, the most frequent bigram's
+    count, and an integer-arithmetic repetition flag: the top bigram
+    covers > 20% of bigrams, or distinct tokens are < 40% of tokens.
+
+    Vectorized: one findall per document, then explode + hash-groupby;
+    bigrams come from a shifted-array join, no per-row Python loops.
+    """
+    cols = [
+        "doc_id", "n_tokens", "n_distinct_tokens", "top_token",
+        "top_token_count", "top_bigram_count", "is_repetitive",
+    ]
+    if not len(df):
+        out = pd.DataFrame({c: [] for c in cols})
+        return out.astype({c: "int64" for c in cols if c != "top_token"})
+    s = df[text_col].fillna("").astype(str)
+    toks = s.str.findall(_TOKEN_RE)
+    toks.index = pd.RangeIndex(len(toks))  # positional row keys
+    n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+    ex = toks.explode().dropna()
+    idx = ex.index.to_numpy()
+    vals = ex.to_numpy(dtype=object)
+    uc = (
+        pd.DataFrame({"row": idx, "tok": vals})
+        .groupby(["row", "tok"], sort=False)
+        .size()
+        .reset_index(name="n")
+    )
+    n_distinct = uc.groupby("row")["n"].size()
+    top = (
+        uc.sort_values(["row", "n", "tok"], ascending=[True, False, True], kind="mergesort")
+        .drop_duplicates("row")
+        .set_index("row")
+    )
+    if len(vals) > 1:
+        same = idx[:-1] == idx[1:]  # consecutive tokens of the same doc
+        bdf = pd.DataFrame(
+            {
+                "row": idx[:-1][same],
+                "bg": (pd.Series(vals[:-1][same]) + " " + pd.Series(vals[1:][same])).to_numpy(dtype=object),
+            }
+        )
+        btop = bdf.groupby(["row", "bg"], sort=False).size().groupby(level=0).max()
+    else:
+        btop = pd.Series(dtype="int64")
+    rows = pd.RangeIndex(len(df))
+    out = pd.DataFrame(
+        {
+            "doc_id": df[id_col].to_numpy(),
+            "n_tokens": n_tokens,
+            "n_distinct_tokens": n_distinct.reindex(rows, fill_value=0).to_numpy(dtype=np.int64),
+            "top_token": top["tok"].reindex(rows, fill_value="").to_numpy(dtype=object),
+            "top_token_count": top["n"].reindex(rows, fill_value=0).to_numpy(dtype=np.int64),
+            "top_bigram_count": btop.reindex(rows, fill_value=0).to_numpy(dtype=np.int64),
+        }
+    )
+    out["is_repetitive"] = (
+        ((out["n_tokens"] >= 2) & (out["top_bigram_count"] * 5 > out["n_tokens"] - 1))
+        | ((out["n_tokens"] > 0) & (out["n_distinct_tokens"] * 5 < out["n_tokens"] * 2))
+    ).astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # language identification (script + stopword heuristic — no model downloads)
 # ---------------------------------------------------------------------------

@@ -68,6 +68,10 @@ def q_lang_id(sf_dir: str):
     return _docs(sf_dir).map_batches(T.lang_id, batch_format="pandas")
 
 
+def q_text_repetition(sf_dir: str):
+    return _docs(sf_dir).map_batches(T.repetition_stats, batch_format="pandas")
+
+
 def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(T.fingerprint, batch_format="pandas")
 
@@ -322,6 +326,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
+    "text_repetition": q_text_repetition,
     "doc_fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "corpus_clean_summary": q_corpus_clean_summary,
@@ -566,6 +571,42 @@ SELECT doc_id,
        length(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_alpha,
        length(regexp_extract_all(text, '\b(?:the|and|of|to|a|in|is|for)\b'))::BIGINT AS n_stopwords
 FROM documents
+""",
+    "text_repetition": r"""
+WITH tl AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text,''), '\S+') AS toks FROM documents
+), uc AS (
+  SELECT doc_id, tok, count(*) AS n
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM tl) GROUP BY 1, 2
+), uagg AS (
+  SELECT doc_id, count(*) AS n_distinct_tokens, max(n) AS top_token_count FROM uc GROUP BY 1
+), utop AS (
+  SELECT doc_id, tok AS top_token
+  FROM (SELECT doc_id, tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rk
+        FROM uc)
+  WHERE rk = 1
+), bc AS (
+  SELECT doc_id, bg, count(*) AS n
+  FROM (SELECT doc_id, unnest(list_transform(
+            list_zip(toks[1:length(toks)-1], toks[2:length(toks)]),
+            x -> x[1] || ' ' || x[2])) AS bg
+        FROM tl WHERE length(toks) >= 2)
+  GROUP BY 1, 2
+), bagg AS (
+  SELECT doc_id, max(n) AS top_bigram_count FROM bc GROUP BY 1
+)
+SELECT tl.doc_id,
+  length(tl.toks)::BIGINT AS n_tokens,
+  coalesce(uagg.n_distinct_tokens, 0)::BIGINT AS n_distinct_tokens,
+  coalesce(utop.top_token, '') AS top_token,
+  coalesce(uagg.top_token_count, 0)::BIGINT AS top_token_count,
+  coalesce(bagg.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+  (CASE WHEN (length(tl.toks) >= 2 AND coalesce(bagg.top_bigram_count,0) * 5 > length(tl.toks) - 1)
+          OR (length(tl.toks) > 0 AND coalesce(uagg.n_distinct_tokens,0) * 5 < length(tl.toks) * 2)
+        THEN 1 ELSE 0 END)::BIGINT AS is_repetitive
+FROM tl
+LEFT JOIN uagg USING (doc_id) LEFT JOIN utop USING (doc_id) LEFT JOIN bagg USING (doc_id)
 """,
     "dedup_exact": """
 SELECT min(doc_id)::BIGINT AS doc_id, min(n_chars)::BIGINT AS n_chars

@@ -44,6 +44,31 @@ def test_text_stats():
     assert r.loc[2, "n_tokens"] == 0
 
 
+def test_repetition_stats():
+    out = T.repetition_stats(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                # 1: "a b" bigram dominates → repetitive
+                "text": ["a b a b a b a b", "x y z w v u t s r q", "", "b a"],
+            }
+        )
+    ).set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 8
+    assert out.loc[1, "n_distinct_tokens"] == 2
+    assert out.loc[1, "top_token"] == "a"  # tie with "b" → lexicographic
+    assert out.loc[1, "top_token_count"] == 4
+    assert out.loc[1, "top_bigram_count"] == 4  # "a b" ×4
+    assert out.loc[1, "is_repetitive"] == 1
+    assert out.loc[2, "is_repetitive"] == 0
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "top_token"] == ""
+    assert out.loc[3, "is_repetitive"] == 0
+    assert out.loc[4, "top_token"] == "a" and out.loc[4, "top_bigram_count"] == 1
+    # empty batch keeps the schema
+    empty = T.repetition_stats(pd.DataFrame({"doc_id": [], "text": []}))
+    assert list(empty.columns) == list(out.reset_index().columns)
+
+
 def test_lang_id_scripts():
     df, _ = docs_ds()
     out = T.lang_id(df).set_index("doc_id")["lang_pred"]
