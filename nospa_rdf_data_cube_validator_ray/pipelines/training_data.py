@@ -79,6 +79,10 @@ def q_fingerprint(sf_dir: str):
 # -- dedup ------------------------------------------------------------------
 
 
+def q_dedup_clusters(sf_dir: str):
+    return D.jaccard_clusters(_docs(sf_dir))
+
+
 def q_dedup_exact(sf_dir: str):
     kept = D.exact_dedup(_docs(sf_dir))
     return kept.select_columns(["doc_id", "n_chars"])
@@ -331,6 +335,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "corpus_clean_summary": q_corpus_clean_summary,
     "dedup_jaccard_pairs": q_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_pairs": q_minhash_pairs,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
@@ -637,6 +642,33 @@ WHERE (length(a.words) + length(b.words)
        - length(list_intersect(a.words, b.words))) > 0
   AND length(list_intersect(a.words, b.words)) * 10 >=
       (length(a.words) + length(b.words) - length(list_intersect(a.words, b.words))) * 4
+""",
+    "dedup_clusters": r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_extract_all(text, '\S+')) AS words
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM w a JOIN w b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE (length(a.words) + length(b.words)
+         - length(list_intersect(a.words, b.words))) > 0
+    AND length(list_intersect(a.words, b.words)) * 10 >=
+        (length(a.words) + length(b.words)
+         - length(list_intersect(a.words, b.words))) * 4
+), e AS (
+  SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+), comp(node, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, c.lbl FROM comp c JOIN e ON e.a = c.node
+), lab AS (
+  SELECT node, min(lbl) AS cluster_id FROM comp GROUP BY node
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(lab.cluster_id, d.doc_id)::BIGINT AS cluster_id
+FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
 """,
     "knn_cosine_topk": """
 SELECT q.vec_id::BIGINT AS query_id, n.vec_id::BIGINT AS neighbor_id,

@@ -170,35 +170,63 @@ def _sameas_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
-def sameas_alias_table(
-    triples: "ray.data.Dataset",
+def cc_labels(
+    edges: "ray.data.Dataset",
     *,
     max_iters: int = 15,
     num_partitions: int = 8,
 ) -> "ray.data.Dataset":
-    """Distributed connected components over owl:sameAs edges: iterative
-    min-label propagation (label(v) ← min(label(v), min over neighbors'
-    labels)), each round ONE hash join + ONE groupby-min, converging in
-    ≤ diameter rounds with early exit on a per-round fixpoint signature.
-    Returns a Dataset (node, root) — root is the lexicographic minimum of
-    the component, matching :func:`sameas_aliases` exactly.
+    """Distributed connected components over an undirected (src, dst)
+    edge Dataset: iterative min-label propagation (label(v) ← min(label(v),
+    min over neighbors' labels)), each round ONE hash join + ONE
+    groupby-min, converging in ≤ diameter rounds with early exit on a
+    per-round fixpoint signature.  Returns a Dataset (node, label) over
+    every node appearing in ``edges`` — label is the minimum of the
+    component (lexicographic for strings, numeric for ints).
 
-    This is the corpus-scale path: no edge list ever reaches the driver;
-    pair it with :func:`canonicalize_with_alias_table` (join-based
-    aliasing) when the alias table outgrows a broadcast dict."""
+    This is the corpus-scale path: no edge list ever reaches the driver.
+    Callers must pass BOTH directions of each edge (see
+    :func:`_sameas_edges`)."""
     import hashlib as _h
 
-    edges = _sameas_edges(triples).materialize()
+    import pyarrow as pa
+
+    from ..util import heal_schema
+
+    edges = heal_schema(edges, num_partitions).materialize()
+
+    # groupby / join stages can emit schema-LESS empty pandas blocks (see
+    # graft-env-quirks); a schema-less block reaching a hash join raises
+    # ArrowInvalid ("no match for key field"), timing-dependently.  Pin
+    # the (node, label) schema — dtype taken from the edge key — at every
+    # groupby/join output so empty blocks stay typed.
+    # schema().types yields pyarrow types for Arrow blocks but plain
+    # numpy dtypes / `object` for pandas blocks — handle both
+    key_t = dict(zip(edges.schema().names, edges.schema().types))["src"]
+    try:
+        is_int = pa.types.is_integer(key_t)
+    except (TypeError, AttributeError):
+        is_int = str(getattr(key_t, "name", key_t)).startswith(("int", "uint"))
+    pd_dtype = "int64" if is_int else object
+
+    def guard(df: pd.DataFrame, cols=("node", "label")) -> pd.DataFrame:
+        if not len(df) or not set(cols).issubset(df.columns):
+            return pd.DataFrame({c: pd.Series(dtype=pd_dtype) for c in cols})
+        return df[list(cols)]
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["src"], "label": df["src"]})
 
-    labels = _ren(
-        edges.map_batches(init_labels, batch_format="pandas")
-        .groupby("node")
-        .min("label"),
-        {"min(label)": "label"},
-    ).materialize()
+    labels = (
+        _ren(
+            edges.map_batches(init_labels, batch_format="pandas")
+            .groupby("node")
+            .min("label"),
+            {"min(label)": "label"},
+        )
+        .map_batches(guard, batch_format="pandas")
+        .materialize()
+    )
 
     def signature(ds) -> int:
         def h(df: pd.DataFrame) -> pd.DataFrame:
@@ -217,18 +245,56 @@ def sameas_alias_table(
         # neighbor labels: edges ⋈ labels on src → candidate label for dst
         cand = (
             edges.join(
-                _ren(labels, {"node": "src"}), "inner",
+                heal_schema(_ren(labels, {"node": "src"}), num_partitions),
+                "inner",
                 num_partitions, on=("src",),
             )
             .map_batches(
-                lambda df: pd.DataFrame({"node": df["dst"], "label": df["label"]}),
+                lambda df: guard(
+                    df.rename(columns={"dst": "node"}) if "dst" in df.columns else df
+                ),
                 batch_format="pandas",
             )
         )
-        labels = _ren(
-            labels.union(cand).groupby("node").min("label"),
-            {"min(label)": "label"},
-        ).materialize()
+        half = (
+            _ren(
+                labels.union(cand).groupby("node").min("label"),
+                {"min(label)": "label"},
+            )
+            .map_batches(guard, batch_format="pandas")
+            .materialize()
+        )
+        # pointer jumping: label(v) ← label(label(v)).  One-hop
+        # propagation alone needs O(diameter) rounds — a 10^6-long
+        # near-dup chain would never converge; composing each round with
+        # path compression makes it O(log diameter) (Kiveris et al.,
+        # "Connected Components in MapReduce and Beyond", SoCC'14).
+        # Every label value is itself a node of the same component, so
+        # the inner self-join is total.
+        mapping = _ren(half, {"node": "label", "label": "label2"})
+        jumped = (
+            heal_schema(half, num_partitions)
+            .join(
+                heal_schema(mapping, num_partitions), "inner",
+                num_partitions, on=("label",),
+            )
+            .map_batches(
+                lambda df: guard(
+                    df.drop(columns=["label"], errors="ignore").rename(
+                        columns={"label2": "label"}
+                    )
+                ),
+                batch_format="pandas",
+            )
+        )
+        labels = (
+            _ren(
+                half.union(jumped).groupby("node").min("label"),
+                {"min(label)": "label"},
+            )
+            .map_batches(guard, batch_format="pandas")
+            .materialize()
+        )
         new_sig = signature(labels)
         if new_sig == sig:
             converged = True
@@ -237,12 +303,29 @@ def sameas_alias_table(
     if not converged:
         # min-label propagation advances one hop per round: a component
         # whose diameter exceeds max_iters would silently get WRONG roots —
-        # fail loudly instead of linking entities to intermediate labels
+        # fail loudly instead of linking nodes to intermediate labels
         raise RuntimeError(
-            f"sameas_alias_table did not converge within {max_iters} rounds "
-            "(a sameAs component's diameter exceeds it); re-run with a "
+            f"cc_labels did not converge within {max_iters} rounds "
+            "(a component's diameter exceeds it); re-run with a "
             "larger max_iters"
         )
+    return labels
+
+
+def sameas_alias_table(
+    triples: "ray.data.Dataset",
+    *,
+    max_iters: int = 15,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Connected components over owl:sameAs edges via :func:`cc_labels`.
+    Returns a Dataset (node, root) — root is the lexicographic minimum of
+    the component, matching :func:`sameas_aliases` exactly.  Pair it with
+    :func:`canonicalize_with_alias_table` (join-based aliasing) when the
+    alias table outgrows a broadcast dict."""
+    labels = cc_labels(
+        _sameas_edges(triples), max_iters=max_iters, num_partitions=num_partitions
+    )
     return _ren(labels.filter(expr="node != label"), {"label": "root"})
 
 
@@ -266,15 +349,19 @@ def canonicalize_with_alias_table(
 
         return f
 
+    from ..util import heal_schema
+
     t = triples.join(
-        _ren(alias_table, {"node": "subj"}), "left_outer",
+        heal_schema(_ren(alias_table, {"node": "subj"}), num_partitions),
+        "left_outer",
         num_partitions, on=("subj",), right_suffix="_r",
     ).map_batches(
         app("subj", lambda df: ~df["subj"].str.startswith("_:")),
         batch_format="pandas",
     )
-    t = t.join(
-        _ren(alias_table, {"node": "obj"}), "left_outer",
+    t = heal_schema(t, num_partitions).join(
+        heal_schema(_ren(alias_table, {"node": "obj"}), num_partitions),
+        "left_outer",
         num_partitions, on=("obj",), right_suffix="_r",
     ).map_batches(
         app("obj", lambda df: df["obj_kind"] == 0), batch_format="pandas"

@@ -225,6 +225,119 @@ def jaccard_block_pairs(
     return ds.groupby(list(block_cols)).map_groups(pairs, batch_format="pandas")
 
 
+def _union_find_labels(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact driver-side connected components for a SMALL (bounded by the
+    caller) symmetric (src, dst) edge Dataset: path-halving union-find,
+    roots re-labeled to the component minimum.  Returns (node, label)."""
+    df = edges.to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for s, d in zip(df["src"].astype("int64"), df["dst"].astype("int64")):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)  # union by min keeps labels stable
+    nodes = list(parent)
+    out = pd.DataFrame(
+        {"node": pd.array(nodes, dtype="int64"),
+         "label": pd.array([find(n) for n in nodes], dtype="int64")}
+    )
+    return ray.data.from_pandas(out)
+
+
+def jaccard_clusters(
+    ds: "ray.data.Dataset",
+    *,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 4,
+    threshold_den: int = 10,
+    max_block: int = 10_000,
+    ngram: int = 1,
+    max_iters: int = 15,
+    num_partitions: int = 8,
+    max_driver_edges: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Near-duplicate cluster assignment: the blocked exact-Jaccard pair
+    graph (:func:`jaccard_block_pairs`) fed into connected components,
+    then every document labeled with its cluster's minimum doc_id —
+    docs in no pair are their own singleton cluster.  Returns a Dataset
+    (doc_id, cluster_id), both int64; downstream "keep one per cluster"
+    is a filter on doc_id == cluster_id.
+
+    Component-finding is size-adaptive (same regime split as
+    ``cosine_threshold_pairs``): a near-dup edge list is tiny relative
+    to the corpus (only docs in ≥1 pair appear), so up to
+    ``max_driver_edges`` it is collected ONCE and union-found exactly on
+    the driver — each of Ray 2.49's hash-shuffle ops costs ~10 s in
+    aggregator-actor spin-up, so the join-rounds path costs minutes of
+    fixed overhead regardless of input size.  Above the threshold it
+    switches to :func:`..canonicalize.cc_labels` (min-label propagation
+    + pointer-jumping joins — O(log diameter) rounds, no edge list on
+    the driver); parity between the two paths is tested on seeded
+    graphs (tests/test_training_data.py).  Pair generation is
+    block-bounded either way, and the final assignment is one union +
+    groupby-min — never a corpus-scale driver materialization."""
+    from .canonicalize import cc_labels
+
+    pairs = jaccard_block_pairs(
+        ds,
+        block_cols=block_cols,
+        text_col=text_col,
+        id_col=id_col,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        max_block=max_block,
+        ngram=ngram,
+    )
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_id_a"].astype("int64")
+        b = df["doc_id_b"].astype("int64")
+        return pd.DataFrame(
+            {"src": pd.concat([a, b], ignore_index=True),
+             "dst": pd.concat([b, a], ignore_index=True)}
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pandas").materialize()
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype("int64")
+        return pd.DataFrame({"node": ids, "label": ids})
+
+    singletons = ds.map_batches(base, batch_format="pandas")
+    n_edges = edges.count()
+    if n_edges == 0:
+        merged = singletons
+    elif n_edges <= max_driver_edges:
+        merged = singletons.union(_union_find_labels(edges))
+    else:
+        labels = cc_labels(
+            edges, max_iters=max_iters, num_partitions=num_partitions
+        )
+        merged = singletons.union(labels)
+    out = merged.groupby("node").min("label")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"node": id_col, "min(label)": "cluster_id"})
+        if not len(df) or id_col not in df.columns:
+            # schema-less empty blocks out of a sparse groupby (env quirk)
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "cluster_id": pd.Series(dtype="int64")}
+            )
+        return df[[id_col, "cluster_id"]]
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -450,9 +563,17 @@ def minhash_lsh_pairs(
 
         return f
 
-    sig_a = sigs.map_batches(rename("doc_id_a", "sig_a"), batch_format="pandas")
-    sig_b = sigs.map_batches(rename("doc_id_b", "sig_b"), batch_format="pandas")
-    joined = cands.join(
+    from ..util import heal_schema
+
+    sig_a = heal_schema(
+        sigs.map_batches(rename("doc_id_a", "sig_a"), batch_format="pandas"),
+        num_partitions,
+    )
+    sig_b = heal_schema(
+        sigs.map_batches(rename("doc_id_b", "sig_b"), batch_format="pandas"),
+        num_partitions,
+    )
+    joined = heal_schema(cands, num_partitions).join(
         sig_a, "inner", num_partitions, on=("doc_id_a",)
     ).join(sig_b, "inner", num_partitions, on=("doc_id_b",))
 

@@ -18,3 +18,20 @@ def auto_concurrency(concurrency=None):
     except Exception:
         n = 4
     return (1, max(2, n))
+
+
+def heal_schema(ds, num_partitions: int):
+    """Work around a Ray 2.49 empty-block quirk at hash-join boundaries.
+
+    A stage whose pandas UDF returns a 0-row frame yields a schema-LESS
+    empty block, and ``map_batches`` never invokes its UDF on an empty
+    block, so no downstream guard (or rename!) can re-type it; a hash
+    join receiving one raises ``ArrowInvalid: No match or multiple
+    matches for key field`` — timing-dependently, since it needs the
+    empty block to land in a join partition.  ``repartition()`` rebuilds
+    blocks as row-slices of typed neighbors, so empties come out typed.
+
+    Call this as the LAST op on each ``Dataset.join`` operand (after any
+    rename — renames skip empty blocks too).  A fully-empty dataset
+    stays schema-less; callers must short-circuit that case."""
+    return ds.repartition(num_partitions)

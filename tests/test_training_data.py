@@ -123,6 +123,37 @@ def test_jaccard_ngram_pairs():
     assert (0, 3) not in got
 
 
+def test_jaccard_clusters():
+    _, ds = docs_ds()
+    out = D.jaccard_clusters(ds).to_pandas().sort_values("doc_id")
+    # {0,1,2} near-dup cluster in (en,srcA); 3 unrelated; 4/5 other blocks
+    assert dict(zip(out.doc_id, out.cluster_id)) == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5}
+
+
+def test_jaccard_clusters_distributed_parity():
+    # force the cc_labels join-rounds path (max_driver_edges=0) and check
+    # it matches the driver union-find path on the same input — incl. a
+    # 3-hop near-dup chain that needs >1 propagation round
+    _, ds = docs_ds()
+    small = D.jaccard_clusters(ds).to_pandas()
+    dist = D.jaccard_clusters(
+        ds, max_driver_edges=0, num_partitions=2
+    ).to_pandas()
+    a = dict(zip(small.doc_id, small.cluster_id))
+    b = dict(zip(dist.doc_id, dist.cluster_id))
+    assert a == b
+
+
+def test_union_find_labels_chain():
+    import ray.data as rd
+
+    # 0-1-2-...-9 chain (symmetric edges): one component rooted at 0
+    e = pd.DataFrame({"src": list(range(9)) + list(range(1, 10)),
+                      "dst": list(range(1, 10)) + list(range(9))})
+    out = D._union_find_labels(rd.from_pandas(e)).to_pandas()
+    assert set(out.label) == {0} and len(out) == 10
+
+
 def test_minhash_lsh_pairs():
     _, ds = docs_ds()
     pairs = D.minhash_lsh_pairs(ds, threshold=0.7).to_pandas()
