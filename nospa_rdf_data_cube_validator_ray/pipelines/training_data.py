@@ -244,6 +244,36 @@ def q_hash_sample(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination scan (see
+    stages.dedup.benchmark_contamination): md5-split eval set, broadcast
+    shingle set, map-only overlap scoring."""
+    return D.benchmark_contamination(_docs(sf_dir))
+
+
+def q_source_mix_sample(sf_dir: str):
+    """Domain mixing: per-source acceptance rates applied as a
+    deterministic hash sample — source s keeps ``(1 + md5(s) % 9)/10``
+    of its docs, decided per doc by a salted md5 of doc_id, so the mix
+    is exactly reproducible across cluster sizes and retries and never
+    shuffles (vs. weighted random_shuffle sampling).  The per-source
+    rate here is hash-derived for the oracle; a real pipeline passes a
+    curated weights table the same way."""
+    from ..stages.dedup import _md5_u64
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        rate = df["source"].map(lambda s: 1 + _md5_u64(s) % 9)
+        keep = [
+            (_md5_u64(f"{i}:mix") % 10) < r for i, r in zip(ids, rate)
+        ]
+        out = df.loc[keep, ["doc_id", "source"]].copy()
+        out["rate_num"] = rate[keep].astype("int64")
+        return out
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
 def q_doc_familiarity(sf_dir: str):
     """Corpus-familiarity score (unigram-LM shape with integer arithmetic
     so the oracle is exact): global token counts are aggregated once
@@ -315,6 +345,48 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE md5_number_lower(doc_id::VARCHAR) % 100 < 10
 """
 
+# same shingling as the MinHash CTE (k=3); benchmark split = md5 % 20
+_SQL_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(w) = 0 THEN []::VARCHAR[]
+         WHEN length(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, length(w) - 2),
+                             i -> array_to_string(w[i:i + 2], ' '))
+    END)) AS s
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT s FROM sh
+  WHERE md5_number_lower(doc_id::VARCHAR) % 20 = 0
+),
+scores AS (
+  SELECT d.doc_id,
+         count(sh.s)::BIGINT AS n_grams,
+         count(b.s)::BIGINT AS n_overlap
+  FROM documents d
+  LEFT JOIN sh ON sh.doc_id = d.doc_id
+  LEFT JOIN bench b ON b.s = sh.s
+  WHERE md5_number_lower(d.doc_id::VARCHAR) % 20 != 0
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_grams, n_overlap,
+       (n_overlap >= 1)::BIGINT AS contaminated
+FROM scores
+"""
+
+_SQL_SOURCE_MIX = """
+SELECT doc_id, source,
+       (1 + md5_number_lower(source) % 9)::BIGINT AS rate_num
+FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR || ':mix') % 10 <
+      1 + md5_number_lower(source) % 9
+"""
+
 
 # -- multimodal (stubbed decode; plumbing real) -----------------------------
 
@@ -348,6 +420,8 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "docs_hash_sample": q_hash_sample,
     "doc_familiarity": q_doc_familiarity,
+    "contamination": q_contamination,
+    "source_mix_sample": q_source_mix_sample,
 }
 
 # ---------------------------------------------------------------------------
@@ -701,4 +775,6 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "vocab_topk": _SQL_VOCAB_TOPK,
     "docs_hash_sample": _SQL_HASH_SAMPLE,
     "doc_familiarity": _SQL_DOC_FAMILIARITY,
+    "contamination": _SQL_CONTAMINATION,
+    "source_mix_sample": _SQL_SOURCE_MIX,
 }

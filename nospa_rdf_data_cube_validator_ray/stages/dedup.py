@@ -745,3 +745,70 @@ def simhash_pairs(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return _dedup_pairs(pairs, extra_cols=("hamming",))
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (decontamination scan)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    ds: "ray.data.Dataset",
+    *,
+    bench_mod: int = 20,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: int = 1,
+) -> "ray.data.Dataset":
+    """Decontamination scan: flag training documents that share k-token
+    shingles with a held-out benchmark/eval set (the overlap check run
+    before any training corpus ships — GPT-3 appendix C / Llama-style
+    n-gram decontamination).
+
+    The benchmark membership here is the deterministic md5 split
+    (``md5(doc_id) % bench_mod == 0`` — same kernel as
+    ``docs_hash_sample``); in a real pipeline it would be an external
+    eval corpus.  Either way the benchmark side is EVAL-scale (MBs, not
+    corpus-scale), so its distinct shingle set is collected once on the
+    driver and broadcast via ``ray.put``; the scan itself is one
+    stateless ``map_batches`` over the corpus — zero shuffle, linear in
+    corpus size, trivially resumable.  Shingling mirrors
+    :func:`shingle_set` (== the MinHash oracle CTE).
+
+    Returns per-TRAINING-doc (benchmark docs are not scored)
+    ``(doc_id, n_grams, n_overlap, contaminated)`` — all int64."""
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype("int64")
+        grams: set[str] = set()
+        for i, t in zip(ids, df[text_col].fillna("")):
+            if _md5_u64(str(int(i))) % bench_mod == 0:
+                grams.update(shingle_set(t, shingle_k))
+        return pd.DataFrame({"g": sorted(grams)})
+
+    # per-batch distinct first, then a driver set() over the (tiny)
+    # benchmark gram rows — documented eval-scale assumption
+    bench = frozenset(
+        r["g"]
+        for r in ds.map_batches(bench_grams, batch_format="pandas").take_all()
+    )
+    ref = ray.put(bench)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        g = ray.get(ref)
+        ids = df[id_col].astype("int64")
+        rows = []
+        for i, t in zip(ids, df[text_col].fillna("")):
+            if _md5_u64(str(int(i))) % bench_mod == 0:
+                continue
+            sh = shingle_set(t, shingle_k)
+            ov = sum(1 for s in sh if s in g)
+            rows.append(
+                (int(i), len(sh), ov, 1 if ov >= min_overlap else 0)
+            )
+        return pd.DataFrame(
+            rows, columns=[id_col, "n_grams", "n_overlap", "contaminated"]
+        ).astype("int64")
+
+    return ds.map_batches(scan, batch_format="pandas")

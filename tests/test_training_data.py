@@ -144,6 +144,48 @@ def test_jaccard_clusters_distributed_parity():
     assert a == b
 
 
+def test_benchmark_contamination():
+    import ray.data as rd
+
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import (
+        _md5_u64,
+        shingle_set,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                f"shared prefix tokens doc {i} unique tail {i * 7}"
+                if i % 3 else "completely shared benchmark sentence here"
+                for i in range(40)
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(3)
+    out = D.benchmark_contamination(ds, bench_mod=4).to_pandas()
+    # mini-oracle in pure python
+    bench_ids = {i for i in range(40) if _md5_u64(str(i)) % 4 == 0}
+    grams = set()
+    for i in bench_ids:
+        grams.update(shingle_set(docs.text[i], 3))
+    exp = {}
+    for i in range(40):
+        if i in bench_ids:
+            continue
+        sh = shingle_set(docs.text[i], 3)
+        ov = sum(1 for s in sh if s in grams)
+        exp[i] = (len(sh), ov, int(ov >= 1))
+    got = {
+        int(r.doc_id): (int(r.n_grams), int(r.n_overlap), int(r.contaminated))
+        for r in out.itertuples()
+    }
+    assert got == exp
+    assert bench_ids.isdisjoint(got)
+    # the %3==0 non-bench docs share all shingles with bench copies
+    assert any(v[2] for v in exp.values())
+
+
 def test_union_find_labels_chain():
     import ray.data as rd
 
