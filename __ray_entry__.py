@@ -597,6 +597,114 @@ SELECT ic, subject FROM (
 
 
 # ---------------------------------------------------------------------------
+# entity resolution (nation-derived owl:sameAs corpus)
+# ---------------------------------------------------------------------------
+
+_OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def _entity_triples(sf_dir: str):
+    """Parse the nation-derived sameAs corpus once per sf_dir."""
+    state = _CACHE.setdefault(sf_dir, {})
+    if "entity_triples" not in state:
+        import ray.data
+
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_entity_corpus
+        from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+
+        state["entity_triples"] = parse_corpus(
+            ray.data.from_arrow(tpch_entity_corpus(sf_dir))
+        ).materialize()
+    return state["entity_triples"]
+
+
+def q_kg_canonical_iris(sf_dir: str):
+    """RFC-3986 IRI canonicalization as an oracle-checked map: every
+    as-written IRI in the sameAs corpus (messy case/port, dot-segment,
+    percent-encoding variants — fixtures.entity_messy_iri) → its
+    normalized form (stages/canonicalize.normalize_iri).  The oracle
+    rebuilds both columns from nation with string concatenation."""
+    from nospa_rdf_data_cube_validator_ray.functions.kernel import distinct
+    from nospa_rdf_data_cube_validator_ray.stages.canonicalize import normalize_iri
+
+    sameas = _entity_triples(sf_dir).filter(expr=f"pred == '{_OWL_SAMEAS}'")
+
+    def raw_iris(df: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.unique(
+            pd.concat([df["subj"], df["obj"]], ignore_index=True)
+        )
+        return pd.DataFrame({"iri": pd.Series(vals, dtype=object)})
+
+    iris = distinct(
+        sameas.map_batches(raw_iris, batch_format="pandas"), ["iri"]
+    )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"iri": df["iri"], "canonical": df["iri"].map(normalize_iri)}
+        )
+
+    return iris.map_batches(canon, batch_format="pandas")
+
+
+def q_kg_sameas_roots(sf_dir: str):
+    """Entity resolution end-to-end: parse → normalize IRIs → connected
+    components over owl:sameAs → (node, root) alias table, root = the
+    component's lexicographic minimum.  Exercises the size-adaptive CC
+    (driver union-find here; cc_labels join rounds above the threshold,
+    parity-tested)."""
+    from nospa_rdf_data_cube_validator_ray.stages.canonicalize import (
+        sameas_alias_table,
+    )
+
+    return sameas_alias_table(_entity_triples(sf_dir))
+
+
+_SQL_KG_CANONICAL = """
+WITH n AS (SELECT n_nationkey AS k FROM nation),
+chain AS (
+  SELECT k, unnest(generate_series(0, k % 4)) AS j FROM n WHERE k % 4 >= 1
+),
+crossn AS (
+  SELECT k, 0 AS j FROM n WHERE k >= 20
+  UNION ALL
+  SELECT k - 20 AS k, 0 AS j FROM n WHERE k >= 20
+),
+nodes AS (
+  SELECT DISTINCT k, j FROM (SELECT * FROM chain UNION ALL SELECT * FROM crossn)
+)
+SELECT CASE j
+         WHEN 1 THEN 'HTTP://Example.ORG:80/ent/' || k || '/1'
+         WHEN 2 THEN 'http://example.org/x/../ent/' || k || '/2'
+         WHEN 3 THEN 'http://example.org/%65nt/' || k || '/3'
+         ELSE 'http://example.org/ent/' || k || '/' || j
+       END AS iri,
+       'http://example.org/ent/' || k || '/' || j AS canonical
+FROM nodes
+"""
+
+_SQL_KG_ROOTS = """
+WITH n AS (SELECT n_nationkey AS k FROM nation),
+chain AS (
+  SELECT k, unnest(generate_series(0, k % 4)) AS j FROM n WHERE k % 4 >= 1
+),
+crossn AS (
+  SELECT k, 0 AS j FROM n WHERE k >= 20
+  UNION ALL
+  SELECT k - 20 AS k, 0 AS j FROM n WHERE k >= 20
+),
+members AS (
+  SELECT DISTINCT CASE WHEN k >= 20 THEN k - 20 ELSE k END AS c,
+         'http://example.org/ent/' || k || '/' || j AS node
+  FROM (SELECT * FROM chain UNION ALL SELECT * FROM crossn)
+),
+roots AS (SELECT c, min(node) AS root FROM members GROUP BY c)
+SELECT m.node, r.root FROM members m JOIN roots r USING (c)
+WHERE m.node != r.root
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -636,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_mt_ic17": q_mt_ic17,
         "cube_triples_by_pred": q_cube_triples_by_pred,
         "cube_xml_by_pred": q_cube_xml_by_pred,
+        "kg_canonical_iris": q_kg_canonical_iris,
+        "kg_sameas_roots": q_kg_sameas_roots,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -671,6 +781,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_mt_ic17": _SQL_MT_IC17,
         "cube_triples_by_pred": _SQL_TRIPLES_BY_PRED,
         "cube_xml_by_pred": _SQL_TRIPLES_BY_PRED,
+        "kg_canonical_iris": _SQL_KG_CANONICAL,
+        "kg_sameas_roots": _SQL_KG_ROOTS,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

@@ -886,3 +886,64 @@ def tpch_schema_corpus(sf_dir: str, n_files: int = 64) -> pa.Table:
         rows["lang"].append("turtle")
         rows["content"].append("\n\n".join(out) + "\n")
     return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+
+def entity_messy_iri(k: int, j: int) -> str:
+    """The as-written (possibly messy) IRI for entity (k, j) — three
+    RFC-3986 families that all normalize to ``entity_canonical_iri``:
+    j=1 uppercased scheme/host + default port, j=2 dot-segments,
+    j=3 percent-encoded unreserved octet."""
+    if j == 1:
+        return f"HTTP://Example.ORG:80/ent/{k}/1"
+    if j == 2:
+        return f"http://example.org/x/../ent/{k}/2"
+    if j == 3:
+        return f"http://example.org/%65nt/{k}/3"
+    return f"http://example.org/ent/{k}/{j}"
+
+
+def entity_canonical_iri(k: int, j: int) -> str:
+    return f"http://example.org/ent/{k}/{j}"
+
+
+def tpch_entity_corpus(sf_dir: str, n_files: int = 5) -> pa.Table:
+    """nation.parquet → owl:sameAs entity-resolution corpus.
+
+    For nation key k: a chain of ``k % 4`` sameAs edges over entities
+    ent/k/0..k%4, each IRI written in a messy form (see
+    :func:`entity_messy_iri`), plus a cross-chain merge
+    ``ent/k/0 owl:sameAs ent/{k-20}/0`` for k ≥ 20.  Every as-written
+    IRI, its canonical form, and every connected component (and its
+    lexicographic-min root) is a pure function of n_nationkey — so a
+    DuckDB oracle over nation predicts both the normalization map
+    (``kg_canonical_iris``) and the alias table (``kg_sameas_roots``)
+    without parsing any RDF."""
+    import pyarrow.parquet as pq
+
+    SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+    keys = sorted(
+        pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        .column("n_nationkey")
+        .to_pylist()
+    )
+    buckets: dict[int, list[str]] = {}
+    for k in keys:
+        lines = buckets.setdefault(k % n_files, [])
+        for j in range(1, k % 4 + 1):
+            lines.append(
+                f"<{entity_messy_iri(k, j)}> <{SAMEAS}> "
+                f"<{entity_messy_iri(k, j - 1)}> ."
+            )
+        if k >= 20:
+            lines.append(
+                f"<{entity_canonical_iri(k, 0)}> <{SAMEAS}> "
+                f"<{entity_canonical_iri(k - 20, 0)}> ."
+            )
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for b, lines in sorted(buckets.items()):
+        rows["repo"].append("synthetic/tpch-entities")
+        rows["path"].append(f"entities/e{b:02d}.ttl")
+        rows["commit"].append("deadbeef" * 5)
+        rows["lang"].append("turtle")
+        rows["content"].append("\n".join(lines) + "\n")
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})

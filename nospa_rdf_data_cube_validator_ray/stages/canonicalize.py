@@ -170,6 +170,41 @@ def _sameas_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def _union_find_labels(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact driver-side connected components for a SMALL (bounded by the
+    caller) symmetric (src, dst) edge Dataset: path-halving union-find,
+    roots re-labeled to the component minimum (numeric for ints,
+    lexicographic for strings — matching :func:`cc_labels`).  Node dtype
+    is preserved.  Returns (node, label)."""
+    df = edges.to_pandas()
+    if not len(df) or "src" not in df.columns:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"node": pd.Series(dtype=object), "label": pd.Series(dtype=object)}
+            )
+        )
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for s, d in zip(df["src"], df["dst"]):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)  # union by min keeps labels stable
+    nodes = list(parent)
+    dtype = df["src"].dtype
+    out = pd.DataFrame(
+        {"node": pd.Series(nodes, dtype=dtype),
+         "label": pd.Series([find(n) for n in nodes], dtype=dtype)}
+    )
+    return ray.data.from_pandas(out)
+
+
 def cc_labels(
     edges: "ray.data.Dataset",
     *,
@@ -317,15 +352,28 @@ def sameas_alias_table(
     *,
     max_iters: int = 15,
     num_partitions: int = 8,
+    max_driver_edges: int = 2_000_000,
 ) -> "ray.data.Dataset":
-    """Connected components over owl:sameAs edges via :func:`cc_labels`.
-    Returns a Dataset (node, root) — root is the lexicographic minimum of
-    the component, matching :func:`sameas_aliases` exactly.  Pair it with
+    """Connected components over owl:sameAs edges.  Returns a Dataset
+    (node, root) — root is the lexicographic minimum of the component,
+    matching :func:`sameas_aliases` exactly.  Pair it with
     :func:`canonicalize_with_alias_table` (join-based aliasing) when the
-    alias table outgrows a broadcast dict."""
-    labels = cc_labels(
-        _sameas_edges(triples), max_iters=max_iters, num_partitions=num_partitions
-    )
+    alias table outgrows a broadcast dict.
+
+    Size-adaptive like ``jaccard_clusters``: sameAs subgraphs are
+    entity-scale, so up to ``max_driver_edges`` the edge list is
+    union-found exactly on the driver (each Ray hash-shuffle op costs
+    ~10 s of aggregator spin-up; the join-rounds path pays that ~4× per
+    round); above it, :func:`cc_labels` (min-label propagation +
+    pointer jumping, no driver edge list).  Both paths are
+    parity-tested."""
+    edges = _sameas_edges(triples).materialize()
+    if edges.count() <= max_driver_edges:
+        labels = _union_find_labels(edges)
+    else:
+        labels = cc_labels(
+            edges, max_iters=max_iters, num_partitions=num_partitions
+        )
     return _ren(labels.filter(expr="node != label"), {"label": "root"})
 
 

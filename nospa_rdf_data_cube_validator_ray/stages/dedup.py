@@ -225,32 +225,6 @@ def jaccard_block_pairs(
     return ds.groupby(list(block_cols)).map_groups(pairs, batch_format="pandas")
 
 
-def _union_find_labels(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Exact driver-side connected components for a SMALL (bounded by the
-    caller) symmetric (src, dst) edge Dataset: path-halving union-find,
-    roots re-labeled to the component minimum.  Returns (node, label)."""
-    df = edges.to_pandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.setdefault(r, r) != r:
-            parent[r] = parent[parent[r]]  # path halving
-            r = parent[r]
-        return r
-
-    for s, d in zip(df["src"].astype("int64"), df["dst"].astype("int64")):
-        rs, rd = find(int(s)), find(int(d))
-        if rs != rd:
-            parent[max(rs, rd)] = min(rs, rd)  # union by min keeps labels stable
-    nodes = list(parent)
-    out = pd.DataFrame(
-        {"node": pd.array(nodes, dtype="int64"),
-         "label": pd.array([find(n) for n in nodes], dtype="int64")}
-    )
-    return ray.data.from_pandas(out)
-
-
 def jaccard_clusters(
     ds: "ray.data.Dataset",
     *,
@@ -285,7 +259,7 @@ def jaccard_clusters(
     graphs (tests/test_training_data.py).  Pair generation is
     block-bounded either way, and the final assignment is one union +
     groupby-min — never a corpus-scale driver materialization."""
-    from .canonicalize import cc_labels
+    from .canonicalize import _union_find_labels, cc_labels
 
     pairs = jaccard_block_pairs(
         ds,

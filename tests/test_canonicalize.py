@@ -91,11 +91,17 @@ def test_distributed_alias_table_matches_driver_union_find():
 
     ds = chain_ds()
     want = sameas_aliases(ds)
+    # default path (driver union-find below the size threshold)
     got_df = sameas_alias_table(ds, num_partitions=2).to_pandas()
     got = dict(zip(got_df["node"], got_df["root"]))
     assert got == want
     # every chain collapses to its lexicographic minimum (n0)
     assert got["http://ex.org/c2/n3"] == "http://ex.org/c2/n0"
+    # forced distributed path (cc_labels join rounds) — same output
+    dist_df = sameas_alias_table(
+        ds, num_partitions=2, max_driver_edges=0
+    ).to_pandas()
+    assert dict(zip(dist_df["node"], dist_df["root"])) == want
 
 
 def test_join_based_aliasing_matches_broadcast():

@@ -436,7 +436,9 @@ def test_sameas_alias_table_raises_on_nonconvergence(ray_session):
     from tests.test_canonicalize import chain_ds
 
     with pytest.raises(RuntimeError, match="converge"):
-        sameas_alias_table(chain_ds(), num_partitions=2, max_iters=1)
+        sameas_alias_table(
+            chain_ds(), num_partitions=2, max_iters=1, max_driver_edges=0
+        )
 
 
 # -- pivot review fixes ------------------------------------------------------

@@ -189,11 +189,19 @@ def test_benchmark_contamination():
 def test_union_find_labels_chain():
     import ray.data as rd
 
+    from nospa_rdf_data_cube_validator_ray.stages.canonicalize import (
+        _union_find_labels,
+    )
+
     # 0-1-2-...-9 chain (symmetric edges): one component rooted at 0
     e = pd.DataFrame({"src": list(range(9)) + list(range(1, 10)),
                       "dst": list(range(1, 10)) + list(range(9))})
-    out = D._union_find_labels(rd.from_pandas(e)).to_pandas()
+    out = _union_find_labels(rd.from_pandas(e)).to_pandas()
     assert set(out.label) == {0} and len(out) == 10
+    # string nodes: lexicographic min root, dtype preserved
+    es = pd.DataFrame({"src": ["b", "c", "a"], "dst": ["c", "b", "c"]})
+    outs = _union_find_labels(rd.from_pandas(es)).to_pandas()
+    assert set(outs.label) == {"a"} and len(outs) == 3
 
 
 def test_minhash_lsh_pairs():
