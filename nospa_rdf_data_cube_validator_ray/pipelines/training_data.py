@@ -274,6 +274,25 @@ def q_source_mix_sample(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (GPT-style token-stream packs) via the
+    distributed ordered prefix-sum in stages/packing.py."""
+    from ..stages.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), window=512)
+
+
+def q_embedding_clusters(sf_dir: str):
+    """Embedding-level near-dup clusters: the exact cosine pair graph fed
+    into the shared size-adaptive connected-components engine
+    (stages.dedup.cluster_from_pairs)."""
+    embs = _embs(sf_dir)
+    pairs = E.cosine_threshold_pairs(embs, threshold=0.35)
+    return D.cluster_from_pairs(
+        embs, pairs, id_col="vec_id", a_col="vec_id_a", b_col="vec_id_b"
+    )
+
+
 def q_doc_familiarity(sf_dir: str):
     """Corpus-familiarity score (unigram-LM shape with integer arithmetic
     so the oracle is exact): global token counts are aggregated once
@@ -387,6 +406,44 @@ WHERE md5_number_lower(doc_id::VARCHAR || ':mix') % 10 <
       1 + md5_number_lower(source) % 9
 """
 
+_SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens)::BIGINT AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok, (start_tok // 512)::BIGINT AS pack_id
+FROM c
+"""
+
+_SQL_EMBEDDING_CLUSTERS = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.35
+), e AS (
+  SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+), comp(node, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, c.lbl FROM comp c JOIN e ON e.a = c.node
+), lab AS (
+  SELECT node, min(lbl) AS cluster_id FROM comp GROUP BY node
+)
+SELECT v.vec_id::BIGINT AS vec_id,
+       coalesce(lab.cluster_id, v.vec_id)::BIGINT AS cluster_id
+FROM embeddings v LEFT JOIN lab ON lab.node = v.vec_id
+"""
+
 
 # -- multimodal (stubbed decode; plumbing real) -----------------------------
 
@@ -422,6 +479,8 @@ QUERIES = {
     "doc_familiarity": q_doc_familiarity,
     "contamination": q_contamination,
     "source_mix_sample": q_source_mix_sample,
+    "pack_sequences": q_pack_sequences,
+    "embedding_clusters": q_embedding_clusters,
 }
 
 # ---------------------------------------------------------------------------
@@ -777,4 +836,6 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "doc_familiarity": _SQL_DOC_FAMILIARITY,
     "contamination": _SQL_CONTAMINATION,
     "source_mix_sample": _SQL_SOURCE_MIX,
+    "pack_sequences": _SQL_PACK_SEQUENCES,
+    "embedding_clusters": _SQL_EMBEDDING_CLUSTERS,
 }

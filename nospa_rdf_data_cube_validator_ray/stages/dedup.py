@@ -259,8 +259,6 @@ def jaccard_clusters(
     graphs (tests/test_training_data.py).  Pair generation is
     block-bounded either way, and the final assignment is one union +
     groupby-min — never a corpus-scale driver materialization."""
-    from .canonicalize import _union_find_labels, cc_labels
-
     pairs = jaccard_block_pairs(
         ds,
         block_cols=block_cols,
@@ -271,10 +269,39 @@ def jaccard_clusters(
         max_block=max_block,
         ngram=ngram,
     )
+    return cluster_from_pairs(
+        ds,
+        pairs,
+        id_col=id_col,
+        a_col="doc_id_a",
+        b_col="doc_id_b",
+        max_iters=max_iters,
+        num_partitions=num_partitions,
+        max_driver_edges=max_driver_edges,
+    )
+
+
+def cluster_from_pairs(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iters: int = 15,
+    num_partitions: int = 8,
+    max_driver_edges: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Shared cluster-assignment tail for any near-dup pair graph
+    (Jaccard, cosine, MinHash-verified, …): connected components over
+    ``pairs`` with the size-adaptive engine documented on
+    :func:`jaccard_clusters`, then every row of ``ds`` labeled
+    (id_col, cluster_id) — rows in no pair are singleton clusters."""
+    from .canonicalize import _union_find_labels, cc_labels
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["doc_id_a"].astype("int64")
-        b = df["doc_id_b"].astype("int64")
+        a = df[a_col].astype("int64")
+        b = df[b_col].astype("int64")
         return pd.DataFrame(
             {"src": pd.concat([a, b], ignore_index=True),
              "dst": pd.concat([b, a], ignore_index=True)}

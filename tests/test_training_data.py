@@ -186,6 +186,28 @@ def test_benchmark_contamination():
     assert any(v[2] for v in exp.values())
 
 
+def test_pack_sequences_matches_pandas_cumsum():
+    import ray.data as rd
+
+    from nospa_rdf_data_cube_validator_ray.stages.packing import pack_sequences
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(97),  # odd count -> uneven blocks
+            "text": [" ".join(["tok"] * ((i * 7) % 13 + 1)) for i in range(97)],
+        }
+    )
+    # shuffle input order: packing must sort by doc_id itself
+    ds = rd.from_pandas(docs.sample(frac=1, random_state=3)).repartition(5)
+    got = pack_sequences(ds, window=16).to_pandas().sort_values("doc_id")
+    n = docs["text"].str.count(r"\S+").astype("int64")
+    start = n.cumsum() - n
+    assert list(got["n_tokens"]) == list(n)
+    assert list(got["start_tok"]) == list(start)
+    assert list(got["pack_id"]) == list(start // 16)
+    assert got["pack_id"].nunique() > 5  # actually spans many packs
+
+
 def test_union_find_labels_chain():
     import ray.data as rd
 
