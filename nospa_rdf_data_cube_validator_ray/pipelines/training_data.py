@@ -263,7 +263,9 @@ def q_source_mix_sample(sf_dir: str):
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")
-        rate = df["source"].map(lambda s: 1 + _md5_u64(s) % 9)
+        # one md5 per DISTINCT source, not per row (sources are few)
+        rates = {s: 1 + _md5_u64(s) % 9 for s in df["source"].unique()}
+        rate = df["source"].map(rates)
         keep = [
             (_md5_u64(f"{i}:mix") % 10) < r for i, r in zip(ids, rate)
         ]
@@ -406,6 +408,60 @@ WHERE md5_number_lower(doc_id::VARCHAR || ':mix') % 10 <
       1 + md5_number_lower(source) % 9
 """
 
+# shared SQL kernels: ONE copy of the Jaccard pair predicate and ONE copy
+# of the recursive connected-components tail (the builder precedent of
+# _minhash_cte) so pair/cluster oracles cannot desynchronize
+_JACCARD_W_CTE = r"""w AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_extract_all(text, '\S+')) AS words
+  FROM documents
+)"""
+
+_JACCARD_PAIRS_SELECT = """
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         length(list_intersect(a.words, b.words)) AS n_inter,
+         (length(a.words) + length(b.words)
+          - length(list_intersect(a.words, b.words))) AS n_union
+  FROM w a JOIN w b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE (length(a.words) + length(b.words)
+         - length(list_intersect(a.words, b.words))) > 0
+    AND length(list_intersect(a.words, b.words)) * 10 >=
+        (length(a.words) + length(b.words)
+         - length(list_intersect(a.words, b.words))) * 4
+"""
+
+_EMB_PAIRS_CTE = """p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.35
+)"""
+
+
+def _cc_sql(*, pairs_ctes: str, base_table: str, id_col: str) -> str:
+    """Recursive connected-components SQL over a pair CTE ``p(a, b, …)``
+    — the oracle twin of ``stages.dedup.cluster_from_pairs`` (min label
+    over the symmetric closure; rows of ``base_table`` in no pair are
+    singleton clusters)."""
+    return f"""
+WITH RECURSIVE {pairs_ctes},
+e AS (
+  SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+), comp(node, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, c.lbl FROM comp c JOIN e ON e.a = c.node
+), lab AS (
+  SELECT node, min(lbl) AS cluster_id FROM comp GROUP BY node
+)
+SELECT t.{id_col}::BIGINT AS {id_col},
+       coalesce(lab.cluster_id, t.{id_col})::BIGINT AS cluster_id
+FROM {base_table} t LEFT JOIN lab ON lab.node = t.{id_col}
+"""
+
+
 _SQL_PACK_SEQUENCES = r"""
 WITH t AS (
   SELECT doc_id,
@@ -423,26 +479,9 @@ SELECT doc_id, n_tokens, start_tok, (start_tok // 512)::BIGINT AS pack_id
 FROM c
 """
 
-_SQL_EMBEDDING_CLUSTERS = """
-WITH RECURSIVE p AS (
-  SELECT a.vec_id AS a, b.vec_id AS b
-  FROM embeddings a, embeddings b
-  WHERE a.vec_id < b.vec_id
-    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-        >= 0.35
-), e AS (
-  SELECT a, b FROM p UNION ALL SELECT b, a FROM p
-), comp(node, lbl) AS (
-  SELECT a, a FROM e
-  UNION
-  SELECT e.b, c.lbl FROM comp c JOIN e ON e.a = c.node
-), lab AS (
-  SELECT node, min(lbl) AS cluster_id FROM comp GROUP BY node
+_SQL_EMBEDDING_CLUSTERS = _cc_sql(
+    pairs_ctes=_EMB_PAIRS_CTE, base_table="embeddings", id_col="vec_id"
 )
-SELECT v.vec_id::BIGINT AS vec_id,
-       coalesce(lab.cluster_id, v.vec_id)::BIGINT AS cluster_id
-FROM embeddings v LEFT JOIN lab ON lab.node = v.vec_id
-"""
 
 
 # -- multimodal (stubbed decode; plumbing real) -----------------------------
@@ -759,50 +798,18 @@ WITH kept AS (
 )
 SELECT lang, count(*)::BIGINT AS n FROM kept GROUP BY 1
 """,
-    "dedup_jaccard_pairs": r"""
-WITH w AS (
-  SELECT doc_id, lang, source,
-         list_distinct(regexp_extract_all(text, '\S+')) AS words
-  FROM documents
-)
-SELECT a.doc_id::BIGINT AS doc_id_a, b.doc_id::BIGINT AS doc_id_b,
-       length(list_intersect(a.words, b.words))::BIGINT AS n_inter,
-       (length(a.words) + length(b.words)
-        - length(list_intersect(a.words, b.words)))::BIGINT AS n_union
-FROM w a JOIN w b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE (length(a.words) + length(b.words)
-       - length(list_intersect(a.words, b.words))) > 0
-  AND length(list_intersect(a.words, b.words)) * 10 >=
-      (length(a.words) + length(b.words) - length(list_intersect(a.words, b.words))) * 4
+    "dedup_jaccard_pairs": rf"""
+WITH {_JACCARD_W_CTE},
+p AS ({_JACCARD_PAIRS_SELECT})
+SELECT a::BIGINT AS doc_id_a, b::BIGINT AS doc_id_b,
+       n_inter::BIGINT AS n_inter, n_union::BIGINT AS n_union
+FROM p
 """,
-    "dedup_clusters": r"""
-WITH RECURSIVE w AS (
-  SELECT doc_id, lang, source,
-         list_distinct(regexp_extract_all(text, '\S+')) AS words
-  FROM documents
-), p AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM w a JOIN w b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE (length(a.words) + length(b.words)
-         - length(list_intersect(a.words, b.words))) > 0
-    AND length(list_intersect(a.words, b.words)) * 10 >=
-        (length(a.words) + length(b.words)
-         - length(list_intersect(a.words, b.words))) * 4
-), e AS (
-  SELECT a, b FROM p UNION ALL SELECT b, a FROM p
-), comp(node, lbl) AS (
-  SELECT a, a FROM e
-  UNION
-  SELECT e.b, c.lbl FROM comp c JOIN e ON e.a = c.node
-), lab AS (
-  SELECT node, min(lbl) AS cluster_id FROM comp GROUP BY node
-)
-SELECT d.doc_id::BIGINT AS doc_id,
-       coalesce(lab.cluster_id, d.doc_id)::BIGINT AS cluster_id
-FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
-""",
+    "dedup_clusters": _cc_sql(
+        pairs_ctes=f"{_JACCARD_W_CTE},\np AS ({_JACCARD_PAIRS_SELECT})",
+        base_table="documents",
+        id_col="doc_id",
+    ),
     "knn_cosine_topk": """
 SELECT q.vec_id::BIGINT AS query_id, n.vec_id::BIGINT AS neighbor_id,
        row_number() OVER (
@@ -814,11 +821,9 @@ FROM embeddings q, embeddings n
 WHERE q.vec_id < 10 AND n.vec_id != q.vec_id
 QUALIFY rank <= 5
 """,
-    "embedding_dup_pairs": """
-SELECT a.vec_id::BIGINT AS vec_id_a, b.vec_id::BIGINT AS vec_id_b
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    "embedding_dup_pairs": f"""
+WITH {_EMB_PAIRS_CTE}
+SELECT a::BIGINT AS vec_id_a, b::BIGINT AS vec_id_b FROM p
 """,
     "multimodal_features": """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents

@@ -176,12 +176,15 @@ def _union_find_labels(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     roots re-labeled to the component minimum (numeric for ints,
     lexicographic for strings — matching :func:`cc_labels`).  Node dtype
     is preserved.  Returns (node, label)."""
+    import pyarrow as pa
+
     df = edges.to_pandas()
     if not len(df) or "src" not in df.columns:
-        return ray.data.from_pandas(
-            pd.DataFrame(
-                {"node": pd.Series(dtype=object), "label": pd.Series(dtype=object)}
-            )
+        # typed empty (Arrow keeps 0-row schemas; object-dtype pandas
+        # empties do NOT survive the conversion)
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.string()), ("label", pa.string())])
+            .empty_table()
         )
     parent: dict = {}
 
@@ -242,7 +245,9 @@ def cc_labels(
         is_int = pa.types.is_integer(key_t)
     except (TypeError, AttributeError):
         is_int = str(getattr(key_t, "name", key_t)).startswith(("int", "uint"))
-    pd_dtype = "int64" if is_int else object
+    # "string" (pandas StringDtype), NOT object: a 0-row object-dtype
+    # frame converts to a null-typed Arrow block, i.e. still schema-less
+    pd_dtype = "int64" if is_int else "string"
 
     def guard(df: pd.DataFrame, cols=("node", "label")) -> pd.DataFrame:
         if not len(df) or not set(cols).issubset(df.columns):
@@ -367,8 +372,19 @@ def sameas_alias_table(
     round); above it, :func:`cc_labels` (min-label propagation +
     pointer jumping, no driver edge list).  Both paths are
     parity-tested."""
+    import pyarrow as pa
+
     edges = _sameas_edges(triples).materialize()
-    if edges.count() <= max_driver_edges:
+    n_edges = edges.count()
+    if n_edges == 0:
+        # explicitly string-typed empty: a schema-less empty would crash
+        # the canonicalize_with_alias_table hash joins (heal_schema can't
+        # fix a FULLY empty dataset)
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.string()), ("root", pa.string())])
+            .empty_table()
+        )
+    if n_edges <= max_driver_edges:
         labels = _union_find_labels(edges)
     else:
         labels = cc_labels(
@@ -398,6 +414,12 @@ def canonicalize_with_alias_table(
         return f
 
     from ..util import heal_schema
+
+    if alias_table.count() == 0:
+        # empty alias table ⇒ identity; also: _ren is a pandas
+        # map_batches, which never runs on empty blocks, so an empty
+        # table would reach the join with its columns UNrenamed
+        return triples
 
     t = triples.join(
         heal_schema(_ren(alias_table, {"node": "subj"}), num_partitions),

@@ -64,11 +64,8 @@ def pack_sequences(
     )
 
     def summarize(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"first_id": pd.Series(dtype="int64"),
-                 "total": pd.Series(dtype="int64")}
-            )
+        # map_batches never invokes the UDF on an empty block (see
+        # util.heal_schema), so df is always non-empty here
         return pd.DataFrame(
             {"first_id": [int(df[id_col].iloc[0])],
              "total": [int(df["n_tokens"].sum())]}

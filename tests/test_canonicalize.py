@@ -104,6 +104,22 @@ def test_distributed_alias_table_matches_driver_union_find():
     assert dict(zip(dist_df["node"], dist_df["root"])) == want
 
 
+def test_alias_table_on_corpus_without_sameas():
+    from nospa_rdf_data_cube_validator_ray.stages.canonicalize import (
+        canonicalize_with_alias_table,
+        sameas_alias_table,
+    )
+
+    ds = chain_ds().filter(
+        expr="pred != 'http://www.w3.org/2002/07/owl#sameAs'"
+    )
+    table = sameas_alias_table(ds, num_partitions=2)
+    assert table.count() == 0
+    # the documented pairing must not crash on the string-typed empty
+    out = canonicalize_with_alias_table(ds, table, num_partitions=2)
+    assert out.count() == ds.count()
+
+
 def test_join_based_aliasing_matches_broadcast():
     from nospa_rdf_data_cube_validator_ray.stages.canonicalize import (
         canonicalize_with_alias_table,
