@@ -116,6 +116,14 @@ def run_suite(
         "embedding_dup_pairs",
         lambda: E.cosine_threshold_pairs(embs, threshold=0.35).count(),
     )
+    timed("dedup_clusters", lambda: D.jaccard_clusters(docs).count())
+    from nospa_rdf_data_cube_validator_ray.stages.packing import pack_sequences
+
+    timed("pack_sequences", lambda: pack_sequences(docs).count())
+    timed(
+        "contamination",
+        lambda: D.benchmark_contamination(docs).count(),
+    )
 
     # -- scaling pair in the SAME round (fresh subprocesses), so BENCH_rN
     # carries headline + scaling + host-load context together and

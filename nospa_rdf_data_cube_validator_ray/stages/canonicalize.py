@@ -170,22 +170,15 @@ def _sameas_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
-def _union_find_labels(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+def _union_find_dict(edges: "ray.data.Dataset") -> dict:
     """Exact driver-side connected components for a SMALL (bounded by the
     caller) symmetric (src, dst) edge Dataset: path-halving union-find,
     roots re-labeled to the component minimum (numeric for ints,
-    lexicographic for strings — matching :func:`cc_labels`).  Node dtype
-    is preserved.  Returns (node, label)."""
-    import pyarrow as pa
-
+    lexicographic for strings — matching :func:`cc_labels`).  Returns a
+    {node: component-min} dict over the nodes appearing in ``edges``."""
     df = edges.to_pandas()
     if not len(df) or "src" not in df.columns:
-        # typed empty (Arrow keeps 0-row schemas; object-dtype pandas
-        # empties do NOT survive the conversion)
-        return ray.data.from_arrow(
-            pa.schema([("node", pa.string()), ("label", pa.string())])
-            .empty_table()
-        )
+        return {}
     parent: dict = {}
 
     def find(x):
@@ -199,11 +192,27 @@ def _union_find_labels(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         rs, rd = find(s), find(d)
         if rs != rd:
             parent[max(rs, rd)] = min(rs, rd)  # union by min keeps labels stable
-    nodes = list(parent)
-    dtype = df["src"].dtype
+    return {n: find(n) for n in parent}
+
+
+def _union_find_labels(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """:func:`_union_find_dict` as a typed (node, label) Dataset — node
+    dtype follows the edge key dtype."""
+    import pyarrow as pa
+
+    mapping = _union_find_dict(edges)
+    if not mapping:
+        # typed empty (Arrow keeps 0-row schemas; object-dtype pandas
+        # empties do NOT survive the conversion)
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.string()), ("label", pa.string())])
+            .empty_table()
+        )
+    nodes = list(mapping)
+    dtype = "string" if isinstance(nodes[0], str) else "int64"
     out = pd.DataFrame(
         {"node": pd.Series(nodes, dtype=dtype),
-         "label": pd.Series([find(n) for n in nodes], dtype=dtype)}
+         "label": pd.Series([mapping[n] for n in nodes], dtype=dtype)}
     )
     return ray.data.from_pandas(out)
 

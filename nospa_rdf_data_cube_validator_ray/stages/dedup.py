@@ -296,8 +296,13 @@ def cluster_from_pairs(
     (Jaccard, cosine, MinHash-verified, …): connected components over
     ``pairs`` with the size-adaptive engine documented on
     :func:`jaccard_clusters`, then every row of ``ds`` labeled
-    (id_col, cluster_id) — rows in no pair are singleton clusters."""
-    from .canonicalize import _union_find_labels, cc_labels
+    (id_col, cluster_id) — rows in no pair are singleton clusters.
+
+    In the driver regime the {node: root} map is already
+    driver-resident, so the assignment is a broadcast + one stateless
+    map_batches — ZERO shuffle; only the distributed regime pays the
+    union + groupby-min."""
+    from .canonicalize import _union_find_dict, cc_labels
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         a = df[a_col].astype("int64")
@@ -308,22 +313,33 @@ def cluster_from_pairs(
         )
 
     edges = pairs.map_batches(sym, batch_format="pandas").materialize()
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        mapping = {int(k): int(v) for k, v in _union_find_dict(edges).items()}
+        ref = ray.put(mapping)
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            ids = df[id_col].astype("int64")
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cluster_id": ids.map(lambda i: m.get(int(i), int(i)))
+                    .astype("int64"),
+                }
+            )
+
+        return ds.map_batches(assign, batch_format="pandas")
 
     def base(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].astype("int64")
         return pd.DataFrame({"node": ids, "label": ids})
 
     singletons = ds.map_batches(base, batch_format="pandas")
-    n_edges = edges.count()
-    if n_edges == 0:
-        merged = singletons
-    elif n_edges <= max_driver_edges:
-        merged = singletons.union(_union_find_labels(edges))
-    else:
-        labels = cc_labels(
-            edges, max_iters=max_iters, num_partitions=num_partitions
-        )
-        merged = singletons.union(labels)
+    labels = cc_labels(
+        edges, max_iters=max_iters, num_partitions=num_partitions
+    )
+    merged = singletons.union(labels)
     out = merged.groupby("node").min("label")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
