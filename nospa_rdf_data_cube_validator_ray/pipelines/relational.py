@@ -4,6 +4,7 @@ and a top-k — the groupby/sort/limit surface of the engine."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray.data
@@ -264,8 +265,146 @@ ORDER BY n DESC, o_custkey LIMIT 10
 """
 
 
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    by: str,
+    on: str,
+    right_vals: list[str],
+    num_buckets: int = 32,
+    allow_exact_matches: bool = True,
+) -> "ray.data.Dataset":
+    """Distributed backward as-of join (the operator Ray Data lacks):
+    for every left row, attach ``right_vals`` from the right row with
+    the greatest ``on`` ≤ the left row's ``on`` within the same ``by``
+    key (DuckDB's ``ASOF LEFT JOIN`` semantics).
+
+    Partitioning assumption / shape: both sides are tagged and
+    coarse-bucketed by ``hash(by) % num_buckets`` — ONE shuffle
+    co-locates each key's full history, then the per-bucket kernel is a
+    vectorized ``pandas.merge_asof`` (sort + galloping merge, no Python
+    row loop).  Skewed ``by`` keys share a bucket with others but are
+    never split; a single key hotter than one worker's memory would
+    need on-range sub-splitting with boundary replication (documented
+    limit).  Right rows must be unique per (by, on) — pre-aggregate
+    ties upstream, or the match is ambiguous (pandas takes the last,
+    DuckDB an arbitrary one)."""
+    lcols = [c for c in left.schema().names]
+    rkeep = [by, on, *right_vals]
+
+    def tag(side: int, keep: list[str]):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[keep].copy()
+            out["_side"] = np.int8(side)
+            out["_kb"] = (
+                pd.util.hash_array(df[by].to_numpy(np.int64)) % num_buckets
+            ).astype("int32")
+            return out
+
+        return f
+
+    tagged = left.map_batches(tag(0, lcols), batch_format="pandas").union(
+        right.map_batches(tag(1, rkeep), batch_format="pandas")
+    )
+
+    def merge(grp: pd.DataFrame) -> pd.DataFrame:
+        l = grp.loc[grp["_side"] == 0, lcols].sort_values(on)
+        r = grp.loc[grp["_side"] == 1, rkeep].sort_values(on)
+        out = pd.merge_asof(
+            l,
+            r,
+            on=on,
+            by=by,
+            direction="backward",
+            allow_exact_matches=allow_exact_matches,
+        )
+        return out
+
+    return tagged.groupby("_kb").map_groups(merge, batch_format="pandas")
+
+
+def q_events_last_purchase(sf_dir: str):
+    """As-of join demo: every event annotated with the user's most
+    recent purchase value at that moment (NaN before the first
+    purchase).  Purchases are deduped per (user, ts) with max(value) so
+    the as-of match is unambiguous on both engines."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ts_us"] = (
+            (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ).astype("int64")
+        return df.drop(columns=["ts"])
+
+    ev = ds.map_batches(to_us, batch_format="pandas").materialize()
+    left = ev.map_batches(
+        lambda df: df[["event_id", "user_id", "ts_us"]],
+        batch_format="pandas",
+    )
+
+    def purchases(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.loc[df["event_type"] == "purchase", ["user_id", "ts_us", "value"]]
+        return (
+            p.groupby(["user_id", "ts_us"], sort=False)["value"]
+            .max()
+            .reset_index()
+            .rename(columns={"value": "last_purchase_value"})
+        )
+
+    # per-batch pre-dedup, then a COARSE-bucket exact dedup for ties
+    # across batches (never one pandas group per (user, ts) key)
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].to_numpy(np.int64) % 32).astype("int32")
+        return df
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("last_purchase_value")
+            .drop_duplicates(["user_id", "ts_us"], keep="last")
+            .drop(columns=["_b"])
+        )
+
+    right = (
+        ev.map_batches(purchases, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
+    out = asof_join(
+        left, right, by="user_id", on="ts_us",
+        right_vals=["last_purchase_value"],
+    ).to_pandas()
+    for c in ("event_id", "user_id", "ts_us"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_LAST_PURCHASE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+),
+p AS (
+  SELECT user_id, ts_us, max(value) AS last_purchase_value
+  FROM e WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT e.event_id::BIGINT AS event_id, e.user_id::BIGINT AS user_id,
+       e.ts_us::BIGINT AS ts_us, p.last_purchase_value
+FROM e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+"""
+
+
 QUERIES = {
     "cube_star_supp": q_cube_star_supp,
+    "events_last_purchase": q_events_last_purchase,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_sessionize,
     "events_sliding": q_events_sliding,
@@ -275,6 +414,7 @@ QUERIES = {
 
 ORACLES = {
     "cube_star_supp": _SQL_STAR_SUPP,
+    "events_last_purchase": _SQL_LAST_PURCHASE,
     "events_hourly": _SQL_EVENTS_HOURLY,
     "events_sessionize": _SQL_SESSIONIZE,
     "events_sliding": _SQL_EVENTS_SLIDING,

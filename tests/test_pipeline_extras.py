@@ -139,3 +139,35 @@ def test_empty_and_nonrdf_corpora(ray_session):
          "content": ["<http://e/s> <http://e/p> <http://e/o> ."]}
     )
     assert len(CubeValidator(corpus=ray.data.from_arrow(t2)).findings_df()) == 0
+
+
+def test_asof_join_semantics():
+    import pandas as pd
+    import ray.data as rd
+
+    from nospa_rdf_data_cube_validator_ray.pipelines.relational import asof_join
+
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {"event_id": [1, 2, 3, 4, 5],
+             "user_id": [7, 7, 7, 8, 8],
+             "ts_us": [10, 20, 30, 10, 50]}
+        )
+    ).repartition(2)
+    right = rd.from_pandas(
+        pd.DataFrame(
+            {"user_id": [7, 7, 8],
+             "ts_us": [20, 25, 60],
+             "v": [1.5, 2.5, 9.0]}
+        )
+    ).repartition(2)
+    out = (
+        asof_join(left, right, by="user_id", on="ts_us", right_vals=["v"])
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    got = list(out["v"])
+    # event 1: before any right row -> NaN; event 2: exact match ts 20;
+    # event 3: latest <= 30 is ts 25; user 8 events both before ts 60 -> NaN
+    assert pd.isna(got[0]) and got[1] == 1.5 and got[2] == 2.5
+    assert pd.isna(got[3]) and pd.isna(got[4])
