@@ -99,11 +99,12 @@ FROM events GROUP BY 1, 2
 """
 
 
-def q_sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Gap-based sessionization of the event stream: a user's events more
-    than ``gap_minutes`` apart start a new session.  Shuffle key = user
-    hash bucket; the per-user ordering + gap scan is vectorized inside
-    each bucket (sort + diff + cumsum, no Python loop)."""
+def sessionize_ds(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Gap-based sessionization of the event stream as a Dataset
+    (user_id, session_id, n_events, start_us, end_us): a user's events
+    more than ``gap_minutes`` apart start a new session.  Shuffle key =
+    user hash bucket; the per-user ordering + gap scan is vectorized
+    inside each bucket (sort + diff + cumsum, no Python loop)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
@@ -135,12 +136,15 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
         out["session_id"] = out.groupby("user_id", sort=False).cumcount() + 1
         return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
 
-    out = (
+    return (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("kb")
         .map_groups(sessions, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    out = sessionize_ds(sf_dir, gap_minutes).to_pandas()
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
@@ -293,6 +297,38 @@ def asof_join(
     lcols = [c for c in left.schema().names]
     rkeep = [by, on, *right_vals]
 
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return pd.merge_asof(
+            l.sort_values(on),
+            r.sort_values(on),
+            on=on,
+            by=by,
+            direction="backward",
+            allow_exact_matches=allow_exact_matches,
+        )
+
+    return _two_sided_bucketed(
+        left, right, by=by, lcols=lcols, rkeep=rkeep,
+        num_buckets=num_buckets, merge=merge,
+    )
+
+
+def _two_sided_bucketed(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    by: str,
+    lcols: list[str],
+    rkeep: list[str],
+    num_buckets: int,
+    merge,
+) -> "ray.data.Dataset":
+    """Shared shape for custom binary joins (as-of, range): tag each
+    side, coarse-bucket by ``hash(by) % num_buckets`` (ONE shuffle
+    co-locating each key's rows from both sides), then run the
+    vectorized pandas ``merge(left_frame, right_frame)`` kernel per
+    bucket."""
+
     def tag(side: int, keep: list[str]):
         def f(df: pd.DataFrame) -> pd.DataFrame:
             out = df[keep].copy()
@@ -308,20 +344,55 @@ def asof_join(
         right.map_batches(tag(1, rkeep), batch_format="pandas")
     )
 
-    def merge(grp: pd.DataFrame) -> pd.DataFrame:
-        l = grp.loc[grp["_side"] == 0, lcols].sort_values(on)
-        r = grp.loc[grp["_side"] == 1, rkeep].sort_values(on)
-        out = pd.merge_asof(
-            l,
-            r,
-            on=on,
+    def run(grp: pd.DataFrame) -> pd.DataFrame:
+        l = grp.loc[grp["_side"] == 0, lcols]
+        r = grp.loc[grp["_side"] == 1, rkeep]
+        return merge(l, r)
+
+    return tagged.groupby("_kb").map_groups(run, batch_format="pandas")
+
+
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    by: str,
+    on: str,
+    start: str,
+    end: str,
+    right_vals: list[str],
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed interval-containment join (the second custom join Ray
+    Data lacks): inner-join every left row to the right interval of the
+    same ``by`` key with ``start ≤ on ≤ end`` (bounds inclusive).
+
+    Partitioning assumption: per-key intervals are NON-OVERLAPPING
+    (sessions, validity windows, SCD-2 ranges), so the kernel is a
+    backward ``merge_asof`` on ``start`` plus an ``end`` containment
+    filter — one galloping merge, no fan-out.  Overlapping intervals
+    would need replicate-by-range fan-out instead (not implemented —
+    callers with overlap must pre-split).  Same bucket shape and skew
+    caveat as :func:`asof_join`."""
+    lcols = [c for c in left.schema().names]
+    rkeep = [by, start, end, *right_vals]
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        m = pd.merge_asof(
+            l.sort_values(on),
+            r.sort_values(start),
+            left_on=on,
+            right_on=start,
             by=by,
             direction="backward",
-            allow_exact_matches=allow_exact_matches,
         )
-        return out
+        m = m[m[end].notna() & (m[on] <= m[end])]
+        return m.drop(columns=[start, end])
 
-    return tagged.groupby("_kb").map_groups(merge, batch_format="pandas")
+    return _two_sided_bucketed(
+        left, right, by=by, lcols=lcols, rkeep=rkeep,
+        num_buckets=num_buckets, merge=merge,
+    )
 
 
 def q_events_last_purchase(sf_dir: str):
@@ -402,9 +473,57 @@ FROM e ASOF LEFT JOIN p
 """
 
 
+def q_events_session_assign(sf_dir: str):
+    """Range-join demo: every event inner-joined to its session interval
+    (user equality + start_us ≤ ts_us ≤ end_us).  Sessions partition
+    each user's events exactly, so output row count == event count —
+    an end-to-end invariant the oracle enforces."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": (
+                    (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+                ).astype("int64"),
+            }
+        )
+
+    ev = ds.map_batches(to_us, batch_format="pandas")
+    out = range_join(
+        ev,
+        sessionize_ds(sf_dir),
+        by="user_id",
+        on="ts_us",
+        start="start_us",
+        end="end_us",
+        right_vals=["session_id"],
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_SESSION_ASSIGN = f"""
+WITH sess AS ({_SQL_SESSIONIZE}),
+ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+)
+SELECT ev.event_id::BIGINT AS event_id, ev.user_id::BIGINT AS user_id,
+       ev.ts_us::BIGINT AS ts_us, s.session_id::BIGINT AS session_id
+FROM ev JOIN sess s
+  ON ev.user_id = s.user_id AND ev.ts_us BETWEEN s.start_us AND s.end_us
+"""
+
+
 QUERIES = {
     "cube_star_supp": q_cube_star_supp,
     "events_last_purchase": q_events_last_purchase,
+    "events_session_assign": q_events_session_assign,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_sessionize,
     "events_sliding": q_events_sliding,
@@ -415,6 +534,7 @@ QUERIES = {
 ORACLES = {
     "cube_star_supp": _SQL_STAR_SUPP,
     "events_last_purchase": _SQL_LAST_PURCHASE,
+    "events_session_assign": _SQL_SESSION_ASSIGN,
     "events_hourly": _SQL_EVENTS_HOURLY,
     "events_sessionize": _SQL_SESSIONIZE,
     "events_sliding": _SQL_EVENTS_SLIDING,

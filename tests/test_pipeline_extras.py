@@ -171,3 +171,36 @@ def test_asof_join_semantics():
     # event 3: latest <= 30 is ts 25; user 8 events both before ts 60 -> NaN
     assert pd.isna(got[0]) and got[1] == 1.5 and got[2] == 2.5
     assert pd.isna(got[3]) and pd.isna(got[4])
+
+
+def test_range_join_semantics():
+    import pandas as pd
+    import ray.data as rd
+
+    from nospa_rdf_data_cube_validator_ray.pipelines.relational import range_join
+
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {"event_id": [1, 2, 3, 4],
+             "user_id": [7, 7, 7, 8],
+             "ts_us": [5, 15, 25, 100]}
+        )
+    ).repartition(2)
+    # non-overlapping intervals per user; ts 25 falls in the gap
+    right = rd.from_pandas(
+        pd.DataFrame(
+            {"user_id": [7, 7, 8],
+             "start_us": [0, 30, 90],
+             "end_us": [20, 40, 110],
+             "sid": [1, 2, 9]}
+        )
+    )
+    out = (
+        range_join(
+            left, right, by="user_id", on="ts_us",
+            start="start_us", end="end_us", right_vals=["sid"],
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert dict(zip(out.event_id, out.sid)) == {1: 1, 2: 1, 4: 9}  # 3 dropped
