@@ -298,6 +298,14 @@ def asof_join(
     rkeep = [by, on, *right_vals]
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l):
+            return pd.DataFrame(columns=[*lcols, *right_vals])
+        if not len(r):
+            # left join with an empty right side: all values missing
+            out = l.copy()
+            for c in right_vals:
+                out[c] = np.nan
+            return out
         return pd.merge_asof(
             l.sort_values(on),
             r.sort_values(on),
@@ -327,14 +335,41 @@ def _two_sided_bucketed(
     side, coarse-bucket by ``hash(by) % num_buckets`` (ONE shuffle
     co-locating each key's rows from both sides), then run the
     vectorized pandas ``merge(left_frame, right_frame)`` kernel per
-    bucket."""
+    bucket.
+
+    Both sides are padded to ONE exact union schema at tag time, with
+    typed default values (never read — the side filter excludes them)
+    in the other side's columns: Ray 2.49's hash shuffle unifies
+    mixed-schema blocks through pandas, which would promote one-sided
+    int64 columns to float64 and silently round ids above 2^53."""
+
+    def np_default(dt):
+        s = str(dt)
+        if s.startswith(("int", "uint")):
+            return np.int64(0)
+        if s.startswith(("float", "double", "halffloat", "decimal")):
+            return np.float64(np.nan)
+        if s.startswith("bool"):
+            return False
+        return ""  # string-ish
+
+    l_types = dict(zip(left.schema().names, left.schema().types))
+    r_types = dict(zip(right.schema().names, right.schema().types))
+    all_cols = list(dict.fromkeys([*lcols, *rkeep]))
+    defaults = {
+        c: np_default(r_types[c] if c in r_types else l_types[c])
+        for c in all_cols
+    }
 
     def tag(side: int, keep: list[str]):
         def f(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[keep].copy()
+            out = pd.DataFrame(index=df.index)
+            for c in all_cols:
+                out[c] = df[c] if c in keep else defaults[c]
             out["_side"] = np.int8(side)
+            # hash the key values as-is: int and string keys both hash
             out["_kb"] = (
-                pd.util.hash_array(df[by].to_numpy(np.int64)) % num_buckets
+                pd.util.hash_array(df[by].to_numpy()) % num_buckets
             ).astype("int32")
             return out
 
@@ -378,6 +413,8 @@ def range_join(
     rkeep = [by, start, end, *right_vals]
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
+            return pd.DataFrame(columns=[*lcols, *right_vals])
         m = pd.merge_asof(
             l.sort_values(on),
             r.sort_values(start),
@@ -435,8 +472,10 @@ def q_events_last_purchase(sf_dir: str):
         return df
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # na_position="first": NULL values must lose to any real value,
+        # matching the oracle's max(value) which ignores NULLs
         return (
-            g.sort_values("last_purchase_value")
+            g.sort_values("last_purchase_value", na_position="first")
             .drop_duplicates(["user_id", "ts_us"], keep="last")
             .drop(columns=["_b"])
         )

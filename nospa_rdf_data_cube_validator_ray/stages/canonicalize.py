@@ -196,8 +196,10 @@ def _union_find_dict(edges: "ray.data.Dataset") -> dict:
 
 
 def _union_find_labels(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    """:func:`_union_find_dict` as a typed (node, label) Dataset — node
-    dtype follows the edge key dtype."""
+    """:func:`_union_find_dict` as a typed (node, label) Dataset.  Node
+    dtype is inferred from the values: string keys → string column,
+    integer keys → int64 (narrower ints widen; uint64 above 2^63 raises
+    OverflowError rather than silently wrapping)."""
     import pyarrow as pa
 
     mapping = _union_find_dict(edges)

@@ -314,45 +314,64 @@ def cluster_from_pairs(
 
     edges = pairs.map_batches(sym, batch_format="pandas").materialize()
     n_edges = edges.count()
+    # output contract (BOTH regimes): one row per ``ds`` row, in ds
+    # order semantics — edge nodes absent from ds are ignored, duplicate
+    # ds ids yield duplicate rows
     if n_edges <= max_driver_edges:
-        mapping = {int(k): int(v) for k, v in _union_find_dict(edges).items()}
-        ref = ray.put(mapping)
+        mapping = _union_find_dict(edges)
+        map_df = pd.DataFrame(
+            {
+                id_col: pd.array(list(mapping.keys()), dtype="int64"),
+                "cluster_id": pd.array(list(mapping.values()), dtype="Int64"),
+            }
+        )
+        ref = ray.put(map_df)
 
         def assign(df: pd.DataFrame) -> pd.DataFrame:
+            # vectorized hash-merge against the broadcast map (per-worker
+            # deserialization is cached by Ray); nullable Int64 keeps
+            # unmatched ids exact before the fillna
             m = ray.get(ref)
-            ids = df[id_col].astype("int64")
-            return pd.DataFrame(
-                {
-                    id_col: ids,
-                    "cluster_id": ids.map(lambda i: m.get(int(i), int(i)))
-                    .astype("int64"),
-                }
+            out = pd.DataFrame({id_col: df[id_col].astype("int64")})
+            out = out.merge(m, on=id_col, how="left")
+            out["cluster_id"] = (
+                out["cluster_id"].fillna(out[id_col]).astype("int64")
             )
+            return out
 
         return ds.map_batches(assign, batch_format="pandas")
 
-    def base(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].astype("int64")
-        return pd.DataFrame({"node": ids, "label": ids})
-
-    singletons = ds.map_batches(base, batch_format="pandas")
     labels = cc_labels(
         edges, max_iters=max_iters, num_partitions=num_partitions
     )
-    merged = singletons.union(labels)
-    out = merged.groupby("node").min("label")
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns={"node": id_col, "min(label)": "cluster_id"})
-        if not len(df) or id_col not in df.columns:
-            # schema-less empty blocks out of a sparse groupby (env quirk)
-            return pd.DataFrame(
-                {id_col: pd.Series(dtype="int64"),
-                 "cluster_id": pd.Series(dtype="int64")}
-            )
-        return df[[id_col, "cluster_id"]]
+    def ids_only(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[id_col].astype("int64")})
 
-    return out.map_batches(final, batch_format="pandas")
+    from ..util import heal_schema
+
+    joined = heal_schema(
+        ds.map_batches(ids_only, batch_format="pandas"), num_partitions
+    ).join(
+        heal_schema(labels, num_partitions), "left_outer",
+        num_partitions, on=("node",),
+    )
+
+    def final(t):
+        # arrow-level coalesce: int64-with-nulls stays exact (a pandas
+        # conversion would round ids above 2^53 through float64)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        node = pc.cast(t["node"], pa.int64())
+        lbl = (
+            pc.cast(t["label"], pa.int64())
+            if "label" in t.column_names
+            else pa.nulls(len(t), pa.int64())
+        )
+        return pa.table({id_col: node, "cluster_id": pc.coalesce(lbl, node)})
+
+    return joined.map_batches(final, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

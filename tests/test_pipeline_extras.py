@@ -204,3 +204,74 @@ def test_range_join_semantics():
         .sort_values("event_id")
     )
     assert dict(zip(out.event_id, out.sid)) == {1: 1, 2: 1, 4: 9}  # 3 dropped
+
+
+def test_asof_join_one_sided_buckets_and_string_keys():
+    import pandas as pd
+    import ray.data as rd
+
+    from nospa_rdf_data_cube_validator_ray.pipelines.relational import asof_join
+
+    # sparse right side: one key matching no left rows -> many buckets
+    # hold only one side; must yield a clean left join, not a KeyError
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {"event_id": range(40), "user_id": list(range(40)),
+             "ts_us": [10] * 40}
+        )
+    ).repartition(4)
+    right = rd.from_pandas(
+        pd.DataFrame({"user_id": [1000], "ts_us": [5], "v": [3.0]})
+    )
+    out = asof_join(
+        left, right, by="user_id", on="ts_us", right_vals=["v"]
+    ).to_pandas()
+    assert len(out) == 40 and out["v"].isna().all()
+    assert out["event_id"].dtype == "int64"  # no float promotion of ids
+
+    # entirely empty right side
+    empty = rd.from_pandas(
+        pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                      "ts_us": pd.Series(dtype="int64"),
+                      "v": pd.Series(dtype="float64")})
+    )
+    out2 = asof_join(
+        left, empty, by="user_id", on="ts_us", right_vals=["v"]
+    ).to_pandas()
+    assert len(out2) == 40 and out2["v"].isna().all()
+
+    # string by-keys are supported (generic operator)
+    ls = rd.from_pandas(
+        pd.DataFrame({"event_id": [1, 2], "user_id": ["a", "b"],
+                      "ts_us": [10, 10]})
+    )
+    rs = rd.from_pandas(
+        pd.DataFrame({"user_id": ["a"], "ts_us": [5], "v": [7.0]})
+    )
+    out3 = asof_join(
+        ls, rs, by="user_id", on="ts_us", right_vals=["v"]
+    ).to_pandas().sort_values("event_id")
+    assert list(out3["v"])[0] == 7.0 and pd.isna(list(out3["v"])[1])
+
+
+def test_cluster_from_pairs_regime_contract_parity():
+    import pandas as pd
+    import ray.data as rd
+
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import cluster_from_pairs
+
+    # pairs referencing an id absent from ds (99) + a duplicate ds id (4):
+    # both regimes must emit one row per ds row and ignore edge-only nodes
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1, 2, 3, 4, 4]})
+    ).repartition(2)
+    pairs = rd.from_pandas(
+        pd.DataFrame({"doc_id_a": [0, 1, 99], "doc_id_b": [1, 2, 3]})
+    )
+    small = cluster_from_pairs(ds, pairs).to_pandas()
+    dist = cluster_from_pairs(ds, pairs, max_driver_edges=0).to_pandas()
+    for out in (small, dist):
+        s = out.sort_values(["doc_id", "cluster_id"]).reset_index(drop=True)
+        assert list(s.doc_id) == [0, 1, 2, 3, 4, 4]
+        # {0,1,2} cluster 0; 3 linked to 99 -> root is min(3, 99) = 3
+        assert list(s.cluster_id) == [0, 0, 0, 3, 4, 4]
