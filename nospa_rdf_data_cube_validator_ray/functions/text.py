@@ -303,3 +303,48 @@ def fingerprint(
             "fp_xor": np.array(fxor, dtype=np.int64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# patterns chosen for exact Python-re / RE2 parity (both engines are
+# leftmost-first here; re.ASCII makes \b and the classes byte-identical
+# to RE2's defaults): no backrefs, no lookaround
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", re.ASCII)
+_PHONE_RE = re.compile(r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}", re.ASCII)
+_IPV4_RE = re.compile(
+    r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", re.ASCII
+)
+PII_PATTERNS = (
+    (_EMAIL_RE, "<EMAIL>", "n_email"),
+    (_PHONE_RE, "<PHONE>", "n_phone"),
+    (_IPV4_RE, "<IP>", "n_ipv4"),
+)
+
+
+def pii_scrub(
+    df: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Detect and redact emails / phone numbers / IPv4 addresses.
+
+    Patterns are applied SEQUENTIALLY (email → phone → IP), each counted
+    on the text as left by the previous replacement, so the operation is
+    a pure function of the input string that an SQL oracle can replicate
+    with nested ``regexp_replace(.., 'g')``.  Fully vectorized
+    (``Series.str.count`` / ``.str.replace`` on compiled patterns).
+    """
+    from ..stages.dedup import _md5_u64
+
+    s = df[text_col].fillna("")
+    out = pd.DataFrame({"doc_id": df[id_col].astype("int64")})
+    for pat, repl, cname in PII_PATTERNS:
+        out[cname] = s.str.count(pat).astype("int64")
+        s = s.str.replace(pat, repl, regex=True)
+    out["clean_len"] = s.str.len().astype("int64")
+    # 61-bit md5 of the scrubbed text == md5_number_lower(s) % 2^61
+    out["clean_h61"] = pd.array(
+        [_md5_u64(t) % (1 << 61) for t in s], dtype="int64"
+    )
+    return out

@@ -493,6 +493,236 @@ def q_multimodal(sf_dir: str):
     return feats.select_columns(["doc_id", "n_bytes"])
 
 
+# -- PII scrub (derived corpus: deterministic PII injected from doc_id) -----
+
+
+def _inject_pii(df: pd.DataFrame) -> pd.DataFrame:
+    """The documents fixture carries no PII-shaped text, so the query
+    derives a PII-bearing corpus as a pure function of (doc_id, text) —
+    the same derived-corpus trick the kg_* entity queries use — and the
+    oracle rebuilds it with string concatenation in SQL."""
+    ids = df["doc_id"].astype("int64")
+    base = df["text"].fillna("")
+    pre = pd.Series(
+        ["alt" + str(i) + "@alt.org " if i % 5 == 0 else "" for i in ids],
+        index=df.index,
+    )
+    suf = pd.Series(
+        [
+            " contact user%d@ex%d.com or +1-555-%04d ip 10.%d.0.%d"
+            % (i, i % 7, (i * 37) % 10000, i % 256, (i * 3) % 256)
+            if i % 3 != 0
+            else ""
+            for i in ids
+        ],
+        index=df.index,
+    )
+    return pd.DataFrame({"doc_id": ids, "text": pre + base + suf})
+
+
+def q_pii_scrub(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        lambda df: T.pii_scrub(_inject_pii(df)), batch_format="pandas"
+    )
+
+
+# both sides share the regexes verbatim (RE2 / re.ASCII parity — see
+# functions.text.PII_PATTERNS); counts are taken on the text as left by
+# the previous replacement, exactly like the Python kernel
+_SQL_PII = r"""
+WITH inj AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 5 = 0 THEN 'alt' || doc_id || '@alt.org ' ELSE '' END)
+    || coalesce(text, '')
+    || (CASE WHEN doc_id % 3 != 0 THEN
+          ' contact user' || doc_id || '@ex' || (doc_id % 7)
+          || '.com or +1-555-' || lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0')
+          || ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256)
+        ELSE '' END) AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+  FROM inj
+),
+s2 AS (
+  SELECT *, regexp_replace(t1, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
+                           '<PHONE>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, regexp_replace(
+      t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+      '<IP>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id,
+  length(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  length(regexp_extract_all(t1, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+  length(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+  length(t3)::BIGINT AS clean_len,
+  (md5_number_lower(t3) % 2305843009213693952)::BIGINT AS clean_h61
+FROM s3
+"""
+
+
+# -- TF-IDF top-k terms per document ----------------------------------------
+
+
+def q_doc_tfidf_topk(sf_dir: str, k: int = 5):
+    """Per-document top-k terms by tf·idf with idf = N_docs/df — the
+    ratio form keeps the score a single IEEE-exact float64 DIVISION of
+    two integers (N_docs cancels inside a per-doc ranking), so the DuckDB
+    oracle hashes bit-identically; a log-idf would hostage the oracle to
+    transcendental-function ulps.
+
+    Two-phase aggregate-then-broadcast (the doc_familiarity shape):
+    document frequencies aggregate map-side (each document lives in
+    exactly one batch, so a per-batch count of docs containing a token is
+    a valid partial), the vocabulary-sized df table broadcasts via
+    ray.put, and each batch ranks its own documents locally — the top-k
+    needs no shuffle because a document never spans batches.  At corpora
+    where the vocabulary outgrows a broadcast, swap for a token-keyed
+    join."""
+    import ray
+
+    from collections import Counter
+
+    from ..stages.dedup import tokens as _tok
+
+    docs = _docs(sf_dir)
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in df["text"].fillna(""):
+            c.update(set(_tok(t)))
+        return pd.DataFrame(
+            {"token": list(c.keys()),
+             "nd": pd.array(list(c.values()), dtype="int64")}
+        )
+
+    df_tab = (
+        docs.map_batches(df_partial, batch_format="pandas")
+        .groupby("token")
+        .sum("nd")
+        .to_pandas()
+    )
+    dfm = dict(zip(df_tab["token"], df_tab["sum(nd)"].astype("int64")))
+    ref = ray.put(dfm)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        ids, toks, tfs, dfs, scores, ranks = [], [], [], [], [], []
+        for doc_id, t in zip(df["doc_id"].astype("int64"), df["text"].fillna("")):
+            c = Counter(_tok(t))
+            scored = sorted(
+                ((tf / m[tok], tok, tf) for tok, tf in c.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:k]
+            for r, (sc, tok, tf) in enumerate(scored, 1):
+                ids.append(doc_id)
+                toks.append(tok)
+                tfs.append(tf)
+                dfs.append(m[tok])
+                scores.append(sc)
+                ranks.append(r)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "token": pd.array(toks, dtype="string"),
+                "tf": pd.array(tfs, dtype="int64"),
+                "df": pd.array(dfs, dtype="int64"),
+                "score": pd.array(scores, dtype="float64"),
+                "rank": pd.array(ranks, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(topk, batch_format="pandas")
+
+
+_SQL_TFIDF_TOPK = r"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+dfq AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM tk GROUP BY 1)
+SELECT doc_id, t AS token, tf, df,
+       tf::DOUBLE / df::DOUBLE AS score,
+       row_number() OVER (
+         PARTITION BY doc_id ORDER BY tf::DOUBLE / df::DOUBLE DESC, t
+       )::BIGINT AS rank
+FROM tf JOIN dfq USING (t)
+QUALIFY rank <= 5
+"""
+
+
+# -- exact per-group quantiles via a value histogram ------------------------
+
+
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact per-source document-length quantiles WITHOUT a distributed
+    sort: lengths are small integers, so a (source, n_chars) counting
+    histogram (map-side partials → vocabulary-sized groupby) captures the
+    full distribution; quantiles then read off the cumulative counts on
+    the driver — the histogram is aggregate-sized (|sources| × |distinct
+    lengths|), never corpus-sized, so this is the 100-TB shape for any
+    bounded-cardinality metric.  The index rule is the integer lower
+    quantile idx = (n−1)·pct // 100 — no float interpolation to
+    desynchronize from SQL."""
+    import numpy as np
+    import ray
+
+    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "n_chars"],
+        override_num_blocks=nb,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "n_chars"])
+        .sum("n")
+        .to_pandas()
+    )
+    rows = []
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        cum = g["sum(n)"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"source": src, "n_docs": n}
+        for pct in (25, 50, 75, 95):
+            idx = (n - 1) * pct // 100
+            row[f"p{pct}"] = int(vals[np.searchsorted(cum, idx + 1)])
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    for c in ("n_docs", "p25", "p50", "p75", "p95"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_SQL_LEN_QUANTILES = r"""
+WITH s AS (
+  SELECT source, list_sort(list(n_chars)) AS v, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+  v[(n_docs - 1) * 25 // 100 + 1]::BIGINT AS p25,
+  v[(n_docs - 1) * 50 // 100 + 1]::BIGINT AS p50,
+  v[(n_docs - 1) * 75 // 100 + 1]::BIGINT AS p75,
+  v[(n_docs - 1) * 95 // 100 + 1]::BIGINT AS p95
+FROM s
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -520,6 +750,9 @@ QUERIES = {
     "source_mix_sample": q_source_mix_sample,
     "pack_sequences": q_pack_sequences,
     "embedding_clusters": q_embedding_clusters,
+    "pii_scrub": q_pii_scrub,
+    "doc_tfidf_topk": q_doc_tfidf_topk,
+    "doc_len_quantiles": q_doc_len_quantiles,
 }
 
 # ---------------------------------------------------------------------------
@@ -843,4 +1076,7 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "source_mix_sample": _SQL_SOURCE_MIX,
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "embedding_clusters": _SQL_EMBEDDING_CLUSTERS,
+    "pii_scrub": _SQL_PII,
+    "doc_tfidf_topk": _SQL_TFIDF_TOPK,
+    "doc_len_quantiles": _SQL_LEN_QUANTILES,
 }

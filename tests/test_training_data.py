@@ -388,3 +388,87 @@ def test_multimodal_real_decode_pipeline():
         C.decode_bmp(bytes(f)).shape == (8, 8, 3)
         for f in fr["frames"].iloc[0]
     )
+
+
+def test_pii_scrub_kernel():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail a.b+c@foo.org and x@y.io now",
+                "call +1-555-0199 or +44-123-4567 at 10.0.0.1",
+                None,
+                "v1.2.3.4beta is a version, not 5.6.7.8",  # \b guards
+            ],
+        }
+    )
+    out = T.pii_scrub(df).set_index("doc_id")
+    assert out.loc[0, "n_email"] == 2 and out.loc[0, "n_phone"] == 0
+    assert out.loc[1, "n_phone"] == 2 and out.loc[1, "n_ipv4"] == 1
+    assert out.loc[2, "clean_len"] == 0 and out.loc[2, "n_email"] == 0
+    # 1.2.3.4 touches the word char 'v' on the left (no \b) but 'beta'
+    # on the right is also word-material: only the standalone IP matches
+    assert out.loc[3, "n_ipv4"] == 1
+    # scrubbed text is PII-free: re-scrub is a fixpoint
+    from nospa_rdf_data_cube_validator_ray.functions.text import (
+        _EMAIL_RE,
+        _PHONE_RE,
+    )
+
+    assert out.loc[1, "clean_len"] == len("call <PHONE> or <PHONE> at <IP>")
+
+
+def test_doc_len_quantiles_index_rule():
+    # n=1 group: every quantile is the single value; n=4: idx 0,1,2,2
+    import duckdb
+
+    df = pd.DataFrame(
+        {
+            "source": ["a", "b", "b", "b", "b"],
+            "n_chars": [7, 10, 40, 20, 30],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    from nospa_rdf_data_cube_validator_ray.pipelines.training_data import (
+        _SQL_LEN_QUANTILES,
+    )
+
+    out = con.execute(_SQL_LEN_QUANTILES).df().set_index("source")
+    assert list(out.loc["a"]) == [1, 7, 7, 7, 7]
+    assert list(out.loc["b"]) == [4, 10, 20, 30, 30]
+
+
+def test_tfidf_score_is_exact_division():
+    # score column must be bit-exact tf/df so the oracle hash matches
+    import duckdb
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a a b unique", "a b b"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [10, 5],
+        }
+    )
+    path = "/tmp/tfidf_docs.parquet"
+    df.to_parquet(path, index=False)
+    import os
+
+    from nospa_rdf_data_cube_validator_ray.pipelines.training_data import (
+        q_doc_tfidf_topk,
+    )
+
+    os.makedirs("/tmp/tfidf_sf", exist_ok=True)
+    df.to_parquet("/tmp/tfidf_sf/documents.parquet", index=False)
+    out = (
+        q_doc_tfidf_topk("/tmp/tfidf_sf")
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    # doc 0: unique (tf1/df1=1.0) > a (2/2) = 1.0 tie -> 'a' first by token
+    assert list(d0.token) == ["a", "unique", "b"]
+    assert d0.score.iloc[0] == 1.0 and d0.score.iloc[2] == 0.5
