@@ -723,6 +723,96 @@ FROM s
 """
 
 
+# -- global rank / distinct counts ------------------------------------------
+
+
+def q_docs_global_rank(sf_dir: str):
+    """Corpus-wide dense ranking by (n_chars DESC, doc_id) — the
+    distributed sort + ordered-prefix-sum rank primitive
+    (stages.packing.global_rank); doc_id makes the order total."""
+    import ray
+
+    from ..stages.packing import global_rank
+
+    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"],
+        override_num_blocks=nb,
+    )
+    return global_rank(
+        ds, keys=["n_chars", "doc_id"], descending=[True, False]
+    )
+
+
+_SQL_GLOBAL_RANK = r"""
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT AS rank
+FROM documents
+"""
+
+
+def q_distinct_tokens_per_source(sf_dir: str):
+    """Exact per-source distinct-token counts: per-batch distinct
+    (source, token) pairs (map-side dedup shrinks the exchange to the
+    per-block vocabulary), one groupby co-locates each pair, and a
+    vocabulary-sized second pass counts per source — the exact
+    COUNT(DISTINCT) pattern without ever shuffling token occurrences."""
+    from ..stages.dedup import tokens as _tok
+
+    docs = _docs(sf_dir)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        seen = set()
+        for src, t in zip(df["source"], df["text"].fillna("")):
+            for w in set(_tok(t)):
+                seen.add((src, w))
+        if not seen:
+            return pd.DataFrame(
+                {"source": pd.array([], dtype="string"),
+                 "token": pd.array([], dtype="string")}
+            )
+        s, w = zip(*seen)
+        return pd.DataFrame(
+            {"source": pd.array(s, dtype="string"),
+             "token": pd.array(w, dtype="string")}
+        )
+
+    distinct = (
+        docs.map_batches(pairs, batch_format="pandas")
+        .groupby(["source", "token"])
+        .count()
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).size()
+        return g.rename(columns={"size": "nd"})
+
+    out = (
+        distinct.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .sum("nd")
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"source": df["source"],
+             "n_distinct_tokens": df["sum(nd)"].astype("int64")}
+        )
+
+    return out.map_batches(final, batch_format="pandas")
+
+
+_SQL_DISTINCT_TOKENS = r"""
+SELECT source, count(DISTINCT t)::BIGINT AS n_distinct_tokens
+FROM (
+  SELECT source, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+  FROM documents
+)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -753,6 +843,8 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "doc_len_quantiles": q_doc_len_quantiles,
+    "docs_global_rank": q_docs_global_rank,
+    "distinct_tokens_per_source": q_distinct_tokens_per_source,
 }
 
 # ---------------------------------------------------------------------------
@@ -1079,4 +1171,6 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "pii_scrub": _SQL_PII,
     "doc_tfidf_topk": _SQL_TFIDF_TOPK,
     "doc_len_quantiles": _SQL_LEN_QUANTILES,
+    "docs_global_rank": _SQL_GLOBAL_RANK,
+    "distinct_tokens_per_source": _SQL_DISTINCT_TOKENS,
 }

@@ -98,3 +98,60 @@ def pack_sequences(
         )
 
     return counted.map_batches(assign, batch_format="pandas", batch_size=None)
+
+
+def global_rank(
+    ds: "ray.data.Dataset",
+    *,
+    keys: list[str],
+    descending: "list[bool] | bool" = False,
+    out_col: str = "rank",
+) -> "ray.data.Dataset":
+    """Dense global 1-based row numbering over an arbitrary sort order —
+    the same two-pass ordered prefix-sum as :func:`pack_sequences`, with
+    the per-block summary keyed by the block's first sort-key tuple
+    (unique because the sort is total when ``keys`` includes a
+    tie-breaker column, which callers must ensure).
+
+    The only exchange is the sort itself; per-block summaries are
+    O(num_blocks) driver state and the offset table broadcasts once.
+    """
+    sorted_ds = ds.sort(keys, descending=descending).materialize()
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys].head(1).copy()
+        out["_n"] = len(df)
+        return out
+
+    sums = (
+        sorted_ds.map_batches(
+            summarize, batch_format="pandas", batch_size=None
+        )
+        .to_pandas()
+        .sort_values(
+            keys,
+            ascending=[not d for d in (
+                descending if isinstance(descending, list)
+                else [descending] * len(keys)
+            )],
+        )
+    )
+    offsets = dict(
+        zip(
+            (tuple(r) for r in sums[keys].itertuples(index=False)),
+            sums["_n"].cumsum().shift(fill_value=0).astype("int64"),
+        )
+    )
+    ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(ref)[tuple(df[keys].iloc[0])]
+        out = df.copy()
+        out[out_col] = pd.array(
+            range(int(off) + 1, int(off) + 1 + len(df)), dtype="int64"
+        )
+        return out
+
+    return sorted_ds.map_batches(
+        assign, batch_format="pandas", batch_size=None
+    )

@@ -472,3 +472,20 @@ def test_tfidf_score_is_exact_division():
     # doc 0: unique (tf1/df1=1.0) > a (2/2) = 1.0 tie -> 'a' first by token
     assert list(d0.token) == ["a", "unique", "b"]
     assert d0.score.iloc[0] == 1.0 and d0.score.iloc[2] == 0.5
+
+
+def test_global_rank_total_order_across_blocks():
+    from nospa_rdf_data_cube_validator_ray.stages.packing import global_rank
+
+    # many duplicate sort values spread over blocks: the doc_id
+    # tie-breaker must still produce a dense 1..N permutation
+    df = pd.DataFrame({"doc_id": range(100), "n_chars": [7] * 50 + [3] * 50})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        global_rank(ds, keys=["n_chars", "doc_id"], descending=[True, False])
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert list(out["rank"]) == list(range(1, 101))
+    # n_chars=7 ids (0..49) outrank n_chars=3 ids, each in id order
+    assert list(out["doc_id"]) == list(range(100))
