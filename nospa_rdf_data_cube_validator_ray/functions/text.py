@@ -338,7 +338,7 @@ def pii_scrub(
     from ..stages.dedup import _md5_u64
 
     s = df[text_col].fillna("")
-    out = pd.DataFrame({"doc_id": df[id_col].astype("int64")})
+    out = pd.DataFrame({id_col: df[id_col].astype("int64")})
     for pat, repl, cname in PII_PATTERNS:
         out[cname] = s.str.count(pat).astype("int64")
         s = s.str.replace(pat, repl, regex=True)

@@ -296,17 +296,25 @@ def asof_join(
     DuckDB an arbitrary one)."""
     lcols = [c for c in left.schema().names]
     rkeep = [by, on, *right_vals]
+    canon = _canon_dtypes(right, right_vals)
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        if not len(l):
-            return pd.DataFrame(columns=[*lcols, *right_vals])
-        if not len(r):
-            # left join with an empty right side: all values missing
+        if not len(l) or not len(r):
+            # left join with an empty side: keep the bucket's TYPED
+            # frames (the tag-time padding typed them) so every bucket
+            # emits one schema — an all-object empty here would poison
+            # downstream schema unification
             out = l.copy()
             for c in right_vals:
-                out[c] = np.nan
+                out[c] = pd.Series(
+                    dtype=canon.get(c) or r[c].dtype
+                ).reindex(out.index)
             return out
-        return pd.merge_asof(
+        # nullable value dtypes BEFORE the merge: a missed match would
+        # otherwise promote int64 values through float64 and round ids
+        # above 2^53; Int64/boolean carry pd.NA exactly
+        r = r.astype({c: d for c, d in canon.items() if d})
+        out = pd.merge_asof(
             l.sort_values(on),
             r.sort_values(on),
             on=on,
@@ -314,11 +322,45 @@ def asof_join(
             direction="backward",
             allow_exact_matches=allow_exact_matches,
         )
+        for c, d in canon.items():
+            if d:
+                out[c] = out[c].astype(d)
+        return out
 
     return _two_sided_bucketed(
         left, right, by=by, lcols=lcols, rkeep=rkeep,
         num_buckets=num_buckets, merge=merge,
     )
+
+
+def _canon_dtypes(right: "ray.data.Dataset", right_vals: list[str]) -> dict:
+    """Canonical pandas output dtype per right value column, identical
+    across matched/missed/empty buckets: nullable Int64/boolean for
+    exact integers and bools, float64 for floats, native datetime64 for
+    timestamps, None (leave as produced) otherwise."""
+    import pyarrow as pa
+
+    types = dict(zip(right.schema().names, right.schema().types))
+    out: dict = {}
+    for c in right_vals:
+        dt = types[c]
+        if not isinstance(dt, pa.DataType):
+            try:
+                dt = pa.from_numpy_dtype(dt)
+            except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                out[c] = None
+                continue
+        if pa.types.is_integer(dt):
+            out[c] = "Int64"
+        elif pa.types.is_boolean(dt):
+            out[c] = "boolean"
+        elif pa.types.is_floating(dt):
+            out[c] = "float64"
+        elif pa.types.is_timestamp(dt):
+            out[c] = f"datetime64[{dt.unit}]"
+        else:
+            out[c] = None
+    return out
 
 
 def _two_sided_bucketed(
@@ -343,14 +385,28 @@ def _two_sided_bucketed(
     mixed-schema blocks through pandas, which would promote one-sided
     int64 columns to float64 and silently round ids above 2^53."""
 
+    import pyarrow as pa
+
     def np_default(dt):
-        s = str(dt)
-        if s.startswith(("int", "uint")):
+        # pandas-backed Datasets report numpy dtypes / Python classes
+        # (e.g. ``object``) instead of Arrow DataTypes — normalize
+        if not isinstance(dt, pa.DataType):
+            try:
+                dt = pa.from_numpy_dtype(dt)
+            except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                return ""
+        if pa.types.is_integer(dt):
             return np.int64(0)
-        if s.startswith(("float", "double", "halffloat", "decimal")):
+        if pa.types.is_floating(dt) or pa.types.is_decimal(dt):
             return np.float64(np.nan)
-        if s.startswith("bool"):
+        if pa.types.is_boolean(dt):
             return False
+        if pa.types.is_timestamp(dt):
+            return np.datetime64(0, dt.unit)
+        if pa.types.is_date(dt):
+            return np.datetime64(0, "D")
+        if pa.types.is_binary(dt) or pa.types.is_large_binary(dt):
+            return b""
         return ""  # string-ish
 
     l_types = dict(zip(left.schema().names, left.schema().types))
@@ -367,9 +423,20 @@ def _two_sided_bucketed(
             for c in all_cols:
                 out[c] = df[c] if c in keep else defaults[c]
             out["_side"] = np.int8(side)
-            # hash the key values as-is: int and string keys both hash
+            # canonicalize the key array before hashing: the two sides
+            # may carry different physical widths (int32 vs int64, or a
+            # float-promoted copy), and pd.util.hash_array hashes the
+            # RAW representation — int32 -5 and int64 -5 would land in
+            # different buckets and silently drop matches
+            keys = df[by]
+            if pd.api.types.is_integer_dtype(keys):
+                arr = keys.to_numpy("int64")
+            elif pd.api.types.is_float_dtype(keys):
+                arr = keys.to_numpy("float64")
+            else:
+                arr = keys.to_numpy()
             out["_kb"] = (
-                pd.util.hash_array(df[by].to_numpy()) % num_buckets
+                pd.util.hash_array(arr) % num_buckets
             ).astype("int32")
             return out
 
@@ -411,10 +478,17 @@ def range_join(
     caveat as :func:`asof_join`."""
     lcols = [c for c in left.schema().names]
     rkeep = [by, start, end, *right_vals]
+    canon = _canon_dtypes(right, right_vals)
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if not len(l) or not len(r):
-            return pd.DataFrame(columns=[*lcols, *right_vals])
+            # typed empty (bucket frames are typed by the tag padding):
+            # an all-object empty would poison schema unification
+            out = l.iloc[0:0].copy()
+            for c in right_vals:
+                out[c] = pd.Series(dtype=canon.get(c) or r[c].dtype)
+            return out
+        r = r.astype({c: d for c, d in canon.items() if d})
         m = pd.merge_asof(
             l.sort_values(on),
             r.sort_values(start),
@@ -424,7 +498,11 @@ def range_join(
             direction="backward",
         )
         m = m[m[end].notna() & (m[on] <= m[end])]
-        return m.drop(columns=[start, end])
+        m = m.drop(columns=[start, end])
+        for c, d in canon.items():
+            if d:
+                m[c] = m[c].astype(d)
+        return m
 
     return _two_sided_bucketed(
         left, right, by=by, lcols=lcols, rkeep=rkeep,

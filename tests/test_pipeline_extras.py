@@ -275,3 +275,65 @@ def test_cluster_from_pairs_regime_contract_parity():
         assert list(s.doc_id) == [0, 1, 2, 3, 4, 4]
         # {0,1,2} cluster 0; 3 linked to 99 -> root is min(3, 99) = 3
         assert list(s.cluster_id) == [0, 0, 0, 3, 4, 4]
+
+
+def test_asof_join_mixed_key_widths_and_int_values():
+    import pandas as pd
+    import ray.data as rd
+
+    from nospa_rdf_data_cube_validator_ray.pipelines.relational import (
+        asof_join,
+        range_join,
+    )
+
+    # int32 right keys with NEGATIVE values: raw-representation hashing
+    # would bucket int32 -5 and int64 -5 differently and drop the match
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {"event_id": [1, 2], "user_id": pd.array([-5, 7], dtype="int64"),
+             "ts_us": [10, 10]}
+        )
+    )
+    right = rd.from_pandas(
+        pd.DataFrame(
+            {"user_id": pd.array([-5, 7], dtype="int32"),
+             "ts_us": [5, 5],
+             "ref": pd.array([2**53 + 3, 4], dtype="int64")}
+        )
+    )
+    out = (
+        asof_join(left, right, by="user_id", on="ts_us", right_vals=["ref"])
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # both keys matched, and the int64 value survived exactly (no
+    # float64 passage): 2**53+3 rounds to 2**53+4 in float64
+    assert list(out["ref"]) == [2**53 + 3, 4]
+
+    # partial coverage: missed rows are NA while hits stay exact int
+    right2 = rd.from_pandas(
+        pd.DataFrame(
+            {"user_id": pd.array([-5], dtype="int64"), "ts_us": [5],
+             "ref": pd.array([2**53 + 3], dtype="int64")}
+        )
+    )
+    out2 = (
+        asof_join(left, right2, by="user_id", on="ts_us", right_vals=["ref"])
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    vals = list(out2["ref"])
+    assert vals[0] == 2**53 + 3 and pd.isna(vals[1])
+
+    # range_join keeps typed empties and exact ints too
+    r3 = rd.from_pandas(
+        pd.DataFrame(
+            {"user_id": pd.array([7], dtype="int64"), "lo": [0], "hi": [20],
+             "sid": pd.array([2**53 + 5], dtype="int64")}
+        )
+    )
+    out3 = range_join(
+        left, r3, by="user_id", on="ts_us", start="lo", end="hi",
+        right_vals=["sid"],
+    ).to_pandas()
+    assert list(out3["event_id"]) == [2] and out3["sid"].iloc[0] == 2**53 + 5

@@ -441,7 +441,7 @@ def test_doc_len_quantiles_index_rule():
 
 def test_tfidf_score_is_exact_division():
     # score column must be bit-exact tf/df so the oracle hash matches
-    import duckdb
+    import os
 
     df = pd.DataFrame(
         {
@@ -452,10 +452,6 @@ def test_tfidf_score_is_exact_division():
             "n_chars": [10, 5],
         }
     )
-    path = "/tmp/tfidf_docs.parquet"
-    df.to_parquet(path, index=False)
-    import os
-
     from nospa_rdf_data_cube_validator_ray.pipelines.training_data import (
         q_doc_tfidf_topk,
     )
