@@ -813,6 +813,110 @@ GROUP BY source
 """
 
 
+# -- boilerplate (line-level) removal ---------------------------------------
+
+
+def q_boilerplate_removal(sf_dir: str, min_df: int = 10):
+    """RefinedWeb/CCNet-style boilerplate stripping: drop every LINE
+    that occurs in ≥ ``min_df`` distinct documents, keeping the
+    remaining lines in order.  The fixture corpus is single-line, so the
+    query derives a multi-line corpus by framing each document with
+    shared header/footer lines (a pure function of doc_id — the
+    derived-corpus oracle trick).
+
+    Distribution: line document-frequencies aggregate map-side (distinct
+    lines per doc per batch → groupby sum), and only lines ABOVE the
+    threshold broadcast — the frequent-line set is bounded by
+    total_lines/min_df and in practice by the boilerplate vocabulary, so
+    the broadcast stays small at any corpus size (same size argument as
+    the contamination scan's eval-set broadcast)."""
+    import ray
+
+    from collections import Counter
+
+    from ..stages.dedup import _md5_u64
+
+    docs = _docs(sf_dir)
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        t = (
+            "BOILER head v" + (ids % 2).astype(str)
+            + "\n" + df["text"].fillna("")
+            + "\nBOILER foot " + (ids % 4).astype(str)
+        )
+        return pd.DataFrame({"doc_id": ids, "t": t})
+
+    inj = docs.map_batches(inject, batch_format="pandas")
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in df["t"]:
+            c.update(set(t.split("\n")))
+        return pd.DataFrame(
+            {"ln": list(c.keys()),
+             "nd": pd.array(list(c.values()), dtype="int64")}
+        )
+
+    freq_df = (
+        inj.map_batches(line_partial, batch_format="pandas")
+        .groupby("ln")
+        .sum("nd")
+        .map_batches(
+            lambda df: df[df["sum(nd)"] >= min_df][["ln"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    ref = ray.put(set(freq_df["ln"]))
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(ref)
+        ids, n_lines, n_kept, h61 = [], [], [], []
+        for doc_id, t in zip(df["doc_id"], df["t"]):
+            lines = t.split("\n")
+            kept = [x for x in lines if x not in f]
+            ids.append(doc_id)
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+            h61.append(_md5_u64("\n".join(kept)) % (1 << 61))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "n_lines": pd.array(n_lines, dtype="int64"),
+                "n_kept": pd.array(n_kept, dtype="int64"),
+                "clean_h61": pd.array(h61, dtype="int64"),
+            }
+        )
+
+    return inj.map_batches(scrub, batch_format="pandas")
+
+
+_SQL_BOILERPLATE = r"""
+WITH inj AS (
+  SELECT doc_id,
+         'BOILER head v' || (doc_id % 2) || chr(10) || coalesce(text, '')
+         || chr(10) || 'BOILER foot ' || (doc_id % 4) AS t
+  FROM documents
+),
+lsts AS (SELECT doc_id, string_split(t, chr(10)) AS lst FROM inj),
+lines AS (SELECT doc_id, unnest(lst) AS ln FROM lsts),
+ldf AS (SELECT ln, count(DISTINCT doc_id) AS nd FROM lines GROUP BY ln),
+fl AS (SELECT coalesce(list(ln), []) AS f FROM ldf WHERE nd >= 10),
+sel AS (
+  SELECT doc_id, lst,
+         list_filter(lst, x -> NOT list_contains(fl.f, x)) AS kept
+  FROM lsts, fl
+)
+SELECT doc_id,
+       len(lst)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       (md5_number_lower(array_to_string(kept, chr(10)))
+        % 2305843009213693952)::BIGINT AS clean_h61
+FROM sel
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -845,6 +949,7 @@ QUERIES = {
     "doc_len_quantiles": q_doc_len_quantiles,
     "docs_global_rank": q_docs_global_rank,
     "distinct_tokens_per_source": q_distinct_tokens_per_source,
+    "boilerplate_removal": q_boilerplate_removal,
 }
 
 # ---------------------------------------------------------------------------
@@ -1173,4 +1278,5 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "doc_len_quantiles": _SQL_LEN_QUANTILES,
     "docs_global_rank": _SQL_GLOBAL_RANK,
     "distinct_tokens_per_source": _SQL_DISTINCT_TOKENS,
+    "boilerplate_removal": _SQL_BOILERPLATE,
 }
