@@ -124,6 +124,11 @@ def run_suite(
         "contamination",
         lambda: D.benchmark_contamination(docs).count(),
     )
+    timed("doc_tfidf_topk", lambda: td.q_doc_tfidf_topk(sf_dir).count())
+    timed(
+        "boilerplate_removal",
+        lambda: td.q_boilerplate_removal(sf_dir).count(),
+    )
 
     # -- scaling pair in the SAME round (fresh subprocesses), so BENCH_rN
     # carries headline + scaling + host-load context together and

@@ -23,7 +23,6 @@ Term encoding
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import pyarrow as pa
@@ -71,10 +70,6 @@ def make_graph_id(repo: str, path: str, commit: str) -> str:
 def split_graph_id(graph: str) -> tuple[str, str, str]:
     repo, path, commit = graph.split(GRAPH_SEP, 2)
     return repo, path, commit
-
-
-def sha256_hex(content: str) -> str:
-    return hashlib.sha256(content.encode("utf-8")).hexdigest()
 
 
 def term_str(kind: int, lex: str, dt: str = "", lang: str = "") -> str:
