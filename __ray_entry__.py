@@ -705,6 +705,165 @@ WHERE m.node != r.root
 
 
 # ---------------------------------------------------------------------------
+# link-graph analytics (orders/customer/nation-derived provenance graph)
+# ---------------------------------------------------------------------------
+
+_KGP = "http://example.org/kg#"
+_KGN = "http://example.org/kg/"
+
+
+def _link_triples(sf_dir: str):
+    """Parse the link-graph corpus once per sf_dir (fixtures.tpch_link_corpus:
+    order chains + customer/nation/region hierarchy, edges CROSS files)."""
+    state = _CACHE.setdefault(sf_dir, {})
+    if "link_triples" not in state:
+        import ray.data
+
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_link_corpus
+        from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+
+        state["link_triples"] = parse_corpus(
+            ray.data.from_arrow(tpch_link_corpus(sf_dir))
+        ).materialize()
+    return state["link_triples"]
+
+
+def q_kg_degree(sf_dir: str):
+    """Per-node out/in degree over the link graph — map-side partial
+    counts + one groupby-sum (stages/graph.degree_table)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        degree_table,
+        extract_edges,
+    )
+
+    return degree_table(extract_edges(_link_triples(sf_dir)))
+
+
+def q_kg_path2(sf_dir: str):
+    """2-hop path motif census (p1, p2, n) — one mid-node hash join
+    (stages/graph.path2_counts)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        extract_edges,
+        path2_counts,
+    )
+
+    return path2_counts(extract_edges(_link_triples(sf_dir)))
+
+
+def q_kg_class_profile(sf_dir: str):
+    """Per-class schema summary (instances, out-edges, distinct preds,
+    max out-degree) — edges x rdf:type hash join + class-scale merges
+    (stages/graph.class_profile)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import class_profile
+
+    return class_profile(_link_triples(sf_dir))
+
+
+def q_kg_bfs_depths(sf_dir: str):
+    """Min-hop BFS distances from region 1 along reversed edges (the
+    provenance chains point leaf→root) — size-adaptive traversal
+    (stages/graph.bfs_distances; broadcast-frontier regime parity-tested
+    in tests/test_graph.py)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        bfs_distances,
+        extract_edges,
+    )
+
+    return bfs_distances(
+        extract_edges(_link_triples(sf_dir)), [f"{_KGN}reg/1"], reverse=True
+    )
+
+
+# edge-table CTE body (no WITH keyword — BFS prefixes WITH RECURSIVE);
+# lag() over (custkey, orderkey) rebuilds the order chains exactly as
+# fixtures.tpch_link_corpus writes them
+_KG_EDGE_BODY = f"""
+ok AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         lag(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+         ) AS pk
+  FROM orders
+),
+edges AS (
+  SELECT '{_KGN}ord/' || k AS subj, '{_KGP}placedBy' AS pred,
+         '{_KGN}cust/' || c AS obj
+  FROM ok WHERE pk IS NULL
+  UNION ALL
+  SELECT '{_KGN}ord/' || k, '{_KGP}follows', '{_KGN}ord/' || pk
+  FROM ok WHERE pk IS NOT NULL
+  UNION ALL
+  SELECT '{_KGN}cust/' || c_custkey, '{_KGP}inNation',
+         '{_KGN}nat/' || c_nationkey
+  FROM customer
+  UNION ALL
+  SELECT '{_KGN}nat/' || n_nationkey, '{_KGP}inRegion',
+         '{_KGN}reg/' || n_regionkey
+  FROM nation
+)
+"""
+
+_SQL_KG_DEGREE = f"""
+WITH {_KG_EDGE_BODY},
+o AS (SELECT subj AS node, count(*) AS c FROM edges GROUP BY subj),
+i AS (SELECT obj AS node, count(*) AS c FROM edges GROUP BY obj)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(o.c, 0)::BIGINT AS out_deg,
+       coalesce(i.c, 0)::BIGINT AS in_deg
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+_SQL_KG_PATH2 = f"""
+WITH {_KG_EDGE_BODY}
+SELECT a.pred AS p1, b.pred AS p2, count(*)::BIGINT AS n
+FROM edges a JOIN edges b ON a.obj = b.subj
+GROUP BY a.pred, b.pred
+"""
+
+_SQL_KG_CLASS_PROFILE = f"""
+WITH {_KG_EDGE_BODY},
+types AS (
+  SELECT '{_KGN}ord/' || o_orderkey AS subj, '{_KGP}Order' AS cls FROM orders
+  UNION ALL
+  SELECT '{_KGN}cust/' || c_custkey, '{_KGP}Customer' FROM customer
+  UNION ALL
+  SELECT '{_KGN}nat/' || n_nationkey, '{_KGP}Nation' FROM nation
+  UNION ALL
+  SELECT '{_KGN}reg/' || r_regionkey, '{_KGP}Region' FROM region
+),
+j AS (SELECT t.cls, e.subj, e.pred FROM edges e JOIN types t ON e.subj = t.subj),
+per_subj AS (SELECT cls, subj, count(*) AS out_n FROM j GROUP BY cls, subj)
+SELECT ty.cls AS cls,
+       ty.n_instances,
+       coalesce(e.n_out_edges, 0)::BIGINT AS n_out_edges,
+       coalesce(p.n_distinct_preds, 0)::BIGINT AS n_distinct_preds,
+       coalesce(e.max_out_degree, 0)::BIGINT AS max_out_degree
+FROM (SELECT cls, count(*)::BIGINT AS n_instances FROM types GROUP BY cls) ty
+LEFT JOIN (
+  SELECT cls, sum(out_n)::BIGINT AS n_out_edges,
+         max(out_n)::BIGINT AS max_out_degree
+  FROM per_subj GROUP BY cls
+) e ON ty.cls = e.cls
+LEFT JOIN (
+  SELECT cls, count(DISTINCT pred)::BIGINT AS n_distinct_preds
+  FROM j GROUP BY cls
+) p ON ty.cls = p.cls
+"""
+
+_SQL_KG_BFS = f"""
+WITH RECURSIVE {_KG_EDGE_BODY},
+reach(node, d) AS (
+  SELECT '{_KGN}reg/1' AS node, 0 AS d
+  UNION
+  SELECT e.subj AS node, r.d + 1 AS d
+  FROM reach r JOIN edges e ON e.obj = r.node
+  WHERE r.d < 100
+)
+SELECT node, min(d)::BIGINT AS dist FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -746,6 +905,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_xml_by_pred": q_cube_xml_by_pred,
         "kg_canonical_iris": q_kg_canonical_iris,
         "kg_sameas_roots": q_kg_sameas_roots,
+        "kg_degree": q_kg_degree,
+        "kg_path2": q_kg_path2,
+        "kg_class_profile": q_kg_class_profile,
+        "kg_bfs_depths": q_kg_bfs_depths,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -783,6 +946,10 @@ def oracle_sql() -> dict[str, str]:
         "cube_xml_by_pred": _SQL_TRIPLES_BY_PRED,
         "kg_canonical_iris": _SQL_KG_CANONICAL,
         "kg_sameas_roots": _SQL_KG_ROOTS,
+        "kg_degree": _SQL_KG_DEGREE,
+        "kg_path2": _SQL_KG_PATH2,
+        "kg_class_profile": _SQL_KG_CLASS_PROFILE,
+        "kg_bfs_depths": _SQL_KG_BFS,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

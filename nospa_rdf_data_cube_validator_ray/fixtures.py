@@ -947,3 +947,98 @@ def tpch_entity_corpus(sf_dir: str, n_files: int = 5) -> pa.Table:
         rows["lang"].append("turtle")
         rows["content"].append("\n".join(lines) + "\n")
     return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+
+# ---------------------------------------------------------------------------
+# link-graph corpus (KG construction / graph-analytics fixtures)
+# ---------------------------------------------------------------------------
+
+KG = "http://example.org/kg#"
+KGN = "http://example.org/kg/"
+
+
+def tpch_link_corpus(sf_dir: str, n_files: int = 32) -> pa.Table:
+    """orders/customer/nation/region → a provenance-chain link graph.
+
+    Node IRIs are pure string functions of the table keys
+    (``kg/ord/<k>``, ``kg/cust/<c>``, ``kg/nat/<n>``, ``kg/reg/<r>``);
+    every node carries one ``rdf:type`` (kg:Order/Customer/Nation/Region)
+    and at most ONE outgoing object-property edge:
+
+      * a customer's FIRST order (min orderkey):  ord ``kg:placedBy`` cust
+      * each later order: ord ``kg:follows`` its predecessor (commit-
+        parent style chains, up to ~tens of hops deep in TPC-H)
+      * cust ``kg:inNation`` nat;  nat ``kg:inRegion`` reg
+
+    so the reversed graph is a forest rooted at the regions — BFS depths,
+    degrees, 2-hop path motifs and class profiles are all predictable by
+    a DuckDB oracle over the raw tables (window ``lag`` rebuilds the
+    chains).  Order triples are bucketed into ``n_files`` Turtle files by
+    ``o_orderkey % n_files``; chain edges deliberately CROSS files, so
+    graph queries exercise the shuffle/join side of the engine (unlike
+    cube validation, which is file-local by construction)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    orders = (
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+        .to_pandas()
+        .sort_values(["o_custkey", "o_orderkey"], ignore_index=True)
+    )
+    import numpy as np
+
+    prev = orders["o_orderkey"].shift(1)
+    first = orders["o_custkey"] != orders["o_custkey"].shift(1)
+    k = orders["o_orderkey"].astype(str)
+    target = pd.Series(
+        np.where(first, orders["o_custkey"], prev.fillna(0)).astype("int64"),
+        index=orders.index,
+    )
+    line = (
+        "<" + KGN + "ord/" + k + "> a <" + KG + "Order> ; "
+        + first.map({True: "<" + KG + "placedBy> ", False: "<" + KG + "follows> "})
+        + "<" + KGN
+        + first.map({True: "cust/", False: "ord/"})
+        + target.astype(str)
+        + "> ."
+    )
+    bucket = orders["o_orderkey"] % n_files
+    contents = {
+        int(b): "\n".join(grp) + "\n" for b, grp in line.groupby(bucket, sort=True)
+    }
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    ent_lines = list(
+        "<" + KGN + "cust/" + cust["c_custkey"].astype(str) + "> a <" + KG
+        + "Customer> ; <" + KG + "inNation> <" + KGN + "nat/"
+        + cust["c_nationkey"].astype(str) + "> ."
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    ent_lines += list(
+        "<" + KGN + "nat/" + nat["n_nationkey"].astype(str) + "> a <" + KG
+        + "Nation> ; <" + KG + "inRegion> <" + KGN + "reg/"
+        + nat["n_regionkey"].astype(str) + "> ."
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"]).to_pandas()
+    ent_lines += list(
+        "<" + KGN + "reg/" + reg["r_regionkey"].astype(str) + "> a <" + KG
+        + "Region> ."
+    )
+
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for b in sorted(contents):
+        rows["repo"].append("synthetic/tpch-links")
+        rows["path"].append(f"links/orders-{b:02d}.ttl")
+        rows["commit"].append("cafebabe" * 5)
+        rows["lang"].append("turtle")
+        rows["content"].append(contents[b])
+    rows["repo"].append("synthetic/tpch-links")
+    rows["path"].append("links/entities.ttl")
+    rows["commit"].append("cafebabe" * 5)
+    rows["lang"].append("turtle")
+    rows["content"].append("\n".join(ent_lines) + "\n")
+    return pa.table({c: pa.array(v, pa.string()) for c, v in rows.items()})

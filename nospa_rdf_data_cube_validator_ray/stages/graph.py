@@ -1,0 +1,283 @@
+"""Distributed graph analytics over the extracted edge table.
+
+The kg-construction "graph materialize" step and the queries a KG user
+runs right after it: typed edge extraction, degree profiles, per-class
+summaries, 2-hop path motif censuses, and multi-hop traversal (BFS
+min-hop distances).  Reference parity: the traversal semantics lift the
+reference's repeated-property searches (ValidatorBase.java
+connectedByRepeatedProperties / searchByPathVisit — one in-heap Jena
+model, one visited set) to corpus-scale Datasets; degrees/motifs have no
+reference twin (Jena answers them via ad-hoc model iteration) and are
+implemented shuffle-minimal:
+
+  * ``degree_table`` — map-side partial counts (combiner), ONE
+    groupby-sum shuffle, no joins.
+  * ``path2_counts`` — one hash join on the mid node + a tiny groupby.
+  * ``class_profile`` — one hash join (edges x types) + three
+    aggregations whose outputs are #classes-scale.
+  * ``bfs_distances`` — size-adaptive: exact driver BFS under
+    ``max_driver_edges`` (edge list collected ONCE), else per-round
+    broadcast-frontier expansion: the frontier set is ``ray.put`` once
+    per round and each round is a map-only scan of the materialized edge
+    Dataset — no shuffle, no corpus-scale driver state.  Frontier /
+    distance state is REACHABLE-SET scale (the entity-scale assumption
+    the alias table already documents), and rounds equal graph depth —
+    a graph with diameter ≫ ``max_rounds`` needs the pointer-jumping CC
+    shape (canonicalize.cc_labels), not a frontier walk.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..util import heal_schema
+from ..vocab import PREFIX_RDF
+
+RDF_TYPE = PREFIX_RDF + "type"
+
+
+def _nparts(num_partitions: int | None = None) -> int:
+    """Hash-partition count for join/groupby stages: bounded by cluster
+    CPUs (Ray 2.49 join aggregator pools deadlock when partitions exceed
+    available cores)."""
+    if num_partitions is not None:
+        return num_partitions
+    try:
+        n = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        n = 4
+    return max(2, min(16, n))
+
+
+def _ren(ds: "ray.data.Dataset", mapping: dict) -> "ray.data.Dataset":
+    """Rename via pandas map_batches (Project chokes on the schema-less
+    empty blocks sparse groupbys emit — see canonicalize._ren)."""
+    return ds.map_batches(
+        lambda df, m=mapping: df.rename(columns=m), batch_format="pandas"
+    )
+
+
+def extract_edges(
+    triples: "ray.data.Dataset",
+    *,
+    exclude_preds: tuple[str, ...] = (RDF_TYPE,),
+) -> "ray.data.Dataset":
+    """Object-property edge table (subj, pred, obj) from parsed triples:
+    IRI objects only (obj_kind == 0), minus ``exclude_preds`` (rdf:type
+    by default — type assertions are node metadata, not graph edges)."""
+    excl = list(exclude_preds)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["obj_kind"] == 0) & ~df["pred"].isin(excl)
+        out = df.loc[m, ["subj", "pred", "obj"]].reset_index(drop=True)
+        return out.astype({"subj": "string", "pred": "string", "obj": "string"})
+
+    return triples.map_batches(f, batch_format="pandas")
+
+
+def type_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(subj, cls) rows from rdf:type triples with IRI objects."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["pred"] == RDF_TYPE) & (df["obj_kind"] == 0)
+        out = df.loc[m, ["subj", "obj"]].rename(columns={"obj": "cls"})
+        return out.reset_index(drop=True).astype({"subj": "string", "cls": "string"})
+
+    return triples.map_batches(f, batch_format="pandas")
+
+
+def degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(node, out_deg, in_deg) over every node appearing in ``edges``.
+
+    Map-side combine: each block collapses to per-node partial counts
+    before the single groupby-sum shuffle, so shuffle traffic is
+    distinct-nodes-per-block, not edge-scale."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["subj"].value_counts()
+        i = df["obj"].value_counts()
+        nodes = o.index.union(i.index)
+        return pd.DataFrame(
+            {
+                "node": pd.Series(nodes, dtype="string"),
+                "out_deg": o.reindex(nodes, fill_value=0).astype("int64").to_numpy(),
+                "in_deg": i.reindex(nodes, fill_value=0).astype("int64").to_numpy(),
+            }
+        )
+
+    return _ren(
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby("node")
+        .sum(["out_deg", "in_deg"]),
+        {"sum(out_deg)": "out_deg", "sum(in_deg)": "in_deg"},
+    )
+
+
+def path2_counts(
+    edges: "ray.data.Dataset", *, num_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """2-hop path motif census: rows (p1, p2, n) counting the paths
+    s -p1-> x -p2-> o.  ONE hash join on the mid node x, then a
+    predicate-pair groupby whose output is #predicates²-scale."""
+    np_ = _nparts(num_partitions)
+    left = heal_schema(
+        _ren(
+            edges.map_batches(
+                lambda df: df[["pred", "obj"]], batch_format="pandas"
+            ),
+            {"pred": "p1", "obj": "mid"},
+        ),
+        np_,
+    )
+    right = heal_schema(
+        _ren(
+            edges.map_batches(
+                lambda df: df[["subj", "pred"]], batch_format="pandas"
+            ),
+            {"subj": "mid", "pred": "p2"},
+        ),
+        np_,
+    )
+    joined = left.join(right, "inner", np_, on=("mid",))
+    return _ren(joined.groupby(["p1", "p2"]).count(), {"count()": "n"})
+
+
+def class_profile(
+    triples: "ray.data.Dataset", *, num_partitions: int | None = None
+) -> pd.DataFrame:
+    """Per-class graph summary — the schema-inference step of KG
+    construction.  Returns a #classes-scale pandas frame with columns
+    (cls, n_instances, n_out_edges, n_distinct_preds, max_out_degree).
+
+    The corpus-scale work (edges x types hash join, per-subject counts)
+    is distributed; only the #classes-row aggregates are merged on the
+    driver."""
+    np_ = _nparts(num_partitions)
+    types = heal_schema(type_table(triples), np_).materialize()
+    edges = heal_schema(extract_edges(triples), np_)
+    joined = edges.join(types, "inner", np_, on=("subj",)).materialize()
+
+    n_inst = _ren(types.groupby("cls").count(), {"count()": "n_instances"}).to_pandas()
+
+    per_subj = _ren(
+        joined.groupby(["cls", "subj"]).count(), {"count()": "out_n"}
+    )
+    per_cls = per_subj.groupby("cls").sum(["out_n"]).to_pandas()
+    per_cls = per_cls.rename(columns={"sum(out_n)": "n_out_edges"})
+    max_out = per_subj.groupby("cls").max("out_n").to_pandas()
+    max_out = max_out.rename(columns={"max(out_n)": "max_out_degree"})
+
+    from ..functions.kernel import distinct
+
+    pred_pairs = distinct(
+        joined.map_batches(lambda df: df[["cls", "pred"]], batch_format="pandas")
+    )
+    n_preds = _ren(
+        pred_pairs.groupby("cls").count(), {"count()": "n_distinct_preds"}
+    ).to_pandas()
+
+    out = n_inst
+    for extra in (per_cls, n_preds, max_out):
+        out = out.merge(extra, on="cls", how="left")
+    for c in ("n_out_edges", "n_distinct_preds", "max_out_degree"):
+        out[c] = out[c].fillna(0).astype("int64")
+    out["n_instances"] = out["n_instances"].astype("int64")
+    return out.sort_values("cls", ignore_index=True)
+
+
+def bfs_distances(
+    edges: "ray.data.Dataset",
+    seeds: list[str],
+    *,
+    reverse: bool = False,
+    max_rounds: int = 64,
+    max_driver_edges: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Min-hop distance from a seed set — rows (node, dist) for every
+    reachable node, seeds at distance 0.  ``reverse=True`` walks edges
+    object→subject (the natural direction for root-to-leaf queries over
+    provenance chains, whose triples point leaf-to-root).
+
+    Size-adaptive (parity-tested):
+
+    * edge count ≤ ``max_driver_edges``: the (src, dst) pairs are
+      collected ONCE and BFS runs exactly on the driver — the same
+      regime the alias table / cluster_from_pairs use below their
+      thresholds.
+    * larger: per-round broadcast-frontier expansion.  Each round
+      ``ray.put``s the frontier node set (frontier-scale, small) and
+      runs a map-only scan of the materialized edge Dataset emitting
+      per-batch-deduped targets of frontier nodes; the driver keeps
+      (node → dist) for REACHED nodes only.  No shuffle, no edge list on
+      the driver; cost is rounds × one edge scan, so this is the
+      shallow-diameter regime (depth ≫ ``max_rounds`` ⇒ RuntimeError —
+      use cc_labels-style pointer jumping for component questions on
+      deep chains)."""
+    src_col, dst_col = ("obj", "subj") if reverse else ("subj", "obj")
+    n_edges = edges.count()
+
+    if n_edges <= max_driver_edges:
+        adj: dict[str, list[str]] = {}
+        for df in edges.map_batches(
+            lambda d: d[[src_col, dst_col]], batch_format="pandas"
+        ).iter_batches(batch_format="pandas", batch_size=65536):
+            for s, t in zip(df[src_col], df[dst_col]):
+                adj.setdefault(s, []).append(t)
+        dist: dict[str, int] = {s: 0 for s in seeds}
+        frontier = list(dict.fromkeys(seeds))
+        d = 0
+        while frontier:
+            if d >= max_rounds:
+                raise RuntimeError(
+                    f"bfs_distances exceeded max_rounds={max_rounds}"
+                )
+            d += 1
+            nxt: list[str] = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+    else:
+        mat = edges.map_batches(
+            lambda d: d[[src_col, dst_col]], batch_format="pandas"
+        ).materialize()
+        dist = {s: 0 for s in seeds}
+        frontier = list(dict.fromkeys(seeds))
+        d = 0
+        while frontier:
+            if d >= max_rounds:
+                raise RuntimeError(
+                    f"bfs_distances exceeded max_rounds={max_rounds} "
+                    "(graph deeper than the frontier-walk regime supports)"
+                )
+            d += 1
+            ref = ray.put(set(frontier))
+
+            def expand(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+                fs = ray.get(ref)
+                hit = df[df[src_col].isin(fs)]
+                return pd.DataFrame(
+                    {"node": hit[dst_col].drop_duplicates().astype("string")}
+                )
+
+            targets = mat.map_batches(expand, batch_format="pandas").take_all()
+            nxt_set: dict[str, None] = {}
+            for row in targets:
+                v = row["node"]
+                if v not in dist:
+                    dist[v] = d
+                    nxt_set[v] = None
+            frontier = list(nxt_set)
+
+    out = pd.DataFrame(
+        {
+            "node": pd.Series(list(dist.keys()), dtype="string"),
+            "dist": pd.Series(list(dist.values()), dtype="int64"),
+        }
+    )
+    return ray.data.from_pandas(out.sort_values(["dist", "node"], ignore_index=True))

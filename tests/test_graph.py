@@ -1,0 +1,119 @@
+"""Graph-analytics stage (stages/graph.py): unit semantics on a
+hand-built edge set plus regime parity for the size-adaptive BFS."""
+
+import pandas as pd
+import pytest
+
+import ray.data
+
+from nospa_rdf_data_cube_validator_ray.stages import graph as G
+
+
+def _triples(rows):
+    """rows: (subj, pred, obj_kind, obj) → triple Dataset with the parse
+    schema columns the stage reads."""
+    df = pd.DataFrame(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj_kind": pd.Series([r[2] for r in rows], dtype="int8"),
+            "obj": [r[3] for r in rows],
+        }
+    )
+    return ray.data.from_pandas(df)
+
+
+RDF_TYPE = G.RDF_TYPE
+
+#   a --p--> b --p--> c --q--> d,   b --q--> d,   lit ignored, type ignored
+ROWS = [
+    ("a", "p", 0, "b"),
+    ("b", "p", 0, "c"),
+    ("c", "q", 0, "d"),
+    ("b", "q", 0, "d"),
+    ("a", "q", 1, "some literal"),
+    ("a", RDF_TYPE, 0, "T"),
+]
+
+
+def test_extract_edges_drops_types_and_literals():
+    edges = G.extract_edges(_triples(ROWS)).to_pandas()
+    assert len(edges) == 4
+    assert set(edges["pred"]) == {"p", "q"}
+
+
+def test_degree_table():
+    deg = (
+        G.degree_table(G.extract_edges(_triples(ROWS)))
+        .to_pandas()
+        .set_index("node")
+    )
+    assert deg.loc["a", "out_deg"] == 1 and deg.loc["a", "in_deg"] == 0
+    assert deg.loc["b", "out_deg"] == 2 and deg.loc["b", "in_deg"] == 1
+    assert deg.loc["d", "out_deg"] == 0 and deg.loc["d", "in_deg"] == 2
+
+
+def test_path2_counts():
+    p2 = G.path2_counts(G.extract_edges(_triples(ROWS))).to_pandas()
+    got = {(r.p1, r.p2): r.n for r in p2.itertuples()}
+    # a-p->b-p->c, a-p->b-q->d, b-p->c-q->d
+    assert got == {("p", "p"): 1, ("p", "q"): 2}
+
+
+def test_class_profile():
+    rows = ROWS + [("b", RDF_TYPE, 0, "T"), ("d", RDF_TYPE, 0, "U")]
+    prof = G.class_profile(_triples(rows)).set_index("cls")
+    assert prof.loc["T", "n_instances"] == 2
+    assert prof.loc["T", "n_out_edges"] == 3  # a:1 + b:2
+    assert prof.loc["T", "n_distinct_preds"] == 2
+    assert prof.loc["T", "max_out_degree"] == 2
+    # d has no out edges: profile row still present, zeros
+    assert prof.loc["U", "n_out_edges"] == 0
+    assert prof.loc["U", "max_out_degree"] == 0
+
+
+def _chain_edges(n=30):
+    rows = [(f"v{i}", "next", 0, f"v{i+1}") for i in range(n)]
+    rows += [("root", "p", 0, "v0"), ("root", "p", 0, "w0")]
+    return G.extract_edges(_triples(rows))
+
+
+def test_bfs_driver_regime():
+    dist = (
+        G.bfs_distances(_chain_edges(), ["root"])
+        .to_pandas()
+        .set_index("node")["dist"]
+    )
+    assert dist["root"] == 0
+    assert dist["v0"] == 1 and dist["w0"] == 1
+    assert dist["v29"] == 30 and dist["v30"] == 31
+
+
+def test_bfs_regime_parity():
+    edges = _chain_edges()
+    a = G.bfs_distances(edges, ["root"]).to_pandas()
+    b = G.bfs_distances(edges, ["root"], max_driver_edges=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bfs_reverse_and_max_rounds():
+    edges = _chain_edges()
+    back = (
+        G.bfs_distances(edges, ["v5"], reverse=True)
+        .to_pandas()
+        .set_index("node")["dist"]
+    )
+    assert back["v0"] == 5 and back["root"] == 6 and "v6" not in back.index
+    for mde in (2_000_000, 0):
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            G.bfs_distances(edges, ["root"], max_rounds=3, max_driver_edges=mde)
+
+
+def test_bfs_cycle_terminates():
+    rows = [("a", "p", 0, "b"), ("b", "p", 0, "c"), ("c", "p", 0, "a")]
+    dist = (
+        G.bfs_distances(G.extract_edges(_triples(rows)), ["a"])
+        .to_pandas()
+        .set_index("node")["dist"]
+    )
+    assert dict(dist) == {"a": 0, "b": 1, "c": 2}
