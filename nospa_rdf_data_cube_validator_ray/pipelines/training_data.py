@@ -917,6 +917,17 @@ FROM sel
 """
 
 
+def q_dup_span_coverage(sf_dir: str):
+    """Exact-substring dedup statistics: per-doc token positions covered
+    by 8-gram shingles shared with another document
+    (stages/dedup.dup_span_coverage — positional shingle rows, one
+    df groupby, one hash join, coarse-bucket vectorized interval
+    union)."""
+    from ..stages.dedup import dup_span_coverage
+
+    return dup_span_coverage(_docs(sf_dir))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -950,6 +961,7 @@ QUERIES = {
     "docs_global_rank": q_docs_global_rank,
     "distinct_tokens_per_source": q_distinct_tokens_per_source,
     "boilerplate_removal": q_boilerplate_removal,
+    "dup_span_coverage": q_dup_span_coverage,
 }
 
 # ---------------------------------------------------------------------------
@@ -1156,6 +1168,44 @@ GROUP BY d.doc_id, d.text
 """
 
 
+# 8-gram positional shingles; dup = shingle hash in ≥2 distinct docs;
+# coverage = distinct token positions inside [pos, pos+7] dup windows —
+# the integer interval-union twin of dedup.dup_span_coverage's gap scan
+_SQL_DUP_SPAN = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS pos,
+         (md5_number_lower(array_to_string(w[i:i + 7], ' ')) % {_B61})::BIGINT AS h
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, length(w) - 7)) AS i
+    FROM toks
+  )
+),
+dup AS (
+  SELECT h
+  FROM (SELECT h, count(DISTINCT doc_id) AS c FROM sh GROUP BY h)
+  WHERE c > 1
+),
+dpos AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)),
+cov AS (
+  SELECT doc_id, count(DISTINCT pp)::BIGINT AS covered_tokens,
+         count(DISTINCT pos)::BIGINT AS n_dup_pos
+  FROM (
+    SELECT doc_id, pos, unnest(generate_series(pos, pos + 7)) AS pp
+    FROM dpos
+  )
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(regexp_extract_all(coalesce(d.text, ''), '\S+'))::BIGINT AS n_tokens,
+       coalesce(cov.n_dup_pos, 0)::BIGINT AS n_dup_pos,
+       coalesce(cov.covered_tokens, 0)::BIGINT AS covered_tokens
+FROM documents d LEFT JOIN cov USING (doc_id)
+"""
+
 ORACLES = {
     "text_stats": r"""
 SELECT doc_id,
@@ -1279,4 +1329,5 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "docs_global_rank": _SQL_GLOBAL_RANK,
     "distinct_tokens_per_source": _SQL_DISTINCT_TOKENS,
     "boilerplate_removal": _SQL_BOILERPLATE,
+    "dup_span_coverage": _SQL_DUP_SPAN,
 }

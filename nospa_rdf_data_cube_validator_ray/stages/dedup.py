@@ -848,3 +848,171 @@ def benchmark_contamination(
         ).astype("int64")
 
     return ds.map_batches(scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram span coverage
+# ---------------------------------------------------------------------------
+
+
+def dup_span_coverage(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-document duplicate-span statistics — the exact-substring face
+    of corpus dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", at token-n-gram granularity): position i of
+    a document is DUPLICATED when its ngram-token shingle also occurs in
+    at least one OTHER document.  One row per document:
+    (doc_id, n_tokens, n_dup_pos, covered_tokens), covered_tokens being
+    the size of the union of the [i, i+ngram-1] windows over duplicated
+    positions — how many tokens sit inside some cross-document span.
+
+    Shape: positional shingle rows (md5-hashed — SQL-replicable) with a
+    map-side first-in-doc flag → document frequency per hash via ONE
+    groupby-count over the flagged rows → hash join back to positions →
+    per-document interval union via a coarse-bucket shuffle and a
+    vectorized same-doc gap scan (window length is constant, so the
+    union is sum(min(gap, ngram)) over sorted positions — no per-doc
+    pandas groups, no Python interval loop)."""
+    from .graph import _nparts
+    from ..util import heal_schema
+
+    np_ = _nparts(num_partitions)
+    B61 = 1 << 61
+
+    def shingles(df: pd.DataFrame) -> pd.DataFrame:
+        out_id: list[int] = []
+        out_pos: list[int] = []
+        out_h: list[int] = []
+        out_first: list[bool] = []
+        for i, t in zip(df[id_col].astype("int64"), df[text_col].fillna("")):
+            toks = tokens(t)
+            n_pos = len(toks) - ngram + 1
+            if n_pos <= 0:
+                continue
+            seen: set[int] = set()
+            i = int(i)
+            for p in range(n_pos):
+                h = _md5_u64_cached(" ".join(toks[p : p + ngram])) % B61
+                out_id.append(i)
+                out_pos.append(p + 1)  # 1-based == the SQL generate_series
+                out_h.append(h)
+                out_first.append(h not in seen)
+                seen.add(h)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "pos": pd.Series(out_pos, dtype="int64"),
+                "h": pd.Series(out_h, dtype="int64"),
+                "first": pd.Series(out_first, dtype="bool"),
+            }
+        )
+
+    def n_tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].astype("int64"),
+                "n_tokens": pd.Series(
+                    [len(tokens(t)) for t in df[text_col].fillna("")],
+                    dtype="int64",
+                    index=df.index,
+                ),
+            }
+        )
+
+    toks_ds = ds.map_batches(n_tok, batch_format="pandas")
+    sh = ds.map_batches(shingles, batch_format="pandas").materialize()
+
+    def firsts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["first"], ["h"]].reset_index(drop=True)
+
+    def over_one(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "count()" not in df.columns:
+            return pd.DataFrame({"h": pd.Series(dtype="int64")})
+        return df.loc[df["count()"] > 1, ["h"]].reset_index(drop=True)
+
+    dup = (
+        sh.map_batches(firsts, batch_format="pandas")
+        .groupby("h")
+        .count()
+        .map_batches(over_one, batch_format="pandas")
+        .materialize()
+    )
+
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_dup_pos"] = pd.Series(0, dtype="int64", index=df.index)
+        df["covered_tokens"] = pd.Series(0, dtype="int64", index=df.index)
+        return df
+
+    if dup.count() == 0:
+        # no cross-document shingle anywhere; ALSO the fully-empty-Dataset
+        # guard (heal_schema cannot conjure a schema for it)
+        return toks_ds.map_batches(zeros, batch_format="pandas")
+
+    pos_rows = sh.map_batches(
+        lambda df: df[["doc_id", "pos", "h"]], batch_format="pandas"
+    )
+    dpos = heal_schema(pos_rows, np_).join(
+        heal_schema(dup, np_), "inner", np_, on=("h",)
+    )
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "pos"]].copy()
+        out["_b"] = (out["doc_id"] % _COARSE).astype("int32")
+        return out
+
+    def cov_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"])
+        did = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[:-1] = did[1:] == did[:-1]
+        same[-1] = False
+        gap = np.full(len(g), ngram, dtype="int64")
+        gap[:-1] = np.where(same[:-1], pos[1:] - pos[:-1], ngram)
+        contrib = np.minimum(gap, ngram)
+        agg = (
+            pd.DataFrame({"doc_id": did, "c": contrib})
+            .groupby("doc_id")["c"]
+            .agg(covered_tokens="sum", n_dup_pos="count")
+            .reset_index()
+        )
+        return agg.astype("int64")
+
+    cov = (
+        dpos.map_batches(bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(cov_scan, batch_format="pandas")
+    )
+
+    joined = heal_schema(toks_ds, np_).join(
+        heal_schema(cov, np_), "left_outer", np_, on=("doc_id",)
+    )
+
+    def final(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def col(name):
+            if name in t.column_names:
+                return pc.coalesce(
+                    pc.cast(t[name], pa.int64()), pa.scalar(0, pa.int64())
+                )
+            return pa.nulls(len(t), pa.int64()).fill_null(0)
+
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "n_dup_pos": col("n_dup_pos"),
+                "covered_tokens": col("covered_tokens"),
+            }
+        )
+
+    return joined.map_batches(final, batch_format="pyarrow")

@@ -1,0 +1,76 @@
+
+
+def test_dup_span_coverage_semantics(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import dup_span_coverage
+
+    shared = "a b c d e f g h"          # one 8-gram, shared by docs 1 and 2
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                shared + " tail1 x y z",            # dup window at pos 1
+                "head2 " + shared,                   # dup window at pos 2
+                "unique tokens only nothing here repeats at all ok",
+                "short doc",                         # < 8 tokens: no shingles
+            ],
+        }
+    )
+    out = (
+        dup_span_coverage(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_tokens"] == 12
+    assert out.loc[1, "n_dup_pos"] == 1
+    assert out.loc[1, "covered_tokens"] == 8
+    assert out.loc[2, "n_dup_pos"] == 1 and out.loc[2, "covered_tokens"] == 8
+    assert out.loc[3, "n_dup_pos"] == 0 and out.loc[3, "covered_tokens"] == 0
+    assert out.loc[4, "n_tokens"] == 2 and out.loc[4, "covered_tokens"] == 0
+
+
+def test_dup_span_coverage_overlapping_windows(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import dup_span_coverage
+
+    # doc 1 repeats a 9-token phrase from doc 2 → two overlapping dup
+    # 8-gram windows at pos p, p+1 → union covers 9 tokens, not 16
+    phrase = "p q r s t u v w x"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["lead " + phrase + " trail", phrase],
+        }
+    )
+    out = (
+        dup_span_coverage(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_dup_pos"] == 2
+    assert out.loc[1, "covered_tokens"] == 9
+    assert out.loc[2, "n_dup_pos"] == 2 and out.loc[2, "covered_tokens"] == 9
+
+
+def test_dup_span_coverage_no_dups(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import dup_span_coverage
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta iota",
+                "one two three four five six seven eight nine",
+            ],
+        }
+    )
+    out = dup_span_coverage(ray.data.from_pandas(docs)).to_pandas()
+    assert (out["n_dup_pos"] == 0).all() and (out["covered_tokens"] == 0).all()
