@@ -705,6 +705,77 @@ WHERE m.node != r.root
 
 
 # ---------------------------------------------------------------------------
+# incremental / resumable validation (checkpoint + per-partition lineage)
+# ---------------------------------------------------------------------------
+
+
+def q_cube_incremental(sf_dir: str):
+    """End-to-end resume + delta recompute through the checkpoint layer
+    (pipelines/checkpoint.run_resumable): the cube corpus is sharded
+    into 4 parquet partitions; phase 1 validates with shard 2 STALE
+    (its last corpus file withheld), then shard 2 is rewritten complete
+    and the run repeats — the second run must SKIP shards 0/1/3 (their
+    lineage fingerprints still match) and recompute only shard 2, and
+    the combined findings must equal a from-scratch full-corpus run.
+    Returns per-IC finding counts; the oracle predicts them with the
+    same SQL the per-IC queries use.  Raises if the skip/recompute sets
+    are wrong, so a broken resume fails the driver check loudly."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
+    from nospa_rdf_data_cube_validator_ray.pipelines.checkpoint import (
+        read_findings,
+        run_resumable,
+    )
+
+    corpus = tpch_cube_corpus(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "graft_incr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    shards_dir = os.path.join(base, "shards")
+    out_dir = os.path.join(base, "out")
+    os.makedirs(shards_dir)
+
+    shard_of = pa.array([i % 4 for i in range(corpus.num_rows)], pa.int32())
+
+    def shard_table(s: int) -> pa.Table:
+        return corpus.filter(pc.equal(shard_of, s))
+
+    for s in range(4):
+        t = shard_table(s)
+        if s == 2:  # stale phase-1 state: last corpus file missing
+            t = t.slice(0, max(t.num_rows - 1, 0))
+        pq.write_table(t, os.path.join(shards_dir, f"shard-{s}.parquet"))
+    run_resumable(shards_dir, out_dir)
+
+    pq.write_table(shard_table(2), os.path.join(shards_dir, "shard-2.parquet"))
+    r2 = run_resumable(shards_dir, out_dir)
+    if sorted(r2["recomputed"]) != ["shard-2"] or sorted(r2["skipped"]) != [
+        "shard-0",
+        "shard-1",
+        "shard-3",
+    ]:
+        raise RuntimeError(f"incremental resume mis-skipped: {r2}")
+
+    counts = read_findings(out_dir).groupby("ic").count()
+    return (
+        counts.to_pandas()
+        .rename(columns={"count()": "n"})
+        .astype({"n": "int64"})
+        .sort_values("ic", ignore_index=True)
+    )
+
+
+# ---------------------------------------------------------------------------
 # link-graph analytics (orders/customer/nation-derived provenance graph)
 # ---------------------------------------------------------------------------
 
@@ -863,6 +934,26 @@ SELECT node, min(d)::BIGINT AS dist FROM reach GROUP BY node
 """
 
 
+# per-IC finding counts over the plain cube corpus — the incremental
+# run's combined output must land exactly on the same per-IC SQL the
+# individual IC queries are checked against (only these 9 ICs fire on
+# this corpus; an unexpected IC would surface as an extra row)
+_SQL_INCREMENTAL = "\nUNION ALL\n".join(
+    f"SELECT '{ic}' AS ic, count(*)::BIGINT AS n FROM ({sql})"
+    for ic, sql in [
+        ("IC1", _SQL_IC1),
+        ("IC2", _SQL_IC2),
+        ("IC11", _SQL_IC11),
+        ("IC12", _SQL_IC12),
+        ("IC13", _SQL_IC13),
+        ("IC14", _SQL_IC14),
+        ("IC19", _SQL_IC19),
+        ("IC20", _SQL_IC2021),
+        ("IC21", _SQL_IC2021),
+    ]
+)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -909,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path2": q_kg_path2,
         "kg_class_profile": q_kg_class_profile,
         "kg_bfs_depths": q_kg_bfs_depths,
+        "cube_incremental": q_cube_incremental,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -950,6 +1042,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path2": _SQL_KG_PATH2,
         "kg_class_profile": _SQL_KG_CLASS_PROFILE,
         "kg_bfs_depths": _SQL_KG_BFS,
+        "cube_incremental": _SQL_INCREMENTAL,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)
