@@ -845,6 +845,100 @@ def q_kg_bfs_depths(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# source-code import-graph extraction (part-derived Python corpus)
+# ---------------------------------------------------------------------------
+
+_CODE = "http://example.org/code#"
+_CODEN = "http://example.org/code/"
+
+
+def _code_import_edges(sf_dir: str):
+    """Extract triples from the code corpus once per sf_dir and keep the
+    import edges (module-level import / from-import only)."""
+    state = _CACHE.setdefault(sf_dir, {})
+    if "code_edges" not in state:
+        import ray.data
+
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_code_corpus
+        from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+            extract_code_corpus,
+        )
+
+        triples = extract_code_corpus(
+            ray.data.from_arrow(tpch_code_corpus(sf_dir))
+        )
+        imp = (f"{_CODE}imports", f"{_CODE}importsFrom")
+        state["code_edges"] = triples.map_batches(
+            lambda df: df[df["pred"].isin(imp)].reset_index(drop=True),
+            batch_format="pandas",
+        ).materialize()
+    return state["code_edges"]
+
+
+def q_kg_code_imports(sf_dir: str):
+    """The extracted import-edge multiset (src, dst, kind) — vectorized
+    regex triple extraction over repository file content
+    (sources/code_extract.py); nested/commented imports must be absent,
+    aliases stripped, comma lists exploded."""
+    edges = _code_import_edges(sf_dir)
+    return edges.map_batches(
+        lambda df: df[["subj", "pred", "obj"]].rename(
+            columns={"subj": "src", "pred": "kind", "obj": "dst"}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_kg_code_degree(sf_dir: str):
+    """Degree profile of the extracted import graph — the extraction
+    front end composed with stages/graph.degree_table."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import degree_table
+
+    return degree_table(_code_import_edges(sf_dir))
+
+
+_CODE_EDGE_BODY = f"""
+p AS (SELECT p_partkey AS k FROM part),
+cedges AS (
+  SELECT '{_CODEN}mod/m' || k AS src, '{_CODEN}mod/m' || (k % 97) AS dst,
+         '{_CODE}imports' AS kind
+  FROM p
+  UNION ALL
+  SELECT '{_CODEN}mod/m' || k, '{_CODEN}mod/m' || ((7 * k + 1) % 101),
+         '{_CODE}imports'
+  FROM p WHERE k % 3 = 0
+  UNION ALL
+  SELECT '{_CODEN}mod/m' || k, '{_CODEN}mod/m' || ((11 * k + 3) % 103),
+         '{_CODE}importsFrom'
+  FROM p WHERE k % 3 = 1
+  UNION ALL
+  SELECT '{_CODEN}mod/m' || k, '{_CODEN}mod/m' || ((5 * k + 2) % 107),
+         '{_CODE}imports'
+  FROM p WHERE k % 3 = 2
+  UNION ALL
+  SELECT '{_CODEN}mod/m' || k, '{_CODEN}mod/m' || ((3 * k + 5) % 109),
+         '{_CODE}imports'
+  FROM p WHERE k % 3 = 2
+)
+"""
+
+_SQL_CODE_IMPORTS = f"""
+WITH {_CODE_EDGE_BODY}
+SELECT src, dst, kind FROM cedges
+"""
+
+_SQL_CODE_DEGREE = f"""
+WITH {_CODE_EDGE_BODY},
+o AS (SELECT src AS node, count(*) AS c FROM cedges GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS c FROM cedges GROUP BY dst)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(o.c, 0)::BIGINT AS out_deg,
+       coalesce(i.c, 0)::BIGINT AS in_deg
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
 # edge-table CTE body (no WITH keyword — BFS prefixes WITH RECURSIVE);
 # lag() over (custkey, orderkey) rebuilds the order chains exactly as
 # fixtures.tpch_link_corpus writes them
@@ -1001,6 +1095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_class_profile": q_kg_class_profile,
         "kg_bfs_depths": q_kg_bfs_depths,
         "cube_incremental": q_cube_incremental,
+        "kg_code_imports": q_kg_code_imports,
+        "kg_code_degree": q_kg_code_degree,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1043,6 +1139,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_class_profile": _SQL_KG_CLASS_PROFILE,
         "kg_bfs_depths": _SQL_KG_BFS,
         "cube_incremental": _SQL_INCREMENTAL,
+        "kg_code_imports": _SQL_CODE_IMPORTS,
+        "kg_code_degree": _SQL_CODE_DEGREE,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

@@ -1042,3 +1042,69 @@ def tpch_link_corpus(sf_dir: str, n_files: int = 32) -> pa.Table:
     rows["lang"].append("turtle")
     rows["content"].append("\n".join(ent_lines) + "\n")
     return pa.table({c: pa.array(v, pa.string()) for c, v in rows.items()})
+
+
+# ---------------------------------------------------------------------------
+# source-code corpus (import-graph extraction fixtures)
+# ---------------------------------------------------------------------------
+
+CODE = "http://example.org/code#"
+CODEN = "http://example.org/code/"
+
+
+def tpch_code_corpus(sf_dir: str) -> pa.Table:
+    """part.parquet → a Python-ish source-code repository, one module
+    file per part key, whose module-level imports are pure functions of
+    ``p_partkey`` (k):
+
+      * every module:      ``import m{k % 97}``
+      * k % 3 == 0:        ``import m{(7k+1) % 101} as a{k}``  (alias stripped)
+      * k % 3 == 1:        ``from m{(11k+3) % 103} import thing, other``
+      * k % 3 == 2:        ``import m{(5k+2) % 107}, m{(3k+5) % 109}``
+
+    Each file also carries a commented-out import, a function body with a
+    NESTED import, and one def + one class — material the extractor must
+    skip (module level only) or surface as definition triples.  A DuckDB
+    oracle over part predicts the full edge multiset with arithmetic."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    keys = (
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .to_pandas()["p_partkey"]
+        .astype("int64")
+        .sort_values(ignore_index=True)
+    )
+    k = keys
+    ks = k.astype(str)
+    extra = pd.Series("", index=k.index, dtype=object)
+    m0 = k % 3 == 0
+    m1 = k % 3 == 1
+    m2 = k % 3 == 2
+    extra[m0] = "import m" + ((7 * k[m0] + 1) % 101).astype(str) + " as a" + ks[m0]
+    extra[m1] = "from m" + ((11 * k[m1] + 3) % 103).astype(str) + " import thing, other"
+    extra[m2] = (
+        "import m" + ((5 * k[m2] + 2) % 107).astype(str)
+        + ", m" + ((3 * k[m2] + 5) % 109).astype(str)
+    )
+    content = (
+        '"""auto module m' + ks + '"""\n'
+        + "import m" + (k % 97).astype(str) + "\n"
+        + extra + "\n"
+        + "# import m999 commented out\n"
+        + "def fn_" + ks + "():\n"
+        + "    import os\n"
+        + "    return 1\n"
+        + "class C" + ks + ":\n"
+        + "    pass\n"
+    )
+    n = len(k)
+    return pa.table(
+        {
+            "repo": pa.array(["synthetic/tpch-code"] * n, pa.string()),
+            "path": pa.array(("src/m" + ks + ".py").tolist(), pa.string()),
+            "commit": pa.array(["feedf00d" * 5] * n, pa.string()),
+            "lang": pa.array(["python"] * n, pa.string()),
+            "content": pa.array(content.tolist(), pa.string()),
+        }
+    )

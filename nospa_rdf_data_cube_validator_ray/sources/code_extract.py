@@ -1,0 +1,150 @@
+"""Vectorized triple extraction from source-code file content.
+
+North-rule surface: "map_batches triple extraction over Arrow batches of
+repository file content".  The RDF parse stage (parse_stage.py) covers
+RDF payloads; this stage covers CODE payloads: module-level ``import`` /
+``from ... import`` statements and top-level ``def`` / ``class``
+definitions become (subj, pred, obj) triples carrying the same
+graph / file_sha256 provenance columns the RDF parser emits
+(model.TRIPLE_SCHEMA), so the per-row content-sha256 invariant flows
+end-to-end on the code path too.
+
+Extraction is pandas-vectorized: ``Series.str.extractall`` with compiled
+MULTILINE regexes (anchored at column 0, so nested/indented imports and
+``# import ...`` comments are skipped), ``str.split(',') + explode`` for
+comma-separated import lists, and alias (``as x``) stripping — no
+per-row Python loop in the hot path.  Reference parity: the reference
+has no code-extraction twin (Jena's RIOT only parses RDF); this is the
+beyond-reference KG-construction front end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+from ..model import TRIPLE_SCHEMA, make_graph_id
+
+CODE = "http://example.org/code#"
+CODEN = "http://example.org/code/"
+
+IMPORTS = CODE + "imports"
+IMPORTS_FROM = CODE + "importsFrom"
+DEFINES_FN = CODE + "definesFunction"
+DEFINES_CLASS = CODE + "definesClass"
+
+# module-level only: anchored at column 0 under re.M
+_IMPORT_RE = re.compile(r"^import[ \t]+([^\n#]+)", re.M)
+_FROM_RE = re.compile(r"^from[ \t]+([A-Za-z_][\w.]*)[ \t]+import\b", re.M)
+_DEF_RE = re.compile(r"^def[ \t]+([A-Za-z_]\w*)", re.M)
+_CLASS_RE = re.compile(r"^class[ \t]+([A-Za-z_]\w*)", re.M)
+_MOD_HEAD_RE = re.compile(r"^\s*([A-Za-z_][\w.]*)")
+
+
+def _mod_iri(names: pd.Series) -> pd.Series:
+    return CODEN + "mod/" + names
+
+
+class ExtractCodeTriples:
+    """map_batches stage (pandas): corpus rows → TRIPLE_SCHEMA rows.
+
+    Non-Python rows pass through as zero triples; a row's module node is
+    derived from its path stem, so extraction is per-file independent
+    (embarrassingly parallel, no state, no shuffle)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        py = df[
+            (df["lang"] == "python") | df["path"].str.endswith(".py")
+        ].reset_index(drop=True)
+        if not len(py):
+            return TRIPLE_SCHEMA.empty_table().to_pandas()
+
+        graph = pd.Series(
+            [
+                make_graph_id(r, p, c)
+                for r, p, c in zip(py["repo"], py["path"], py["commit"])
+            ],
+            dtype=object,
+        )
+        sha = pd.Series(
+            [
+                hashlib.sha256(t.encode("utf-8")).hexdigest()
+                for t in py["content"].fillna("")
+            ],
+            dtype=object,
+        )
+        stem = py["path"].str.extract(r"([^/]+?)(?:\.py)?$", expand=False)
+        subj = _mod_iri(stem)
+        content = py["content"].fillna("")
+
+        frames: list[pd.DataFrame] = []
+
+        def emit(rows: pd.Series, pred: str, obj: pd.Series) -> None:
+            """rows: int index into py for each match."""
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "graph": graph.iloc[rows].to_numpy(),
+                        "file_sha256": sha.iloc[rows].to_numpy(),
+                        "subj": subj.iloc[rows].to_numpy(),
+                        "pred": pred,
+                        "obj_kind": pd.Series(
+                            0, index=range(len(rows)), dtype="int8"
+                        ),
+                        "obj": obj.to_numpy(),
+                        "obj_dt": "",
+                        "obj_lang": "",
+                    }
+                )
+            )
+
+        # plain imports: comma lists, aliases stripped
+        imp = content.str.extractall(_IMPORT_RE)[0]
+        if len(imp):
+            parts = imp.str.split(",").explode().str.strip()
+            mods = parts.str.extract(_MOD_HEAD_RE, expand=False).dropna()
+            emit(
+                mods.index.get_level_values(0),
+                IMPORTS,
+                _mod_iri(mods),
+            )
+
+        frm = content.str.extractall(_FROM_RE)[0]
+        if len(frm):
+            emit(frm.index.get_level_values(0), IMPORTS_FROM, _mod_iri(frm))
+
+        for rx, pred in ((_DEF_RE, DEFINES_FN), (_CLASS_RE, DEFINES_CLASS)):
+            m = content.str.extractall(rx)[0]
+            if len(m):
+                rows = m.index.get_level_values(0)
+                emit(
+                    rows,
+                    pred,
+                    CODEN + "def/" + stem.iloc[rows].to_numpy() + "." + m,
+                )
+
+        if not frames:
+            return TRIPLE_SCHEMA.empty_table().to_pandas()
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype(
+            {
+                c: "string"
+                for c in (
+                    "graph",
+                    "file_sha256",
+                    "subj",
+                    "pred",
+                    "obj",
+                    "obj_dt",
+                    "obj_lang",
+                )
+            }
+        )
+
+
+def extract_code_corpus(corpus) -> "object":
+    """corpus Dataset (repo, path, commit, lang, content) → triple
+    Dataset (TRIPLE_SCHEMA columns)."""
+    return corpus.map_batches(ExtractCodeTriples(), batch_format="pandas")

@@ -15,7 +15,7 @@ def test_every_query_has_an_oracle():
     m = _entry()
     qs = m.queries()
     oracles = m.oracle_sql()
-    assert len(qs) == 72, f"query count drifted: {len(qs)}"
+    assert len(qs) == 74, f"query count drifted: {len(qs)}"
     missing = sorted(set(qs) - set(oracles))
     assert not missing, f"queries without oracle SQL: {missing}"
     extra = sorted(set(oracles) - set(qs))
@@ -37,6 +37,7 @@ def test_oracle_sql_is_parseable():
     con.sql("CREATE TABLE customer AS SELECT 1::BIGINT c_custkey, 'n' c_name, 1::BIGINT c_nationkey WHERE false")
     con.sql("CREATE TABLE nation AS SELECT 1::BIGINT n_nationkey, 1::BIGINT n_regionkey WHERE false")
     con.sql("CREATE TABLE region AS SELECT 1::BIGINT r_regionkey WHERE false")
+    con.sql("CREATE TABLE part AS SELECT 1::BIGINT p_partkey WHERE false")
     for name, sql in m.oracle_sql().items():
         try:
             con.sql(sql)  # plans (and runs on empty inputs) — syntax gate
