@@ -890,6 +890,16 @@ def q_kg_code_imports(sf_dir: str):
     )
 
 
+def q_kg_code_triangles(sf_dir: str):
+    """All triangles of the (undirected) import graph, canonical
+    lexicographic (a, b, c) — degree-oriented node-iterator enumeration
+    (stages/graph.triangle_enum: orientation bounds wedge fan-out by
+    O(sqrt(m)); size-adaptive degree lookup, parity-tested)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import triangle_enum
+
+    return triangle_enum(_code_import_edges(sf_dir))
+
+
 def q_kg_code_degree(sf_dir: str):
     """Degree profile of the extracted import graph — the extraction
     front end composed with stages/graph.degree_table."""
@@ -926,6 +936,18 @@ cedges AS (
 _SQL_CODE_IMPORTS = f"""
 WITH {_CODE_EDGE_BODY}
 SELECT src, dst, kind FROM cedges
+"""
+
+_SQL_CODE_TRIANGLES = f"""
+WITH {_CODE_EDGE_BODY},
+u AS (
+  SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+  FROM cedges WHERE src != dst
+)
+SELECT e1.x AS a, e1.y AS b, e2.y AS c
+FROM u e1
+JOIN u e2 ON e2.x = e1.y
+JOIN u e3 ON e3.x = e1.x AND e3.y = e2.y
 """
 
 _SQL_CODE_DEGREE = f"""
@@ -1097,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_incremental": q_cube_incremental,
         "kg_code_imports": q_kg_code_imports,
         "kg_code_degree": q_kg_code_degree,
+        "kg_code_triangles": q_kg_code_triangles,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1141,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_incremental": _SQL_INCREMENTAL,
         "kg_code_imports": _SQL_CODE_IMPORTS,
         "kg_code_degree": _SQL_CODE_DEGREE,
+        "kg_code_triangles": _SQL_CODE_TRIANGLES,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

@@ -117,3 +117,48 @@ def test_bfs_cycle_terminates():
         .set_index("node")["dist"]
     )
     assert dict(dist) == {"a": 0, "b": 1, "c": 2}
+
+
+def test_triangle_enum_known_graph():
+    # K4 minus one edge on {a,b,c,d}: triangles abc, abd (cd missing);
+    # plus an isolated edge e-f and a self-loop g-g (ignored)
+    rows = [
+        ("a", "p", 0, "b"),
+        ("b", "p", 0, "c"),
+        ("a", "p", 0, "c"),
+        ("d", "p", 0, "a"),   # direction must not matter
+        ("b", "p", 0, "d"),
+        ("e", "p", 0, "f"),
+        ("g", "p", 0, "g"),
+        ("a", "p", 0, "b"),   # duplicate edge must not double-count
+    ]
+    tri = (
+        G.triangle_enum(G.extract_edges(_triples(rows)))
+        .to_pandas()
+        .sort_values(["a", "b", "c"], ignore_index=True)
+    )
+    assert [tuple(r) for r in tri.to_numpy()] == [
+        ("a", "b", "c"),
+        ("a", "b", "d"),
+    ]
+
+
+def test_triangle_enum_regime_parity():
+    rows = [
+        ("a", "p", 0, "b"),
+        ("b", "p", 0, "c"),
+        ("c", "p", 0, "a"),
+        ("c", "p", 0, "d"),
+        ("d", "p", 0, "a"),
+    ]
+    edges = G.extract_edges(_triples(rows))
+    fast = (
+        G.triangle_enum(edges).to_pandas().sort_values(["a", "b", "c"], ignore_index=True)
+    )
+    joined = (
+        G.triangle_enum(edges, max_broadcast_nodes=0)
+        .to_pandas()
+        .sort_values(["a", "b", "c"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(fast, joined)
+    assert [tuple(r) for r in fast.to_numpy()] == [("a", "b", "c"), ("a", "c", "d")]
