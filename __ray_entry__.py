@@ -908,6 +908,57 @@ def q_kg_code_degree(sf_dir: str):
     return degree_table(_code_import_edges(sf_dir))
 
 
+def q_kg_snapshot_latest(sf_dir: str):
+    """Commit-version snapshot resolution over a multi-commit corpus:
+    latest commit wins per (repo, path) (stages/dedup.latest_snapshot —
+    map-side combiner + one coarse-bucket shuffle), then the surviving
+    rows' content sha256 — the north-rule per-row content invariant —
+    checked value-exactly by the oracle (DuckDB sha256 over rebuilt
+    content)."""
+    import hashlib
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_versioned_corpus
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import latest_snapshot
+
+    import ray.data
+
+    latest = latest_snapshot(
+        ray.data.from_arrow(tpch_versioned_corpus(sf_dir))
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "path": df["path"].astype("string"),
+                "commit": df["commit"].astype("string"),
+                "sha": pd.Series(
+                    [
+                        hashlib.sha256(t.encode("utf-8")).hexdigest()
+                        for t in df["content"]
+                    ],
+                    dtype="string",
+                    index=df.index,
+                ),
+            }
+        )
+
+    return latest.map_batches(project, batch_format="pandas")
+
+
+_SQL_SNAPSHOT_LATEST = """
+WITH p AS (SELECT p_partkey AS k FROM part),
+latest AS (
+  SELECT k,
+         CASE WHEN k % 4 = 0 THEN 2 WHEN k % 2 = 0 THEN 1 ELSE 0 END AS j
+  FROM p
+)
+SELECT 'src/m' || k || '.py' AS path,
+       lpad(j::VARCHAR, 40, '0') AS "commit",
+       sha256('import m' || ((k + 13 * j) % 97) || chr(10)) AS sha
+FROM latest
+"""
+
+
 _CODE_EDGE_BODY = f"""
 p AS (SELECT p_partkey AS k FROM part),
 cedges AS (
@@ -1120,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_imports": q_kg_code_imports,
         "kg_code_degree": q_kg_code_degree,
         "kg_code_triangles": q_kg_code_triangles,
+        "kg_snapshot_latest": q_kg_snapshot_latest,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1165,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_imports": _SQL_CODE_IMPORTS,
         "kg_code_degree": _SQL_CODE_DEGREE,
         "kg_code_triangles": _SQL_CODE_TRIANGLES,
+        "kg_snapshot_latest": _SQL_SNAPSHOT_LATEST,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

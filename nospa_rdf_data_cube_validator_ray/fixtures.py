@@ -1108,3 +1108,32 @@ def tpch_code_corpus(sf_dir: str) -> pa.Table:
             "content": pa.array(content.tolist(), pa.string()),
         }
     )
+
+
+def tpch_versioned_corpus(sf_dir: str) -> pa.Table:
+    """part.parquet → a multi-commit source corpus: module file
+    ``src/m{k}.py`` has 1–3 commits (j = 0; +1 when k is even; +2 when
+    k % 4 == 0), commit ids are zero-padded decimals (lexicographically
+    = numerically ordered — a real pipeline would order by a
+    commit→timestamp dimension join instead) and each version's content
+    is ``import m{(k + 13 j) % 97}\\n`` — one line, so the DuckDB oracle
+    can rebuild content AND its sha256 with plain string concat."""
+    import pyarrow.parquet as pq
+
+    keys = (
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .to_pandas()["p_partkey"]
+        .astype("int64")
+        .sort_values(ignore_index=True)
+    )
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for k in keys:
+        k = int(k)
+        n_versions = 1 + (k % 2 == 0) + (k % 4 == 0)
+        for j in range(n_versions):
+            rows["repo"].append("synthetic/tpch-versions")
+            rows["path"].append(f"src/m{k}.py")
+            rows["commit"].append(f"{j:040d}")
+            rows["lang"].append("python")
+            rows["content"].append(f"import m{(k + 13 * j) % 97}\n")
+    return pa.table({c: pa.array(v, pa.string()) for c, v in rows.items()})

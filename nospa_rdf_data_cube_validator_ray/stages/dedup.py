@@ -1016,3 +1016,54 @@ def dup_span_coverage(
         )
 
     return joined.map_batches(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# commit-version snapshot resolution
+# ---------------------------------------------------------------------------
+
+
+def latest_snapshot(
+    corpus: "ray.data.Dataset",
+    *,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    order_col: str = "commit",
+    num_buckets: int = _COARSE,
+) -> "ray.data.Dataset":
+    """Resolve a multi-commit corpus to its latest snapshot: for every
+    ``key_cols`` group keep the row with the maximum ``order_col``
+    (requires a totally ordered version column — sortable commit ids or
+    a joined-in timestamp; raw git hashes are NOT ordered).
+
+    Same shape as exact_dedup: map-side pre-dedup per batch (combiner —
+    shuffle traffic is distinct-files-per-block, not version-scale),
+    coarse bucket hash of the file key, ONE shuffle, per-bucket
+    vectorized ``sort_values + drop_duplicates(keep="last")`` — no
+    per-file pandas groups."""
+    keys = list(key_cols)
+
+    def local_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + [order_col]).drop_duplicates(
+            keys, keep="last"
+        )
+        kh = df[keys[0]].astype(str)
+        for c in keys[1:]:
+            kh = kh + "\x00" + df[c].astype(str)
+        df = df.copy()
+        df["_bucket"] = np.array(
+            [_md5_u64(s) % num_buckets for s in kh], dtype="int32"
+        )
+        return df
+
+    def bucket_latest(grp: pd.DataFrame) -> pd.DataFrame:
+        return (
+            grp.sort_values(keys + [order_col])
+            .drop_duplicates(keys, keep="last")
+            .drop(columns=["_bucket"])
+        )
+
+    return (
+        corpus.map_batches(local_latest, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_latest, batch_format="pandas")
+    )

@@ -74,3 +74,27 @@ def test_dup_span_coverage_no_dups(ray_session):
     )
     out = dup_span_coverage(ray.data.from_pandas(docs)).to_pandas()
     assert (out["n_dup_pos"] == 0).all() and (out["covered_tokens"] == 0).all()
+
+
+def test_latest_snapshot_semantics(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import latest_snapshot
+
+    corpus = pd.DataFrame(
+        {
+            "repo": ["r1", "r1", "r1", "r2"],
+            "path": ["a.py", "a.py", "b.py", "a.py"],
+            "commit": ["001", "002", "001", "005"],
+            "lang": ["python"] * 4,
+            "content": ["old", "new", "only", "other-repo"],
+        }
+    )
+    out = (
+        latest_snapshot(ray.data.from_pandas(corpus))
+        .to_pandas()
+        .sort_values(["repo", "path"], ignore_index=True)
+    )
+    assert list(out["content"]) == ["new", "only", "other-repo"]
+    assert list(out["commit"]) == ["002", "001", "005"]
