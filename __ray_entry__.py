@@ -989,6 +989,52 @@ WITH {_CODE_EDGE_BODY}
 SELECT src, dst, kind FROM cedges
 """
 
+def q_kg_code_pagerank(sf_dir: str):
+    """Deterministic integer PageRank (3 iterations, floor arithmetic —
+    bit-exact across engines, unlike float PageRank) over the import
+    graph (stages/graph.pagerank_int; size-adaptive: driver loop under
+    an edge threshold, per-iteration hash joins above, parity-tested)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import pagerank_int
+
+    return pagerank_int(_code_import_edges(sf_dir))
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 1_000_000, dn: int = 85, dd: int = 100) -> str:
+    """K chained-CTE PageRank iterations mirroring pagerank_int's
+    integer semantics exactly (floor division both sides)."""
+    base = (dd - dn) * scale // dd
+    parts = [
+        f"""nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM cedges UNION ALL SELECT dst FROM cedges)
+),
+od AS (SELECT src AS node, count(*) AS d FROM cedges GROUP BY src),
+pr0 AS (SELECT node, {scale}::BIGINT AS pr FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+pr{i + 1} AS (
+  SELECT n.node, ({base} + {dn} * coalesce(s.s, 0) // {dd})::BIGINT AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr // od.d)::BIGINT AS s
+    FROM pr{i} p
+    JOIN od ON p.node = od.node
+    JOIN cedges e ON e.src = p.node
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+        )
+    return (
+        f"WITH {_CODE_EDGE_BODY},\n"
+        + "".join(parts)
+        + f"\nSELECT node, pr FROM pr{iters}"
+    )
+
+
+_SQL_CODE_PAGERANK = _pagerank_sql()
+
+
 _SQL_CODE_TRIANGLES = f"""
 WITH {_CODE_EDGE_BODY},
 u AS (
@@ -1172,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_degree": q_kg_code_degree,
         "kg_code_triangles": q_kg_code_triangles,
         "kg_snapshot_latest": q_kg_snapshot_latest,
+        "kg_code_pagerank": q_kg_code_pagerank,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1218,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_degree": _SQL_CODE_DEGREE,
         "kg_code_triangles": _SQL_CODE_TRIANGLES,
         "kg_snapshot_latest": _SQL_SNAPSHOT_LATEST,
+        "kg_code_pagerank": _SQL_CODE_PAGERANK,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

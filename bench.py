@@ -130,6 +130,36 @@ def run_suite(
         lambda: td.q_boilerplate_removal(sf_dir).count(),
     )
 
+    # -- KG construction / graph analytics -------------------------------
+    from nospa_rdf_data_cube_validator_ray.fixtures import (
+        tpch_code_corpus,
+        tpch_link_corpus,
+    )
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        extract_code_corpus,
+    )
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+    from nospa_rdf_data_cube_validator_ray.stages import graph as G
+
+    link_tbl = tpch_link_corpus(sf_dir)  # input prep, not timed
+    code_tbl = tpch_code_corpus(sf_dir)
+
+    def kg_link_graph():
+        triples = parse_corpus(ray.data.from_arrow(link_tbl)).materialize()
+        edges = G.extract_edges(triples).materialize()
+        G.degree_table(edges).count()
+        G.bfs_distances(
+            edges, ["http://example.org/kg/reg/1"], reverse=True
+        ).count()
+
+    timed("kg_link_graph", kg_link_graph)
+
+    def kg_code_triangles():
+        edges = extract_code_corpus(ray.data.from_arrow(code_tbl))
+        G.triangle_enum(edges).count()
+
+    timed("kg_code_triangles", kg_code_triangles)
+
     # -- scaling pair in the SAME round (fresh subprocesses), so BENCH_rN
     # carries headline + scaling + host-load context together and
     # round-over-round numbers are comparable.  Shut the suite's Ray

@@ -409,3 +409,145 @@ def triangle_enum(
         )
 
     return tri.map_batches(canon, batch_format="pandas")
+
+
+def pagerank_int(
+    edges: "ray.data.Dataset",
+    *,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    max_driver_edges: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Deterministic INTEGER PageRank — floor arithmetic end to end, so a
+    SQL oracle can reproduce it bit-exactly (IEEE-float PageRank cannot
+    be hash-compared across engines; summation order differs):
+
+        pr_0(n)   = scale                       (for every node)
+        contrib(m)= pr_i(m) // outdeg(m)        (per out-EDGE; multi-edges
+                                                 contribute once each)
+        pr_{i+1}(n) = base + damp_num * (Σ incoming contrib) // damp_den
+        base      = (damp_den - damp_num) * scale // damp_den
+
+    Dangling-node mass is dropped (not redistributed) — documented
+    semantics shared with the oracle.  Size-adaptive (parity-tested):
+    under ``max_driver_edges`` the edge list is collected once and the
+    loop runs vectorized on the driver; above it each iteration is
+    rank ⋈ outdeg ⋈ edges → groupby-sum → left join back onto the node
+    set (all hash-partitioned, nothing corpus-scale on the driver).
+    Rounds = ``iters`` (fixed), unlike BFS there is no depth hazard."""
+    np_ = _nparts(num_partitions)
+    base = (damp_den - damp_num) * scale // damp_den
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["subj"].astype("string"), "dst": df["obj"].astype("string")}
+        )
+
+    pairs = edges.map_batches(to_pairs, batch_format="pandas")
+    n_edges = pairs.count()
+
+    if n_edges <= max_driver_edges:
+        e = pd.concat(
+            list(pairs.iter_batches(batch_format="pandas", batch_size=65536)),
+            ignore_index=True,
+        )
+        nodes = pd.Index(pd.concat([e["src"], e["dst"]]).unique())
+        od = e["src"].value_counts()
+        pr = pd.Series(scale, index=nodes, dtype="int64")
+        for _ in range(iters):
+            contrib = (pr[e["src"]].to_numpy() // od[e["src"]].to_numpy()).astype(
+                "int64"
+            )
+            s = (
+                pd.DataFrame({"dst": e["dst"], "c": contrib})
+                .groupby("dst")["c"]
+                .sum()
+                .reindex(nodes, fill_value=0)
+            )
+            pr = (base + damp_num * s // damp_den).astype("int64")
+        out = pd.DataFrame(
+            {"node": pd.Series(nodes, dtype="string"), "pr": pr.to_numpy()}
+        )
+        return ray.data.from_pandas(out.sort_values("node", ignore_index=True))
+
+    pairs = heal_schema(pairs, np_).materialize()
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([df["src"], df["dst"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"node": u.astype("string")})
+
+    from ..functions.kernel import distinct
+
+    nodes_ds = heal_schema(
+        distinct(pairs.map_batches(node_partial, batch_format="pandas"), ["node"]),
+        np_,
+    ).materialize()
+
+    def od_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["src"].value_counts()
+        return pd.DataFrame(
+            {"node": pd.Series(c.index, dtype="string"),
+             "d": c.to_numpy().astype("int64")}
+        )
+
+    od_ds = heal_schema(
+        _ren(
+            pairs.map_batches(od_partial, batch_format="pandas")
+            .groupby("node")
+            .sum("d"),
+            {"sum(d)": "d"},
+        ),
+        np_,
+    ).materialize()
+
+    def init_pr(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"].astype("string"),
+             "pr": pd.Series(scale, index=df.index, dtype="int64")}
+        )
+
+    ranks = nodes_ds.map_batches(init_pr, batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        withod = heal_schema(ranks, np_).join(od_ds, "inner", np_, on=("node",))
+
+        def contrib_frame(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"src": df["node"].astype("string"),
+                 "c": (df["pr"] // df["d"]).astype("int64")}
+            )
+
+        contrib = heal_schema(
+            withod.map_batches(contrib_frame, batch_format="pandas"), np_
+        )
+        incoming = _ren(
+            pairs.join(contrib, "inner", np_, on=("src",))
+            .map_batches(
+                lambda df: df[["dst", "c"]].rename(columns={"dst": "node"}),
+                batch_format="pandas",
+            )
+            .groupby("node")
+            .sum("c"),
+            {"sum(c)": "s"},
+        )
+        joined = heal_schema(nodes_ds, np_).join(
+            heal_schema(incoming, np_), "left_outer", np_, on=("node",)
+        )
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            s = (
+                df["s"].fillna(0).astype("int64")
+                if "s" in df.columns
+                else pd.Series(0, index=df.index, dtype="int64")
+            )
+            return pd.DataFrame(
+                {"node": df["node"].astype("string"),
+                 "pr": (base + damp_num * s // damp_den).astype("int64")}
+            )
+
+        ranks = joined.map_batches(update, batch_format="pandas").materialize()
+
+    return ranks

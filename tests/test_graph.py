@@ -162,3 +162,38 @@ def test_triangle_enum_regime_parity():
     )
     pd.testing.assert_frame_equal(fast, joined)
     assert [tuple(r) for r in fast.to_numpy()] == [("a", "b", "c"), ("a", "c", "d")]
+
+
+def test_pagerank_int_semantics():
+    # star: a -> b, c -> b, b -> a ; hand-computed 1 iteration:
+    # base = 150000; contrib(a)=contrib(c)=1000000, contrib(b)=1000000
+    # pr1(b) = 150000 + 85*2000000//100 = 1850000
+    # pr1(a) = 150000 + 85*1000000//100 = 1000000
+    # pr1(c) = 150000 (no incoming)
+    rows = [("a", "p", 0, "b"), ("c", "p", 0, "b"), ("b", "p", 0, "a")]
+    pr = (
+        G.pagerank_int(G.extract_edges(_triples(rows)), iters=1)
+        .to_pandas()
+        .set_index("node")["pr"]
+    )
+    assert dict(pr) == {"a": 1000000, "b": 1850000, "c": 150000}
+
+
+def test_pagerank_int_regime_parity():
+    rows = [
+        ("a", "p", 0, "b"),
+        ("b", "p", 0, "c"),
+        ("c", "p", 0, "a"),
+        ("a", "p", 0, "c"),
+        ("d", "p", 0, "a"),
+        ("a", "p", 0, "a"),  # self-loop
+        ("a", "p", 0, "b"),  # multi-edge
+    ]
+    edges = G.extract_edges(_triples(rows))
+    fast = G.pagerank_int(edges, iters=2).to_pandas().sort_values("node", ignore_index=True)
+    dist = (
+        G.pagerank_int(edges, iters=2, max_driver_edges=0)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist.astype(fast.dtypes.to_dict()))
