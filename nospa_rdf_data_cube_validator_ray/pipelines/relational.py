@@ -637,6 +637,163 @@ FROM ev JOIN sess s
 """
 
 
+def q_events_rollup(sf_dir: str):
+    """OLAP ROLLUP over (event_type, hour): leaf cells plus per-type and
+    grand-total margins (sentinels hour_id = -1 / event_type = '*'),
+    each with exact COUNT and COUNT(DISTINCT user).  Distinct-user
+    margins are NOT derivable from leaf sums, so each level runs its own
+    aggregation pass, bucketed so every group key lives wholly in one
+    bucket (level 2 buckets by user, so per-bucket distinct counts are
+    disjoint and SUM exactly)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    )
+
+    leaf = q_events_hourly(sf_dir)[["event_type", "hour_id", "n", "n_users"]]
+
+    num_buckets = 32
+
+    def proj_type(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df["event_type"].astype(str), index=False
+        ).to_numpy()
+        return pd.DataFrame(
+            {
+                "kb": (h % num_buckets).astype("int64"),
+                "event_type": df["event_type"],
+                "user_id": df["user_id"],
+            }
+        )
+
+    def agg_type(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)
+        return g.agg(n=("user_id", "size"), n_users=("user_id", "nunique")).reset_index()
+
+    per_type = (
+        ds.map_batches(proj_type, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(agg_type, batch_format="pandas")
+        .to_pandas()
+    )
+    per_type["hour_id"] = -1
+
+    def proj_user(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kb": (df["user_id"].astype("int64") % num_buckets),
+                "user_id": df["user_id"],
+            }
+        )
+
+    def agg_user(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [len(df)], "n_users": [df["user_id"].nunique()]}
+        )
+
+    totals = (
+        ds.map_batches(proj_user, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(agg_user, batch_format="pandas")
+        .to_pandas()
+    )
+    grand = pd.DataFrame(
+        {
+            "event_type": ["*"],
+            "hour_id": [-1],
+            "n": [int(totals["n"].sum())],
+            "n_users": [int(totals["n_users"].sum())],
+        }
+    )
+
+    out = pd.concat(
+        [leaf, per_type[["event_type", "hour_id", "n", "n_users"]], grand],
+        ignore_index=True,
+    )
+    for c in ("hour_id", "n", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["event_type", "hour_id"], ignore_index=True
+    )
+
+
+_SQL_EVENTS_ROLLUP = """
+SELECT coalesce(event_type, '*') AS event_type,
+       coalesce(hour_id, -1)::BIGINT AS hour_id,
+       n, n_users
+FROM (
+  SELECT event_type, hour_id,
+         count(*)::BIGINT AS n,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, user_id
+        FROM events)
+  GROUP BY ROLLUP(event_type, hour_id)
+)
+"""
+
+
+def q_events_user_cumsum(sf_dir: str):
+    """Running window over the event stream: for every event, how many
+    DISTINCT event types its user has seen up to and including it
+    (ordered by ts, event_id).  Cumulative distinct is not a plain
+    window sum — it is computed as a running sum of first-occurrence
+    flags, fully vectorized per user-aligned bucket (duplicated() +
+    groupby cumsum; no per-user pandas groups)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    num_buckets = 32
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kb": (df["user_id"].astype("int64") % num_buckets),
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": (
+                    (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+                ).astype("int64"),
+                "event_type": df["event_type"],
+            }
+        )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts_us", "event_id"])
+        first = (~d.duplicated(["user_id", "event_type"])).astype("int64")
+        d = d.assign(
+            n_types_so_far=first.groupby(d["user_id"]).cumsum().astype("int64")
+        )
+        return d[["event_id", "user_id", "ts_us", "n_types_so_far"]]
+
+    out = (
+        ds.map_batches(proj, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id", ignore_index=True)
+
+
+_SQL_EVENTS_USER_CUMSUM = """
+WITH flagged AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) = 1 THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       ts_us::BIGINT AS ts_us,
+       sum(is_first) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS UNBOUNDED PRECEDING
+       )::BIGINT AS n_types_so_far
+FROM flagged
+"""
+
+
 QUERIES = {
     "cube_star_supp": q_cube_star_supp,
     "events_last_purchase": q_events_last_purchase,
@@ -645,6 +802,8 @@ QUERIES = {
     "events_sessionize": q_sessionize,
     "events_sliding": q_events_sliding,
     "events_topk_hourly": q_events_topk_hourly,
+    "events_rollup": q_events_rollup,
+    "events_user_cumsum": q_events_user_cumsum,
     "top_customers": q_top_customers,
 }
 
@@ -656,5 +815,7 @@ ORACLES = {
     "events_sessionize": _SQL_SESSIONIZE,
     "events_sliding": _SQL_EVENTS_SLIDING,
     "events_topk_hourly": _SQL_EVENTS_TOPK,
+    "events_rollup": _SQL_EVENTS_ROLLUP,
+    "events_user_cumsum": _SQL_EVENTS_USER_CUMSUM,
     "top_customers": _SQL_TOP_CUSTOMERS,
 }
