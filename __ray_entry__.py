@@ -1058,6 +1058,158 @@ FROM o FULL OUTER JOIN i ON o.node = i.node
 """
 
 
+def _code_triples(sf_dir: str):
+    """All code triples (imports + definitions) for the code corpus,
+    extracted once per sf_dir."""
+    state = _CACHE.setdefault(sf_dir, {})
+    if "code_triples" not in state:
+        import ray.data
+
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_code_corpus
+        from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+            extract_code_corpus,
+        )
+
+        state["code_triples"] = extract_code_corpus(
+            ray.data.from_arrow(tpch_code_corpus(sf_dir))
+        ).materialize()
+    return state["code_triples"]
+
+
+def q_kg_code_components(sf_dir: str):
+    """Connected components of the undirected import graph — the
+    size-adaptive CC engine (driver union-find / cc_labels min-label
+    propagation, parity-tested) applied to the code KG; label = the
+    component's lexicographically smallest module IRI."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import components
+
+    return components(_code_import_edges(sf_dir))
+
+
+def q_kg_code_reachable(sf_dir: str):
+    """Multi-hop reverse traversal: every module that TRANSITIVELY
+    imports mod/m1, with its min-hop distance (stages/graph.bfs_distances,
+    reverse=True — size-adaptive driver BFS / broadcast-frontier walk)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bfs_distances
+
+    return bfs_distances(
+        _code_import_edges(sf_dir), [f"{_CODEN}mod/m1"], reverse=True
+    )
+
+
+def q_kg_code_defs(sf_dir: str):
+    """The materialized definition-attribute view (module, kind, name)
+    of the code KG — definesFunction/definesClass triples projected
+    map-only (sources/code_extract.definition_table)."""
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        definition_table,
+    )
+
+    return definition_table(_code_triples(sf_dir))
+
+
+def q_kg_module_summary(sf_dir: str):
+    """Graph materialize: the per-node attribute table of the code KG —
+    (node, out_imports, n_defs, n_classes, in_imports) via map-side
+    partial counts + ONE node-scale groupby-sum
+    (sources/code_extract.module_summary)."""
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        module_summary,
+    )
+
+    return module_summary(_code_triples(sf_dir))
+
+
+def q_kg_commit_import_diff(sf_dir: str):
+    """Commit-evolution delta over the multi-commit corpus: per path,
+    the import targets added ('+') / removed ('-') between its first
+    and latest commit — extraction → provenance split → one
+    path-bucketed shuffle → vectorized set compare
+    (sources/code_extract.import_set_diff)."""
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_versioned_corpus
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        import_set_diff,
+    )
+
+    return import_set_diff(
+        ray.data.from_arrow(tpch_versioned_corpus(sf_dir))
+    )
+
+
+_SQL_CODE_COMPONENTS = f"""
+WITH RECURSIVE {_CODE_EDGE_BODY},
+u AS (
+  SELECT src AS a, dst AS b FROM cedges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM cedges WHERE src <> dst
+),
+comp(node, lbl) AS (
+  SELECT a, a FROM u
+  UNION
+  SELECT u.b, c.lbl FROM comp c JOIN u ON u.a = c.node
+)
+SELECT node, min(lbl) AS label FROM comp GROUP BY node
+"""
+
+_SQL_CODE_REACHABLE = f"""
+WITH RECURSIVE {_CODE_EDGE_BODY},
+reach(node, d) AS (
+  SELECT '{_CODEN}mod/m1' AS node, 0 AS d
+  UNION
+  SELECT c.src AS node, r.d + 1 AS d
+  FROM reach r JOIN cedges c ON c.dst = r.node
+  WHERE r.d < 100
+)
+SELECT node, min(d)::BIGINT AS dist FROM reach GROUP BY node
+"""
+
+_SQL_CODE_DEFS = f"""
+WITH p AS (SELECT p_partkey AS k FROM part)
+SELECT '{_CODEN}mod/m' || k AS module, 'function' AS kind,
+       'fn_' || k AS name FROM p
+UNION ALL
+SELECT '{_CODEN}mod/m' || k, 'class', 'C' || k FROM p
+"""
+
+_SQL_MODULE_SUMMARY = f"""
+WITH {_CODE_EDGE_BODY},
+o AS (SELECT src AS node, count(*) AS c FROM cedges GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS c FROM cedges GROUP BY dst),
+d AS (SELECT '{_CODEN}mod/m' || k AS node, 1 AS n_defs, 1 AS n_classes FROM p),
+nodes AS (
+  SELECT node FROM o UNION SELECT node FROM i UNION SELECT node FROM d
+)
+SELECT n.node,
+       coalesce(o.c, 0)::BIGINT AS out_imports,
+       coalesce(d.n_defs, 0)::BIGINT AS n_defs,
+       coalesce(d.n_classes, 0)::BIGINT AS n_classes,
+       coalesce(i.c, 0)::BIGINT AS in_imports
+FROM nodes n
+LEFT JOIN o ON n.node = o.node
+LEFT JOIN i ON n.node = i.node
+LEFT JOIN d ON n.node = d.node
+"""
+
+# versioned corpus: content of src/m{k}.py at commit j is
+# 'import m{(k+13j) % 97}'; latest j = 2 (k%4=0) / 1 (k%2=0) / 0 — the
+# import always changes when j>0 (13j is never 0 mod 97 for j in 1..2)
+_SQL_COMMIT_DIFF = """
+WITH p AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 2 = 0),
+lastj AS (
+  SELECT k, CASE WHEN k % 4 = 0 THEN 2 ELSE 1 END AS j FROM p
+)
+SELECT 'src/m' || k || '.py' AS path, '-' AS change,
+       'http://example.org/code/mod/m' || (k % 97) AS module
+FROM lastj
+UNION ALL
+SELECT 'src/m' || k || '.py', '+',
+       'http://example.org/code/mod/m' || ((k + 13 * j) % 97)
+FROM lastj
+"""
+
+
 # edge-table CTE body (no WITH keyword — BFS prefixes WITH RECURSIVE);
 # lag() over (custkey, orderkey) rebuilds the order chains exactly as
 # fixtures.tpch_link_corpus writes them
@@ -1219,6 +1371,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_triangles": q_kg_code_triangles,
         "kg_snapshot_latest": q_kg_snapshot_latest,
         "kg_code_pagerank": q_kg_code_pagerank,
+        "kg_code_components": q_kg_code_components,
+        "kg_code_reachable": q_kg_code_reachable,
+        "kg_code_defs": q_kg_code_defs,
+        "kg_module_summary": q_kg_module_summary,
+        "kg_commit_import_diff": q_kg_commit_import_diff,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1266,6 +1423,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_triangles": _SQL_CODE_TRIANGLES,
         "kg_snapshot_latest": _SQL_SNAPSHOT_LATEST,
         "kg_code_pagerank": _SQL_CODE_PAGERANK,
+        "kg_code_components": _SQL_CODE_COMPONENTS,
+        "kg_code_reachable": _SQL_CODE_REACHABLE,
+        "kg_code_defs": _SQL_CODE_DEFS,
+        "kg_module_summary": _SQL_MODULE_SUMMARY,
+        "kg_commit_import_diff": _SQL_COMMIT_DIFF,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

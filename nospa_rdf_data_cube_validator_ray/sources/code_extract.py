@@ -148,3 +148,152 @@ def extract_code_corpus(corpus) -> "object":
     """corpus Dataset (repo, path, commit, lang, content) → triple
     Dataset (TRIPLE_SCHEMA columns)."""
     return corpus.map_batches(ExtractCodeTriples(), batch_format="pandas")
+
+
+def definition_table(triples) -> "object":
+    """Definition triples → (module, kind, name) rows: the materialized
+    node-attribute view of ``definesFunction`` / ``definesClass``.
+    Stateless projection (map-only, no shuffle); name = the segment
+    after the final '.' of the def IRI, exactly as ``ExtractCodeTriples``
+    minted it."""
+    kinds = {DEFINES_FN: "function", DEFINES_CLASS: "class"}
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["pred"].isin(kinds)]
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "module": pd.Series(dtype="string"),
+                    "kind": pd.Series(dtype="string"),
+                    "name": pd.Series(dtype="string"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "module": d["subj"].astype("string"),
+                "kind": d["pred"].map(kinds).astype("string"),
+                "name": d["obj"].str.rsplit(".", n=1).str[-1].astype("string"),
+            }
+        ).reset_index(drop=True)
+
+    return triples.map_batches(project, batch_format="pandas")
+
+
+def module_summary(triples, *, num_partitions: int | None = None) -> "object":
+    """Graph-materialize step: the per-node attribute table of the code
+    KG — (node, out_imports, n_defs, n_classes, in_imports) for every
+    module node (import sources, import targets, and defining modules;
+    def IRIs are attributes, not nodes).
+
+    Map-side partial counts per batch (combiner), then ONE groupby-sum
+    shuffle whose output is node-scale — the ``degree_table`` pattern
+    extended to typed attribute columns."""
+    from ..stages.graph import _nparts, _ren
+
+    imp = (IMPORTS, IMPORTS_FROM)
+    cols = ["out_imports", "n_defs", "n_classes", "in_imports"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        is_imp = df["pred"].isin(imp)
+        frames = [
+            pd.DataFrame(
+                {"node": df.loc[is_imp, "subj"], "m": "out_imports"}
+            ),
+            pd.DataFrame({"node": df.loc[is_imp, "obj"], "m": "in_imports"}),
+            pd.DataFrame(
+                {"node": df.loc[df["pred"] == DEFINES_FN, "subj"], "m": "n_defs"}
+            ),
+            pd.DataFrame(
+                {
+                    "node": df.loc[df["pred"] == DEFINES_CLASS, "subj"],
+                    "m": "n_classes",
+                }
+            ),
+        ]
+        longf = pd.concat(frames, ignore_index=True)
+        counts = (
+            longf.groupby(["node", "m"], sort=False).size().unstack(fill_value=0)
+        )
+        out = counts.reindex(columns=cols, fill_value=0).reset_index()
+        out["node"] = out["node"].astype("string")
+        return out.astype({c: "int64" for c in cols})
+
+    agg = (
+        triples.map_batches(partial, batch_format="pandas")
+        .groupby("node")
+        .sum(cols)
+    )
+    return _ren(agg, {f"sum({c})": c for c in cols}).map_batches(
+        lambda df: df.fillna(0).astype(
+            {c: "int64" for c in cols if c in df.columns}
+        ),
+        batch_format="pandas",
+    )
+
+
+def import_set_diff(corpus, *, num_buckets: int = 32) -> "object":
+    """Commit-evolution delta of the import graph: for every file path,
+    the import targets ADDED ('+') or REMOVED ('-') between its FIRST
+    and LATEST commit (lexicographic commit order, the corpus's
+    convention — see ``stages.dedup.latest_snapshot``).  Rows
+    (path, change, module); single-commit paths emit nothing.
+
+    Pipeline: vectorized triple extraction (``ExtractCodeTriples``) →
+    provenance split (graph id → path, commit) → ONE coarse bucket
+    shuffle on hash(path) so each path's whole history is bucket-local →
+    per-bucket vectorized first/last set compare (merge with indicator,
+    no per-path Python groups)."""
+    from ..model import GRAPH_SEP
+
+    triples = extract_code_corpus(corpus)
+    imp = (IMPORTS, IMPORTS_FROM)
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["pred"].isin(imp)]
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "kb": pd.Series(dtype="int64"),
+                    "path": pd.Series(dtype="string"),
+                    "commit": pd.Series(dtype="string"),
+                    "module": pd.Series(dtype="string"),
+                }
+            )
+        parts = d["graph"].str.split(GRAPH_SEP, n=2, expand=True)
+        path = parts[1].astype("string")
+        kb = (
+            pd.util.hash_pandas_object(path.astype(str), index=False)
+            % num_buckets
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "kb": kb.to_numpy(),
+                "path": path.to_numpy(),
+                "commit": parts[2].astype("string").to_numpy(),
+                "module": d["obj"].astype("string").to_numpy(),
+            }
+        ).drop_duplicates(ignore_index=True)
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df.groupby("path")["commit"].transform("min")
+        hi = df.groupby("path")["commit"].transform("max")
+        first = df[df["commit"] == lo][["path", "module"]].drop_duplicates()
+        last = df[df["commit"] == hi][["path", "module"]].drop_duplicates()
+        m = first.merge(last, on=["path", "module"], how="outer", indicator=True)
+        changed = m[m["_merge"] != "both"]
+        out = pd.DataFrame(
+            {
+                "path": changed["path"].astype("string"),
+                "change": changed["_merge"]
+                .map({"left_only": "-", "right_only": "+"})
+                .astype("string"),
+                "module": changed["module"].astype("string"),
+            }
+        ).reset_index(drop=True)
+        return out
+
+    return (
+        triples.map_batches(edges, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(diff, batch_format="pandas")
+    )

@@ -551,3 +551,48 @@ def pagerank_int(
         ranks = joined.map_batches(update, batch_format="pandas").materialize()
 
     return ranks
+
+
+def components(
+    edges: "ray.data.Dataset",
+    *,
+    max_iters: int = 15,
+    num_partitions: int = 8,
+    max_driver_edges: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Connected components of the UNDIRECTED closure of a (subj, obj)
+    edge Dataset: rows (node, label), label = the component's
+    lexicographic minimum.  Self-loops are dropped, so nodes appearing
+    ONLY in self-loops are absent (documented; the SQL oracle twin
+    filters ``src <> dst`` identically).
+
+    Size-adaptive like ``canonicalize.sameas_alias_table`` (whose CC
+    engines this reuses): distinct undirected edges ≤
+    ``max_driver_edges`` are union-found exactly on the driver; larger
+    graphs run ``cc_labels`` (min-label propagation + pointer jumping,
+    no driver edge list).  Both regimes are parity-tested."""
+    import pyarrow as pa
+
+    from .canonicalize import _union_find_labels, cc_labels
+
+    und = _undirected(edges).materialize()
+    if und.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.string()), ("label", pa.string())])
+            .empty_table()
+        )
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([df["x"], df["y"]], ignore_index=True),
+                "dst": pd.concat([df["y"], df["x"]], ignore_index=True),
+            }
+        ).astype("string")
+
+    sym_edges = und.map_batches(sym, batch_format="pandas")
+    if und.count() <= max_driver_edges:
+        return _union_find_labels(sym_edges)
+    return cc_labels(
+        sym_edges, max_iters=max_iters, num_partitions=num_partitions
+    )

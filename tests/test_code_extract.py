@@ -68,3 +68,87 @@ def test_sha256_provenance_and_schema():
 def test_non_python_rows_skipped():
     df = _extract("import x\n", path="doc.ttl", lang="turtle")
     assert len(df) == 0
+
+
+def _corpus(rows):
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_definition_table_and_module_summary():
+    corpus = _corpus(
+        {
+            "repo": ["r", "r"],
+            "path": ["src/a.py", "src/b.py"],
+            "commit": ["c" * 40] * 2,
+            "lang": ["python"] * 2,
+            "content": [
+                "import b\nimport c\ndef f1():\n    pass\nclass K1:\n    pass\nclass K2:\n    pass\n",
+                "import a\ndef g():\n    pass\n",
+            ],
+        }
+    )
+    triples = C.extract_code_corpus(corpus)
+    defs = C.definition_table(triples).to_pandas()
+    got = sorted(map(tuple, defs[["module", "kind", "name"]].to_numpy()))
+    M = C.CODEN + "mod/"
+    assert got == [
+        (M + "a", "class", "K1"),
+        (M + "a", "class", "K2"),
+        (M + "a", "function", "f1"),
+        (M + "b", "function", "g"),
+    ]
+
+    summ = (
+        C.module_summary(triples)
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    assert summ.loc[M + "a"].tolist() == [2, 1, 2, 1]  # out, defs, classes, in
+    assert summ.loc[M + "b"].tolist() == [1, 1, 0, 1]
+    assert summ.loc[M + "c"].tolist() == [0, 0, 0, 1]  # import-only target
+
+
+def test_import_set_diff_first_vs_latest():
+    corpus = _corpus(
+        {
+            "repo": ["r"] * 4,
+            "path": ["src/a.py", "src/a.py", "src/a.py", "src/b.py"],
+            "commit": ["0" * 40, "1".zfill(40), "2".zfill(40), "0" * 40],
+            "lang": ["python"] * 4,
+            "content": [
+                "import x\nimport y\n",
+                "import z\n",  # middle commit must NOT matter
+                "import y\nimport z\n",
+                "import q\n",  # single commit -> no rows
+            ],
+        }
+    )
+    out = C.import_set_diff(corpus).to_pandas()
+    got = sorted(map(tuple, out[["path", "change", "module"]].to_numpy()))
+    M = C.CODEN + "mod/"
+    assert got == [
+        ("src/a.py", "+", M + "z"),
+        ("src/a.py", "-", M + "x"),
+    ]
+
+
+def test_components_regime_parity():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import components
+
+    # two components: {a,b,c} via a-b, b-c (plus a self-loop to drop),
+    # {d,e}; node f appears ONLY in a self-loop -> absent
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "b", "a", "d", "f"],
+                "obj": ["b", "c", "a", "e", "f"],
+            }
+        )
+    )
+    want = [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d")]
+    for kw in ({}, {"max_driver_edges": 0}):
+        got = sorted(
+            map(tuple, components(edges, **kw).to_pandas().to_numpy())
+        )
+        assert got == want, kw
