@@ -266,13 +266,19 @@ def q_cube_obs_per_dataset(sf_dir: str):
     triples = state["validator"].normalize()
     from nospa_rdf_data_cube_validator_ray import vocab as V
 
-    ds = (
-        triples.filter(expr=f"pred == '{V.QB_dataSet}'")
-        .groupby("obj")
-        .count()
-        .rename_columns({"obj": "dataset", "count()": "n_obs"})
+    from nospa_rdf_data_cube_validator_ray.util import bucket_count
+
+    # dataset IRIs are corpus-scale keys — bucketed count (util.bucket_agg)
+    ds = bucket_count(
+        triples.filter(expr=f"pred == '{V.QB_dataSet}'").select_columns(
+            ["obj"]
+        ),
+        ["obj"],
+        out_col="n_obs",
     )
-    out = ds.to_pandas()
+    # rename in pandas, not rename_columns: Project ops choke on the
+    # schema-less empty blocks sparse groupbys can emit
+    out = ds.to_pandas().rename(columns={"obj": "dataset"})
     out["dataset"] = "<" + out["dataset"] + ">"
     return out
 
@@ -1138,6 +1144,124 @@ def q_kg_commit_import_diff(sf_dir: str):
     )
 
 
+def q_kg_mixed_by_pred(sf_dir: str):
+    """Heterogeneous-corpus format dispatch: the cube Turtle corpus and
+    the Python code corpus concatenated into ONE repository table, fed
+    to sources/parse_stage.extract_corpus (RDF rows → RDF parsers, code
+    rows → code extractor, one streaming union), counted per predicate.
+    The oracle is the cube per-pred prediction UNION the code-pred
+    arithmetic — any cross-contamination between branches shifts a
+    count."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import (
+        tpch_code_corpus,
+        tpch_cube_corpus,
+    )
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import (
+        extract_corpus,
+    )
+
+    mixed = pa.concat_tables(
+        [tpch_cube_corpus(sf_dir), tpch_code_corpus(sf_dir)]
+    )
+    return (
+        extract_corpus(ray.data.from_arrow(mixed))
+        .groupby("pred")
+        .count()
+        .rename_columns({"count()": "n"})
+    )
+
+
+def q_kg_code_metrics(sf_dir: str):
+    """Per-module code metrics (lines, comment lines, branch statements,
+    top-level defs/classes) — map-only vectorized str.count over the
+    code corpus (sources/code_extract.code_metrics); the fixture's
+    k-dependent body/comment padding gives every column a non-constant
+    arithmetic oracle."""
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_code_corpus
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        code_metrics,
+    )
+
+    return code_metrics(ray.data.from_arrow(tpch_code_corpus(sf_dir)))
+
+
+# content layout of src/m{k}.py (fixtures.tpch_code_corpus): 9 fixed
+# lines + k%5 'if' lines + a 'while' when 7|k + k%4 trailing comments;
+# exactly one fixed line is comment-led ('# import m999 commented out')
+_SQL_CODE_METRICS = f"""
+WITH p AS (SELECT p_partkey AS k FROM part)
+SELECT '{_CODEN}mod/m' || k AS module,
+       (9 + (k % 5) + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END
+          + (k % 4))::BIGINT AS n_lines,
+       (1 + (k % 4))::BIGINT AS n_comment_lines,
+       ((k % 5) + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_branch_stmts,
+       1::BIGINT AS n_defs,
+       1::BIGINT AS n_classes
+FROM p
+"""
+
+
+def q_kg_code_clones(sf_dir: str):
+    """Cross-repo exact clone detection over the base+fork corpus:
+    content-identity entity linking — files with byte-identical sha256
+    grouped; members of groups ≥ 2 emitted with the group's min
+    (repo, path) root (sources/code_extract.clone_groups; sha-bucketed
+    single shuffle, content never leaves the map side)."""
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_fork_corpus
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        clone_groups,
+    )
+
+    return clone_groups(ray.data.from_arrow(tpch_fork_corpus(sf_dir)))
+
+
+# cube per-pred prediction UNION the code-pred arithmetic (preds are
+# disjoint between the two branches; GROUP BY keeps that honest)
+_SQL_MIXED_BY_PRED = f"""
+SELECT pred, sum(n)::BIGINT AS n FROM (
+  SELECT pred, n FROM ({_SQL_TRIPLES_BY_PRED})
+  UNION ALL
+  SELECT '{_CODE}imports' AS pred,
+         (SELECT count(*) + count(*) FILTER (WHERE p_partkey % 3 = 0)
+                 + 2 * count(*) FILTER (WHERE p_partkey % 3 = 2)
+          FROM part) AS n
+  UNION ALL
+  SELECT '{_CODE}importsFrom',
+         (SELECT count(*) FILTER (WHERE p_partkey % 3 = 1) FROM part)
+  UNION ALL
+  SELECT '{_CODE}definesFunction', (SELECT count(*) FROM part)
+  UNION ALL
+  SELECT '{_CODE}definesClass', (SELECT count(*) FROM part)
+) GROUP BY pred
+"""
+
+
+# the fork's copy of src/m{k}.py is byte-identical iff k % 5 == 0; the
+# min (repo, path) key uses a \x01 separator so string order == tuple
+# order ('synthetic/tpch-code' + \x01 sorts below '...-fork' + anything)
+_SQL_CODE_CLONES = """
+WITH p AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 5 = 0),
+both_repos AS (
+  SELECT 'synthetic/tpch-code' AS repo, k FROM p
+  UNION ALL
+  SELECT 'synthetic/tpch-code-fork', k FROM p
+)
+SELECT repo, 'src/m' || k || '.py' AS path,
+       'synthetic/tpch-code' || chr(1) || 'src/m' || k || '.py' AS clone_root,
+       2::BIGINT AS group_size
+FROM both_repos
+"""
+
+
 _SQL_CODE_COMPONENTS = f"""
 WITH RECURSIVE {_CODE_EDGE_BODY},
 u AS (
@@ -1376,6 +1500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_defs": q_kg_code_defs,
         "kg_module_summary": q_kg_module_summary,
         "kg_commit_import_diff": q_kg_commit_import_diff,
+        "kg_code_clones": q_kg_code_clones,
+        "kg_mixed_by_pred": q_kg_mixed_by_pred,
+        "kg_code_metrics": q_kg_code_metrics,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1428,6 +1555,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_defs": _SQL_CODE_DEFS,
         "kg_module_summary": _SQL_MODULE_SUMMARY,
         "kg_commit_import_diff": _SQL_COMMIT_DIFF,
+        "kg_code_clones": _SQL_CODE_CLONES,
+        "kg_mixed_by_pred": _SQL_MIXED_BY_PRED,
+        "kg_code_metrics": _SQL_CODE_METRICS,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

@@ -117,11 +117,17 @@ def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64) -> pd.DataFrame:
     if not nmeas:
         return _fdf([])
 
+    from ..util import bucket_count
+
+    # (graph, dataset) is corpus-scale on the shuffle path — bucketed
+    # count, not Ray's per-distinct-key Aggregate (util.bucket_agg)
     totals = {
-        (r["graph"], r["dataset"]): r["count()"]
-        for r in pt_ds.groupby(["graph", "dataset"]).count().take_all()
+        (r["graph"], r["dataset"]): r["n"]
+        for r in bucket_count(
+            pt_ds, ["graph", "dataset"], num_buckets=num_buckets
+        ).take_all()
     }
-    wild_rows = pt_ds.filter(lambda r: r["detail"] == "w").take_all()
+    wild_rows = pt_ds.filter(expr="detail == 'w'").take_all()
     wild_keys = {(r["graph"], r["dataset"]) for r in wild_rows}
 
     flag_points = _FlagPoints(nmeas)

@@ -1087,6 +1087,23 @@ def tpch_code_corpus(sf_dir: str) -> pa.Table:
         "import m" + ((5 * k[m2] + 2) % 107).astype(str)
         + ", m" + ((3 * k[m2] + 5) % 109).astype(str)
     )
+    # per-k body/comment padding makes file sizes and simple code
+    # metrics non-uniform: k%5 branch lines (+1 while when 7|k) inside
+    # the function, k%4 trailing comment lines — all indented or
+    # '#'-led, so the column-0-anchored import/def extraction is
+    # untouched, while code_metrics gets an arithmetic oracle
+    branches = pd.Series(
+        [
+            "".join(f"    if x > {i}: x = {i}\n" for i in range(int(kk) % 5))
+            + ("    while x > 0: x -= 1\n" if int(kk) % 7 == 0 else "")
+            for kk in k
+        ],
+        index=k.index,
+    )
+    comments = pd.Series(
+        ["".join(f"# note {i}\n" for i in range(int(kk) % 4)) for kk in k],
+        index=k.index,
+    )
     content = (
         '"""auto module m' + ks + '"""\n'
         + "import m" + (k % 97).astype(str) + "\n"
@@ -1094,9 +1111,11 @@ def tpch_code_corpus(sf_dir: str) -> pa.Table:
         + "# import m999 commented out\n"
         + "def fn_" + ks + "():\n"
         + "    import os\n"
+        + branches
         + "    return 1\n"
         + "class C" + ks + ":\n"
         + "    pass\n"
+        + comments
     )
     n = len(k)
     return pa.table(
@@ -1137,3 +1156,24 @@ def tpch_versioned_corpus(sf_dir: str) -> pa.Table:
             rows["lang"].append("python")
             rows["content"].append(f"import m{(k + 13 * j) % 97}\n")
     return pa.table({c: pa.array(v, pa.string()) for c, v in rows.items()})
+
+
+def tpch_fork_corpus(sf_dir: str) -> pa.Table:
+    """The code corpus UNION a fork repo: every path exists in both
+    ``synthetic/tpch-code`` and ``synthetic/tpch-code-fork``; the fork's
+    copy is byte-identical when ``k % 5 == 0`` (an exact cross-repo
+    clone) and carries a fork-local patch line otherwise.  A DuckDB
+    oracle predicts the clone groups purely from ``part`` arithmetic."""
+    base = tpch_code_corpus(sf_dir)
+    import pandas as pd
+
+    df = base.to_pandas()
+    fork = df.copy()
+    fork["repo"] = "synthetic/tpch-code-fork"
+    k = df["path"].str.extract(r"m(\d+)\.py$", expand=False).astype("int64")
+    patched = (k % 5) != 0
+    fork.loc[patched, "content"] = (
+        fork.loc[patched, "content"] + "# fork-local patch\n"
+    )
+    out = pd.concat([df, fork], ignore_index=True)
+    return pa.table({c: pa.array(out[c].tolist(), pa.string()) for c in out.columns})

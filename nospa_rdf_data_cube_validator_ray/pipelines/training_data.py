@@ -209,15 +209,17 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
     final after the groupby, so the global top-k ⊆ union of block
     top-ks)."""
 
-    agg = (
-        _docs(sf_dir)
-        .map_batches(_token_partial_counts, batch_format="pandas")
-        .groupby("token")
-        .sum("n")
+    from ..util import bucket_sum
+
+    agg = bucket_sum(
+        _docs(sf_dir).map_batches(
+            _token_partial_counts, batch_format="pandas"
+        ),
+        ["token"],
+        ["n"],
     )
 
     def block_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns={"sum(n)": "n"})
         return df.sort_values(["n", "token"], ascending=[False, True]).head(k)
 
     cands = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
@@ -307,13 +309,14 @@ def q_doc_familiarity(sf_dir: str):
     import ray
 
     docs = _docs(sf_dir)
-    vocab_df = (
-        docs.map_batches(_token_partial_counts, batch_format="pandas")
-        .groupby("token")
-        .sum("n")
-        .to_pandas()
-    )
-    vocab = dict(zip(vocab_df["token"], vocab_df["sum(n)"].astype("int64")))
+    from ..util import bucket_sum
+
+    vocab_df = bucket_sum(
+        docs.map_batches(_token_partial_counts, batch_format="pandas"),
+        ["token"],
+        ["n"],
+    ).to_pandas()
+    vocab = dict(zip(vocab_df["token"], vocab_df["n"].astype("int64")))
     vref = ray.put(vocab)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -603,13 +606,14 @@ def q_doc_tfidf_topk(sf_dir: str, k: int = 5):
              "nd": pd.array(list(c.values()), dtype="int64")}
         )
 
-    df_tab = (
-        docs.map_batches(df_partial, batch_format="pandas")
-        .groupby("token")
-        .sum("nd")
-        .to_pandas()
-    )
-    dfm = dict(zip(df_tab["token"], df_tab["sum(nd)"].astype("int64")))
+    from ..util import bucket_sum
+
+    df_tab = bucket_sum(
+        docs.map_batches(df_partial, batch_format="pandas"),
+        ["token"],
+        ["nd"],
+    ).to_pandas()
+    dfm = dict(zip(df_tab["token"], df_tab["nd"].astype("int64")))
     ref = ray.put(dfm)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -686,17 +690,18 @@ def q_doc_len_quantiles(sf_dir: str):
         g = df.groupby(["source", "n_chars"], as_index=False).size()
         return g.rename(columns={"size": "n"})
 
-    hist = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["source", "n_chars"])
-        .sum("n")
-        .to_pandas()
-    )
+    from ..util import bucket_sum
+
+    hist = bucket_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "n_chars"],
+        ["n"],
+    ).to_pandas()
     rows = []
     for src, g in hist.groupby("source"):
         g = g.sort_values("n_chars")
         vals = g["n_chars"].to_numpy()
-        cum = g["sum(n)"].to_numpy().cumsum()
+        cum = g["n"].to_numpy().cumsum()
         n = int(cum[-1])
         row = {"source": src, "n_docs": n}
         for pct in (25, 50, 75, 95):
@@ -778,26 +783,30 @@ def q_distinct_tokens_per_source(sf_dir: str):
              "token": pd.array(w, dtype="string")}
         )
 
-    distinct = (
-        docs.map_batches(pairs, batch_format="pandas")
-        .groupby(["source", "token"])
-        .count()
+    from ..functions.kernel import distinct as _distinct
+
+    # (source, token) is vocabulary-scale — bucketed exact distinct, not
+    # Ray's per-key Aggregate
+    distinct = _distinct(
+        docs.map_batches(pairs, batch_format="pandas"), ["source", "token"]
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("source", as_index=False).size()
         return g.rename(columns={"size": "nd"})
 
-    out = (
-        distinct.map_batches(partial, batch_format="pandas")
-        .groupby("source")
-        .sum("nd")
+    from ..util import bucket_sum
+
+    out = bucket_sum(
+        distinct.map_batches(partial, batch_format="pandas"),
+        ["source"],
+        ["nd"],
     )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"source": df["source"],
-             "n_distinct_tokens": df["sum(nd)"].astype("int64")}
+             "n_distinct_tokens": df["nd"].astype("int64")}
         )
 
     return out.map_batches(final, batch_format="pandas")
@@ -858,12 +867,16 @@ def q_boilerplate_removal(sf_dir: str, min_df: int = 10):
              "nd": pd.array(list(c.values()), dtype="int64")}
         )
 
+    from ..util import bucket_sum
+
     freq_df = (
-        inj.map_batches(line_partial, batch_format="pandas")
-        .groupby("ln")
-        .sum("nd")
+        bucket_sum(
+            inj.map_batches(line_partial, batch_format="pandas"),
+            ["ln"],
+            ["nd"],
+        )
         .map_batches(
-            lambda df: df[df["sum(nd)"] >= min_df][["ln"]],
+            lambda df: df[df["nd"] >= min_df][["ln"]],
             batch_format="pandas",
         )
         .to_pandas()

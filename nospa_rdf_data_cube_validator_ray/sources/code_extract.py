@@ -54,12 +54,14 @@ class ExtractCodeTriples:
     derived from its path stem, so extraction is per-file independent
     (embarrassingly parallel, no state, no shuffle)."""
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, df: pd.DataFrame):
+        import pyarrow as pa
+
         py = df[
             (df["lang"] == "python") | df["path"].str.endswith(".py")
         ].reset_index(drop=True)
         if not len(py):
-            return TRIPLE_SCHEMA.empty_table().to_pandas()
+            return TRIPLE_SCHEMA.empty_table()
 
         graph = pd.Series(
             [
@@ -126,27 +128,19 @@ class ExtractCodeTriples:
                 )
 
         if not frames:
-            return TRIPLE_SCHEMA.empty_table().to_pandas()
+            return TRIPLE_SCHEMA.empty_table()
         out = pd.concat(frames, ignore_index=True)
-        return out.astype(
-            {
-                c: "string"
-                for c in (
-                    "graph",
-                    "file_sha256",
-                    "subj",
-                    "pred",
-                    "obj",
-                    "obj_dt",
-                    "obj_lang",
-                )
-            }
+        # emit ARROW blocks (TRIPLE_SCHEMA-typed, even when empty): the
+        # RDF parse stage emits Arrow too, so the two front ends union
+        # without a block-type clash, and empties stay schema-typed
+        return pa.Table.from_pandas(
+            out, schema=TRIPLE_SCHEMA, preserve_index=False
         )
 
 
 def extract_code_corpus(corpus) -> "object":
     """corpus Dataset (repo, path, commit, lang, content) → triple
-    Dataset (TRIPLE_SCHEMA columns)."""
+    Dataset (TRIPLE_SCHEMA columns, Arrow blocks)."""
     return corpus.map_batches(ExtractCodeTriples(), batch_format="pandas")
 
 
@@ -185,10 +179,11 @@ def module_summary(triples, *, num_partitions: int | None = None) -> "object":
     module node (import sources, import targets, and defining modules;
     def IRIs are attributes, not nodes).
 
-    Map-side partial counts per batch (combiner), then ONE groupby-sum
-    shuffle whose output is node-scale — the ``degree_table`` pattern
-    extended to typed attribute columns."""
-    from ..stages.graph import _nparts, _ren
+    Map-side partial counts per batch (combiner), then ONE coarse
+    node-hash bucket shuffle with a vectorized per-bucket sum
+    (util.bucket_sum) — the ``degree_table`` pattern extended to typed
+    attribute columns."""
+    from ..util import bucket_sum
 
     imp = (IMPORTS, IMPORTS_FROM)
     cols = ["out_imports", "n_defs", "n_classes", "in_imports"]
@@ -218,16 +213,8 @@ def module_summary(triples, *, num_partitions: int | None = None) -> "object":
         out["node"] = out["node"].astype("string")
         return out.astype({c: "int64" for c in cols})
 
-    agg = (
-        triples.map_batches(partial, batch_format="pandas")
-        .groupby("node")
-        .sum(cols)
-    )
-    return _ren(agg, {f"sum({c})": c for c in cols}).map_batches(
-        lambda df: df.fillna(0).astype(
-            {c: "int64" for c in cols if c in df.columns}
-        ),
-        batch_format="pandas",
+    return bucket_sum(
+        triples.map_batches(partial, batch_format="pandas"), ["node"], cols
     )
 
 
@@ -297,3 +284,106 @@ def import_set_diff(corpus, *, num_buckets: int = 32) -> "object":
         .groupby("kb")
         .map_groups(diff, batch_format="pandas")
     )
+
+
+def clone_groups(corpus, *, num_buckets: int = 64) -> "object":
+    """Cross-repo exact clone detection — the content-identity form of
+    entity linking over source files: files whose content sha256 is
+    byte-identical form a clone group; every member of a group of
+    size ≥ 2 is emitted as (repo, path, clone_root, group_size), where
+    clone_root is the group's minimum ``repo\\x01path`` key (\\x01 sorts
+    below every printable byte, so string order == (repo, path) tuple
+    order — same trick as the sameAs alias roots).
+
+    Digest map-side (the content never shuffles — only its 64-hex sha),
+    ONE coarse bucket shuffle on hash(sha) so each group is bucket-local,
+    then a vectorized transform('min')/size scan per bucket."""
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        sha = pd.Series(
+            [
+                hashlib.sha256(t.encode("utf-8")).hexdigest()
+                for t in df["content"].fillna("")
+            ],
+            index=df.index,
+        )
+        kb = (
+            pd.util.hash_pandas_object(sha, index=False) % num_buckets
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "kb": kb.to_numpy(),
+                "sha": sha.astype("string").to_numpy(),
+                "repo": df["repo"].astype("string").to_numpy(),
+                "path": df["path"].astype("string").to_numpy(),
+            }
+        )
+
+    def groups(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["repo"].astype(str) + "\x01" + df["path"].astype(str)
+        g = pd.DataFrame(
+            {"sha": df["sha"], "repo": df["repo"], "path": df["path"], "key": key}
+        )
+        grp = g.groupby("sha", sort=False)["key"]
+        g["clone_root"] = grp.transform("min")
+        g["group_size"] = grp.transform("size").astype("int64")
+        out = g[g["group_size"] >= 2]
+        return pd.DataFrame(
+            {
+                "repo": out["repo"].astype("string"),
+                "path": out["path"].astype("string"),
+                "clone_root": out["clone_root"].astype("string"),
+                "group_size": out["group_size"],
+            }
+        ).reset_index(drop=True)
+
+    return (
+        corpus.map_batches(digest, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(groups, batch_format="pandas")
+    )
+
+
+def code_metrics(corpus) -> "object":
+    """Per-module code-quality metrics for corpus curation — line count,
+    comment-line count, branch-statement count, top-level def/class
+    counts.  Pure map-side ``Series.str.count`` with inline-flag
+    regexes: no shuffle, no per-row Python loop; non-Python rows
+    contribute nothing."""
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        py = df[
+            (df["lang"] == "python") | df["path"].str.endswith(".py")
+        ].reset_index(drop=True)
+        if not len(py):
+            return pd.DataFrame(
+                {
+                    "module": pd.Series(dtype="string"),
+                    **{
+                        c: pd.Series(dtype="int64")
+                        for c in (
+                            "n_lines",
+                            "n_comment_lines",
+                            "n_branch_stmts",
+                            "n_defs",
+                            "n_classes",
+                        )
+                    },
+                }
+            )
+        stem = py["path"].str.extract(r"([^/]+?)(?:\.py)?$", expand=False)
+        c = py["content"].fillna("")
+        return pd.DataFrame(
+            {
+                "module": _mod_iri(stem).astype("string"),
+                "n_lines": c.str.count(r"\n").astype("int64"),
+                "n_comment_lines": c.str.count(r"(?m)^[ \t]*#").astype("int64"),
+                "n_branch_stmts": c.str.count(
+                    r"(?m)^[ \t]*(?:if|elif|while|for)\b"
+                ).astype("int64"),
+                "n_defs": c.str.count(r"(?m)^def[ \t]").astype("int64"),
+                "n_classes": c.str.count(r"(?m)^class[ \t]").astype("int64"),
+            }
+        )
+
+    return corpus.map_batches(metrics, batch_format="pandas")

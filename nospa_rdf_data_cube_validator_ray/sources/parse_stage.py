@@ -258,3 +258,47 @@ def parse_corpus(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def extract_corpus(
+    corpus: "ray.data.Dataset",
+    *,
+    strict: bool = True,
+    concurrency=None,
+    split_threshold: int | None = None,
+) -> "ray.data.Dataset":
+    """Heterogeneous-corpus front end: ONE triple Dataset from a mixed
+    repository table — RDF rows (Turtle / N-Triples / RDF-XML, by
+    ``lang`` then file extension: rdf_parser.format_for, the reference's
+    ext→format map at Main.java:23-43) go through :func:`parse_corpus`,
+    Python rows through ``code_extract.extract_code_corpus``; anything
+    else contributes zero triples.  Both branches are map-only over the
+    same lazy input and emit TRIPLE_SCHEMA, so the union keeps
+    streaming; rows can't match both branches (no RDF alias maps to
+    python / .py)."""
+    import pandas as pd
+
+    from .code_extract import extract_code_corpus
+    from .rdf_parser import format_for
+
+    def keep_rdf(df: "pd.DataFrame") -> "pd.DataFrame":
+        m = [
+            format_for(l, p) is not None
+            for l, p in zip(df["lang"], df["path"])
+        ]
+        return df[pd.Series(m, index=df.index)].reset_index(drop=True)
+
+    def keep_code(df: "pd.DataFrame") -> "pd.DataFrame":
+        m = (df["lang"] == "python") | df["path"].str.endswith(".py")
+        return df[m].reset_index(drop=True)
+
+    rdf = parse_corpus(
+        corpus.map_batches(keep_rdf, batch_format="pandas"),
+        strict=strict,
+        concurrency=concurrency,
+        split_threshold=split_threshold,
+    )
+    code = extract_code_corpus(
+        corpus.map_batches(keep_code, batch_format="pandas")
+    )
+    return rdf.union(code)

@@ -268,12 +268,22 @@ def cc_labels(
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["src"], "label": df["src"]})
 
+    from ..util import bucket_agg
+
+    def _min_label(df: pd.DataFrame) -> pd.DataFrame:
+        # sort+drop_duplicates, NOT groupby.min: pandas min on object /
+        # string dtype falls back to per-group Python; and Ray's own
+        # Aggregate pays per distinct node (util.bucket_agg docstring)
+        return df.sort_values(["node", "label"]).drop_duplicates("node")[
+            ["node", "label"]
+        ]
+
     labels = (
-        _ren(
-            edges.map_batches(init_labels, batch_format="pandas")
-            .groupby("node")
-            .min("label"),
-            {"min(label)": "label"},
+        bucket_agg(
+            edges.map_batches(init_labels, batch_format="pandas"),
+            ["node"],
+            _min_label,
+            num_buckets=num_partitions,
         )
         .map_batches(guard, batch_format="pandas")
         .materialize()
@@ -308,9 +318,9 @@ def cc_labels(
             )
         )
         half = (
-            _ren(
-                labels.union(cand).groupby("node").min("label"),
-                {"min(label)": "label"},
+            bucket_agg(
+                labels.union(cand), ["node"], _min_label,
+                num_buckets=num_partitions,
             )
             .map_batches(guard, batch_format="pandas")
             .materialize()
@@ -339,9 +349,9 @@ def cc_labels(
             )
         )
         labels = (
-            _ren(
-                half.union(jumped).groupby("node").min("label"),
-                {"min(label)": "label"},
+            bucket_agg(
+                half.union(jumped), ["node"], _min_label,
+                num_buckets=num_partitions,
             )
             .map_batches(guard, batch_format="pandas")
             .materialize()

@@ -932,17 +932,18 @@ def dup_span_coverage(
         return df.loc[df["first"], ["h"]].reset_index(drop=True)
 
     def over_one(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df) or "count()" not in df.columns:
-            return pd.DataFrame({"h": pd.Series(dtype="int64")})
-        return df.loc[df["count()"] > 1, ["h"]].reset_index(drop=True)
+        vc = df["h"].value_counts()
+        return pd.DataFrame(
+            {"h": pd.Series(vc.index[vc > 1], dtype="int64")}
+        )
 
-    dup = (
-        sh.map_batches(firsts, batch_format="pandas")
-        .groupby("h")
-        .count()
-        .map_batches(over_one, batch_format="pandas")
-        .materialize()
-    )
+    from ..util import bucket_agg
+
+    # h is shingle-scale — coarse-bucket the document-frequency count
+    # (Ray's Aggregate pays per distinct key; see util.bucket_agg)
+    dup = bucket_agg(
+        sh.map_batches(firsts, batch_format="pandas"), ["h"], over_one
+    ).materialize()
 
     def zeros(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -474,7 +474,23 @@ def lsh_cosine_pairs(
             }
         )
 
-    found = with_bucket.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    from ..util import bucket_agg
+
+    def coarse_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket ids are signature-scale (up to n_tables·2^n_planes
+        # distinct) — Ray's Aggregate pays per distinct key, so group on
+        # a 64-way coarse hash and loop buckets vectorized inside
+        out = [pairs(g) for _, g in df.groupby("bucket", sort=False)]
+        if not out:
+            return pd.DataFrame(
+                {
+                    "vec_id_a": pd.Series(dtype="int64"),
+                    "vec_id_b": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    found = bucket_agg(with_bucket, ["bucket"], coarse_pairs)
     if n_tables == 1:
         return found
     from .dedup import _dedup_pairs

@@ -92,9 +92,12 @@ def type_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
 def degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     """(node, out_deg, in_deg) over every node appearing in ``edges``.
 
-    Map-side combine: each block collapses to per-node partial counts
-    before the single groupby-sum shuffle, so shuffle traffic is
-    distinct-nodes-per-block, not edge-scale."""
+    Map-side combine: each block collapses to per-node partial counts,
+    then ONE coarse node-hash bucket shuffle with a vectorized
+    per-bucket sum (util.bucket_sum) — Ray's own Aggregate pays per
+    DISTINCT KEY (~0.4 ms each), which at node-scale keys turns a
+    165 K-edge graph into minutes."""
+    from ..util import bucket_sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         o = df["subj"].value_counts()
@@ -108,11 +111,10 @@ def degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
-    return _ren(
-        edges.map_batches(partial, batch_format="pandas")
-        .groupby("node")
-        .sum(["out_deg", "in_deg"]),
-        {"sum(out_deg)": "out_deg", "sum(in_deg)": "in_deg"},
+    return bucket_sum(
+        edges.map_batches(partial, batch_format="pandas"),
+        ["node"],
+        ["out_deg", "in_deg"],
     )
 
 
@@ -162,8 +164,15 @@ def class_profile(
 
     n_inst = _ren(types.groupby("cls").count(), {"count()": "n_instances"}).to_pandas()
 
-    per_subj = _ren(
-        joined.groupby(["cls", "subj"]).count(), {"count()": "out_n"}
+    from ..util import bucket_count
+
+    # (cls, subj) is node-scale — bucket it (see degree_table)
+    per_subj = bucket_count(
+        joined.map_batches(
+            lambda df: df[["cls", "subj"]], batch_format="pandas"
+        ),
+        ["cls", "subj"],
+        out_col="out_n",
     )
     per_cls = per_subj.groupby("cls").sum(["out_n"]).to_pandas()
     per_cls = per_cls.rename(columns={"sum(out_n)": "n_out_edges"})
@@ -331,9 +340,10 @@ def triangle_enum(
              "d": c.to_numpy().astype("int64")}
         )
 
-    deg = _ren(
-        u.map_batches(deg_partial, batch_format="pandas").groupby("node").sum("d"),
-        {"sum(d)": "d"},
+    from ..util import bucket_sum
+
+    deg = bucket_sum(
+        u.map_batches(deg_partial, batch_format="pandas"), ["node"], ["d"]
     )
 
     def orient_frame(df: pd.DataFrame) -> pd.DataFrame:
@@ -493,12 +503,14 @@ def pagerank_int(
              "d": c.to_numpy().astype("int64")}
         )
 
+    from ..util import bucket_sum
+
     od_ds = heal_schema(
-        _ren(
-            pairs.map_batches(od_partial, batch_format="pandas")
-            .groupby("node")
-            .sum("d"),
-            {"sum(d)": "d"},
+        bucket_sum(
+            pairs.map_batches(od_partial, batch_format="pandas"),
+            ["node"],
+            ["d"],
+            num_buckets=np_,
         ),
         np_,
     ).materialize()
@@ -524,14 +536,16 @@ def pagerank_int(
             withod.map_batches(contrib_frame, batch_format="pandas"), np_
         )
         incoming = _ren(
-            pairs.join(contrib, "inner", np_, on=("src",))
-            .map_batches(
-                lambda df: df[["dst", "c"]].rename(columns={"dst": "node"}),
-                batch_format="pandas",
-            )
-            .groupby("node")
-            .sum("c"),
-            {"sum(c)": "s"},
+            bucket_sum(
+                pairs.join(contrib, "inner", np_, on=("src",)).map_batches(
+                    lambda df: df[["dst", "c"]].rename(columns={"dst": "node"}),
+                    batch_format="pandas",
+                ),
+                ["node"],
+                ["c"],
+                num_buckets=np_,
+            ),
+            {"c": "s"},
         )
         joined = heal_schema(nodes_ds, np_).join(
             heal_schema(incoming, np_), "left_outer", np_, on=("node",)

@@ -152,3 +152,80 @@ def test_components_regime_parity():
             map(tuple, components(edges, **kw).to_pandas().to_numpy())
         )
         assert got == want, kw
+
+
+def test_clone_groups_cross_repo():
+    corpus = _corpus(
+        {
+            "repo": ["r1", "r2", "r3", "r1", "r2"],
+            "path": ["a.py", "b.py", "c.py", "uniq.py", "other.py"],
+            "commit": ["0" * 40] * 5,
+            "lang": ["python"] * 5,
+            "content": ["same\n", "same\n", "same\n", "only\n", "different\n"],
+        }
+    )
+    out = C.clone_groups(corpus).to_pandas()
+    got = sorted(map(tuple, out.to_numpy()))
+    root = "r1\x01a.py"
+    assert got == [
+        ("r1", "a.py", root, 3),
+        ("r2", "b.py", root, 3),
+        ("r3", "c.py", root, 3),
+    ]
+
+
+def test_extract_corpus_mixed_dispatch():
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import (
+        extract_corpus,
+    )
+
+    corpus = _corpus(
+        {
+            "repo": ["r"] * 3,
+            "path": ["data/a.ttl", "src/b.py", "README.md"],
+            "commit": ["0" * 40] * 3,
+            "lang": ["turtle", "python", "markdown"],
+            "content": [
+                "<http://x/s> <http://x/p> <http://x/o> .\n",
+                "import zzz\n",
+                "# not code, not rdf\nimport looks_like_code\n",
+            ],
+        }
+    )
+    df = extract_corpus(corpus).to_pandas()
+    by_pred = dict(df.groupby("pred").size())
+    assert by_pred == {"http://x/p": 1, C.IMPORTS: 1}
+    assert set(df["subj"]) == {"http://x/s", C.CODEN + "mod/b"}
+
+
+def test_code_metrics_counts():
+    content = (
+        '"""doc"""\n'
+        "import a\n"
+        "# top comment\n"
+        "def f():\n"
+        "    if x > 1: x = 1\n"
+        "    while x: x -= 1\n"
+        "    return x\n"
+        "class K:\n"
+        "    pass\n"
+        "# tail\n"
+    )
+    corpus = _corpus(
+        {
+            "repo": ["r", "r"],
+            "path": ["src/a.py", "notes.txt"],
+            "commit": ["0" * 40] * 2,
+            "lang": ["python", "text"],
+            "content": [content, "if while for\n# nope\n"],
+        }
+    )
+    out = C.code_metrics(corpus).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["module"] == C.CODEN + "mod/a"
+    assert row["n_lines"] == 10
+    assert row["n_comment_lines"] == 2
+    assert row["n_branch_stmts"] == 2
+    assert row["n_defs"] == 1
+    assert row["n_classes"] == 1
