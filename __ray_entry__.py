@@ -860,22 +860,12 @@ _CODEN = "http://example.org/code/"
 
 
 def _code_import_edges(sf_dir: str):
-    """Extract triples from the code corpus once per sf_dir and keep the
-    import edges (module-level import / from-import only)."""
+    """Import edges (module-level import / from-import only), a
+    pred-filter view over the ONE cached extraction (_code_triples)."""
     state = _CACHE.setdefault(sf_dir, {})
     if "code_edges" not in state:
-        import ray.data
-
-        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_code_corpus
-        from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
-            extract_code_corpus,
-        )
-
-        triples = extract_code_corpus(
-            ray.data.from_arrow(tpch_code_corpus(sf_dir))
-        )
         imp = (f"{_CODE}imports", f"{_CODE}importsFrom")
-        state["code_edges"] = triples.map_batches(
+        state["code_edges"] = _code_triples(sf_dir).map_batches(
             lambda df: df[df["pred"].isin(imp)].reset_index(drop=True),
             batch_format="pandas",
         ).materialize()
@@ -1082,6 +1072,10 @@ def _code_triples(sf_dir: str):
     return state["code_triples"]
 
 
+# keep _code_import_edges derived from the SAME cached extraction (a
+# separate extract+materialize would double the work per sf_dir)
+
+
 def q_kg_code_components(sf_dir: str):
     """Connected components of the undirected import graph — the
     size-adaptive CC engine (driver union-find / cc_labels min-label
@@ -1127,10 +1121,10 @@ def q_kg_module_summary(sf_dir: str):
 
 
 def q_kg_commit_import_diff(sf_dir: str):
-    """Commit-evolution delta over the multi-commit corpus: per path,
-    the import targets added ('+') / removed ('-') between its first
-    and latest commit — extraction → provenance split → one
-    path-bucketed shuffle → vectorized set compare
+    """Commit-evolution delta over the multi-commit corpus: per
+    (repo, path), the import targets added ('+') / removed ('-')
+    between its first and latest commit — extraction ∪ corpus marker
+    rows → one (repo, path)-bucketed shuffle → vectorized set compare
     (sources/code_extract.import_set_diff)."""
     import ray.data
 
@@ -1167,12 +1161,17 @@ def q_kg_mixed_by_pred(sf_dir: str):
     mixed = pa.concat_tables(
         [tpch_cube_corpus(sf_dir), tpch_code_corpus(sf_dir)]
     )
-    return (
+    out = (
         extract_corpus(ray.data.from_arrow(mixed))
         .groupby("pred")
         .count()
-        .rename_columns({"count()": "n"})
+        .to_pandas()
     )
+    # rename in pandas, not rename_columns (Project chokes on the
+    # schema-less empty blocks sparse groupbys can emit)
+    out = out.rename(columns={"count()": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out
 
 
 def q_kg_code_metrics(sf_dir: str):
@@ -1324,11 +1323,12 @@ WITH p AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 2 = 0),
 lastj AS (
   SELECT k, CASE WHEN k % 4 = 0 THEN 2 ELSE 1 END AS j FROM p
 )
-SELECT 'src/m' || k || '.py' AS path, '-' AS change,
+SELECT 'synthetic/tpch-versions' AS repo,
+       'src/m' || k || '.py' AS path, '-' AS change,
        'http://example.org/code/mod/m' || (k % 97) AS module
 FROM lastj
 UNION ALL
-SELECT 'src/m' || k || '.py', '+',
+SELECT 'synthetic/tpch-versions', 'src/m' || k || '.py', '+',
        'http://example.org/code/mod/m' || ((k + 13 * j) % 97)
 FROM lastj
 """

@@ -219,57 +219,75 @@ def module_summary(triples, *, num_partitions: int | None = None) -> "object":
 
 
 def import_set_diff(corpus, *, num_buckets: int = 32) -> "object":
-    """Commit-evolution delta of the import graph: for every file path,
-    the import targets ADDED ('+') or REMOVED ('-') between its FIRST
-    and LATEST commit (lexicographic commit order, the corpus's
-    convention — see ``stages.dedup.latest_snapshot``).  Rows
-    (path, change, module); single-commit paths emit nothing.
+    """Commit-evolution delta of the import graph: for every
+    (repo, path), the import targets ADDED ('+') or REMOVED ('-')
+    between its FIRST and LATEST commit (lexicographic commit order,
+    the corpus's convention — see ``stages.dedup.latest_snapshot``).
+    Rows (repo, path, change, module); single-commit files emit
+    nothing.  The commit range comes from a marker row per CORPUS row
+    (module = ''), not from the extracted edges — a commit with zero
+    module-level imports still counts as a version, so imports added
+    after (or removed down to) an import-less revision diff correctly.
 
     Pipeline: vectorized triple extraction (``ExtractCodeTriples``) →
-    provenance split (graph id → path, commit) → ONE coarse bucket
-    shuffle on hash(path) so each path's whole history is bucket-local →
+    provenance split (graph id → repo, path, commit) ∪ corpus marker
+    rows → ONE coarse bucket shuffle on hash(repo, path)
+    (util.bucket_agg) so each file's whole history is bucket-local →
     per-bucket vectorized first/last set compare (merge with indicator,
-    no per-path Python groups)."""
+    no per-file Python groups)."""
     from ..model import GRAPH_SEP
+    from ..util import bucket_agg
 
     triples = extract_code_corpus(corpus)
     imp = (IMPORTS, IMPORTS_FROM)
+    cols = ("repo", "path", "commit", "module")
 
-    def edges(df: pd.DataFrame) -> pd.DataFrame:
+    def _typed(frame: dict) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series(frame.get(c, []), dtype="string") for c in cols}
+        )
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["pred"].isin(imp)]
         if not len(d):
-            return pd.DataFrame(
-                {
-                    "kb": pd.Series(dtype="int64"),
-                    "path": pd.Series(dtype="string"),
-                    "commit": pd.Series(dtype="string"),
-                    "module": pd.Series(dtype="string"),
-                }
-            )
+            return _typed({})
         parts = d["graph"].str.split(GRAPH_SEP, n=2, expand=True)
-        path = parts[1].astype("string")
-        kb = (
-            pd.util.hash_pandas_object(path.astype(str), index=False)
-            % num_buckets
-        ).astype("int64")
-        return pd.DataFrame(
+        return _typed(
             {
-                "kb": kb.to_numpy(),
-                "path": path.to_numpy(),
-                "commit": parts[2].astype("string").to_numpy(),
-                "module": d["obj"].astype("string").to_numpy(),
+                "repo": parts[0].to_numpy(),
+                "path": parts[1].to_numpy(),
+                "commit": parts[2].to_numpy(),
+                "module": d["obj"].to_numpy(),
             }
         ).drop_duplicates(ignore_index=True)
 
-    def diff(df: pd.DataFrame) -> pd.DataFrame:
-        lo = df.groupby("path")["commit"].transform("min")
-        hi = df.groupby("path")["commit"].transform("max")
-        first = df[df["commit"] == lo][["path", "module"]].drop_duplicates()
-        last = df[df["commit"] == hi][["path", "module"]].drop_duplicates()
-        m = first.merge(last, on=["path", "module"], how="outer", indicator=True)
-        changed = m[m["_merge"] != "both"]
-        out = pd.DataFrame(
+    def marker_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _typed(
             {
+                "repo": df["repo"].to_numpy(),
+                "path": df["path"].to_numpy(),
+                "commit": df["commit"].to_numpy(),
+                "module": [""] * len(df),
+            }
+        ).drop_duplicates(ignore_index=True)
+
+    rows = triples.map_batches(edge_rows, batch_format="pandas").union(
+        corpus.map_batches(marker_rows, batch_format="pandas")
+    )
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        grp = df.groupby(["repo", "path"], sort=False)["commit"]
+        lo = grp.transform("min")
+        hi = grp.transform("max")
+        ed = df[df["module"] != ""]
+        keys = ["repo", "path", "module"]
+        first = ed[ed["commit"] == lo[ed.index]][keys].drop_duplicates()
+        last = ed[ed["commit"] == hi[ed.index]][keys].drop_duplicates()
+        m = first.merge(last, on=keys, how="outer", indicator=True)
+        changed = m[m["_merge"] != "both"]
+        return pd.DataFrame(
+            {
+                "repo": changed["repo"].astype("string"),
                 "path": changed["path"].astype("string"),
                 "change": changed["_merge"]
                 .map({"left_only": "-", "right_only": "+"})
@@ -277,13 +295,8 @@ def import_set_diff(corpus, *, num_buckets: int = 32) -> "object":
                 "module": changed["module"].astype("string"),
             }
         ).reset_index(drop=True)
-        return out
 
-    return (
-        triples.map_batches(edges, batch_format="pandas")
-        .groupby("kb")
-        .map_groups(diff, batch_format="pandas")
-    )
+    return bucket_agg(rows, ["repo", "path"], diff, num_buckets=num_buckets)
 
 
 def clone_groups(corpus, *, num_buckets: int = 64) -> "object":
@@ -296,8 +309,10 @@ def clone_groups(corpus, *, num_buckets: int = 64) -> "object":
     order — same trick as the sameAs alias roots).
 
     Digest map-side (the content never shuffles — only its 64-hex sha),
-    ONE coarse bucket shuffle on hash(sha) so each group is bucket-local,
-    then a vectorized transform('min')/size scan per bucket."""
+    ONE coarse bucket shuffle on hash(sha) via util.bucket_agg so each
+    group is bucket-local, then a vectorized transform('min')/size scan
+    per bucket."""
+    from ..util import bucket_agg
 
     def digest(df: pd.DataFrame) -> pd.DataFrame:
         sha = pd.Series(
@@ -307,12 +322,8 @@ def clone_groups(corpus, *, num_buckets: int = 64) -> "object":
             ],
             index=df.index,
         )
-        kb = (
-            pd.util.hash_pandas_object(sha, index=False) % num_buckets
-        ).astype("int64")
         return pd.DataFrame(
             {
-                "kb": kb.to_numpy(),
                 "sha": sha.astype("string").to_numpy(),
                 "repo": df["repo"].astype("string").to_numpy(),
                 "path": df["path"].astype("string").to_numpy(),
@@ -337,10 +348,11 @@ def clone_groups(corpus, *, num_buckets: int = 64) -> "object":
             }
         ).reset_index(drop=True)
 
-    return (
-        corpus.map_batches(digest, batch_format="pandas")
-        .groupby("kb")
-        .map_groups(groups, batch_format="pandas")
+    return bucket_agg(
+        corpus.map_batches(digest, batch_format="pandas"),
+        ["sha"],
+        groups,
+        num_buckets=num_buckets,
     )
 
 

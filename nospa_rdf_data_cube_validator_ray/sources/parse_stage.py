@@ -260,45 +260,51 @@ def parse_corpus(
     )
 
 
+class ExtractAny:
+    """Format-dispatch extraction UDF: RDF rows (Turtle / N-Triples /
+    RDF-XML, by ``lang`` then file extension — rdf_parser.format_for,
+    the reference's ext→format map at Main.java:23-43) go through
+    :class:`ParseRDF`, Python rows through
+    ``code_extract.ExtractCodeTriples``, anything else contributes zero
+    triples.  One batch in, one TRIPLE_SCHEMA Arrow table out — both
+    kernels skip non-matching rows themselves and always return typed
+    (possibly empty) TRIPLE_SCHEMA tables, so no schema-less block can
+    ever reach downstream ops (a two-branch filter+union design leaks
+    0-row object-dtype blocks whenever an input block is single-format:
+    the graft-env-quirks empty-block trap)."""
+
+    def __init__(self, strict: bool = True):
+        from .code_extract import ExtractCodeTriples
+
+        self._rdf = ParseRDF(strict)
+        self._code = ExtractCodeTriples()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rdf = self._rdf(batch)
+        code = self._code(batch.to_pandas())
+        if code.num_rows == 0:
+            return rdf
+        if rdf.num_rows == 0:
+            return code
+        return pa.concat_tables([rdf, code])
+
+
 def extract_corpus(
     corpus: "ray.data.Dataset",
     *,
     strict: bool = True,
     concurrency=None,
-    split_threshold: int | None = None,
+    batch_size: int = 1,
 ) -> "ray.data.Dataset":
     """Heterogeneous-corpus front end: ONE triple Dataset from a mixed
-    repository table — RDF rows (Turtle / N-Triples / RDF-XML, by
-    ``lang`` then file extension: rdf_parser.format_for, the reference's
-    ext→format map at Main.java:23-43) go through :func:`parse_corpus`,
-    Python rows through ``code_extract.extract_code_corpus``; anything
-    else contributes zero triples.  Both branches are map-only over the
-    same lazy input and emit TRIPLE_SCHEMA, so the union keeps
-    streaming; rows can't match both branches (no RDF alias maps to
-    python / .py)."""
-    import pandas as pd
-
-    from .code_extract import extract_code_corpus
-    from .rdf_parser import format_for
-
-    def keep_rdf(df: "pd.DataFrame") -> "pd.DataFrame":
-        m = [
-            format_for(l, p) is not None
-            for l, p in zip(df["lang"], df["path"])
-        ]
-        return df[pd.Series(m, index=df.index)].reset_index(drop=True)
-
-    def keep_code(df: "pd.DataFrame") -> "pd.DataFrame":
-        m = (df["lang"] == "python") | df["path"].str.endswith(".py")
-        return df[m].reset_index(drop=True)
-
-    rdf = parse_corpus(
-        corpus.map_batches(keep_rdf, batch_format="pandas"),
-        strict=strict,
+    repository table via a SINGLE :class:`ExtractAny` map_batches stage
+    (rows can't match both kernels — no RDF format alias maps to
+    python / .py).  ``batch_size`` counts files, like
+    :func:`parse_corpus`.  Giant-Turtle chunk splitting is exclusive to
+    the pure-RDF :func:`parse_corpus` path."""
+    return corpus.map_batches(
+        ExtractAny(strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency,
-        split_threshold=split_threshold,
     )
-    code = extract_code_corpus(
-        corpus.map_batches(keep_code, batch_format="pandas")
-    )
-    return rdf.union(code)

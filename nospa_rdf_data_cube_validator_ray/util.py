@@ -80,7 +80,12 @@ def bucket_sum(ds, keys, vals, *, num_buckets: int = 64):
     vals = list(vals)
 
     def f(df):
-        return df.groupby(list(keys), as_index=False, sort=False)[vals].sum()
+        # dropna=False: a null key must stay a group (the Ray aggregates
+        # these helpers replace kept null keys; silently dropping rows
+        # would shift totals with no error)
+        return df.groupby(
+            list(keys), as_index=False, sort=False, dropna=False
+        )[vals].sum()
 
     return bucket_agg(ds, keys, f, num_buckets=num_buckets)
 
@@ -90,7 +95,9 @@ def bucket_count(ds, keys, *, out_col: str = "n", num_buckets: int = 64):
     :func:`bucket_agg`."""
 
     def f(df):
-        g = df.groupby(list(keys), as_index=False, sort=False).size()
+        g = df.groupby(
+            list(keys), as_index=False, sort=False, dropna=False
+        ).size()
         return g.rename(columns={"size": out_col})
 
     return bucket_agg(ds, keys, f, num_buckets=num_buckets)

@@ -125,11 +125,45 @@ def test_import_set_diff_first_vs_latest():
         }
     )
     out = C.import_set_diff(corpus).to_pandas()
-    got = sorted(map(tuple, out[["path", "change", "module"]].to_numpy()))
+    got = sorted(
+        map(tuple, out[["repo", "path", "change", "module"]].to_numpy())
+    )
     M = C.CODEN + "mod/"
     assert got == [
-        ("src/a.py", "+", M + "z"),
-        ("src/a.py", "-", M + "x"),
+        ("r", "src/a.py", "+", M + "z"),
+        ("r", "src/a.py", "-", M + "x"),
+    ]
+
+
+def test_import_set_diff_importless_commits_and_repo_key():
+    corpus = _corpus(
+        {
+            # a.py in r1: first commit has NO imports, latest adds one —
+            # the import must show as '+' (import-less commits are
+            # versions too); c.py loses all imports -> '-'
+            # a.py also exists in r2 with a single commit: repos must
+            # not merge (no rows for r2)
+            "repo": ["r1", "r1", "r2", "r1", "r1"],
+            "path": ["src/a.py", "src/a.py", "src/a.py", "src/c.py", "src/c.py"],
+            "commit": ["0" * 40, "1".zfill(40), "9".zfill(40), "0" * 40, "1".zfill(40)],
+            "lang": ["python"] * 5,
+            "content": [
+                "x = 1\n",
+                "import a\n",
+                "import other\n",
+                "import gone\n",
+                "y = 2\n",
+            ],
+        }
+    )
+    out = C.import_set_diff(corpus).to_pandas()
+    got = sorted(
+        map(tuple, out[["repo", "path", "change", "module"]].to_numpy())
+    )
+    M = C.CODEN + "mod/"
+    assert got == [
+        ("r1", "src/a.py", "+", M + "a"),
+        ("r1", "src/c.py", "-", M + "gone"),
     ]
 
 
@@ -229,3 +263,41 @@ def test_code_metrics_counts():
     assert row["n_branch_stmts"] == 2
     assert row["n_defs"] == 1
     assert row["n_classes"] == 1
+
+
+def test_extract_corpus_single_format_blocks():
+    """Multi-block corpus where each block is single-format: the
+    dispatcher must never leak schema-less empty blocks (regression for
+    the two-branch filter+union design)."""
+    import pyarrow as pa
+
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import (
+        extract_corpus,
+    )
+
+    def tbl(path, lang, content):
+        return pa.table(
+            {
+                "repo": ["r"],
+                "path": [path],
+                "commit": ["0" * 40],
+                "lang": [lang],
+                "content": [content],
+            }
+        )
+
+    corpus = ray.data.from_arrow(
+        [
+            tbl("a.ttl", "turtle", "<http://x/s> <http://x/p> <http://x/o> .\n"),
+            tbl("b.py", "python", "import zzz\n"),
+            tbl("c.md", "markdown", "# neither\n"),
+        ]
+    )
+    out = (
+        extract_corpus(corpus)
+        .groupby("pred")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n"})
+    )
+    assert dict(zip(out["pred"], out["n"])) == {"http://x/p": 1, C.IMPORTS: 1}
