@@ -1174,6 +1174,115 @@ def q_kg_mixed_by_pred(sf_dir: str):
     return out
 
 
+def q_kg_repo_profile(sf_dir: str):
+    """Per-repo KG rollup over the base+fork corpus: file count, import
+    edge count, and DISTINCT import-target count — map-side partials +
+    bucketed distinct + tiny per-repo sum (kernel.distinct /
+    util.bucket_sum; nothing repo×target-scale reaches Ray's
+    Aggregate)."""
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_fork_corpus
+    from nospa_rdf_data_cube_validator_ray.functions.kernel import distinct
+    from nospa_rdf_data_cube_validator_ray.model import GRAPH_SEP
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        extract_code_corpus,
+    )
+    from nospa_rdf_data_cube_validator_ray.util import bucket_sum
+
+    corpus = ray.data.from_arrow(tpch_fork_corpus(sf_dir))
+    triples = extract_code_corpus(corpus).materialize()
+    imp = (f"{_CODE}imports", f"{_CODE}importsFrom")
+
+    def file_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("repo", as_index=False).size()
+        return pd.DataFrame(
+            {"repo": g["repo"].astype("string"),
+             "n_files": g["size"].astype("int64")}
+        )
+
+    n_files = bucket_sum(
+        corpus.map_batches(file_partial, batch_format="pandas"),
+        ["repo"],
+        ["n_files"],
+    ).to_pandas()
+
+    def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["pred"].isin(imp)]
+        repo = d["graph"].str.split(GRAPH_SEP, n=1).str[0]
+        g = repo.value_counts()
+        return pd.DataFrame(
+            {"repo": pd.Series(g.index, dtype="string"),
+             "n_import_edges": g.to_numpy().astype("int64")}
+        )
+
+    n_edges = bucket_sum(
+        triples.map_batches(edge_partial, batch_format="pandas"),
+        ["repo"],
+        ["n_import_edges"],
+    ).to_pandas()
+
+    def target_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["pred"].isin(imp)]
+        return pd.DataFrame(
+            {
+                "repo": d["graph"]
+                .str.split(GRAPH_SEP, n=1)
+                .str[0]
+                .astype("string"),
+                "target": d["obj"].astype("string"),
+            }
+        ).drop_duplicates(ignore_index=True)
+
+    def tgt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("repo", as_index=False).size()
+        return pd.DataFrame(
+            {"repo": g["repo"].astype("string"),
+             "n_distinct_targets": g["size"].astype("int64")}
+        )
+
+    n_targets = bucket_sum(
+        distinct(
+            triples.map_batches(target_pairs, batch_format="pandas"),
+            ["repo", "target"],
+        ).map_batches(tgt_partial, batch_format="pandas"),
+        ["repo"],
+        ["n_distinct_targets"],
+    ).to_pandas()
+
+    out = n_files.merge(n_edges, on="repo").merge(n_targets, on="repo")
+    for c in ("n_files", "n_import_edges", "n_distinct_targets"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("repo", ignore_index=True)
+
+
+# both repos carry identical import structure (the fork patch is a
+# trailing comment line): per-repo counts derive from part arithmetic
+_SQL_REPO_PROFILE = f"""
+WITH p AS (SELECT p_partkey AS k FROM part),
+counts AS (
+  SELECT count(*)::BIGINT AS n_files,
+         (count(*) + count(*) FILTER (WHERE k % 3 = 0)
+            + count(*) FILTER (WHERE k % 3 = 1)
+            + 2 * count(*) FILTER (WHERE k % 3 = 2))::BIGINT AS n_import_edges
+  FROM p
+),
+targets AS (
+  SELECT count(DISTINCT v)::BIGINT AS n_distinct_targets FROM (
+    SELECT 'm' || (k % 97) AS v FROM p
+    UNION ALL SELECT 'm' || ((7 * k + 1) % 101) FROM p WHERE k % 3 = 0
+    UNION ALL SELECT 'm' || ((11 * k + 3) % 103) FROM p WHERE k % 3 = 1
+    UNION ALL SELECT 'm' || ((5 * k + 2) % 107) FROM p WHERE k % 3 = 2
+    UNION ALL SELECT 'm' || ((3 * k + 5) % 109) FROM p WHERE k % 3 = 2
+  )
+)
+SELECT r.repo, c.n_files, c.n_import_edges, t.n_distinct_targets
+FROM (SELECT 'synthetic/tpch-code' AS repo
+      UNION ALL SELECT 'synthetic/tpch-code-fork') r,
+     counts c, targets t
+"""
+
+
 def q_kg_code_metrics(sf_dir: str):
     """Per-module code metrics (lines, comment lines, branch statements,
     top-level defs/classes) — map-only vectorized str.count over the
@@ -1503,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_clones": q_kg_code_clones,
         "kg_mixed_by_pred": q_kg_mixed_by_pred,
         "kg_code_metrics": q_kg_code_metrics,
+        "kg_repo_profile": q_kg_repo_profile,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1558,6 +1668,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_clones": _SQL_CODE_CLONES,
         "kg_mixed_by_pred": _SQL_MIXED_BY_PRED,
         "kg_code_metrics": _SQL_CODE_METRICS,
+        "kg_repo_profile": _SQL_REPO_PROFILE,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

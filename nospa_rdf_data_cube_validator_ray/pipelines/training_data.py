@@ -232,6 +232,48 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
     return out
 
 
+def q_text_bigrams(sf_dir: str, k: int = 30):
+    """Corpus-wide BIGRAM frequency top-k — the vocab_topk shape one
+    n-gram order up: map-side Counter over adjacent token pairs,
+    bucketed sum (vocabulary²-scale keys: util.bucket_sum), per-block
+    top-k candidates, exact driver merge (global top-k ⊆ union of
+    block top-ks since counts are final after the sum)."""
+    from collections import Counter
+
+    from ..stages.dedup import tokens
+    from ..util import bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in df["text"].fillna(""):
+            toks = tokens(t)
+            c.update(a + " " + b for a, b in zip(toks, toks[1:]))
+        return pd.DataFrame(
+            {
+                "bigram": list(c.keys()),
+                "n": pd.array(list(c.values()), dtype="int64"),
+            }
+        )
+
+    agg = bucket_sum(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["bigram"],
+        ["n"],
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+
+    cands = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    out = (
+        cands.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 10% hash sample (md5 of doc_id) — reproducible across
     cluster sizes and retries, unlike random_shuffle-based sampling; the
@@ -362,6 +404,19 @@ SELECT token, count(*)::BIGINT AS n FROM (
 ) GROUP BY token
 ORDER BY n DESC, token
 LIMIT 50
+"""
+
+_SQL_TEXT_BIGRAMS = r"""
+WITH t AS (
+  SELECT regexp_extract_all(coalesce(text, ''), '\S+') AS toks FROM documents
+),
+b AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+)
+SELECT bigram, count(*)::BIGINT AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 30
 """
 
 _SQL_HASH_SAMPLE = """
@@ -962,6 +1017,7 @@ QUERIES = {
     "knn_ivf_recall": q_ivf_recall,
     "multimodal_features": q_multimodal,
     "vocab_topk": q_vocab_topk,
+    "text_bigrams": q_text_bigrams,
     "docs_hash_sample": q_hash_sample,
     "doc_familiarity": q_doc_familiarity,
     "contamination": q_contamination,
@@ -1330,6 +1386,7 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "lsh_buckets": _lsh_buckets_sql(),
     "knn_ivf_recall": _SQL_IVF_RECALL,
     "vocab_topk": _SQL_VOCAB_TOPK,
+    "text_bigrams": _SQL_TEXT_BIGRAMS,
     "docs_hash_sample": _SQL_HASH_SAMPLE,
     "doc_familiarity": _SQL_DOC_FAMILIARITY,
     "contamination": _SQL_CONTAMINATION,
