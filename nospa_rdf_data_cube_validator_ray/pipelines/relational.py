@@ -794,8 +794,104 @@ FROM flagged
 """
 
 
+def q_events_funnel(sf_dir: str):
+    """Two-step conversion funnel: for every user, the FIRST 'view'
+    event (ordered by ts, event_id) and the FIRST 'purchase' STRICTLY
+    after it in the same order — one row per converting user
+    (user_id, view_ts_us, view_event_id, purchase_ts_us,
+    purchase_event_id).  User-bucketed shuffle, fully vectorized
+    per-bucket scan (sort + groupby-transform first-view position +
+    positional purchase filter; no per-user pandas groups)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    num_buckets = 32
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(("view", "purchase"))]
+        return pd.DataFrame(
+            {
+                "kb": (d["user_id"].astype("int64") % num_buckets),
+                "user_id": d["user_id"].astype("int64"),
+                "event_id": d["event_id"].astype("int64"),
+                "ts_us": (
+                    (d["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+                ).astype("int64"),
+                "is_view": (d["event_type"] == "view").to_numpy(),
+            }
+        ).reset_index(drop=True)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts_us", "event_id"]).reset_index(
+            drop=True
+        )
+        pos = pd.Series(range(len(d)), dtype="int64")
+        # first-view position per user (len(d) when the user never views)
+        vpos = pos.where(d["is_view"], len(d))
+        first_view = vpos.groupby(d["user_id"]).transform("min")
+        conv = (~d["is_view"]) & (pos > first_view)
+        # first qualifying purchase per user = first row of the
+        # position-ordered qualifying subset
+        hits = d[conv].groupby("user_id", as_index=False).first()
+        views = d[d["is_view"]].groupby("user_id", as_index=False).first()
+        out = hits.merge(views, on="user_id", suffixes=("_p", "_v"))
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "view_ts_us": out["ts_us_v"].astype("int64"),
+                "view_event_id": out["event_id_v"].astype("int64"),
+                "purchase_ts_us": out["ts_us_p"].astype("int64"),
+                "purchase_event_id": out["event_id_p"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(proj, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
+_SQL_EVENTS_FUNNEL = """
+WITH e AS (
+  SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+         epoch_us(ts) AS ts_us, event_type
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+fv AS (
+  SELECT user_id, ts_us, event_id FROM (
+    SELECT user_id, ts_us, event_id,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS rn
+    FROM e WHERE event_type = 'view'
+  ) WHERE rn = 1
+),
+fp AS (
+  SELECT user_id, ts_us, event_id FROM (
+    SELECT p.user_id, p.ts_us, p.event_id,
+           row_number() OVER (
+             PARTITION BY p.user_id ORDER BY p.ts_us, p.event_id
+           ) AS rn
+    FROM e p JOIN fv USING (user_id)
+    WHERE p.event_type = 'purchase'
+      AND (p.ts_us > fv.ts_us
+           OR (p.ts_us = fv.ts_us AND p.event_id > fv.event_id))
+  ) WHERE rn = 1
+)
+SELECT fv.user_id,
+       fv.ts_us::BIGINT AS view_ts_us,
+       fv.event_id::BIGINT AS view_event_id,
+       fp.ts_us::BIGINT AS purchase_ts_us,
+       fp.event_id::BIGINT AS purchase_event_id
+FROM fv JOIN fp USING (user_id)
+"""
+
+
 QUERIES = {
     "cube_star_supp": q_cube_star_supp,
+    "events_funnel": q_events_funnel,
     "events_last_purchase": q_events_last_purchase,
     "events_session_assign": q_events_session_assign,
     "events_hourly": q_events_hourly,
@@ -809,6 +905,7 @@ QUERIES = {
 
 ORACLES = {
     "cube_star_supp": _SQL_STAR_SUPP,
+    "events_funnel": _SQL_EVENTS_FUNNEL,
     "events_last_purchase": _SQL_LAST_PURCHASE,
     "events_session_assign": _SQL_SESSION_ASSIGN,
     "events_hourly": _SQL_EVENTS_HOURLY,

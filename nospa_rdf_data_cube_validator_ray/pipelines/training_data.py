@@ -1401,3 +1401,73 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "boilerplate_removal": _SQL_BOILERPLATE,
     "dup_span_coverage": _SQL_DUP_SPAN,
 }
+
+
+def q_docs_above_p90(sf_dir: str):
+    """Per-source p90 length gate — the quality-filter composition: the
+    counting-histogram quantile (aggregate-sized, no distributed sort —
+    see q_doc_len_quantiles) yields one threshold per source on the
+    driver, which broadcasts into a map-only filter.  Rows
+    (doc_id, source, n_chars) with n_chars STRICTLY above the source's
+    p90 (integer lower-index rule (n−1)·90 // 100)."""
+    import numpy as np
+    import ray
+
+    from ..util import bucket_sum
+
+    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+        override_num_blocks=nb,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = bucket_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "n_chars"],
+        ["n"],
+    ).to_pandas()
+    thr = {}
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("n_chars")
+        cum = g["n"].to_numpy().cumsum()
+        idx = (int(cum[-1]) - 1) * 90 // 100
+        thr[src] = int(g["n_chars"].to_numpy()[np.searchsorted(cum, idx + 1)])
+    ref = ray.put(thr)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref)
+        keep = df["n_chars"].astype("int64") > df["source"].map(t).astype("int64")
+        out = df[keep].reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "source": out["source"].astype("string"),
+                "n_chars": out["n_chars"].astype("int64"),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
+_SQL_DOCS_ABOVE_P90 = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+th AS (
+  SELECT source, n_chars AS thr FROM r WHERE rn = (n - 1) * 90 // 100
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.source, d.n_chars::BIGINT AS n_chars
+FROM documents d JOIN th USING (source)
+WHERE d.n_chars > th.thr
+"""
+
+QUERIES["docs_above_p90"] = q_docs_above_p90
+ORACLES["docs_above_p90"] = _SQL_DOCS_ABOVE_P90
