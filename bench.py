@@ -160,6 +160,20 @@ def run_suite(
 
     timed("kg_code_triangles", kg_code_triangles)
 
+    def kg_code_analytics():
+        from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+            module_summary,
+        )
+
+        triples = extract_code_corpus(
+            ray.data.from_arrow(code_tbl)
+        ).materialize()
+        G.components(triples).count()
+        G.pagerank_int(triples).count()
+        module_summary(triples).count()
+
+    timed("kg_code_analytics", kg_code_analytics)
+
     # -- scaling pair in the SAME round (fresh subprocesses), so BENCH_rN
     # carries headline + scaling + host-load context together and
     # round-over-round numbers are comparable.  Shut the suite's Ray
