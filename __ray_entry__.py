@@ -1174,6 +1174,42 @@ def q_kg_mixed_by_pred(sf_dir: str):
     return out
 
 
+def q_kg_dag_depth(sf_dir: str):
+    """Longest-path dependency depth (build-order / critical-path) over
+    an acyclic import corpus — monotone Bellman-Ford-style fixpoint,
+    rounds = graph depth, raises on cycles (stages/graph.dag_depth;
+    size-adaptive driver loop / join rounds, parity-tested)."""
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_dag_corpus
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        extract_code_corpus,
+    )
+    from nospa_rdf_data_cube_validator_ray.stages.graph import dag_depth
+
+    edges = extract_code_corpus(ray.data.from_arrow(tpch_dag_corpus(sf_dir)))
+    return dag_depth(edges)
+
+
+_SQL_DAG_DEPTH = f"""
+WITH RECURSIVE p AS (SELECT p_partkey AS k FROM part WHERE p_partkey >= 2),
+dedges AS (
+  SELECT k AS src, k // 2 AS dst FROM p
+  UNION
+  SELECT k, k // 3 FROM p
+),
+dnodes AS (SELECT src AS n FROM dedges UNION SELECT dst FROM dedges),
+reach(node, d) AS (
+  SELECT n, 0 FROM dnodes
+  UNION
+  SELECT e.src, r.d + 1 FROM reach r JOIN dedges e ON e.dst = r.node
+  WHERE r.d < 64
+)
+SELECT '{_CODEN}mod/m' || node AS node, max(d)::BIGINT AS depth
+FROM reach GROUP BY node
+"""
+
+
 def q_kg_repo_profile(sf_dir: str):
     """Per-repo KG rollup over the base+fork corpus: file count, import
     edge count, and DISTINCT import-target count — map-side partials +
@@ -1613,6 +1649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mixed_by_pred": q_kg_mixed_by_pred,
         "kg_code_metrics": q_kg_code_metrics,
         "kg_repo_profile": q_kg_repo_profile,
+        "kg_dag_depth": q_kg_dag_depth,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1669,6 +1706,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mixed_by_pred": _SQL_MIXED_BY_PRED,
         "kg_code_metrics": _SQL_CODE_METRICS,
         "kg_repo_profile": _SQL_REPO_PROFILE,
+        "kg_dag_depth": _SQL_DAG_DEPTH,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

@@ -1177,3 +1177,37 @@ def tpch_fork_corpus(sf_dir: str) -> pa.Table:
     )
     out = pd.concat([df, fork], ignore_index=True)
     return pa.table({c: pa.array(out[c].tolist(), pa.string()) for c in out.columns})
+
+
+def tpch_dag_corpus(sf_dir: str) -> pa.Table:
+    """part → an acyclic import graph: module m{k} (k ≥ 2) imports
+    m{k//2} and m{k//3} (both strictly smaller ⇒ a DAG; m0/m1 are
+    import-less leaf files).  Longest-path depth is then predictable by
+    a recursive DuckDB oracle, and the depth bound is ~log2(max k)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    keys = (
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .to_pandas()["p_partkey"]
+        .astype("int64")
+        .sort_values(ignore_index=True)
+    )
+    k = keys
+    ks = k.astype(str)
+    body = pd.Series("x = 1\n", index=k.index, dtype=object)
+    big = k >= 2
+    body[big] = (
+        "import m" + (k[big] // 2).astype(str)
+        + "\nimport m" + (k[big] // 3).astype(str) + "\n"
+    )
+    n = len(k)
+    return pa.table(
+        {
+            "repo": pa.array(["synthetic/tpch-dag"] * n, pa.string()),
+            "path": pa.array(("src/m" + ks + ".py").tolist(), pa.string()),
+            "commit": pa.array(["feedf00d" * 5] * n, pa.string()),
+            "lang": pa.array(["python"] * n, pa.string()),
+            "content": pa.array(body.tolist(), pa.string()),
+        }
+    )

@@ -610,3 +610,141 @@ def components(
     return cc_labels(
         sym_edges, max_iters=max_iters, num_partitions=num_partitions
     )
+
+
+def dag_depth(
+    edges: "ray.data.Dataset",
+    *,
+    max_iters: int = 64,
+    max_driver_edges: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Longest-path depth over a dependency DAG — the build-order /
+    critical-path question: depth(v) = 0 for sinks, else
+    1 + max(depth(w)) over v's out-edges (subj → obj).  Returns
+    (node, depth) for every node appearing in ``edges``.  Iteration is
+    the Bellman-Ford-style monotone fixpoint depth_{i+1}(v) =
+    max over out-edges of depth_i(w) + 1, which converges in
+    longest-path rounds; a graph that has NOT converged after
+    ``max_iters`` rounds contains a cycle (or is deeper than the bound)
+    and raises rather than returning wrong depths — this doubles as a
+    cycle detector for import graphs.
+
+    Size-adaptive (parity-tested): under ``max_driver_edges`` the
+    distinct edge list is collected once and the fixpoint runs
+    vectorized on the driver; above it each round is one hash join
+    (depth ⋈ edges on obj) + one bucketed max (util.bucket_agg) +
+    a fixpoint signature check — rounds scale with graph DEPTH, which
+    is logarithmic for balanced dependency DAGs."""
+    import numpy as np
+
+    np_ = _nparts(num_partitions)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["subj"].astype("string"), "dst": df["obj"].astype("string")}
+        ).drop_duplicates(ignore_index=True)
+
+    pairs = edges.map_batches(to_pairs, batch_format="pandas").materialize()
+    n_edges = pairs.count()
+
+    if n_edges <= max_driver_edges:
+        e = pd.concat(
+            list(pairs.iter_batches(batch_format="pandas", batch_size=65536)),
+            ignore_index=True,
+        ).drop_duplicates(ignore_index=True)
+        nodes = pd.Index(pd.concat([e["src"], e["dst"]]).unique())
+        depth = pd.Series(0, index=nodes, dtype="int64")
+        for _ in range(max_iters):
+            cand = (
+                pd.DataFrame(
+                    {"src": e["src"], "c": depth[e["dst"]].to_numpy() + 1}
+                )
+                .groupby("src")["c"]
+                .max()
+            )
+            new = pd.Series(0, index=nodes, dtype="int64")
+            new.loc[cand.index] = cand.astype("int64")
+            if new.equals(depth):
+                break
+            depth = new
+        else:
+            raise RuntimeError(
+                f"dag_depth did not converge in {max_iters} rounds: the "
+                "graph contains a cycle or is deeper than the bound"
+            )
+        out = pd.DataFrame(
+            {"node": pd.Series(nodes, dtype="string"), "depth": depth.to_numpy()}
+        )
+        return ray.data.from_pandas(out.sort_values("node", ignore_index=True))
+
+    # distributed regime: per-round join + bucketed max
+    from ..util import bucket_agg
+
+    pairs = heal_schema(pairs, np_).materialize()
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([df["src"], df["dst"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"node": u.astype("string")})
+
+    from ..functions.kernel import distinct
+
+    nodes_ds = heal_schema(
+        distinct(pairs.map_batches(node_partial, batch_format="pandas"), ["node"]),
+        np_,
+    ).materialize()
+
+    def init_depth(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"].astype("string"),
+             "depth": pd.Series(0, index=df.index, dtype="int64")}
+        )
+
+    depth_ds = nodes_ds.map_batches(init_depth, batch_format="pandas").materialize()
+
+    def sig(ds) -> int:
+        import hashlib as _h
+
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            acc = 0
+            for n, d in zip(df["node"], df["depth"]):
+                acc ^= int.from_bytes(
+                    _h.md5(f"{n}\x00{d}".encode()).digest()[:8], "big"
+                ) & ((1 << 63) - 1)
+            return pd.DataFrame({"h": pd.array([acc], dtype="int64")})
+
+        return sum(r["h"] for r in ds.map_batches(h, batch_format="pandas").take_all())
+
+    cur = sig(depth_ds)
+    for it in range(max_iters + 1):
+        if it == max_iters:
+            raise RuntimeError(
+                f"dag_depth did not converge in {max_iters} rounds: the "
+                "graph contains a cycle or is deeper than the bound"
+            )
+        joined = pairs.join(
+            heal_schema(_ren(depth_ds, {"node": "dst"}), np_),
+            "inner", np_, on=("dst",),
+        )
+        cand = joined.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["src"].astype("string"),
+                 "depth": (df["depth"] + 1).astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+
+        def max_depth(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.sort_values(["node", "depth"], ascending=[True, False])
+                .drop_duplicates("node")[["node", "depth"]]
+            )
+
+        depth_ds = bucket_agg(
+            depth_ds.union(cand), ["node"], max_depth, num_buckets=np_
+        ).materialize()
+        new = sig(depth_ds)
+        if new == cur:
+            break
+        cur = new
+    return depth_ds

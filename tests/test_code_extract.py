@@ -301,3 +301,33 @@ def test_extract_corpus_single_format_blocks():
         .rename(columns={"count()": "n"})
     )
     assert dict(zip(out["pred"], out["n"])) == {"http://x/p": 1, C.IMPORTS: 1}
+
+
+def test_dag_depth_regime_parity_and_cycle_detection():
+    import pytest
+
+    from nospa_rdf_data_cube_validator_ray.stages.graph import dag_depth
+
+    # diamond + tail: a->b, a->c, b->d, c->d, d->e
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "a", "b", "c", "d"],
+                "obj": ["b", "c", "d", "d", "e"],
+            }
+        )
+    )
+    want = [("a", 3), ("b", 2), ("c", 2), ("d", 1), ("e", 0)]
+    for kw in ({}, {"max_driver_edges": 0}):
+        got = sorted(
+            (r["node"], int(r["depth"]))
+            for r in dag_depth(edges, **kw).take_all()
+        )
+        assert got == want, kw
+
+    cyc = ray.data.from_pandas(
+        pd.DataFrame({"subj": ["a", "b"], "obj": ["b", "a"]})
+    )
+    for kw in ({}, {"max_driver_edges": 0}):
+        with pytest.raises(RuntimeError, match="cycle"):
+            dag_depth(cyc, max_iters=8, **kw)
