@@ -1471,3 +1471,118 @@ WHERE d.n_chars > th.thr
 
 QUERIES["docs_above_p90"] = q_docs_above_p90
 ORACLES["docs_above_p90"] = _SQL_DOCS_ABOVE_P90
+
+
+def q_knn_neighbor_sources(sf_dir: str):
+    """Similarity-search enrichment: exact cosine top-k joined to the
+    documents table for each neighbor's metadata — a Dataset.join of a
+    small result against the corpus-scale side (the join would flip to
+    a broadcast at real scale; here it exercises Ray's hash join on the
+    driver surface).  Rows (query_id, neighbor_id, rank, source)."""
+    import ray
+
+    from ..util import heal_schema
+
+    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    np_ = max(2, min(8, nb))
+    knn = E.knn_topk(_embs(sf_dir), query_ids=list(range(10)), k=5)
+    left = heal_schema(
+        ray.data.from_pandas(knn.rename(columns={"neighbor_id": "doc_id"})),
+        np_,
+    )
+    docs = heal_schema(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ),
+        np_,
+    )
+    joined = left.join(docs, "inner", np_, on=("doc_id",))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].astype("int64"),
+                "neighbor_id": df["doc_id"].astype("int64"),
+                "rank": df["rank"].astype("int64"),
+                "source": df["source"].astype("string"),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+_SQL_KNN_SOURCES = """
+WITH k AS (
+  SELECT q.vec_id::BIGINT AS query_id, n.vec_id::BIGINT AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                    n.vec_id
+         )::BIGINT AS rank
+  FROM embeddings q, embeddings n
+  WHERE q.vec_id < 10 AND n.vec_id != q.vec_id
+  QUALIFY rank <= 5
+)
+SELECT k.query_id, k.neighbor_id, k.rank, d.source
+FROM k JOIN documents d ON d.doc_id = k.neighbor_id
+"""
+
+
+def q_source_stratified_sample(sf_dir: str, n_per_source: int = 10):
+    """Per-source stratified sample: the ``n_per_source`` docs with the
+    SMALLEST md5(doc_id) per source — deterministic across cluster
+    sizes and retries (hash order, not random_shuffle), the dataset-
+    balancing step of a training mix.  Source-bucketed shuffle +
+    per-bucket vectorized nsmallest (a source lives wholly in one
+    bucket, so per-bucket top-n is globally exact)."""
+    from ..stages.dedup import _md5_u64
+    from ..util import bucket_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def with_hash(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": df["source"].astype("string"),
+                # stays uint64: an int64 cast flips the sign of large
+                # hashes and desyncs the order from SQL's unsigned
+                # md5_number_lower
+                "h": pd.Series(
+                    [_md5_u64(str(i)) for i in ids], dtype="uint64",
+                    index=df.index,
+                ),
+            }
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        top = (
+            df.sort_values(["source", "h", "doc_id"])
+            .groupby("source", sort=False)
+            .head(n_per_source)
+        )
+        return top[["doc_id", "source"]].reset_index(drop=True)
+
+    return bucket_agg(
+        ds.map_batches(with_hash, batch_format="pandas"), ["source"], pick
+    )
+
+
+_SQL_STRATIFIED = """
+SELECT doc_id::BIGINT AS doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+QUERIES["knn_neighbor_sources"] = q_knn_neighbor_sources
+ORACLES["knn_neighbor_sources"] = _SQL_KNN_SOURCES
+QUERIES["source_stratified_sample"] = q_source_stratified_sample
+ORACLES["source_stratified_sample"] = _SQL_STRATIFIED
