@@ -1187,7 +1187,13 @@ def q_kg_dag_depth(sf_dir: str):
     )
     from nospa_rdf_data_cube_validator_ray.stages.graph import dag_depth
 
-    edges = extract_code_corpus(ray.data.from_arrow(tpch_dag_corpus(sf_dir)))
+    imp = (f"{_CODE}imports", f"{_CODE}importsFrom")
+    edges = extract_code_corpus(
+        ray.data.from_arrow(tpch_dag_corpus(sf_dir))
+    ).map_batches(
+        lambda df: df[df["pred"].isin(imp)].reset_index(drop=True),
+        batch_format="pandas",
+    )
     return dag_depth(edges)
 
 

@@ -162,14 +162,23 @@ def run_suite(
 
     def kg_code_analytics():
         from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+            IMPORTS,
+            IMPORTS_FROM,
             module_summary,
         )
 
         triples = extract_code_corpus(
             ray.data.from_arrow(code_tbl)
         ).materialize()
-        G.components(triples).count()
-        G.pagerank_int(triples).count()
+        # components/pagerank measure the SAME import-edge graph the
+        # oracled queries run on (def/class triples are node attributes)
+        imp = (IMPORTS, IMPORTS_FROM)
+        edges = triples.map_batches(
+            lambda df: df[df["pred"].isin(imp)].reset_index(drop=True),
+            batch_format="pandas",
+        ).materialize()
+        G.components(edges).count()
+        G.pagerank_int(edges).count()
         module_summary(triples).count()
 
     timed("kg_code_analytics", kg_code_analytics)

@@ -721,23 +721,20 @@ QUALIFY rank <= 5
 # -- exact per-group quantiles via a value histogram ------------------------
 
 
-def q_doc_len_quantiles(sf_dir: str):
-    """Exact per-source document-length quantiles WITHOUT a distributed
-    sort: lengths are small integers, so a (source, n_chars) counting
-    histogram (map-side partials → vocabulary-sized groupby) captures the
-    full distribution; quantiles then read off the cumulative counts on
-    the driver — the histogram is aggregate-sized (|sources| × |distinct
-    lengths|), never corpus-sized, so this is the 100-TB shape for any
-    bounded-cardinality metric.  The index rule is the integer lower
-    quantile idx = (n−1)·pct // 100 — no float interpolation to
-    desynchronize from SQL."""
-    import numpy as np
+def _source_len_histogram(sf_dir: str, *, columns=("source", "n_chars")):
+    """The shared (source, n_chars) counting histogram: map-side
+    partials → bucketed sum → aggregate-sized pandas frame (|sources| ×
+    |distinct lengths| — never corpus-sized).  One implementation for
+    every quantile consumer so the index rule and grouping cannot
+    desynchronize between queries."""
     import ray
+
+    from ..util import bucket_sum
 
     nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
-        columns=["source", "n_chars"],
+        columns=list(columns),
         override_num_blocks=nb,
     )
 
@@ -745,25 +742,47 @@ def q_doc_len_quantiles(sf_dir: str):
         g = df.groupby(["source", "n_chars"], as_index=False).size()
         return g.rename(columns={"size": "n"})
 
-    from ..util import bucket_sum
-
     hist = bucket_sum(
-        ds.map_batches(partial, batch_format="pandas"),
+        ds.map_batches(
+            lambda df: partial(df[["source", "n_chars"]]),
+            batch_format="pandas",
+        ),
         ["source", "n_chars"],
         ["n"],
     ).to_pandas()
+    return ds, hist
+
+
+def _pct_threshold(g: pd.DataFrame, pct: int) -> tuple[int, int]:
+    """(n_docs, value at the integer lower-index quantile
+    idx = (n−1)·pct // 100) for ONE source's sorted histogram slice —
+    no float interpolation, so SQL reproduces it exactly."""
+    import numpy as np
+
+    g = g.sort_values("n_chars")
+    cum = g["n"].to_numpy().cumsum()
+    n = int(cum[-1])
+    idx = (n - 1) * pct // 100
+    return n, int(g["n_chars"].to_numpy()[np.searchsorted(cum, idx + 1)])
+
+
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact per-source document-length quantiles WITHOUT a distributed
+    sort: lengths are small integers, so the shared counting histogram
+    (_source_len_histogram) captures the full distribution and the
+    quantiles read off cumulative counts on the driver — the 100-TB
+    shape for any bounded-cardinality metric."""
+    _, hist = _source_len_histogram(sf_dir)
     rows = []
     for src, g in hist.groupby("source"):
-        g = g.sort_values("n_chars")
-        vals = g["n_chars"].to_numpy()
-        cum = g["n"].to_numpy().cumsum()
-        n = int(cum[-1])
-        row = {"source": src, "n_docs": n}
+        row = {"source": src}
         for pct in (25, 50, 75, 95):
-            idx = (n - 1) * pct // 100
-            row[f"p{pct}"] = int(vals[np.searchsorted(cum, idx + 1)])
+            n, v = _pct_threshold(g, pct)
+            row["n_docs"] = n
+            row[f"p{pct}"] = v
         rows.append(row)
     out = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    out = out[["source", "n_docs", "p25", "p50", "p75", "p95"]]
     for c in ("n_docs", "p25", "p50", "p75", "p95"):
         out[c] = out[c].astype("int64")
     return out
@@ -1410,33 +1429,14 @@ def q_docs_above_p90(sf_dir: str):
     driver, which broadcasts into a map-only filter.  Rows
     (doc_id, source, n_chars) with n_chars STRICTLY above the source's
     p90 (integer lower-index rule (n−1)·90 // 100)."""
-    import numpy as np
     import ray
 
-    from ..util import bucket_sum
-
-    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "source", "n_chars"],
-        override_num_blocks=nb,
+    ds, hist = _source_len_histogram(
+        sf_dir, columns=("doc_id", "source", "n_chars")
     )
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["source", "n_chars"], as_index=False).size()
-        return g.rename(columns={"size": "n"})
-
-    hist = bucket_sum(
-        ds.map_batches(partial, batch_format="pandas"),
-        ["source", "n_chars"],
-        ["n"],
-    ).to_pandas()
-    thr = {}
-    for src, g in hist.groupby("source"):
-        g = g.sort_values("n_chars")
-        cum = g["n"].to_numpy().cumsum()
-        idx = (int(cum[-1]) - 1) * 90 // 100
-        thr[src] = int(g["n_chars"].to_numpy()[np.searchsorted(cum, idx + 1)])
+    thr = {
+        src: _pct_threshold(g, 90)[1] for src, g in hist.groupby("source")
+    }
     ref = ray.put(thr)
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:

@@ -236,8 +236,6 @@ def cc_labels(
     This is the corpus-scale path: no edge list ever reaches the driver.
     Callers must pass BOTH directions of each edge (see
     :func:`_sameas_edges`)."""
-    import hashlib as _h
-
     import pyarrow as pa
 
     from ..util import heal_schema
@@ -289,16 +287,10 @@ def cc_labels(
         .materialize()
     )
 
-    def signature(ds) -> int:
-        def h(df: pd.DataFrame) -> pd.DataFrame:
-            acc = 0
-            for n, l in zip(df["node"], df["label"]):
-                acc ^= int.from_bytes(
-                    _h.md5(f"{n}\x00{l}".encode()).digest()[:8], "big"
-                ) & ((1 << 63) - 1)  # keep the xor int64-safe
-            return pd.DataFrame({"h": pd.array([acc], dtype="int64")})
+    from ..util import ds_signature
 
-        return sum(r["h"] for r in ds.map_batches(h, batch_format="pandas").take_all())
+    def signature(ds) -> int:
+        return ds_signature(ds, ["node", "label"])
 
     sig = signature(labels)
     converged = False

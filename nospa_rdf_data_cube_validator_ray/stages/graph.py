@@ -648,6 +648,14 @@ def dag_depth(
     pairs = edges.map_batches(to_pairs, batch_format="pandas").materialize()
     n_edges = pairs.count()
 
+    if n_edges == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.string()), ("depth", pa.int64())])
+            .empty_table()
+        )
+
     if n_edges <= max_driver_edges:
         e = pd.concat(
             list(pairs.iter_batches(batch_format="pandas", batch_size=65536)),
@@ -702,18 +710,10 @@ def dag_depth(
 
     depth_ds = nodes_ds.map_batches(init_depth, batch_format="pandas").materialize()
 
+    from ..util import ds_signature
+
     def sig(ds) -> int:
-        import hashlib as _h
-
-        def h(df: pd.DataFrame) -> pd.DataFrame:
-            acc = 0
-            for n, d in zip(df["node"], df["depth"]):
-                acc ^= int.from_bytes(
-                    _h.md5(f"{n}\x00{d}".encode()).digest()[:8], "big"
-                ) & ((1 << 63) - 1)
-            return pd.DataFrame({"h": pd.array([acc], dtype="int64")})
-
-        return sum(r["h"] for r in ds.map_batches(h, batch_format="pandas").take_all())
+        return ds_signature(ds, ["node", "depth"])
 
     cur = sig(depth_ds)
     for it in range(max_iters + 1):

@@ -101,3 +101,25 @@ def bucket_count(ds, keys, *, out_col: str = "n", num_buckets: int = 64):
         return g.rename(columns={"size": out_col})
 
     return bucket_agg(ds, keys, f, num_buckets=num_buckets)
+
+
+def ds_signature(ds, cols) -> int:
+    """Order-insensitive deterministic fingerprint of a Dataset's
+    ``cols`` — the fixpoint-convergence check of the iterative
+    algorithms (cc_labels, dag_depth).  Vectorized: per block, the
+    int64 SUM of ``pd.util.hash_pandas_object`` row hashes (the same
+    deterministic hash bucket_agg keys on); block sums add up on the
+    driver, so both block order and row order are irrelevant and no
+    per-row Python hashing runs."""
+    import pandas as pd
+
+    cols = list(cols)
+
+    def h(df: "pd.DataFrame") -> "pd.DataFrame":
+        v = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
+        acc = int(v.sum(dtype="uint64")) & ((1 << 63) - 1)
+        return pd.DataFrame({"h": pd.array([acc], dtype="int64")})
+
+    return sum(
+        r["h"] for r in ds.map_batches(h, batch_format="pandas").take_all()
+    ) & ((1 << 63) - 1)
