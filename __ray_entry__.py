@@ -1174,6 +1174,28 @@ def q_kg_mixed_by_pred(sf_dir: str):
     return out
 
 
+def q_kg_code_2hop(sf_dir: str):
+    """Per-node 2-hop neighborhood size over the import graph — the
+    fan-out census a GNN sampling plan needs (stages/graph.two_hop_sizes:
+    one mid-node hash join + bucketed distinct + bucketed count)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import two_hop_sizes
+
+    return two_hop_sizes(_code_import_edges(sf_dir))
+
+
+_SQL_CODE_2HOP = f"""
+WITH {_CODE_EDGE_BODY},
+e AS (SELECT DISTINCT src, dst FROM cedges),
+two AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src
+)
+SELECT src AS node, count(*)::BIGINT AS n_2hop
+FROM two WHERE src <> dst GROUP BY src
+"""
+
+
 def q_kg_dag_depth(sf_dir: str):
     """Longest-path dependency depth (build-order / critical-path) over
     an acyclic import corpus — monotone Bellman-Ford-style fixpoint,
@@ -1656,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_metrics": q_kg_code_metrics,
         "kg_repo_profile": q_kg_repo_profile,
         "kg_dag_depth": q_kg_dag_depth,
+        "kg_code_2hop": q_kg_code_2hop,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1713,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_metrics": _SQL_CODE_METRICS,
         "kg_repo_profile": _SQL_REPO_PROFILE,
         "kg_dag_depth": _SQL_DAG_DEPTH,
+        "kg_code_2hop": _SQL_CODE_2HOP,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

@@ -748,3 +748,60 @@ def dag_depth(
             break
         cur = new
     return depth_ds
+
+
+def two_hop_sizes(
+    edges: "ray.data.Dataset", *, num_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """Per-node 2-hop neighborhood size — the fan-out census a GNN
+    sampling plan needs: rows (node, n_2hop) counting DISTINCT nodes
+    reachable in 1 or 2 directed hops (self excluded, even via a
+    cycle).  ONE mid-node hash join builds the 2-hop pairs, a bucketed
+    exact distinct collapses multiplicity, a bucketed count sizes each
+    neighborhood — nothing per-node ever reaches Ray's Aggregate or the
+    driver."""
+    from ..functions.kernel import distinct
+    from ..util import bucket_count
+
+    np_ = _nparts(num_partitions)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["subj"].astype("string"), "dst": df["obj"].astype("string")}
+        ).drop_duplicates(ignore_index=True)
+
+    e = heal_schema(
+        distinct(edges.map_batches(pairs, batch_format="pandas"), ["src", "dst"]),
+        np_,
+    ).materialize()
+
+    # 2-hop pairs: (src → mid) ⋈ (mid → dst) on the mid node
+    hop2 = (
+        heal_schema(_ren(e, {"dst": "mid"}), np_)
+        .join(
+            heal_schema(_ren(e, {"src": "mid"}), np_),
+            "inner", np_, on=("mid",),
+        )
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "src": df["src"].astype("string"),
+                    "dst": df["dst"].astype("string"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    both = e.union(hop2).map_batches(
+        lambda df: df[df["src"] != df["dst"]].reset_index(drop=True),
+        batch_format="pandas",
+    )
+    return bucket_count(
+        distinct(both, ["src", "dst"]).map_batches(
+            lambda df: df.rename(columns={"src": "node"})[["node"]],
+            batch_format="pandas",
+        ),
+        ["node"],
+        out_col="n_2hop",
+    )
