@@ -1586,3 +1586,97 @@ QUERIES["knn_neighbor_sources"] = q_knn_neighbor_sources
 ORACLES["knn_neighbor_sources"] = _SQL_KNN_SOURCES
 QUERIES["source_stratified_sample"] = q_source_stratified_sample
 ORACLES["source_stratified_sample"] = _SQL_STRATIFIED
+
+
+def q_multimodal_image_stats(sf_dir: str):
+    """REAL multimodal round-trip, value-exact: text → 24-bit BMP binary
+    payload (attach_payload media='bmp') → actor-pool decode with the
+    actual codec (stages/multimodal.ImageStats) → integer pixel stats.
+    The oracle re-derives side length and the cycled byte sum purely in
+    SQL (documents text is ASCII, so ascii(substr(...)) == the utf-8
+    byte the encoder consumed)."""
+    payloads = M.attach_payload(_docs(sf_dir), media="bmp")
+    return M.image_stats(payloads)
+
+
+# pixel array = np.resize(utf8_bytes, side*side*3), side =
+# max(4, min(32, int(sqrt(len)))): px_sum = full_cycles * sum(bytes)
+# + sum(bytes[:rem])
+_SQL_IMAGE_STATS = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(4, least(32, floor(sqrt(length(text)))::INT)) AS side
+  FROM documents
+),
+s AS (
+  SELECT doc_id, side, n, text,
+         side * side * 3 AS total,
+         list_sum(list_transform(generate_series(1, n),
+                                 i -> ascii(substr(text, i, 1)))) AS sum_all
+  FROM d
+)
+SELECT doc_id::BIGINT AS doc_id,
+       side::BIGINT AS height, side::BIGINT AS width,
+       ((total // n) * sum_all
+        + coalesce(list_sum(list_transform(generate_series(1, total % n),
+                                           i -> ascii(substr(text, i, 1)))), 0)
+       )::BIGINT AS px_sum
+FROM s
+"""
+
+QUERIES["multimodal_image_stats"] = q_multimodal_image_stats
+ORACLES["multimodal_image_stats"] = _SQL_IMAGE_STATS
+
+
+def q_multimodal_audio_stats(sf_dir: str):
+    """REAL audio round-trip, value-exact: text → PCM16 WAV payload
+    (attach_payload media='wav') → decode with the actual codec →
+    integer stats (rate, n_samples, sample sum)."""
+    from ..functions import codecs as C
+
+    payloads = M.attach_payload(_docs(sf_dir), media="wav")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        rates, ns, sums = [], [], []
+        for p in df["payload"]:
+            rate, s = C.decode_wav(bytes(p))
+            rates.append(rate)
+            ns.append(len(s))
+            sums.append(int(s.astype("int64").sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "rate": pd.Series(rates, dtype="int64", index=df.index),
+                "n_samples": pd.Series(ns, dtype="int64", index=df.index),
+                "samp_sum": pd.Series(sums, dtype="int64", index=df.index),
+            }
+        )
+
+    return payloads.map_batches(stats, batch_format="pandas")
+
+
+# samples = np.resize(bytes.astype(int16) - 128, n) * 256 with
+# n = max(64, min(4000, 4*len)): sum = 256 * (cycles * (sum_all - 128*len)
+# + prefix_rem_shifted)
+_SQL_AUDIO_STATS = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len,
+         greatest(64, least(4000, 4 * length(text))) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, len, text,
+         list_sum(list_transform(generate_series(1, len),
+                                 i -> ascii(substr(text, i, 1)) - 128)) AS sum_all
+  FROM d
+)
+SELECT doc_id::BIGINT AS doc_id, 8000::BIGINT AS rate, n::BIGINT AS n_samples,
+       (256 * ((n // len) * sum_all
+        + coalesce(list_sum(list_transform(generate_series(1, n % len),
+                     i -> ascii(substr(text, i, 1)) - 128)), 0)))::BIGINT
+         AS samp_sum
+FROM s
+"""
+
+QUERIES["multimodal_audio_stats"] = q_multimodal_audio_stats
+ORACLES["multimodal_audio_stats"] = _SQL_AUDIO_STATS

@@ -267,3 +267,44 @@ def sample_frames(
         batch_format="pandas", batch_size=64,
         concurrency=auto_concurrency(concurrency),
     )
+
+
+class ImageStats:
+    """Actor-pool image-statistics stage over REAL decoded pixels —
+    integer outputs (height, width, px_sum) so a SQL oracle can
+    reproduce them exactly (float channel means cannot be
+    hash-compared): the payload column is parsed by the actual BMP
+    codec (functions/codecs.decode_bmp), so this exercises the full
+    encode → binary column → decode round-trip."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        hs, ws, sums = [], [], []
+        for p, mt in zip(df["payload"], _media_types(df)):
+            if mt != "image/bmp":
+                raise ValueError(f"ImageStats needs image/bmp rows, got {mt!r}")
+            px = C.decode_bmp(bytes(p))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            sums.append(int(px.astype(np.int64).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "height": pd.Series(hs, dtype="int64", index=df.index),
+                "width": pd.Series(ws, dtype="int64", index=df.index),
+                "px_sum": pd.Series(sums, dtype="int64", index=df.index),
+            }
+        )
+
+
+def image_stats(
+    ds: "ray.data.Dataset", *, batch_size: int = 64, concurrency=None
+) -> "ray.data.Dataset":
+    """Payload table (image/bmp) → (doc_id, height, width, px_sum)."""
+    from ..util import auto_concurrency
+
+    return ds.map_batches(
+        ImageStats,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=auto_concurrency(concurrency),
+    )
