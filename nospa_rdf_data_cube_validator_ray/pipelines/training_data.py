@@ -1680,3 +1680,61 @@ FROM s
 
 QUERIES["multimodal_audio_stats"] = q_multimodal_audio_stats
 ORACLES["multimodal_audio_stats"] = _SQL_AUDIO_STATS
+
+
+def q_multimodal_video_stats(sf_dir: str):
+    """REAL video round-trip, value-exact: text → 4-frame NBV clip
+    (attach_payload media='nbv') → actor-pool frame sampling that keeps
+    every 2nd frame WITHOUT decoding dropped ones
+    (stages/multimodal.sample_frames mode='real') → decode the kept
+    frames → integer pixel sums.  The oracle re-derives each sampled
+    frame's cycled byte sum in SQL (frame k pixels =
+    np.resize(bytes[k:], 8*8*3))."""
+    from ..functions import codecs as C
+
+    payloads = M.attach_payload(_docs(sf_dir), media="nbv")
+    sampled = M.sample_frames(payloads, stride=2, mode="real")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        sums = []
+        for frames in df["frames"]:
+            s = 0
+            for fb in frames:
+                s += int(C.decode_bmp(bytes(fb)).astype("int64").sum())
+            sums.append(s)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_frames": df["n_frames"].astype("int64"),
+                "px_sum": pd.Series(sums, dtype="int64", index=df.index),
+            }
+        )
+
+    return sampled.map_batches(stats, batch_format="pandas")
+
+
+# clip = 4 frames, frame k = np.resize(bytes[k:], 192); stride-2 real
+# sampling keeps frames 0 and 2 without touching 1 and 3
+_SQL_VIDEO_STATS = """
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+f AS (
+  SELECT doc_id, u.k, len - u.k AS lk, text
+  FROM d, unnest([0, 2]) AS u(k)
+),
+s AS (
+  SELECT doc_id,
+         (192 // lk) * list_sum(list_transform(
+             generate_series(k + 1, k + lk),
+             i -> ascii(substr(text, i, 1)))) AS whole,
+         coalesce(list_sum(list_transform(
+             generate_series(k + 1, k + (192 % lk)),
+             i -> ascii(substr(text, i, 1)))), 0) AS rem
+  FROM f
+)
+SELECT doc_id::BIGINT AS doc_id, 2::BIGINT AS n_frames,
+       sum(whole + rem)::BIGINT AS px_sum
+FROM s GROUP BY doc_id
+"""
+
+QUERIES["multimodal_video_stats"] = q_multimodal_video_stats
+ORACLES["multimodal_video_stats"] = _SQL_VIDEO_STATS
