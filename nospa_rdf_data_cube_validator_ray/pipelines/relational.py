@@ -889,9 +889,154 @@ FROM fv JOIN fp USING (user_id)
 """
 
 
+def q_events_retention(sf_dir: str):
+    """Next-day retention cohorts: per first-activity day, how many
+    users started that day and how many of them were active again the
+    very next day.  User-bucketed shuffle → per-bucket vectorized
+    day-set scan (each user's whole history is bucket-local) →
+    day-scale groupby-sum of the partials."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    num_buckets = 32
+    us_day = 86_400_000_000
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ).astype("int64") // us_day
+        return pd.DataFrame(
+            {
+                "kb": (df["user_id"].astype("int64") % num_buckets),
+                "user_id": df["user_id"].astype("int64"),
+                "day": day,
+            }
+        ).drop_duplicates(ignore_index=True)
+
+    def cohort(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day"])
+        first = d.groupby("user_id", as_index=False)["day"].min().rename(
+            columns={"day": "first_day"}
+        )
+        nxt = first.copy()
+        nxt["day"] = nxt["first_day"] + 1
+        hit = nxt.merge(d, on=["user_id", "day"], how="left", indicator=True)
+        hit["retained"] = (hit["_merge"] == "both").astype("int64")
+        g = hit.groupby("first_day", as_index=False).agg(
+            n_users=("user_id", "size"), n_retained=("retained", "sum")
+        )
+        return g.astype(
+            {"first_day": "int64", "n_users": "int64", "n_retained": "int64"}
+        )
+
+    parts = (
+        ds.map_batches(proj, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(cohort, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("first_day", as_index=False)[
+        ["n_users", "n_retained"]
+    ].sum()
+    return out.astype("int64").sort_values("first_day", ignore_index=True)
+
+
+_SQL_EVENTS_RETENTION = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+first AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+SELECT f.first_day::BIGINT AS first_day,
+       count(*)::BIGINT AS n_users,
+       count(*) FILTER (
+         WHERE EXISTS (
+           SELECT 1 FROM ud WHERE ud.user_id = f.user_id
+             AND ud.day = f.first_day + 1
+         )
+       )::BIGINT AS n_retained
+FROM first f GROUP BY f.first_day
+"""
+
+
+def q_events_dau_wau(sf_dir: str):
+    """Sliding DISTINCT-user windows — DAU and trailing-7-day WAU per
+    observed day.  Distinct counts cannot be summed from daily partials,
+    so each (user, day) pair fans out to the ≤7 future window ends it
+    belongs to, a bucketed exact distinct collapses multiplicity, and a
+    user-bucketed count makes each window's distinct-user count exact
+    (every (user, window) lives in one bucket)."""
+    import ray as _ray
+
+    from ..functions.kernel import distinct
+    from ..util import bucket_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    us_day = 86_400_000_000
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ).astype("int64") // us_day
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"), "day": day}
+        ).drop_duplicates(ignore_index=True)
+
+    ud = distinct(
+        ds.map_batches(pairs, batch_format="pandas"), ["user_id", "day"]
+    ).materialize()
+
+    days = sorted(
+        {int(r["day"]) for r in ud.select_columns(["day"]).take_all()}
+    )
+    days_ref = _ray.put(set(days))
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        observed = _ray.get(days_ref)
+        reps = df.loc[df.index.repeat(7)].reset_index(drop=True)
+        reps["win"] = reps["day"] + pd.Series(
+            list(range(7)) * len(df), dtype="int64"
+        )
+        reps = reps[reps["win"].isin(observed)]
+        return reps[["user_id", "win"]].reset_index(drop=True)
+
+    wau = bucket_count(
+        distinct(
+            ud.map_batches(fan_out, batch_format="pandas"),
+            ["user_id", "win"],
+        ).map_batches(lambda df: df[["win"]], batch_format="pandas"),
+        ["win"],
+        out_col="wau",
+    ).to_pandas()
+    dau = bucket_count(
+        ud.map_batches(lambda df: df[["day"]], batch_format="pandas"),
+        ["day"],
+        out_col="dau",
+    ).to_pandas()
+    out = dau.merge(wau.rename(columns={"win": "day"}), on="day")
+    return out.astype("int64").sort_values("day", ignore_index=True)
+
+
+_SQL_EVENTS_DAU_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day::BIGINT AS day,
+       (SELECT count(DISTINCT user_id) FROM ud WHERE ud.day = d.day
+       )::BIGINT AS dau,
+       (SELECT count(DISTINCT user_id) FROM ud
+        WHERE ud.day BETWEEN d.day - 6 AND d.day)::BIGINT AS wau
+FROM days d
+"""
+
+
 QUERIES = {
     "cube_star_supp": q_cube_star_supp,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_dau_wau": q_events_dau_wau,
     "events_last_purchase": q_events_last_purchase,
     "events_session_assign": q_events_session_assign,
     "events_hourly": q_events_hourly,
@@ -906,6 +1051,8 @@ QUERIES = {
 ORACLES = {
     "cube_star_supp": _SQL_STAR_SUPP,
     "events_funnel": _SQL_EVENTS_FUNNEL,
+    "events_retention": _SQL_EVENTS_RETENTION,
+    "events_dau_wau": _SQL_EVENTS_DAU_WAU,
     "events_last_purchase": _SQL_LAST_PURCHASE,
     "events_session_assign": _SQL_SESSION_ASSIGN,
     "events_hourly": _SQL_EVENTS_HOURLY,
