@@ -965,8 +965,6 @@ def q_events_dau_wau(sf_dir: str):
     belongs to, a bucketed exact distinct collapses multiplicity, and a
     user-bucketed count makes each window's distinct-user count exact
     (every (user, window) lives in one bucket)."""
-    import ray as _ray
-
     from ..functions.kernel import distinct
     from ..util import bucket_count
 
@@ -987,18 +985,14 @@ def q_events_dau_wau(sf_dir: str):
         ds.map_batches(pairs, batch_format="pandas"), ["user_id", "day"]
     ).materialize()
 
-    days = sorted(
-        {int(r["day"]) for r in ud.select_columns(["day"]).take_all()}
-    )
-    days_ref = _ray.put(set(days))
-
     def fan_out(df: pd.DataFrame) -> pd.DataFrame:
-        observed = _ray.get(days_ref)
+        # window ends beyond the observed range survive here; the final
+        # inner merge onto dau's observed days drops them — no
+        # driver-side observed-days set needed
         reps = df.loc[df.index.repeat(7)].reset_index(drop=True)
         reps["win"] = reps["day"] + pd.Series(
             list(range(7)) * len(df), dtype="int64"
         )
-        reps = reps[reps["win"].isin(observed)]
         return reps[["user_id", "win"]].reset_index(drop=True)
 
     wau = bucket_count(

@@ -1632,27 +1632,8 @@ def q_multimodal_audio_stats(sf_dir: str):
     """REAL audio round-trip, value-exact: text → PCM16 WAV payload
     (attach_payload media='wav') → decode with the actual codec →
     integer stats (rate, n_samples, sample sum)."""
-    from ..functions import codecs as C
-
     payloads = M.attach_payload(_docs(sf_dir), media="wav")
-
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        rates, ns, sums = [], [], []
-        for p in df["payload"]:
-            rate, s = C.decode_wav(bytes(p))
-            rates.append(rate)
-            ns.append(len(s))
-            sums.append(int(s.astype("int64").sum()))
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].astype("int64"),
-                "rate": pd.Series(rates, dtype="int64", index=df.index),
-                "n_samples": pd.Series(ns, dtype="int64", index=df.index),
-                "samp_sum": pd.Series(sums, dtype="int64", index=df.index),
-            }
-        )
-
-    return payloads.map_batches(stats, batch_format="pandas")
+    return M.audio_stats(payloads)
 
 
 # samples = np.resize(bytes.astype(int16) - 128, n) * 256 with
@@ -1690,27 +1671,9 @@ def q_multimodal_video_stats(sf_dir: str):
     frames → integer pixel sums.  The oracle re-derives each sampled
     frame's cycled byte sum in SQL (frame k pixels =
     np.resize(bytes[k:], 8*8*3))."""
-    from ..functions import codecs as C
-
     payloads = M.attach_payload(_docs(sf_dir), media="nbv")
     sampled = M.sample_frames(payloads, stride=2, mode="real")
-
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        sums = []
-        for frames in df["frames"]:
-            s = 0
-            for fb in frames:
-                s += int(C.decode_bmp(bytes(fb)).astype("int64").sum())
-            sums.append(s)
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].astype("int64"),
-                "n_frames": df["n_frames"].astype("int64"),
-                "px_sum": pd.Series(sums, dtype="int64", index=df.index),
-            }
-        )
-
-    return sampled.map_batches(stats, batch_format="pandas")
+    return M.video_frame_stats(sampled)
 
 
 # clip = 4 frames, frame k = np.resize(bytes[k:], 192); stride-2 real

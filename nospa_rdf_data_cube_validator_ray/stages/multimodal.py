@@ -308,3 +308,76 @@ def image_stats(
         batch_size=batch_size,
         concurrency=auto_concurrency(concurrency),
     )
+
+
+class AudioStats:
+    """Actor-pool audio-statistics stage (integer outputs — SQL-exact):
+    PCM16 WAV payloads → (doc_id, rate, n_samples, samp_sum) through the
+    actual codec (functions/codecs.decode_wav)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rates, ns, sums = [], [], []
+        for p, mt in zip(df["payload"], _media_types(df)):
+            if mt != "audio/wav":
+                raise ValueError(f"AudioStats needs audio/wav rows, got {mt!r}")
+            rate, s = C.decode_wav(bytes(p))
+            rates.append(rate)
+            ns.append(len(s))
+            sums.append(int(s.astype(np.int64).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "rate": pd.Series(rates, dtype="int64", index=df.index),
+                "n_samples": pd.Series(ns, dtype="int64", index=df.index),
+                "samp_sum": pd.Series(sums, dtype="int64", index=df.index),
+            }
+        )
+
+
+def audio_stats(
+    ds: "ray.data.Dataset", *, batch_size: int = 64, concurrency=None
+) -> "ray.data.Dataset":
+    """Payload table (audio/wav) → (doc_id, rate, n_samples, samp_sum)."""
+    from ..util import auto_concurrency
+
+    return ds.map_batches(
+        AudioStats,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=auto_concurrency(concurrency),
+    )
+
+
+class VideoFrameStats:
+    """Actor-pool decoded-frame statistics over a SampleFrames output
+    (frames = list of BMP-encoded byte strings): integer pixel sums —
+    SQL-exact — per document across the SAMPLED frames only."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sums = []
+        for frames in df["frames"]:
+            s = 0
+            for fb in frames:
+                s += int(C.decode_bmp(bytes(fb)).astype(np.int64).sum())
+            sums.append(s)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_frames": df["n_frames"].astype("int64"),
+                "px_sum": pd.Series(sums, dtype="int64", index=df.index),
+            }
+        )
+
+
+def video_frame_stats(
+    ds: "ray.data.Dataset", *, batch_size: int = 64, concurrency=None
+) -> "ray.data.Dataset":
+    """SampleFrames output → (doc_id, n_frames, px_sum)."""
+    from ..util import auto_concurrency
+
+    return ds.map_batches(
+        VideoFrameStats,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=auto_concurrency(concurrency),
+    )
