@@ -121,14 +121,20 @@ def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64) -> pd.DataFrame:
 
     # (graph, dataset) is corpus-scale on the shuffle path — bucketed
     # count, not Ray's per-distinct-key Aggregate (util.bucket_agg)
-    totals = {
-        (r["graph"], r["dataset"]): r["n"]
-        for r in bucket_count(
-            pt_ds, ["graph", "dataset"], num_buckets=num_buckets
-        ).take_all()
-    }
-    wild_rows = pt_ds.filter(expr="detail == 'w'").take_all()
-    wild_keys = {(r["graph"], r["dataset"]) for r in wild_rows}
+    tdf = bucket_count(
+        pt_ds, ["graph", "dataset"], num_buckets=num_buckets
+    ).to_pandas()  # not take_all: ~0.5 ms/row at dataset-scale rows
+    # empty to_pandas frames are COLUMN-LESS (schema-less empty blocks):
+    # every consumer must len-guard before column access
+    totals = (
+        dict(zip(zip(tdf["graph"], tdf["dataset"]), tdf["n"]))
+        if len(tdf)
+        else {}
+    )
+    wdf = pt_ds.filter(expr="detail == 'w'").to_pandas()
+    wild_keys = (
+        set(zip(wdf["graph"], wdf["dataset"])) if len(wdf) else set()
+    )
 
     flag_points = _FlagPoints(nmeas)
 
@@ -139,30 +145,41 @@ def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64) -> pd.DataFrame:
         _with_kb(pt_ds, ["graph", "dataset", "key"], num_buckets)
         .groupby("kb")
         .map_groups(flag_points_fn, batch_format="pandas")
-        .take_all()
+        .to_pandas()
     )
 
     rows = []
-    for r in flagged:
-        g, d = r["graph"], r["dataset"]
+    for g, d, sha, subj, size in zip(
+        flagged["graph"], flagged["dataset"], flagged["file_sha256"],
+        flagged["subject"], flagged["size"],
+    ) if len(flagged) else ():
         if (g, d) in wild_keys:
             continue
         total = totals.get((g, d), 0)
-        rows.append((g, r["file_sha256"], "IC17", r["subject"], str(total - r["size"])))
+        rows.append((g, sha, "IC17", subj, str(total - size)))
 
     # wildcard fallback: exact pairwise reference semantics.  ONE Dataset
     # pass collects all wildcard datasets' rows (wildcards are pathological
     # inputs, bounded by the cap), then groups driver-side — N wildcard
     # datasets must not mean N full scans.
     if wild_keys:
-        all_wild = pt_ds.filter(
-            lambda r, wk=wild_keys: (r["graph"], r["dataset"]) in wk
-        ).take_all()
+        def keep_wild(df, wk=wild_keys):
+            m = [
+                (g, d) in wk for g, d in zip(df["graph"], df["dataset"])
+            ]
+            import pandas as _pd
+
+            return df[_pd.Series(m, index=df.index)].reset_index(drop=True)
+
+        all_wild = pt_ds.map_batches(
+            keep_wild, batch_format="pandas"
+        ).to_pandas()
         by_ds: dict = {}
-        for r in all_wild:
-            by_ds.setdefault((r["graph"], r["dataset"]), []).append(
-                (r["subject"], r["file_sha256"], r["key"])
-            )
+        for g, d, subj, sha, key in zip(
+            all_wild["graph"], all_wild["dataset"], all_wild["subject"],
+            all_wild["file_sha256"], all_wild["key"],
+        ):
+            by_ds.setdefault((g, d), []).append((subj, sha, key))
         rows.extend(_ic17_wildcard_rows(by_ds, nmeas))
 
     return _fdf(rows)

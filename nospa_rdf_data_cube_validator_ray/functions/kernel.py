@@ -256,9 +256,10 @@ def reachable(
     else:
         raise ValueError(direction)
     e = edges(triples, pred).rename_columns(cols).materialize()
-    root_set: set[tuple[str, str]] = {
-        (r["graph"], r["node"]) for r in roots.take_all()
-    }
+    rdf_ = roots.to_pandas()  # not take_all: ~0.5 ms/row
+    root_set: set[tuple[str, str]] = (
+        set(zip(rdf_["graph"], rdf_["node"])) if len(rdf_) else set()
+    )
     expanded: set[tuple[str, str]] = set()   # nodes whose edges were followed
     reached: set[tuple[str, str]] = set()    # nodes hit via ≥1 edge
     frontier = set(root_set)
@@ -278,8 +279,10 @@ def reachable(
                 {"graph": out["graph"].to_numpy(), "node": out["nxt"].to_numpy()}
             ).drop_duplicates()
 
-        step = e.map_batches(step_fn, batch_format="pandas").take_all()
-        hit = {(r["graph"], r["node"]) for r in step}
+        step = e.map_batches(step_fn, batch_format="pandas").to_pandas()
+        hit = (
+            set(zip(step["graph"], step["node"])) if len(step) else set()
+        )
         reached |= hit
         frontier = hit - expanded
     else:

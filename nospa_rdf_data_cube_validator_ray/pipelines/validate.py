@@ -212,7 +212,8 @@ class CubeValidator:
                     lambda df: df[["graph", "dataset"]].drop_duplicates(),
                     batch_format="pandas",
                 )
-                .take_all(),
+                .to_pandas()
+                .to_dict("records"),
                 indexes,
             ),
             finalize.ic17_findings(

@@ -825,9 +825,10 @@ def benchmark_contamination(
 
     # per-batch distinct first, then a driver set() over the (tiny)
     # benchmark gram rows — documented eval-scale assumption
+    # to_pandas, NOT take_all: Ray 2.49's take_all pays ~0.5 ms/row
+    # (per-row dict materialization) — 13 K gram rows cost seconds
     bench = frozenset(
-        r["g"]
-        for r in ds.map_batches(bench_grams, batch_format="pandas").take_all()
+        ds.map_batches(bench_grams, batch_format="pandas").to_pandas()["g"]
     )
     ref = ray.put(bench)
 

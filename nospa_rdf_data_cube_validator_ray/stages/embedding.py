@@ -163,10 +163,13 @@ def cosine_threshold_pairs(
         return _block_threshold_pairs(
             ds, threshold=threshold, emb_col=emb_col, id_col=id_col, blocks=blocks
         )
-    rows = ds.select_columns([id_col, emb_col]).take_all()
-    rows.sort(key=lambda r: r[id_col])
-    rmat = _normalize(np.array([r[emb_col] for r in rows], dtype=np.float64))
-    ref = ray.put({"ids": [r[id_col] for r in rows], "mat": rmat})
+    rows = (
+        ds.select_columns([id_col, emb_col])
+        .to_pandas()  # not take_all: ~0.5 ms/row
+        .sort_values(id_col, ignore_index=True)
+    )
+    rmat = _normalize(np.stack(rows[emb_col].to_numpy()).astype(np.float64))
+    ref = ray.put({"ids": rows[id_col].tolist(), "mat": rmat})
     return ds.map_batches(
         _ThresholdPairs,
         fn_constructor_kwargs={"ref": ref, "threshold": threshold},
@@ -361,9 +364,9 @@ def ivf_topk(
 ) -> pd.DataFrame:
     """Approximate top-k via IVF (recall < 1 when a true neighbor lives in
     an unprobed list; raise nprobe to trade cost for recall)."""
-    sample = np.array(
-        [r[emb_col] for r in ds.limit(train_sample).take_all()], dtype=np.float64
-    )
+    sample = np.stack(
+        ds.limit(train_sample).to_pandas()[emb_col].to_numpy()
+    ).astype(np.float64)
     index = IVFIndex(nlist=nlist, nprobe=nprobe).train(sample)
     assigned = index.assign(ds, emb_col=emb_col).materialize()
     qrows = ds.filter(expr=f"{id_col} in {sorted(set(query_ids))}").take_all()

@@ -163,8 +163,8 @@ def write_ntriples(triples, out_dir: str) -> list[str]:
 
     manifest = triples.map_batches(
         write_block, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    return sorted(r["path"] for r in manifest)
+    ).to_pandas()
+    return sorted(manifest["path"]) if len(manifest) else []
 
 
 _TTL_PREFIXES = [
@@ -230,8 +230,8 @@ def write_turtle(triples, out_dir: str) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     manifest = triples.map_batches(
         write_block, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    return sorted(r["path"] for r in manifest)
+    ).to_pandas()
+    return sorted(manifest["path"]) if len(manifest) else []
 
 
 _NCNAME_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
@@ -340,8 +340,8 @@ def write_rdfxml(triples, out_dir: str) -> list[str]:
 
     manifest = triples.map_batches(
         write_block, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    return sorted(r["path"] for r in manifest)
+    ).to_pandas()
+    return sorted(manifest["path"]) if len(manifest) else []
 
 
 def exact_dedup_triples(triples, num_buckets: int = 64):

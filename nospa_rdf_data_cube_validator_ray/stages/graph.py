@@ -274,10 +274,10 @@ def bfs_distances(
                     {"node": hit[dst_col].drop_duplicates().astype("string")}
                 )
 
-            targets = mat.map_batches(expand, batch_format="pandas").take_all()
+            # to_pandas, not take_all (~0.5 ms/row in Ray 2.49)
+            targets = mat.map_batches(expand, batch_format="pandas").to_pandas()
             nxt_set: dict[str, None] = {}
-            for row in targets:
-                v = row["node"]
+            for v in targets["node"] if len(targets) else ():
                 if v not in dist:
                     dist[v] = d
                     nxt_set[v] = None

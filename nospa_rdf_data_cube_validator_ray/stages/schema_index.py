@@ -590,7 +590,8 @@ def build_schema_indexes_local(triples) -> dict[str, GraphIndex]:
     out: dict[str, GraphIndex] = {}
     rows = triples.map_batches(
         _extract_block_indexes, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    for r in rows:
-        out[r["graph"]] = pickle.loads(r["index_pkl"])
+    ).to_pandas()  # not take_all: ~0.5 ms/row at graph-scale rows
+    if len(rows):  # empty to_pandas frames are column-less
+        for g, pkl in zip(rows["graph"], rows["index_pkl"]):
+            out[g] = pickle.loads(pkl)
     return out
