@@ -1701,3 +1701,88 @@ FROM s GROUP BY doc_id
 
 QUERIES["multimodal_video_stats"] = q_multimodal_video_stats
 ORACLES["multimodal_video_stats"] = _SQL_VIDEO_STATS
+
+
+def q_distinct_sketch_kmv(sf_dir: str, k: int = 64):
+    """KMV (k-minimum-values) distinct-token sketch per source — the
+    mergeable cardinality estimator pattern: every batch keeps only its
+    k smallest DISTINCT token hashes per source (constant memory), the
+    per-source partials merge associatively in one bucketed pass, and
+    the estimate is the deterministic integer formula
+    (k−1)·2^61 // kth_min.  Unlike HyperLogLog the whole sketch is
+    md5-derived, so a DuckDB oracle reproduces kth_min AND the estimate
+    bit-exactly.  Rows (source, kth_min, est_distinct, exact ≥ k flag is
+    implicit: sources with < k distinct tokens report exact counts with
+    est_distinct = n_distinct)."""
+    from ..stages.dedup import _md5_u64_cached, tokens
+    from ..util import bucket_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        per: dict[str, set[int]] = {}
+        for src, t in zip(df["source"], df["text"].fillna("")):
+            s = per.setdefault(src, set())
+            for tok in tokens(t):
+                # 61-bit domain keeps kth_min and the estimate int64-safe
+                s.add(_md5_u64_cached(tok) & ((1 << 61) - 1))
+        rows_s, rows_h = [], []
+        for src, hs in per.items():
+            keep = sorted(hs)[:k]
+            rows_s.extend([src] * len(keep))
+            rows_h.extend(keep)
+        return pd.DataFrame(
+            {
+                "source": pd.Series(rows_s, dtype="string"),
+                "h": pd.Series(rows_h, dtype="uint64"),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_kth, out_est = [], [], []
+        for src, g in df.groupby("source", sort=False):
+            hs = sorted(set(g["h"].tolist()))[:k]
+            kth = hs[-1]
+            n = len(hs)
+            est = (k - 1) * (1 << 61) // int(kth) if n == k else n
+            out_s.append(src)
+            out_kth.append(int(kth))
+            out_est.append(int(est))
+        return pd.DataFrame(
+            {
+                "source": pd.Series(out_s, dtype="string"),
+                "kth_min": pd.Series(out_kth, dtype="int64"),
+                "est_distinct": pd.Series(out_est, dtype="int64"),
+            }
+        )
+
+    return bucket_agg(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["source"],
+        merge,
+    )
+
+
+# md5_number_lower == _md5_u64; per source: 64th smallest distinct token
+# hash, estimate (63)·2^61 // kth (exact count when < 64 distinct)
+_SQL_KMV = r"""
+WITH th AS (
+  SELECT DISTINCT source,
+         (md5_number_lower(unnest(regexp_extract_all(coalesce(text, ''), '\S+')))
+          % (1::HUGEINT << 61))::BIGINT AS h
+  FROM documents
+),
+r AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM th
+)
+SELECT source,
+       h::BIGINT AS kth_min,
+       CASE WHEN n >= 64 THEN (63 * (1::HUGEINT << 61) // h)::BIGINT
+            ELSE n::BIGINT END AS est_distinct
+FROM r
+WHERE rn = least(n, 64)
+"""
+
+QUERIES["distinct_sketch_kmv"] = q_distinct_sketch_kmv
+ORACLES["distinct_sketch_kmv"] = _SQL_KMV
