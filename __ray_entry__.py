@@ -1238,6 +1238,107 @@ FROM reach GROUP BY node
 """
 
 
+def q_kg_pred_profile(sf_dir: str):
+    """Per-predicate planner statistics over the code KG — triple count
+    plus a KMV sketch of the distinct-subject cardinality (kth-min
+    61-bit md5 + integer estimate, the same bit-exact sketch as
+    distinct_sketch_kmv): the pay-as-you-go schema/statistics pass a
+    query planner runs over a freshly constructed KG.  Map-side
+    partials (counts + per-pred k-smallest subject hashes), ONE
+    bucketed merge."""
+    import pandas as pd
+
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import _md5_u64
+    from nospa_rdf_data_cube_validator_ray.util import bucket_agg
+
+    k = 64
+    mask = (1 << 61) - 1
+    triples = _code_triples(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows_p, rows_h, rows_n = [], [], []
+        for pred, g in df.groupby("pred", sort=False):
+            hs = sorted(
+                {_md5_u64(s) & mask for s in g["subj"].unique()}
+            )[:k]
+            rows_p.extend([pred] * len(hs))
+            rows_h.extend(hs)
+            rows_n.extend([0] * len(hs))
+            rows_p.append(pred)
+            rows_h.append(-1)  # count-carrier row
+            rows_n.append(len(g))
+        return pd.DataFrame(
+            {
+                "pred": pd.Series(rows_p, dtype="string"),
+                "h": pd.Series(rows_h, dtype="int64"),
+                "n": pd.Series(rows_n, dtype="int64"),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pred, g in df.groupby("pred", sort=False):
+            n = int(g["n"].sum())
+            hs = sorted(set(g.loc[g["h"] >= 0, "h"].tolist()))[:k]
+            kth = int(hs[-1])
+            est = (k - 1) * (1 << 61) // kth if len(hs) == k else len(hs)
+            out.append((pred, n, kth, int(est)))
+        return pd.DataFrame(
+            out, columns=["pred", "n_triples", "kth_min_subj", "est_subjects"]
+        ).astype(
+            {"pred": "string", "n_triples": "int64",
+             "kth_min_subj": "int64", "est_subjects": "int64"}
+        )
+
+    return bucket_agg(
+        triples.map_batches(partial, batch_format="pandas"), ["pred"], merge
+    )
+
+
+# subjects per pred are module IRIs (pure functions of part keys) — the
+# oracle rebuilds them, hashes with md5_number_lower % 2^61, and applies
+# the identical KMV rule; counts follow the import-edge arithmetic
+_SQL_PRED_PROFILE = f"""
+WITH p AS (SELECT p_partkey AS k FROM part),
+subj AS (
+  SELECT '{_CODE}imports' AS pred, '{_CODEN}mod/m' || k AS s FROM p
+  UNION ALL
+  SELECT '{_CODE}importsFrom', '{_CODEN}mod/m' || k FROM p WHERE k % 3 = 1
+  UNION ALL
+  SELECT '{_CODE}definesFunction', '{_CODEN}mod/m' || k FROM p
+  UNION ALL
+  SELECT '{_CODE}definesClass', '{_CODEN}mod/m' || k FROM p
+),
+counts AS (
+  SELECT '{_CODE}imports' AS pred,
+         (count(*) + count(*) FILTER (WHERE k % 3 = 0)
+            + 2 * count(*) FILTER (WHERE k % 3 = 2))::BIGINT AS n_triples
+  FROM p
+  UNION ALL
+  SELECT '{_CODE}importsFrom',
+         count(*) FILTER (WHERE k % 3 = 1)::BIGINT FROM p
+  UNION ALL SELECT '{_CODE}definesFunction', count(*)::BIGINT FROM p
+  UNION ALL SELECT '{_CODE}definesClass', count(*)::BIGINT FROM p
+),
+hashed AS (
+  SELECT DISTINCT pred,
+         (md5_number_lower(s) % (1::HUGEINT << 61))::BIGINT AS h
+  FROM subj
+),
+r AS (
+  SELECT pred, h,
+         row_number() OVER (PARTITION BY pred ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY pred) AS n
+  FROM hashed
+)
+SELECT c.pred, c.n_triples,
+       r.h::BIGINT AS kth_min_subj,
+       CASE WHEN r.n >= 64 THEN (63 * (1::HUGEINT << 61) // r.h)::BIGINT
+            ELSE r.n::BIGINT END AS est_subjects
+FROM counts c JOIN r ON r.pred = c.pred AND r.rn = least(r.n, 64)
+"""
+
+
 def q_kg_repo_profile(sf_dir: str):
     """Per-repo KG rollup over the base+fork corpus: file count, import
     edge count, and DISTINCT import-target count — map-side partials +
@@ -1679,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_repo_profile": q_kg_repo_profile,
         "kg_dag_depth": q_kg_dag_depth,
         "kg_code_2hop": q_kg_code_2hop,
+        "kg_pred_profile": q_kg_pred_profile,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1737,6 +1839,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_repo_profile": _SQL_REPO_PROFILE,
         "kg_dag_depth": _SQL_DAG_DEPTH,
         "kg_code_2hop": _SQL_CODE_2HOP,
+        "kg_pred_profile": _SQL_PRED_PROFILE,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)
