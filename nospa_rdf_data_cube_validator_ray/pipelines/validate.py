@@ -258,7 +258,13 @@ class CubeValidator:
             raise ValueError(
                 f"unknown IC name(s) {sorted(unknown)}; valid: IC1..IC21"
             )
-        return self.validate_all().filter(lambda r: r["ic"] in ics)
+        # vectorized batch filter, not Dataset.filter(lambda): the row
+        # path pays per-row Python on finding-scale data
+        keep = sorted(ics)
+        return self.validate_all().map_batches(
+            lambda df, k=keep: df[df["ic"].isin(k)].reset_index(drop=True),
+            batch_format="pandas",
+        )
 
     def findings_df(self) -> pd.DataFrame:
         df = self.validate_all().to_pandas()
