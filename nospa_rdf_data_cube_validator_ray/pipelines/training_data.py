@@ -1786,3 +1786,48 @@ WHERE rn = least(n, 64)
 
 QUERIES["distinct_sketch_kmv"] = q_distinct_sketch_kmv
 ORACLES["distinct_sketch_kmv"] = _SQL_KMV
+
+
+def q_dedup_ppjoin_pairs(sf_dir: str):
+    """Exact GLOBAL shingle-Jaccard pairs (≥ 7/10) via PPJoin prefix
+    filtering (stages/dedup.ppjoin_pairs) — the third, unblocked+exact
+    dedup mechanism; the oracle recomputes the same pair set from a
+    shared-shingle self-join."""
+    return D.ppjoin_pairs(
+        _docs(sf_dir), threshold_num=7, threshold_den=10, shingle_k=3
+    )
+
+
+_SQL_PPJOIN = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents
+),
+shp AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(w) = 0 THEN []::VARCHAR[]
+         WHEN length(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, length(w) - 2),
+                             i -> array_to_string(w[i:i + 2], ' '))
+    END)) AS s
+  FROM toks
+),
+sh2 AS (
+  SELECT DISTINCT doc_id,
+         (md5_number_lower(s) % (1::HUGEINT << 61))::BIGINT AS h
+  FROM shp
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a::BIGINT AS doc_id_a, i.b::BIGINT AS doc_id_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i * 10 >= (sa.n + sb.n - i.i) * 7
+"""
+
+QUERIES["dedup_ppjoin_pairs"] = q_dedup_ppjoin_pairs
+ORACLES["dedup_ppjoin_pairs"] = _SQL_PPJOIN
