@@ -98,3 +98,49 @@ def test_latest_snapshot_semantics(ray_session):
     )
     assert list(out["content"]) == ["new", "only", "other-repo"]
     assert list(out["commit"]) == ["002", "001", "005"]
+
+
+def test_ppjoin_matches_bruteforce():
+    import itertools
+
+    import pandas as pd
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import (
+        _md5_u64,
+        ppjoin_pairs,
+        shingle_set,
+    )
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog again and again",
+        1: "the quick brown fox jumps over the lazy cat again and again",
+        2: "completely different content with no overlap at all here now",
+        3: "the quick brown fox jumps over the lazy dog again and again",
+        4: "short text",
+    }
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            ppjoin_pairs(docs, threshold_num=5, threshold_den=10)
+            .to_pandas()
+            .to_numpy(),
+        )
+    )
+
+    mask = (1 << 61) - 1
+    sets = {
+        i: {_md5_u64(s) & mask for s in shingle_set(t, 3)}
+        for i, t in texts.items()
+    }
+    want = sorted(
+        (a, b)
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if len(sets[a] & sets[b]) * 10 >= len(sets[a] | sets[b]) * 5
+    )
+    assert got == want and (0, 3) in got and (0, 2) not in got
