@@ -1248,7 +1248,10 @@ def q_kg_pred_profile(sf_dir: str):
     bucketed merge."""
     import pandas as pd
 
-    from nospa_rdf_data_cube_validator_ray.stages.dedup import _md5_u64
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import (
+        _md5_u64_cached,
+        kmv_sketch,
+    )
     from nospa_rdf_data_cube_validator_ray.util import bucket_agg
 
     k = 64
@@ -1259,7 +1262,7 @@ def q_kg_pred_profile(sf_dir: str):
         rows_p, rows_h, rows_n = [], [], []
         for pred, g in df.groupby("pred", sort=False):
             hs = sorted(
-                {_md5_u64(s) & mask for s in g["subj"].unique()}
+                {_md5_u64_cached(s) & mask for s in g["subj"].unique()}
             )[:k]
             rows_p.extend([pred] * len(hs))
             rows_h.extend(hs)
@@ -1279,10 +1282,8 @@ def q_kg_pred_profile(sf_dir: str):
         out = []
         for pred, g in df.groupby("pred", sort=False):
             n = int(g["n"].sum())
-            hs = sorted(set(g.loc[g["h"] >= 0, "h"].tolist()))[:k]
-            kth = int(hs[-1])
-            est = (k - 1) * (1 << 61) // kth if len(hs) == k else len(hs)
-            out.append((pred, n, kth, int(est)))
+            kth, est = kmv_sketch(g.loc[g["h"] >= 0, "h"].tolist(), k)
+            out.append((pred, n, kth, est))
         return pd.DataFrame(
             out, columns=["pred", "n_triples", "kth_min_subj", "est_subjects"]
         ).astype(

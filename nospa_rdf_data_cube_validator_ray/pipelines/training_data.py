@@ -1737,15 +1737,14 @@ def q_distinct_sketch_kmv(sf_dir: str, k: int = 64):
         )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.dedup import kmv_sketch
+
         out_s, out_kth, out_est = [], [], []
         for src, g in df.groupby("source", sort=False):
-            hs = sorted(set(g["h"].tolist()))[:k]
-            kth = hs[-1]
-            n = len(hs)
-            est = (k - 1) * (1 << 61) // int(kth) if n == k else n
+            kth, est = kmv_sketch(g["h"].tolist(), k)
             out_s.append(src)
-            out_kth.append(int(kth))
-            out_est.append(int(est))
+            out_kth.append(kth)
+            out_est.append(est)
         return pd.DataFrame(
             {
                 "source": pd.Series(out_s, dtype="string"),

@@ -103,6 +103,20 @@ def _mulmod61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
     return (t1 + t2 + t3) % m
 
 
+def kmv_sketch(hashes, k: int = 64) -> tuple[int, int]:
+    """K-minimum-values cardinality estimate from an iterable of 61-bit
+    hashes: (kth_min, est_distinct) with the deterministic integer
+    estimator (k-1)*2^61 // kth_min, or the exact count when fewer than
+    k distinct hashes exist — the shared rule for distinct_sketch_kmv
+    and kg_pred_profile, bit-exact against their SQL twins."""
+    hs = sorted(set(hashes))[:k]
+    if not hs:
+        return 0, 0
+    kth = int(hs[-1])
+    est = (k - 1) * (1 << 61) // kth if len(hs) == k else len(hs)
+    return kth, int(est)
+
+
 def minhash_params(num_perm: int = 128, seed: int = 42) -> tuple[list[int], list[int]]:
     """The (a, b) permutation constants, exposed so the DuckDB oracle can
     bake the identical integers into its SQL."""
@@ -827,9 +841,9 @@ def benchmark_contamination(
     # benchmark gram rows — documented eval-scale assumption
     # to_pandas, NOT take_all: Ray 2.49's take_all pays ~0.5 ms/row
     # (per-row dict materialization) — 13 K gram rows cost seconds
-    bench = frozenset(
-        ds.map_batches(bench_grams, batch_format="pandas").to_pandas()["g"]
-    )
+    gdf = ds.map_batches(bench_grams, batch_format="pandas").to_pandas()
+    # len-guard: an all-empty result is a COLUMN-LESS frame
+    bench = frozenset(gdf["g"]) if len(gdf) else frozenset()
     ref = ray.put(bench)
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
@@ -1101,6 +1115,12 @@ def ppjoin_pairs(
 
     import ray as _ray
 
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(
+            f"threshold must satisfy 0 < num <= den, got "
+            f"{threshold_num}/{threshold_den}"
+        )
+
     try:
         cpus = int(_ray.cluster_resources().get("CPU", 4))
     except Exception:
@@ -1137,12 +1157,12 @@ def ppjoin_pairs(
     shingles = ds.map_batches(doc_rows, batch_format="pandas").materialize()
 
     def prefix_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return _grouped_pairs(df[df["pref"]], "h", max_bucket)
+        return _grouped_pairs(df, "h", max_bucket)
 
     cands = _dedup_pairs(
         bucket_agg(
             shingles.map_batches(
-                lambda df: df[df["pref"]][["doc_id", "h", "pref"]],
+                lambda df: df[df["pref"]][["doc_id", "h"]],
                 batch_format="pandas",
             ),
             ["h"],

@@ -166,8 +166,15 @@ def cosine_threshold_pairs(
     rows = (
         ds.select_columns([id_col, emb_col])
         .to_pandas()  # not take_all: ~0.5 ms/row
-        .sort_values(id_col, ignore_index=True)
     )
+    if not len(rows):  # column-less empty frame — no pairs to emit
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.schema([("vec_id_a", pa.int64()), ("vec_id_b", pa.int64())])
+            .empty_table()
+        )
+    rows = rows.sort_values(id_col, ignore_index=True)
     rmat = _normalize(np.stack(rows[emb_col].to_numpy()).astype(np.float64))
     ref = ray.put({"ids": rows[id_col].tolist(), "mat": rmat})
     return ds.map_batches(
@@ -364,9 +371,10 @@ def ivf_topk(
 ) -> pd.DataFrame:
     """Approximate top-k via IVF (recall < 1 when a true neighbor lives in
     an unprobed list; raise nprobe to trade cost for recall)."""
-    sample = np.stack(
-        ds.limit(train_sample).to_pandas()[emb_col].to_numpy()
-    ).astype(np.float64)
+    sdf = ds.limit(train_sample).to_pandas()
+    if not len(sdf):
+        raise ValueError("ivf_topk needs a non-empty embedding dataset")
+    sample = np.stack(sdf[emb_col].to_numpy()).astype(np.float64)
     index = IVFIndex(nlist=nlist, nprobe=nprobe).train(sample)
     assigned = index.assign(ds, emb_col=emb_col).materialize()
     qrows = ds.filter(expr=f"{id_col} in {sorted(set(query_ids))}").take_all()
