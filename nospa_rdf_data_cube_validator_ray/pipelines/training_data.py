@@ -1830,3 +1830,58 @@ WHERE i.i * 10 >= (sa.n + sb.n - i.i) * 7
 
 QUERIES["dedup_ppjoin_pairs"] = q_dedup_ppjoin_pairs
 ORACLES["dedup_ppjoin_pairs"] = _SQL_PPJOIN
+
+
+def q_dedup_cluster_keep(sf_dir: str):
+    """Canonical-survivor selection — the step AFTER near-dup
+    clustering: per cluster keep the best document (longest, ties to
+    the smallest doc_id) and report the cluster size.  One hash join
+    (cluster labels ⋈ doc metadata) + a bucketed per-cluster arg-max —
+    cluster groups never become per-key Ray aggregates."""
+    import ray
+
+    from ..util import bucket_agg, heal_schema
+
+    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    np_ = max(2, min(8, nb))
+    clusters = D.jaccard_clusters(_docs(sf_dir))  # (doc_id, cluster_id)
+    meta = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    joined = heal_schema(clusters, np_).join(
+        heal_schema(meta, np_), "inner", np_, on=("doc_id",)
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            ["cluster_id", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+        )
+        sizes = d.groupby("cluster_id", sort=False)["doc_id"].transform("size")
+        d = d.assign(n_members=sizes.astype("int64"))
+        first = d.drop_duplicates("cluster_id")
+        return pd.DataFrame(
+            {
+                "cluster_id": first["cluster_id"].astype("int64"),
+                "kept_doc_id": first["doc_id"].astype("int64"),
+                "n_members": first["n_members"],
+            }
+        ).reset_index(drop=True)
+
+    return bucket_agg(joined, ["cluster_id"], keep)
+
+
+_SQL_CLUSTER_KEEP = f"""
+SELECT cluster_id, doc_id AS kept_doc_id, n_members FROM (
+  SELECT c.cluster_id, d.doc_id,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, d.doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id)::BIGINT AS n_members
+  FROM ({ORACLES["dedup_clusters"]}) c
+  JOIN documents d USING (doc_id)
+) WHERE rn = 1
+"""
+
+QUERIES["dedup_cluster_keep"] = q_dedup_cluster_keep
+ORACLES["dedup_cluster_keep"] = _SQL_CLUSTER_KEEP
