@@ -1026,11 +1026,92 @@ FROM days d
 """
 
 
+def q_events_attributed(sf_dir: str):
+    """Attribution-window count join: for every purchase, how many
+    'view' events the SAME user emitted in the strictly-preceding hour
+    (ts_v ∈ (t−1h, t), exclusive both ends — µs ties with the purchase
+    itself don't count).  User-bucketed shuffle; inside a bucket the
+    count is two vectorized searchsorteds over composite
+    (user << 42 | relative-µs) keys — no per-user loops, no pandas
+    merge_asof tie ambiguity."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    num_buckets = 32
+    hour_us = 3_600_000_000
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(("view", "purchase"))]
+        return pd.DataFrame(
+            {
+                "kb": (d["user_id"].astype("int64") % num_buckets),
+                "event_id": d["event_id"].astype("int64"),
+                "user_id": d["user_id"].astype("int64"),
+                "ts_us": (
+                    (d["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+                ).astype("int64"),
+                "is_view": (d["event_type"] == "view").to_numpy(),
+            }
+        ).reset_index(drop=True)
+
+    def count_window(df: pd.DataFrame) -> pd.DataFrame:
+        base = int(df["ts_us"].min())
+        rel = (df["ts_us"] - base).to_numpy("int64")
+        # dynamic time-bit width with an hour_us headroom margin, so
+        # `pk - hour_us` can never borrow into the previous user's key
+        # range (a fixed width silently bleeds windows across users
+        # once the time span approaches 2^bits)
+        bits = int(rel.max() + hour_us).bit_length() + 1
+        users = df["user_id"].to_numpy("int64")
+        if int(users.max()).bit_length() + bits > 62:
+            raise ValueError(
+                "events_attributed: user-id/time-span ranges overflow the "
+                "composite int64 key — shrink buckets or re-base time"
+            )
+        key = (users << bits) | rel
+        v = np.sort(key[df["is_view"].to_numpy()])
+        pm = ~df["is_view"].to_numpy()
+        pk = key[pm]
+        lo = np.searchsorted(v, pk - hour_us, side="right")
+        hi = np.searchsorted(v, pk, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": df.loc[pm, "event_id"].to_numpy(),
+                "user_id": df.loc[pm, "user_id"].to_numpy(),
+                "n_views_1h": (hi - lo).astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(proj, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(count_window, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.astype("int64").sort_values("event_id", ignore_index=True)
+
+
+_SQL_EVENTS_ATTRIBUTED = """
+SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+       count(v.event_id)::BIGINT AS n_views_1h
+FROM events p LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND epoch_us(v.ts) > epoch_us(p.ts) - 3600000000
+ AND epoch_us(v.ts) < epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "cube_star_supp": q_cube_star_supp,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_dau_wau": q_events_dau_wau,
+    "events_attributed": q_events_attributed,
     "events_last_purchase": q_events_last_purchase,
     "events_session_assign": q_events_session_assign,
     "events_hourly": q_events_hourly,
@@ -1047,6 +1128,7 @@ ORACLES = {
     "events_funnel": _SQL_EVENTS_FUNNEL,
     "events_retention": _SQL_EVENTS_RETENTION,
     "events_dau_wau": _SQL_EVENTS_DAU_WAU,
+    "events_attributed": _SQL_EVENTS_ATTRIBUTED,
     "events_last_purchase": _SQL_LAST_PURCHASE,
     "events_session_assign": _SQL_SESSION_ASSIGN,
     "events_hourly": _SQL_EVENTS_HOURLY,
