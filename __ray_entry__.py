@@ -1238,6 +1238,89 @@ FROM reach GROUP BY node
 """
 
 
+def q_kg_link_negatives(sf_dir: str):
+    """Deterministic negative sampling for KG link prediction: every
+    import edge (m_a → m_b) proposes the candidate m_{(7a+3b+11) mod 97},
+    and candidates that are REAL edges are removed by a distributed
+    ANTI-join (left_outer hash join + null filter — no broadcast edge
+    set).  Rows (src, neg_dst), distinct.  The hash-based proposal is
+    reproducible across retries/cluster sizes, unlike RNG negatives."""
+    import pandas as pd
+
+    from nospa_rdf_data_cube_validator_ray.functions.kernel import distinct
+    from nospa_rdf_data_cube_validator_ray.util import heal_schema
+
+    np_ = 8
+    edges = _code_import_edges(sf_dir)
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["subj"].str.extract(r"m(\d+)$", expand=False).astype("int64")
+        b = df["obj"].str.extract(r"m(\d+)$", expand=False).astype("int64")
+        neg = (7 * a + 3 * b + 11) % 97
+        return pd.DataFrame(
+            {
+                "src": df["subj"].astype("string"),
+                "dst": (_CODEN + "mod/m" + neg.astype(str)).astype("string"),
+            }
+        ).drop_duplicates(ignore_index=True)
+
+    cands = distinct(
+        edges.map_batches(cand, batch_format="pandas"), ["src", "dst"]
+    )
+
+    def real(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df["subj"].astype("string"),
+                "dst": df["obj"].astype("string"),
+                "_real": pd.Series(1, index=df.index, dtype="int64"),
+            }
+        ).drop_duplicates(["src", "dst"], ignore_index=True)
+
+    real_edges = distinct(
+        edges.map_batches(real, batch_format="pandas"), ["src", "dst", "_real"]
+    )
+    joined = heal_schema(cands, np_).join(
+        heal_schema(real_edges, np_), "left_outer", np_, on=("src", "dst")
+    )
+
+    def keep_negative(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["_real"].isna() if "_real" in df.columns else pd.Series(
+            True, index=df.index
+        )
+        out = df[m]
+        return pd.DataFrame(
+            {
+                "src": out["src"].astype("string"),
+                "neg_dst": out["dst"].astype("string"),
+            }
+        ).reset_index(drop=True)
+
+    return joined.map_batches(keep_negative, batch_format="pandas")
+
+
+_SQL_LINK_NEGATIVES = f"""
+WITH {_CODE_EDGE_BODY},
+ik AS (
+  SELECT DISTINCT
+         CAST(regexp_extract(src, 'm(\\d+)$', 1) AS BIGINT) AS a,
+         CAST(regexp_extract(dst, 'm(\\d+)$', 1) AS BIGINT) AS b,
+         src
+  FROM cedges
+),
+cand AS (
+  SELECT DISTINCT src,
+         '{_CODEN}mod/m' || ((7 * a + 3 * b + 11) % 97) AS dst
+  FROM ik
+)
+SELECT c.src, c.dst AS neg_dst
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cedges e WHERE e.src = c.src AND e.dst = c.dst
+)
+"""
+
+
 def q_kg_pred_profile(sf_dir: str):
     """Per-predicate planner statistics over the code KG — triple count
     plus a KMV sketch of the distinct-subject cardinality (kth-min
@@ -1782,6 +1865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dag_depth": q_kg_dag_depth,
         "kg_code_2hop": q_kg_code_2hop,
         "kg_pred_profile": q_kg_pred_profile,
+        "kg_link_negatives": q_kg_link_negatives,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1841,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_dag_depth": _SQL_DAG_DEPTH,
         "kg_code_2hop": _SQL_CODE_2HOP,
         "kg_pred_profile": _SQL_PRED_PROFILE,
+        "kg_link_negatives": _SQL_LINK_NEGATIVES,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)
