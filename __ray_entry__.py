@@ -1238,6 +1238,49 @@ FROM reach GROUP BY node
 """
 
 
+def q_kg_node_features(sf_dir: str):
+    """GNN feature assembly: ONE node-feature table (node, out_deg,
+    in_deg, n_2hop, pr) composed from three analytics results by hash
+    joins on the node id — the feature-store join shape; nodes outside
+    the 2-hop census (self-loop-only reach) get 0.  All four features
+    are the already-oracled operators, so the composed oracle is their
+    SQL bodies joined identically."""
+    import pandas as pd
+
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        degree_table,
+        pagerank_int,
+        two_hop_sizes,
+    )
+    from nospa_rdf_data_cube_validator_ray.util import heal_schema
+
+    np_ = 8
+    edges = _code_import_edges(sf_dir)
+    deg = degree_table(edges)
+    hop = two_hop_sizes(edges)
+    pr = pagerank_int(edges)
+
+    out = heal_schema(deg, np_).join(
+        heal_schema(hop, np_), "left_outer", np_, on=("node",)
+    )
+    out = heal_schema(out, np_).join(
+        heal_schema(pr, np_), "inner", np_, on=("node",)
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].astype("string"),
+                "out_deg": df["out_deg"].astype("int64"),
+                "in_deg": df["in_deg"].astype("int64"),
+                "n_2hop": df["n_2hop"].fillna(0).astype("int64"),
+                "pr": df["pr"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_kg_link_negatives(sf_dir: str):
     """Deterministic negative sampling for KG link prediction: every
     import edge (m_a → m_b) proposes the candidate m_{(7a+3b+11) mod 97},
@@ -1297,6 +1340,15 @@ def q_kg_link_negatives(sf_dir: str):
         ).reset_index(drop=True)
 
     return joined.map_batches(keep_negative, batch_format="pandas")
+
+
+_SQL_NODE_FEATURES = f"""
+SELECT d.node, d.out_deg, d.in_deg,
+       coalesce(h.n_2hop, 0)::BIGINT AS n_2hop, p.pr
+FROM ({_SQL_CODE_DEGREE}) d
+LEFT JOIN ({_SQL_CODE_2HOP}) h ON h.node = d.node
+JOIN ({_SQL_CODE_PAGERANK}) p ON p.node = d.node
+"""
 
 
 _SQL_LINK_NEGATIVES = f"""
@@ -1866,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_2hop": q_kg_code_2hop,
         "kg_pred_profile": q_kg_pred_profile,
         "kg_link_negatives": q_kg_link_negatives,
+        "kg_node_features": q_kg_node_features,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -1926,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_2hop": _SQL_CODE_2HOP,
         "kg_pred_profile": _SQL_PRED_PROFILE,
         "kg_link_negatives": _SQL_LINK_NEGATIVES,
+        "kg_node_features": _SQL_NODE_FEATURES,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)
