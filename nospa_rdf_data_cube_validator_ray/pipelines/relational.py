@@ -794,6 +794,23 @@ FROM flagged
 """
 
 
+def _vp_proj(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    """Shared view/purchase projection for the funnel and attribution
+    pipelines: user bucket, int64 ids, µs timestamps, is_view flag."""
+    d = df[df["event_type"].isin(("view", "purchase"))]
+    return pd.DataFrame(
+        {
+            "kb": (d["user_id"].astype("int64") % num_buckets),
+            "user_id": d["user_id"].astype("int64"),
+            "event_id": d["event_id"].astype("int64"),
+            "ts_us": (
+                (d["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+            ).astype("int64"),
+            "is_view": (d["event_type"] == "view").to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
 def q_events_funnel(sf_dir: str):
     """Two-step conversion funnel: for every user, the FIRST 'view'
     event (ordered by ts, event_id) and the FIRST 'purchase' STRICTLY
@@ -809,18 +826,7 @@ def q_events_funnel(sf_dir: str):
     num_buckets = 32
 
     def proj(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[df["event_type"].isin(("view", "purchase"))]
-        return pd.DataFrame(
-            {
-                "kb": (d["user_id"].astype("int64") % num_buckets),
-                "user_id": d["user_id"].astype("int64"),
-                "event_id": d["event_id"].astype("int64"),
-                "ts_us": (
-                    (d["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
-                ).astype("int64"),
-                "is_view": (d["event_type"] == "view").to_numpy(),
-            }
-        ).reset_index(drop=True)
+        return _vp_proj(df, num_buckets)
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["user_id", "ts_us", "event_id"]).reset_index(
@@ -1044,18 +1050,7 @@ def q_events_attributed(sf_dir: str):
     hour_us = 3_600_000_000
 
     def proj(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[df["event_type"].isin(("view", "purchase"))]
-        return pd.DataFrame(
-            {
-                "kb": (d["user_id"].astype("int64") % num_buckets),
-                "event_id": d["event_id"].astype("int64"),
-                "user_id": d["user_id"].astype("int64"),
-                "ts_us": (
-                    (d["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
-                ).astype("int64"),
-                "is_view": (d["event_type"] == "view").to_numpy(),
-            }
-        ).reset_index(drop=True)
+        return _vp_proj(df, num_buckets)
 
     def count_window(df: pd.DataFrame) -> pd.DataFrame:
         base = int(df["ts_us"].min())
@@ -1069,7 +1064,9 @@ def q_events_attributed(sf_dir: str):
         if int(users.max()).bit_length() + bits > 62:
             raise ValueError(
                 "events_attributed: user-id/time-span ranges overflow the "
-                "composite int64 key — shrink buckets or re-base time"
+                "composite int64 key — re-base timestamps or split the "
+                "stream into shorter time ranges (bucket count does not "
+                "change either range)"
             )
         key = (users << bits) | rel
         v = np.sort(key[df["is_view"].to_numpy()])
@@ -1085,13 +1082,11 @@ def q_events_attributed(sf_dir: str):
             }
         )
 
-    out = (
+    return (
         ds.map_batches(proj, batch_format="pandas")
         .groupby("kb")
         .map_groups(count_window, batch_format="pandas")
-        .to_pandas()
     )
-    return out.astype("int64").sort_values("event_id", ignore_index=True)
 
 
 _SQL_EVENTS_ATTRIBUTED = """

@@ -1483,8 +1483,7 @@ def q_knn_neighbor_sources(sf_dir: str):
 
     from ..util import heal_schema
 
-    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    np_ = max(2, min(8, nb))
+    np_ = 8
     knn = E.knn_topk(_embs(sf_dir), query_ids=list(range(10)), k=5)
     left = heal_schema(
         ray.data.from_pandas(knn.rename(columns={"neighbor_id": "doc_id"})),
@@ -1842,8 +1841,7 @@ def q_dedup_cluster_keep(sf_dir: str):
 
     from ..util import bucket_agg, heal_schema
 
-    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    np_ = max(2, min(8, nb))
+    np_ = 8
     clusters = D.jaccard_clusters(_docs(sf_dir))  # (doc_id, cluster_id)
     meta = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
