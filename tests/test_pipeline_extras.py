@@ -337,3 +337,48 @@ def test_asof_join_mixed_key_widths_and_int_values():
         right_vals=["sid"],
     ).to_pandas()
     assert list(out3["event_id"]) == [2] and out3["sid"].iloc[0] == 2**53 + 5
+
+
+def test_attributed_window_kernel_bruteforce():
+    """Randomized parity for the composite-key searchsorted attribution
+    window (events_attributed's kernel shape): strict (t-1h, t) window,
+    boundary ties excluded, no cross-user bleed."""
+    import numpy as np
+    import pandas as pd
+
+    hour_us = 3_600_000_000
+    rng = np.random.default_rng(7)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 12, n).astype("int64"),
+            # cluster timestamps so windows overlap and EXACT boundary
+            # collisions occur
+            "ts_us": (
+                rng.integers(0, 50, n) * (hour_us // 2)
+                + rng.integers(0, 3, n)
+            ).astype("int64"),
+            "is_view": rng.random(n) < 0.6,
+        }
+    )
+
+    base = int(df["ts_us"].min())
+    rel = (df["ts_us"] - base).to_numpy("int64")
+    bits = int(rel.max() + hour_us).bit_length() + 1
+    key = (df["user_id"].to_numpy("int64") << bits) | rel
+    v = np.sort(key[df["is_view"].to_numpy()])
+    pm = ~df["is_view"].to_numpy()
+    pk = key[pm]
+    lo = np.searchsorted(v, pk - hour_us, side="right")
+    hi = np.searchsorted(v, pk, side="left")
+    got = dict(zip(df.loc[pm, "event_id"], (hi - lo).astype(int)))
+
+    views = df[df["is_view"]]
+    for _, p in df[pm].iterrows():
+        w = views[
+            (views["user_id"] == p["user_id"])
+            & (views["ts_us"] > p["ts_us"] - hour_us)
+            & (views["ts_us"] < p["ts_us"])
+        ]
+        assert got[p["event_id"]] == len(w), p["event_id"]
