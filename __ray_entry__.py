@@ -631,7 +631,9 @@ def q_kg_canonical_iris(sf_dir: str):
     normalized form (stages/canonicalize.normalize_iri).  The oracle
     rebuilds both columns from nation with string concatenation."""
     from nospa_rdf_data_cube_validator_ray.functions.kernel import distinct
-    from nospa_rdf_data_cube_validator_ray.stages.canonicalize import normalize_iri
+    from nospa_rdf_data_cube_validator_ray.stages.canonicalize import (
+        normalize_iri_series,
+    )
 
     sameas = _entity_triples(sf_dir).filter(expr=f"pred == '{_OWL_SAMEAS}'")
 
@@ -647,7 +649,7 @@ def q_kg_canonical_iris(sf_dir: str):
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"iri": df["iri"], "canonical": df["iri"].map(normalize_iri)}
+            {"iri": df["iri"], "canonical": normalize_iri_series(df["iri"])}
         )
 
     return iris.map_batches(canon, batch_format="pandas")

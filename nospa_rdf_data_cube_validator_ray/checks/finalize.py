@@ -82,40 +82,74 @@ def ic12_findings(dup_ds, num_buckets: int = 64) -> "ray.data.Dataset":
 
 
 class _FlagPoints:
-    def __init__(self, nmeas_by_graph_ds: dict):
-        self.nmeas = nmeas_by_graph_ds
+    """Per-bucket IC-17 finalize: renders FINAL finding rows inside the
+    bucketed map_groups (violations are observation-scale on a
+    pathological corpus — they must never round-trip through the driver).
+    ``nmeas`` / ``totals`` / ``wild_keys`` are dataset-scale dicts
+    (measureType datasets are schema-scale), shipped once per task."""
+
+    def __init__(self, nmeas: dict, totals: dict, wild_keys: set):
+        self.nmeas = nmeas
+        self.totals = totals
+        self.wild_keys = wild_keys
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         keys = ["graph", "dataset", "key"]
-        d2 = df.drop_duplicates(keys + ["subject"]).copy()
-        d2["_w"] = d2["detail"] == "w"
+        d2 = df.drop_duplicates(keys + ["subject"])
+        if self.wild_keys:
+            # wildcard datasets (a non-single-valued dim anywhere in the
+            # dataset) use the exact pairwise fallback; their keys span
+            # buckets, so the membership set rides in — dataset-level,
+            # covering the per-key detail == 'w' marker rows too
+            mask = [
+                (g, d) not in self.wild_keys
+                for g, d in zip(d2["graph"], d2["dataset"])
+            ]
+            d2 = d2[pd.Series(mask, index=d2.index)]
+        if not len(d2):
+            return _fdf([])
         grp = d2.groupby(keys, sort=False)
         size = grp["subject"].transform("size")
-        wild = grp["_w"].transform("max")
-        nm = pd.MultiIndex.from_frame(d2[["graph", "dataset"]]).map(self.nmeas)
-        flagged = d2[(~wild) & nm.notna() & (size != nm.to_numpy())]
-        out = pd.DataFrame(
+        gd_ix = pd.MultiIndex.from_frame(d2[["graph", "dataset"]])
+        nm = gd_ix.map(self.nmeas)
+        flagged = d2[nm.notna() & (size != nm.to_numpy())]
+        if not len(flagged):
+            return _fdf([])
+        tot = pd.MultiIndex.from_frame(
+            flagged[["graph", "dataset"]]
+        ).map(self.totals)
+        detail = (
+            tot.to_numpy() - size[flagged.index].to_numpy()
+        ).astype("int64").astype(str)
+        return pd.DataFrame(
             {
                 "graph": flagged["graph"],
                 "file_sha256": flagged["file_sha256"],
-                "dataset": flagged["dataset"],
+                "ic": "IC17",
                 "subject": flagged["subject"],
-                "size": size[flagged.index],
-            }
+                "detail": detail,
+            },
+            columns=_F_COLS,
         )
-        return out
 
 
-def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64) -> pd.DataFrame:
-    """pt rows → IC-17 findings as a small pandas DataFrame (measureType
-    datasets are schema-scale; per-dataset totals are tiny aggregates)."""
+def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64):
+    """pt rows → IC-17 findings Dataset (final columns), or None when no
+    dataset declares a measure count.  Findings stay distributed: the
+    group-count compare renders rows inside the bucketed map_groups
+    (ValidatorIC17.java:50-57 semantics, like the local path); only the
+    dataset-scale aggregates (totals, wildcard set) and the cap-bounded
+    wildcard fallback rows touch the driver."""
+    import ray
+    import ray.data
+
     nmeas = {
         (g, d): n
         for g, idx in indexes.items()
         for d, n in idx.ic17_nmeas_by_ds.items()
     }
     if not nmeas:
-        return _fdf([])
+        return None
 
     from ..util import bucket_count
 
@@ -135,33 +169,29 @@ def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64) -> pd.DataFrame:
     wild_keys = (
         set(zip(wdf["graph"], wdf["dataset"])) if len(wdf) else set()
     )
+    # enforce the wildcard cap STREAM-side, from the already-computed
+    # per-dataset totals, before any wildcard row is collected — the loud
+    # RuntimeError must fire before a pathological corpus can exhaust
+    # driver memory, not after
+    for k in wild_keys:
+        if totals.get(k, 0) > 100_000:
+            raise RuntimeError("IC-17 wildcard fallback exceeded cap")
 
-    flag_points = _FlagPoints(nmeas)
+    flag_points = _FlagPoints(nmeas, totals, wild_keys)
 
     def flag_points_fn(df: pd.DataFrame) -> pd.DataFrame:
         return flag_points(df)
 
-    flagged = (
+    out = (
         _with_kb(pt_ds, ["graph", "dataset", "key"], num_buckets)
         .groupby("kb")
         .map_groups(flag_points_fn, batch_format="pandas")
-        .to_pandas()
     )
 
-    rows = []
-    for g, d, sha, subj, size in zip(
-        flagged["graph"], flagged["dataset"], flagged["file_sha256"],
-        flagged["subject"], flagged["size"],
-    ) if len(flagged) else ():
-        if (g, d) in wild_keys:
-            continue
-        total = totals.get((g, d), 0)
-        rows.append((g, sha, "IC17", subj, str(total - size)))
-
     # wildcard fallback: exact pairwise reference semantics.  ONE Dataset
-    # pass collects all wildcard datasets' rows (wildcards are pathological
-    # inputs, bounded by the cap), then groups driver-side — N wildcard
-    # datasets must not mean N full scans.
+    # pass collects all wildcard datasets' rows (pathological inputs,
+    # bounded by the per-dataset cap above), then groups driver-side —
+    # N wildcard datasets must not mean N full scans.
     if wild_keys:
         def keep_wild(df, wk=wild_keys):
             m = [
@@ -180,9 +210,11 @@ def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64) -> pd.DataFrame:
             all_wild["file_sha256"], all_wild["key"],
         ):
             by_ds.setdefault((g, d), []).append((subj, sha, key))
-        rows.extend(_ic17_wildcard_rows(by_ds, nmeas))
+        rows = _ic17_wildcard_rows(by_ds, nmeas)
+        if rows:
+            out = out.union(ray.data.from_pandas(_fdf(rows)))
 
-    return _fdf(rows)
+    return out
 
 
 def _parse_point(key: str) -> dict:

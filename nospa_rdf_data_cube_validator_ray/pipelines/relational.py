@@ -417,24 +417,39 @@ def _two_sided_bucketed(
         for c in all_cols
     }
 
+    def _key_kind(dt):
+        if not isinstance(dt, pa.DataType):
+            try:
+                dt = pa.from_numpy_dtype(dt)
+            except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                return "other"
+        if pa.types.is_integer(dt):
+            return "int"
+        if pa.types.is_floating(dt):
+            return "float"
+        return "other"
+
+    # ONE canonical key dtype ACROSS the two sides, decided from the
+    # Dataset schemas before hashing: pd.util.hash_array hashes the raw
+    # representation, so int64 5 and float64 5.0 bucket differently —
+    # per-side width unification alone would silently emit NA matches
+    # when one side carries a float-promoted copy of an integer key.
+    kinds = {_key_kind(l_types[by]), _key_kind(r_types[by])}
+    if kinds == {"int"}:
+        key_np = "int64"
+    elif kinds <= {"int", "float"}:
+        key_np = "float64"
+    else:
+        key_np = None
+
     def tag(side: int, keep: list[str]):
         def f(df: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame(index=df.index)
             for c in all_cols:
                 out[c] = df[c] if c in keep else defaults[c]
             out["_side"] = np.int8(side)
-            # canonicalize the key array before hashing: the two sides
-            # may carry different physical widths (int32 vs int64, or a
-            # float-promoted copy), and pd.util.hash_array hashes the
-            # RAW representation — int32 -5 and int64 -5 would land in
-            # different buckets and silently drop matches
             keys = df[by]
-            if pd.api.types.is_integer_dtype(keys):
-                arr = keys.to_numpy("int64")
-            elif pd.api.types.is_float_dtype(keys):
-                arr = keys.to_numpy("float64")
-            else:
-                arr = keys.to_numpy()
+            arr = keys.to_numpy(key_np) if key_np else keys.to_numpy()
             out["_kb"] = (
                 pd.util.hash_array(arr) % num_buckets
             ).astype("int32")

@@ -1233,8 +1233,9 @@ WITH g AS (
   SELECT doc_id,
          md5_number_lower(substr(text, i, 8)) % {_B61} AS h,
          i, greatest(length(text) - 7, 0) AS n
-  FROM (SELECT doc_id, text,
-               unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i
+  FROM (SELECT doc_id, coalesce(text, '') AS text,
+               unnest(generate_series(
+                   1, greatest(length(coalesce(text, '')) - 7, 0))) AS i
         FROM documents)
 ),
 wm AS (
@@ -1247,7 +1248,8 @@ sel AS (
   SELECT DISTINCT doc_id, n, m FROM wm WHERE i >= 16 OR i = n
 )
 SELECT d.doc_id,
-       coalesce(max(sel.n), greatest(length(d.text) - 7, 0))::BIGINT AS n_grams,
+       coalesce(max(sel.n),
+                greatest(length(coalesce(d.text, '')) - 7, 0))::BIGINT AS n_grams,
        count(sel.m)::BIGINT AS n_fingerprints,
        coalesce(min(sel.m), 0)::BIGINT AS fp_min,
        coalesce(bit_xor(sel.m::UBIGINT), 0)::BIGINT AS fp_xor

@@ -203,6 +203,11 @@ class CubeValidator:
         )
         ic12 = finalize.ic12_findings(_split_kind(pivot_out, "dup"), self.num_buckets)
         vals = finalize.val_findings(_split_kind(pivot_out, "val"), self.num_buckets)
+        # IC-17 finalizes inside its bucketed map_groups (findings are
+        # observation-scale on a pathological corpus — never driver-side)
+        ic17 = finalize.ic17_findings(
+            _split_kind(pivot_out, "pt"), indexes, self.num_buckets
+        )
 
         driver_dfs = [
             finalize.schema_findings_df(indexes),
@@ -216,17 +221,17 @@ class CubeValidator:
                 .to_dict("records"),
                 indexes,
             ),
-            finalize.ic17_findings(
-                _split_kind(pivot_out, "pt"), indexes, self.num_buckets
-            ),
         ]
         driver_df = pd.concat(driver_dfs, ignore_index=True)
 
+        streams = [f_stream, ic12, vals]
+        if ic17 is not None:
+            streams.append(ic17)
         parts = [
             ds.map_batches(
                 lambda df: _findings_table(df), batch_format="pandas"
             )
-            for ds in (f_stream, ic12, vals)
+            for ds in streams
         ]
         findings = parts[0].union(*parts[1:])
         if len(driver_df):

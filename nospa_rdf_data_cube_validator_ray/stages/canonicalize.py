@@ -79,6 +79,34 @@ def normalize_iri(iri: str) -> str:
     return urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
 
 
+# already-canonical fast path: lowercase scheme, lowercase port-less
+# netloc with no percent-escapes; the two substring guards below exclude
+# any percent-escape and any possible dot-segment ("/." is conservative —
+# "/.well-known" also takes the slow path, which is merely slower, never
+# wrong).  Uppercase in path/query/fragment is canonical (preserved).
+_CANON_HEAD_RE = r"[a-z][a-z0-9+.\-]*://[^/?#A-Z:%]*(?:[/?#]|$)"
+
+
+def normalize_iri_series(s: "pd.Series") -> "pd.Series":
+    """Vectorized :func:`normalize_iri` over a Series: each DISTINCT value
+    is normalized once per batch, and a regex fast path skips values that
+    are provably already canonical (the overwhelmingly common case at
+    entity-linking scale) — the pure-Python RFC-3986 parse only runs on
+    values that can actually change."""
+    if not len(s):
+        return s.astype(object)
+    u = pd.Series(pd.unique(s.dropna())).astype(str)
+    fast = (
+        u.str.match(_CANON_HEAD_RE)
+        & ~u.str.contains("%", regex=False)
+        & ~u.str.contains("/.", regex=False)
+    ).to_numpy()
+    mapping: dict = {v: v for v in u[fast]}
+    for v in u[~fast]:
+        mapping[v] = normalize_iri(v)
+    return s.map(mapping)
+
+
 class CanonicalizeTerms:
     """Actor-pool map_batches stage: normalize + entity-link subj/pred/obj.
 
@@ -94,19 +122,32 @@ class CanonicalizeTerms:
         )
         self._memo: dict[str, str] = {}  # raw IRI → canonical (per-actor dict)
 
-    def _canon(self, iri: str) -> str:
-        hit = self._memo.get(iri)
-        if hit is None:
-            if len(self._memo) > 4_000_000:
-                self._memo.clear()
-            n = normalize_iri(iri)
-            hit = self.aliases.get(n, n)
-            self._memo[iri] = hit
-        return hit
+    def _canon_many(self, vals) -> dict:
+        """Distinct raw terms → canonical terms; actor-memoized across
+        batches, with the vectorized fast path for memo misses."""
+        memo = self._memo
+        mapping: dict = {}
+        misses: list = []
+        for v in vals:
+            hit = memo.get(v)
+            if hit is None:
+                misses.append(v)
+            else:
+                mapping[v] = hit
+        if misses:
+            if len(memo) > 4_000_000:
+                memo.clear()
+            aliases = self.aliases
+            for v, n in zip(
+                misses, normalize_iri_series(pd.Series(misses, dtype=object))
+            ):
+                hit = aliases.get(n, n)
+                memo[v] = hit
+                mapping[v] = hit
+        return mapping
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
-        canon = self._canon
         # unique-value mapping: each distinct term normalized once per batch,
         # memoized across batches by the actor dict
         for col, mask in (
@@ -114,12 +155,10 @@ class CanonicalizeTerms:
             ("pred", pd.Series(True, index=df.index)),
         ):
             vals = df.loc[mask, col]
-            mapping = {v: canon(v) for v in vals.unique()}
-            out.loc[mask, col] = vals.map(mapping)
+            out.loc[mask, col] = vals.map(self._canon_many(vals.unique()))
         om = df["obj_kind"] == 0
         vals = df.loc[om, "obj"]
-        mapping = {v: canon(v) for v in vals.unique()}
-        out.loc[om, "obj"] = vals.map(mapping)
+        out.loc[om, "obj"] = vals.map(self._canon_many(vals.unique()))
         return out
 
 
@@ -156,8 +195,8 @@ def _sameas_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     """Normalized, undirected (src, dst) edge Dataset from owl:sameAs."""
 
     def norm(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["subj"].map(normalize_iri)
-        b = df["obj"].map(normalize_iri)
+        a = normalize_iri_series(df["subj"])
+        b = normalize_iri_series(df["obj"])
         return pd.DataFrame(
             {"src": pd.concat([a, b], ignore_index=True),
              "dst": pd.concat([b, a], ignore_index=True)}

@@ -572,13 +572,9 @@ def minhash_lsh_pairs(
     est_jaccard_num = #equal signature slots (out of ``num_perm``) —
     integer, ≥ ceil(threshold * num_perm)."""
     min_eq = int(np.ceil(threshold * num_perm))
-    if num_partitions is None:
-        # each join partition gets a HashShuffleAggregator actor wanting a
-        # CPU slot; oversubscribing a small cluster deadlocks the pool.
-        # At corpus scale pass this explicitly (≈ cluster cores).
-        import ray
+    from ..util import join_partitions
 
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    num_partitions = join_partitions(num_partitions)
 
     # materialize the signature table ONCE: the bucket pipeline and both
     # join probes consume it, and without a checkpoint each consumer would
@@ -1121,11 +1117,9 @@ def ppjoin_pairs(
             f"{threshold_num}/{threshold_den}"
         )
 
-    try:
-        cpus = int(_ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    np_ = num_partitions or max(2, min(16, cpus))
+    from ..util import join_partitions
+
+    np_ = join_partitions(num_partitions)
     mask = (1 << 61) - 1
 
     def doc_rows(df: pd.DataFrame) -> pd.DataFrame:

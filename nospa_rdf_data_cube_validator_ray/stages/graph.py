@@ -40,16 +40,11 @@ RDF_TYPE = PREFIX_RDF + "type"
 
 
 def _nparts(num_partitions: int | None = None) -> int:
-    """Hash-partition count for join/groupby stages: bounded by cluster
-    CPUs (Ray 2.49 join aggregator pools deadlock when partitions exceed
-    available cores)."""
-    if num_partitions is not None:
-        return num_partitions
-    try:
-        n = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        n = 4
-    return max(2, min(16, n))
+    """Hash-partition count for join/groupby stages — the shared
+    cluster-derived default (util.join_partitions)."""
+    from ..util import join_partitions
+
+    return join_partitions(num_partitions)
 
 
 def _ren(ds: "ray.data.Dataset", mapping: dict) -> "ray.data.Dataset":
@@ -216,15 +211,15 @@ def bfs_distances(
       collected ONCE and BFS runs exactly on the driver — the same
       regime the alias table / cluster_from_pairs use below their
       thresholds.
-    * larger: per-round broadcast-frontier expansion.  Each round
-      ``ray.put``s the frontier node set (frontier-scale, small) and
-      runs a map-only scan of the materialized edge Dataset emitting
-      per-batch-deduped targets of frontier nodes; the driver keeps
-      (node → dist) for REACHED nodes only.  No shuffle, no edge list on
-      the driver; cost is rounds × one edge scan, so this is the
-      shallow-diameter regime (depth ≫ ``max_rounds`` ⇒ RuntimeError —
-      use cc_labels-style pointer jumping for component questions on
-      deep chains)."""
+    * larger: fully distributed frontier rounds.  ``dist`` (node, dist)
+      and the frontier are DATASETS throughout; each round is one hash
+      join expanding the frontier through the materialized edge table
+      plus one left-outer anti-join against ``dist`` (the cc_labels
+      round machinery) — the driver holds only the round counter and the
+      frontier COUNT, never a node-scale container.  Cost is rounds ×
+      two shuffles, so this is the shallow-diameter regime (depth ≫
+      ``max_rounds`` ⇒ RuntimeError — use cc_labels-style pointer
+      jumping for component questions on deep chains)."""
     src_col, dst_col = ("obj", "subj") if reverse else ("subj", "obj")
     n_edges = edges.count()
 
@@ -251,45 +246,111 @@ def bfs_distances(
                         dist[v] = d
                         nxt.append(v)
             frontier = nxt
-    else:
-        mat = edges.map_batches(
-            lambda d: d[[src_col, dst_col]], batch_format="pandas"
-        ).materialize()
-        dist = {s: 0 for s in seeds}
-        frontier = list(dict.fromkeys(seeds))
-        d = 0
-        while frontier:
-            if d >= max_rounds:
-                raise RuntimeError(
-                    f"bfs_distances exceeded max_rounds={max_rounds} "
-                    "(graph deeper than the frontier-walk regime supports)"
-                )
-            d += 1
-            ref = ray.put(set(frontier))
+        out = pd.DataFrame(
+            {
+                "node": pd.Series(list(dist.keys()), dtype="string"),
+                "dist": pd.Series(list(dist.values()), dtype="int64"),
+            }
+        )
+        return ray.data.from_pandas(
+            out.sort_values(["dist", "node"], ignore_index=True)
+        )
 
-            def expand(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
-                fs = ray.get(ref)
-                hit = df[df[src_col].isin(fs)]
-                return pd.DataFrame(
-                    {"node": hit[dst_col].drop_duplicates().astype("string")}
-                )
+    from ..util import bucket_agg, heal_schema
 
-            # to_pandas, not take_all (~0.5 ms/row in Ray 2.49)
-            targets = mat.map_batches(expand, batch_format="pandas").to_pandas()
-            nxt_set: dict[str, None] = {}
-            for v in targets["node"] if len(targets) else ():
-                if v not in dist:
-                    dist[v] = d
-                    nxt_set[v] = None
-            frontier = list(nxt_set)
+    np_ = _nparts(None)
+    mat = edges.map_batches(
+        lambda d: d[[src_col, dst_col]], batch_format="pandas"
+    ).materialize()
 
-    out = pd.DataFrame(
-        {
-            "node": pd.Series(list(dist.keys()), dtype="string"),
-            "dist": pd.Series(list(dist.values()), dtype="int64"),
-        }
+    def _typed_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "node" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype="string")})
+        return pd.DataFrame({"node": df["node"].astype("string")})
+
+    seeds_u = list(dict.fromkeys(seeds))
+    dist_ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "node": pd.Series(seeds_u, dtype="string"),
+                "dist": pd.Series([0] * len(seeds_u), dtype="int64"),
+            }
+        )
+    ).materialize()
+    frontier_ds = dist_ds
+    d = 0
+    while frontier_ds.count() > 0:
+        if d >= max_rounds:
+            raise RuntimeError(
+                f"bfs_distances exceeded max_rounds={max_rounds} "
+                "(graph deeper than the frontier-round regime supports)"
+            )
+        d += 1
+        # expand: edges ⋈ frontier on src → candidate targets, deduped
+        # per batch then globally (bucketed — never one group per node)
+        cand = (
+            mat.join(
+                heal_schema(
+                    _ren(
+                        frontier_ds.map_batches(
+                            _typed_nodes, batch_format="pandas"
+                        ),
+                        {"node": src_col},
+                    ),
+                    np_,
+                ),
+                "inner",
+                np_,
+                on=(src_col,),
+            )
+            .map_batches(
+                lambda df: _typed_nodes(
+                    df.rename(columns={dst_col: "node"})
+                ).drop_duplicates(),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        if cand.count() == 0:
+            # frontier had no outgoing edges — a fully-empty Dataset is
+            # schema-less (heal_schema can't conjure a schema) and the
+            # anti-join below would fail on it; the walk is done anyway
+            break
+        cand = bucket_agg(
+            cand, ["node"],
+            lambda df: df.drop_duplicates("node"),
+            num_buckets=np_,
+        ).map_batches(_typed_nodes, batch_format="pandas")
+
+        # anti-join against dist: left_outer + null filter keeps only
+        # nodes reached for the first time this round
+        def first_reached(df: pd.DataFrame, d=d) -> pd.DataFrame:
+            if len(df) and "_seen" in df.columns:
+                df = df[df["_seen"].isna()]
+            nodes = _typed_nodes(df)
+            nodes["dist"] = pd.Series(
+                [d] * len(nodes), dtype="int64", index=nodes.index
+            )
+            return nodes
+
+        new = (
+            heal_schema(cand, np_)
+            .join(
+                heal_schema(_ren(dist_ds, {"dist": "_seen"}), np_),
+                "left_outer",
+                np_,
+                on=("node",),
+            )
+            .map_batches(first_reached, batch_format="pandas")
+            .materialize()
+        )
+        dist_ds = dist_ds.union(new).materialize()
+        frontier_ds = new
+
+    return dist_ds.sort(["dist", "node"]).map_batches(
+        lambda df: df.astype({"node": "string", "dist": "int64"}),
+        batch_format="pandas",
     )
-    return ray.data.from_pandas(out.sort_values(["dist", "node"], ignore_index=True))
 
 
 def _undirected(edges: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -20,6 +20,30 @@ def auto_concurrency(concurrency=None):
     return (1, max(2, n))
 
 
+def join_partitions(num_partitions=None) -> int:
+    """Hash-partition count for ``Dataset.join`` / wide groupby stages,
+    derived from the CLUSTER's total CPUs — the one shared default for
+    every join site (no magic divisors).
+
+    Ray 2.49 gives each join partition a HashShuffleAggregator actor that
+    holds a CPU slot for the life of the shuffle; requesting more
+    aggregator slots than the cluster has cores deadlocks the pool, and
+    taking *all* cores starves the producer tasks feeding the shuffle.
+    Half the cluster's CPUs keeps both sides scheduled and scales the
+    partition count linearly with cluster size (32 cores → 16 partitions;
+    a 256-node × 32-core cluster → 4096).  Callers with better knowledge
+    (tiny inputs, known skew) pass an explicit value through untouched."""
+    if num_partitions is not None:
+        return num_partitions
+    import ray
+
+    try:
+        n = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        n = 4
+    return max(2, n // 2)
+
+
 def heal_schema(ds, num_partitions: int):
     """Work around a Ray 2.49 empty-block quirk at hash-join boundaries.
 

@@ -90,7 +90,9 @@ def test_bfs_driver_regime():
 
 
 def test_bfs_regime_parity():
-    edges = _chain_edges()
+    # short chain: the distributed regime pays two shuffles per ROUND
+    # (join + anti-join), so parity runs at depth 7, not 31
+    edges = _chain_edges(6)
     a = G.bfs_distances(edges, ["root"]).to_pandas()
     b = G.bfs_distances(edges, ["root"], max_driver_edges=0).to_pandas()
     pd.testing.assert_frame_equal(a, b)

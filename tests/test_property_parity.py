@@ -74,6 +74,29 @@ def random_cube(rng: random.Random, fid: int) -> str:
     return "\n\n".join(L) + "\n"
 
 
+def test_mt_fixture_shuffle_parity():
+    """The measureType oracle corpus (the IC-17-heavy fixture behind
+    cube_mt_ic17) must emit IDENTICAL findings through mode="shuffle" —
+    the streamed IC-17 finalize (finalize.ic17_findings renders rows
+    inside its bucketed map_groups) against the oracle-checked local
+    path."""
+    from nospa_rdf_data_cube_validator_ray import fixtures
+
+    corpus = fixtures.tpch_mt_corpus("/root/testdata/sf0.001", n_files=8)
+
+    def findings(mode):
+        v = CubeValidator(ray.data.from_arrow(corpus), num_buckets=8, mode=mode)
+        df = v.findings_df()
+        df["detail"] = df["detail"].map(tuple)
+        return df.sort_values(
+            ["graph", "ic", "subject", "detail"]
+        ).reset_index(drop=True)[["graph", "ic", "subject", "detail"]]
+
+    local, shuffle = findings("local"), findings("shuffle")
+    assert (local["ic"] == "IC17").sum() > 0  # fixture plants IC-17 hits
+    assert local.equals(shuffle)
+
+
 @pytest.mark.parametrize("seed", [11, 23, 37, 59, 71, 83, 97, 109])
 def test_random_cube_mode_parity(seed):
     rng = random.Random(seed)
