@@ -189,6 +189,89 @@ def q_mt_ic17(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# -- SPARQL-specification engine queries ------------------------------------
+# create_validator("SPARQL") — the independent cross-check engine
+# (pipelines/sparql_validate.py, hand-translated from the reference's
+# sparql/IntegrityConstraint.java).  Oracles encode the SPEC semantics:
+# where they match the NoSPA oracles the engines agree; cube_sparql_ic12_pairs /
+# _ic19 / _mt_profile encode the documented divergences exactly.
+
+
+def _sparql_findings(sf_dir: str) -> pd.DataFrame:
+    state = _CACHE.setdefault(sf_dir, {})
+    if "sparql_findings" not in state:
+        from nospa_rdf_data_cube_validator_ray import create_validator
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
+
+        v = create_validator("SPARQL", corpus=tpch_cube_corpus(sf_dir))
+        state["sparql_findings"] = v.findings_df()
+    return state["sparql_findings"]
+
+
+def _sparql_mt_findings(sf_dir: str) -> pd.DataFrame:
+    state = _CACHE.setdefault(sf_dir, {})
+    if "sparql_mt_findings" not in state:
+        from nospa_rdf_data_cube_validator_ray import create_validator
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_mt_corpus
+
+        v = create_validator("SPARQL", corpus=tpch_mt_corpus(sf_dir))
+        state["sparql_mt_findings"] = v.findings_df()
+    return state["sparql_mt_findings"]
+
+
+def _sparql_ic(sf_dir: str, ic: str) -> pd.DataFrame:
+    df = _sparql_findings(sf_dir)
+    return df[df["ic"] == ic].reset_index(drop=True)
+
+
+def q_sparql_ic1(sf_dir: str) -> pd.DataFrame:
+    """Spec IC-1 ≡ NoSPA IC-1 on this corpus (dataSet count != 1)."""
+    return _sparql_ic(sf_dir, "IC1")[["subject"]]
+
+
+def q_sparql_ic11(sf_dir: str) -> pd.DataFrame:
+    return _subject_missing(_sparql_ic(sf_dir, "IC11"))
+
+
+def q_sparql_ic12_pairs(sf_dir: str) -> pd.DataFrame:
+    """Spec IC-12 emits ORDERED (obs1, obs2) pairs (both directions) —
+    the documented divergence from NoSPA's 2nd-member-only flagging."""
+    df = _sparql_ic(sf_dir, "IC12")
+    out = df[["subject", "detail"]].explode("detail")
+    return pd.DataFrame(
+        {"subject": out["subject"], "partner": out["detail"]}
+    ).reset_index(drop=True)
+
+
+def q_sparql_ic14(sf_dir: str) -> pd.DataFrame:
+    return _subject_missing(_sparql_ic(sf_dir, "IC14"))
+
+
+def q_sparql_ic19(sf_dir: str) -> pd.DataFrame:
+    """Spec IC-19 keys by (obs, dim) — NoSPA keys by value."""
+    df = _sparql_ic(sf_dir, "IC19")
+    return pd.DataFrame(
+        {"subject": df["subject"], "dim": df["detail"].map(lambda d: d[0])}
+    )
+
+
+def q_sparql_ic20(sf_dir: str) -> pd.DataFrame:
+    df = _sparql_ic(sf_dir, "IC20")
+    return pd.DataFrame(
+        {"subject": df["subject"], "detail_0": df["detail"].map(lambda d: d[0])}
+    )
+
+
+def q_sparql_mt_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-IC finding counts of the spec engine over the measureType
+    corpus — encodes the IC-14 skip (no row), the per-binding IC-15, the
+    pairwise IC-12 and the grouped-count IC-17 in one oracle."""
+    df = _sparql_mt_findings(sf_dir)
+    g = df.groupby("ic", as_index=False).size().rename(columns={"size": "n"})
+    g["n"] = g["n"].astype("int64")
+    return g.sort_values("ic", ignore_index=True)
+
+
 # -- slice corpus queries (phase-2b pushdown + IC-10/18 at scale) ----------
 
 
@@ -438,6 +521,70 @@ SELECT DISTINCT '<{TP}zone/bad/' || l_orderkey || '>' AS subject,
        '<{TP}geo>' AS detail_0
 FROM lineitem
 WHERE l_orderkey % 127 = 0
+"""
+
+# -- SPARQL-spec engine oracles ---------------------------------------------
+# spec IC-1 flags the SAME subjects as NoSPA but with no detail set
+_SQL_SPARQL_IC1 = f"""
+SELECT DISTINCT '<{TP}obs/' || l_orderkey || '/1>' AS subject
+FROM lineitem
+WHERE l_orderkey % 107 = 0
+"""
+
+# spec IC-12 = ordered pairs over shared-dim agreement: on this corpus the
+# only agreeing pairs are the injected duplicates (d_order pins obs of
+# different orders apart; d_line pins ranks apart), flagged in BOTH
+# directions — including K%97 pairs NoSPA's IC-11 branch excludes
+_SQL_SPARQL_IC12_PAIRS = f"""
+WITH k AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey % 101 = 0
+)
+SELECT '<{TP}obs/' || k || '/1>' AS subject,
+       '<{TP}obs/' || k || '/1dup>' AS partner FROM k
+UNION ALL
+SELECT '<{TP}obs/' || k || '/1dup>', '<{TP}obs/' || k || '/1>' FROM k
+"""
+
+# spec IC-19 keys by (obs, dim): the rank-1 obs carrying the bad code —
+# and its injected duplicate when K is also a duplicate key
+_SQL_SPARQL_IC19 = f"""
+WITH k AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey % 113 = 0
+)
+SELECT '<{TP}obs/' || k || '/1>' AS subject, '<{TP}d_mode>' AS dim FROM k
+UNION ALL
+SELECT '<{TP}obs/' || k || '/1dup>', '<{TP}d_mode>' FROM k WHERE k % 101 = 0
+"""
+
+# spec per-IC counts on the measureType corpus:
+#   IC-14 absent (spec skips measureType cubes — the quirk divergence);
+#   IC-12: single-measureType obs pair within (customer, parity) groups;
+#   IC-15: every measureType binding missing its value;
+#   IC-16: a second declared measure present on the obs;
+#   IC-17: count(obs1) = w1 · Σ_{same cust} w2 (w = #measureType values,
+#   self included) must equal numMeasures = 2 ⟺ w1 = 1 ∧ S(cust) = 2.
+_SQL_SPARQL_MT_PROFILE = """
+SELECT ic, n FROM (
+  SELECT 'IC12' AS ic, coalesce(sum(n), 0)::BIGINT AS n FROM (
+    SELECT count(*) AS n FROM orders WHERE o_orderkey % 137 != 0
+    GROUP BY o_custkey, o_orderkey % 2
+  ) WHERE n >= 2
+  UNION ALL
+  SELECT 'IC15', count(*)::BIGINT FROM orders
+  WHERE o_orderkey % 131 = 0 OR o_orderkey % 137 = 0
+  UNION ALL
+  SELECT 'IC16', count(*)::BIGINT FROM orders
+  WHERE o_orderkey % 137 = 0 AND o_orderkey % 131 != 0
+  UNION ALL
+  SELECT 'IC17', count(*)::BIGINT FROM (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 137 = 0 THEN 2 ELSE 1 END AS w,
+           sum(CASE WHEN o_orderkey % 137 = 0 THEN 2 ELSE 1 END)
+               OVER (PARTITION BY o_custkey) AS sw
+    FROM orders
+  ) WHERE NOT (w = 1 AND sw = 2)
+) WHERE n > 0
+ORDER BY ic
 """
 
 # every observation carries qb:dataSet → exactly one pushed-down a_unit
@@ -1880,6 +2027,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_ic19": q_cube_ic19,
         "cube_ic20": q_cube_ic20,
         "cube_ic21": q_cube_ic21,
+        "cube_sparql_ic1": q_sparql_ic1,
+        "cube_sparql_ic11": q_sparql_ic11,
+        "cube_sparql_ic12_pairs": q_sparql_ic12_pairs,
+        "cube_sparql_ic14": q_sparql_ic14,
+        "cube_sparql_ic19": q_sparql_ic19,
+        "cube_sparql_ic20": q_sparql_ic20,
+        "cube_sparql_mt_profile": q_sparql_mt_profile,
         "cube_obs_per_dataset": q_cube_obs_per_dataset,
         "cube_phase2_by_pred": q_cube_phase2_by_pred,
         "cube_schema_ics": q_schema_ics,
@@ -1941,6 +2095,13 @@ def oracle_sql() -> dict[str, str]:
         "cube_ic19": _SQL_IC19,
         "cube_ic20": _SQL_IC2021,
         "cube_ic21": _SQL_IC2021,
+        "cube_sparql_ic1": _SQL_SPARQL_IC1,
+        "cube_sparql_ic11": _SQL_IC11,
+        "cube_sparql_ic12_pairs": _SQL_SPARQL_IC12_PAIRS,
+        "cube_sparql_ic14": _SQL_IC14,
+        "cube_sparql_ic19": _SQL_SPARQL_IC19,
+        "cube_sparql_ic20": _SQL_IC2021,
+        "cube_sparql_mt_profile": _SQL_SPARQL_MT_PROFILE,
         "cube_obs_per_dataset": _SQL_OBS_PER_DS,
         "cube_phase2_by_pred": _SQL_PHASE2,
         "cube_schema_ics": _SQL_SCHEMA_ICS,

@@ -14,23 +14,22 @@ from .sources.parse_stage import read_corpus, parse_corpus  # noqa: F401
 from .model import TRIPLE_SCHEMA, FINDINGS_SCHEMA  # noqa: F401
 
 
-def create_validator(validator_type: str = "NOSPA", **kwargs) -> CubeValidator:
+def create_validator(validator_type: str = "NOSPA", **kwargs):
     """ValidatorFactory parity (ValidatorFactory.java:26-53): the reference
-    dispatches "NOSPA" | "SPARQL" to two engines with identical intended
-    semantics.  This engine implements the NoSPA behavior (bug-for-bug);
-    the SPARQL twin is spec-only here — its constraint queries live on as
-    the per-query DuckDB oracles in __ray_entry__
-    (IntegrityConstraint.java re-expressed over the derived tables) — so
-    requesting it is an explicit, documented error rather than a silent
-    alias."""
+    dispatches "NOSPA" | "SPARQL" to two engines.
+
+    * "NOSPA" — the streaming engine matching the nonsparql package
+      bug-for-bug (IC-8/12/14/19 quirks reproduced).
+    * "SPARQL" — the specification engine: a hand translation of the 21
+      IntegrityConstraint.java SELECTs (pipelines/sparql_validate.py),
+      usable as an independent cross-check on arbitrary corpora.  The two
+      engines deliberately diverge exactly where the reference's own
+      engines do — see sparql_validate's module docstring."""
     vt = validator_type.upper()
     if vt == "NOSPA":
         return CubeValidator(**kwargs)
     if vt == "SPARQL":
-        raise NotImplementedError(
-            "the SPARQL validator backend is not implemented; the NoSPA "
-            "engine (create_validator('NOSPA')) is the only backend — the "
-            "reference's SPARQL constraint queries exist here as the "
-            "DuckDB oracle suite, not as an execution engine"
-        )
+        from .pipelines.sparql_validate import SparqlCubeValidator
+
+        return SparqlCubeValidator(**kwargs)
     raise ValueError(f"unknown validator type: {validator_type!r}")

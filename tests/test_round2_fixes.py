@@ -261,10 +261,25 @@ def test_lsh_multi_table_recall(ray_session):
 
 
 def test_factory_sparql_routing():
+    # round 3: "SPARQL" dispatches to the real spec engine now — the
+    # full behavior matrix lives in tests/test_sparql_twin.py; here just
+    # assert the factory wires the argument surface through
     from nospa_rdf_data_cube_validator_ray import create_validator
+    from nospa_rdf_data_cube_validator_ray.pipelines.sparql_validate import (
+        SparqlCubeValidator,
+    )
 
-    with pytest.raises(NotImplementedError, match="NoSPA"):
-        create_validator("SPARQL")
+    with pytest.raises(ValueError, match="corpus"):
+        create_validator("SPARQL")  # same constructor contract as NOSPA
+    import pyarrow as pa
+    import ray.data
+
+    corpus = pa.table(
+        {c: pa.array(["x"], pa.string())
+         for c in ("repo", "path", "commit", "lang", "content")}
+    )
+    v = create_validator("SPARQL", corpus=ray.data.from_arrow(corpus))
+    assert isinstance(v, SparqlCubeValidator)
 
 
 def test_simhash_pairs_complete_for_hamming3(ray_session):

@@ -1,0 +1,216 @@
+"""The SPARQL-specification engine (create_validator("SPARQL")) vs the
+NoSPA engine on the fixture corpus: the two must AGREE everywhere except
+the documented quirk families, and each documented divergence must
+actually show up (asserting the divergence is what proves the twin is an
+independent implementation, not an alias).
+
+Divergence map (see pipelines/sparql_validate.py module docstring):
+  IC-8  — NoSPA accumulates slice-key props across DSDs
+  IC-12 — spec emits ordered pairs over SHARED-dim agreement
+  IC-14 — spec skips measureType cubes
+  IC-15 — spec checks every measureType binding
+  IC-19 — spec keys by (obs, dim), NoSPA by value
+  IC-20/21 — spec passes on an empty pcp set
+"""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from nospa_rdf_data_cube_validator_ray import CubeValidator, create_validator, fixtures
+from nospa_rdf_data_cube_validator_ray.fixtures import EX, HEADER
+from nospa_rdf_data_cube_validator_ray.pipelines.sparql_validate import (
+    SparqlCubeValidator,
+)
+
+
+def _t(n: str) -> str:
+    return f"<{EX}{n}>"
+
+
+def _by_case(v) -> dict:
+    df = v.findings_df()
+    out: dict = {}
+    for _, r in df.iterrows():
+        case = (
+            r["graph"].split("\x1f")[1].removeprefix("cubes/").removesuffix(".ttl")
+        )
+        out.setdefault(case, {}).setdefault(r["ic"], set()).add(r["subject"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def engines():
+    corpus = fixtures.corpus_table(fixtures.all_cases())
+    nospa = _by_case(CubeValidator(ray.data.from_arrow(corpus)))
+    spec = _by_case(
+        create_validator("SPARQL", corpus=ray.data.from_arrow(corpus))
+    )
+    return nospa, spec
+
+
+# per-case ICs where the engines legitimately diverge
+_DIVERGENT = {
+    "IC11": {"IC12"},            # spec pairs obs missing a dim with its peers
+    "IC12": {"IC12"},            # value-set key + 2nd-member-only vs pairs
+    "IC15": {"IC14"},            # mt quirk
+    "IC16": {"IC14", "IC15"},    # mt quirk + per-binding IC-15
+    "IC17": {"IC14"},            # mt quirk
+    "WF-MT": {"IC14"},           # mt quirk
+    "IC19": {"IC19"},            # value- vs (obs, dim)-keyed
+}
+
+
+def test_agreement_outside_documented_quirks(engines):
+    nospa, spec = engines
+    for case in fixtures.all_cases():
+        skip = _DIVERGENT.get(case, set())
+        n = {ic: s for ic, s in nospa.get(case, {}).items() if ic not in skip}
+        s = {ic: s for ic, s in spec.get(case, {}).items() if ic not in skip}
+        assert n == s, f"unexpected divergence on case {case}"
+
+
+def test_every_documented_divergence_fires(engines):
+    nospa, spec = engines
+    for case, ics in _DIVERGENT.items():
+        for ic in ics:
+            assert nospa.get(case, {}).get(ic, set()) != spec.get(case, {}).get(
+                ic, set()
+            ), f"documented divergence {case}/{ic} did not fire"
+
+
+def test_ic14_mt_quirk(engines):
+    nospa, spec = engines
+    # NoSPA: measureType cube → ALL comp props required on every obs
+    # (ValidatorIC14.java:31-33); spec: mt cubes skipped entirely
+    assert nospa["WF-MT"].get("IC14")
+    assert "IC14" not in spec.get("WF-MT", {})
+
+
+def test_ic12_pair_vs_valueset(engines):
+    nospa, spec = engines
+    # true per-dim duplicate (o0_0, o0_0b): NoSPA flags the 2nd member
+    # only; the spec flags both ends of the ordered pair
+    assert _t("o0_0b") in nospa["IC12"]["IC12"]
+    assert _t("o0_0") not in nospa["IC12"]["IC12"]
+    assert {_t("o0_0"), _t("o0_0b")} <= spec["IC12"]["IC12"]
+    # permuted value assignment (operm1/operm2): identical value SET →
+    # NoSPA's unordered-set key collides; per-dim values differ → spec not
+    assert _t("operm2") in nospa["IC12"]["IC12"]
+    assert _t("operm1") not in spec["IC12"]["IC12"]
+    assert _t("operm2") not in spec["IC12"]["IC12"]
+
+
+def test_ic12_shared_dim_subset_pairs(engines):
+    nospa, spec = engines
+    # case IC11: o1_1 misses ex:area; its slice-pushed period/sex agree
+    # with every sibling → the spec's shared-dim semantics pair it with
+    # all of them (IntegrityConstraint.java:133-151 joins only dims
+    # present on BOTH observations); NoSPA sees no duplicate value-set
+    assert "IC12" not in nospa.get("IC11", {})
+    assert {_t(f"o1_{i}") for i in range(4)} <= spec["IC11"]["IC12"]
+
+
+def test_ic15_per_binding(engines):
+    nospa, spec = engines
+    # mmulti carries TWO qb:measureType values but a value for only one:
+    # the spec's IC-15 checks each binding → flags the missing one; NoSPA
+    # routes the 2-measure detail set to IC-16 instead
+    assert _t("mmulti") in spec["IC16"]["IC15"]
+    assert _t("mmulti") not in nospa["IC16"].get("IC15", set())
+    assert _t("mmulti") in nospa["IC16"]["IC16"]
+    assert _t("mmulti") in spec["IC16"]["IC16"]
+
+
+def test_ic19_keying(engines):
+    nospa, spec = engines
+    # NoSPA keys by VALUE; spec keys by (obs, dim)
+    assert {_t("cbad"), _t("cnoc")} == nospa["IC19"]["IC19"]
+    assert {_t("cox")} == spec["IC19"]["IC19"]
+
+
+def _one_file(content: str) -> pa.Table:
+    return pa.table(
+        {
+            "repo": ["q"], "path": ["one.ttl"], "commit": ["c"],
+            "lang": ["turtle"], "content": [content],
+        }
+    )
+
+
+def test_ic8_no_accumulation():
+    from tests.test_ic8_quirk import two_dsd_cube
+
+    v = create_validator(
+        "SPARQL", corpus=ray.data.from_arrow(_one_file(two_dsd_cube()))
+    )
+    df = v.findings_df()
+    # both keys are semantically clean: the spec checks each against ITS
+    # dsd (IntegrityConstraint.java:90-98) — no cross-DSD accumulation
+    assert not len(df[df["ic"] == "IC8"])
+
+
+def _pcpless_hier() -> str:
+    L = [HEADER]
+    L.append("ex:hds a qb:DataSet ;\n    qb:structure ex:hdsd .")
+    L.append(
+        "ex:hdsd a qb:DataStructureDefinition ;\n"
+        "    qb:component [ qb:dimension ex:hdim ], [ qb:measure ex:val ] ."
+    )
+    L.append(
+        "ex:hdim a rdf:Property, qb:DimensionProperty ;\n"
+        "    rdfs:range ex:Node ;\n    qb:codeList ex:hier ."
+    )
+    L.append("ex:val a rdf:Property, qb:MeasureProperty .")
+    # hierarchy WITHOUT any qb:parentChildProperty
+    L.append("ex:hier a qb:HierarchicalCodeList ;\n    qb:hierarchyRoot ex:nroot .")
+    L.append(
+        "ex:ho a qb:Observation ;\n    qb:dataSet ex:hds ;\n"
+        "    ex:hdim ex:nchild ;\n    ex:val 1.5 ."
+    )
+    return "\n\n".join(L) + "\n"
+
+
+def test_ic20_empty_pcp_set():
+    corpus = _one_file(_pcpless_hier())
+    nospa = CubeValidator(ray.data.from_arrow(corpus)).findings_df()
+    spec = create_validator(
+        "SPARQL", corpus=ray.data.from_arrow(corpus)
+    ).findings_df()
+    # NoSPA: empty pcp set ⇒ values must BE roots
+    # (ValidatorIC20_21.java:144-147) → nchild flagged; spec: the pcp
+    # query returns nothing ⇒ validateIC20_21 returns the empty set
+    # (SparqlValidator.java:217-219) → pass
+    assert _t("nchild") in set(nospa.loc[nospa["ic"] == "IC20", "subject"])
+    assert not len(spec[spec["ic"].isin(["IC20", "IC21"])])
+
+
+def test_spec_shuffle_parity():
+    corpus = fixtures.corpus_table(fixtures.all_cases())
+
+    def norm(v):
+        df = v.findings_df()
+        df["detail"] = df["detail"].map(tuple)
+        return (
+            df.sort_values(["graph", "ic", "subject", "detail"])
+            .reset_index(drop=True)[["graph", "ic", "subject", "detail"]]
+        )
+
+    local = norm(create_validator("SPARQL", corpus=ray.data.from_arrow(corpus)))
+    shuffle = norm(
+        create_validator(
+            "SPARQL", corpus=ray.data.from_arrow(corpus), mode="shuffle",
+            num_buckets=8,
+        )
+    )
+    assert len(local) > 0
+    assert local.equals(shuffle)
+
+
+def test_factory_dispatch():
+    corpus = ray.data.from_arrow(_one_file(_pcpless_hier()))
+    assert isinstance(create_validator("SPARQL", corpus=corpus), SparqlCubeValidator)
+    assert isinstance(create_validator("NOSPA", corpus=corpus), CubeValidator)
+    with pytest.raises(ValueError):
+        create_validator("OTHER", corpus=corpus)
