@@ -189,6 +189,37 @@ def q_mt_ic17(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_cube_report_lines(sf_dir: str) -> pd.DataFrame:
+    """End-to-end result-sink check (the reference's markdown appender,
+    NospaValidator.java:445-490): validate → write_report to a FILE →
+    re-read the file → count the violation bullet lines under each IC
+    section heading.  The oracle predicts the same per-IC counts straight
+    from lineitem, so the renderer and the report round-trip are both on
+    the correctness gate."""
+    import os
+    import re
+    import tempfile
+
+    from nospa_rdf_data_cube_validator_ray.pipelines.report import write_report
+
+    df = _findings(sf_dir)
+    with tempfile.TemporaryDirectory() as td:
+        path = write_report(df, os.path.join(td, "validation_result.md"))
+        with open(path) as f:
+            text = f.read()
+    counts: dict[str, int] = {}
+    cur = None
+    for line in text.splitlines():
+        m = re.match(r"^## (IC\d+) ", line)
+        if m:
+            cur = m.group(1)
+            counts[cur] = 0
+        elif line.startswith("- `") and cur:
+            counts[cur] += 1
+    rows = [(ic, n) for ic, n in sorted(counts.items()) if n > 0]
+    return pd.DataFrame(rows, columns=["ic", "n"]).astype({"n": "int64"})
+
+
 # -- SPARQL-specification engine queries ------------------------------------
 # create_validator("SPARQL") — the independent cross-check engine
 # (pipelines/sparql_validate.py, hand-translated from the reference's
@@ -2056,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_class_profile": q_kg_class_profile,
         "kg_bfs_depths": q_kg_bfs_depths,
         "cube_incremental": q_cube_incremental,
+        "cube_report_lines": q_cube_report_lines,
         "kg_code_imports": q_kg_code_imports,
         "kg_code_degree": q_kg_code_degree,
         "kg_code_triangles": q_kg_code_triangles,
@@ -2124,6 +2156,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_class_profile": _SQL_KG_CLASS_PROFILE,
         "kg_bfs_depths": _SQL_KG_BFS,
         "cube_incremental": _SQL_INCREMENTAL,
+        "cube_report_lines": (
+            "SELECT ic, n FROM (" + _SQL_INCREMENTAL + ") WHERE n > 0 ORDER BY ic"
+        ),
         "kg_code_imports": _SQL_CODE_IMPORTS,
         "kg_code_degree": _SQL_CODE_DEGREE,
         "kg_code_triangles": _SQL_CODE_TRIANGLES,
