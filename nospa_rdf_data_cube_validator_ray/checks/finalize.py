@@ -32,29 +32,6 @@ def _fdf(rows: list[tuple]) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_F_COLS)
 
 
-def _with_kb(ds, cols: list[str], num_buckets: int):
-    """Add a coarse shuffle-bucket column over a composite key: the actual
-    fine-grained grouping happens *inside* each bucket with vectorized
-    pandas group-transforms — Ray shuffles ``num_buckets`` groups instead
-    of one group per key (per-observation keys would mean one tiny pandas
-    frame per observation, the same trap as the reference's per-obs loop)."""
-
-    def add(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            df = df.copy()
-            df["kb"] = pd.Series(dtype="int64")
-            return df
-        key = df[cols[0]].astype(str)
-        for c in cols[1:]:
-            key = key + "\x00" + df[c].astype(str)
-        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
-        df = df.copy()
-        df["kb"] = (h % num_buckets).astype("int64")
-        return df
-
-    return ds.map_batches(add, batch_format="pandas")
-
-
 def _flag_dups(df: pd.DataFrame) -> pd.DataFrame:
     d2 = df.drop_duplicates(["graph", "dataset", "key", "subject"]).sort_values(
         ["graph", "dataset", "key", "subject"]
@@ -73,12 +50,12 @@ def _flag_dups(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def ic12_findings(dup_ds, num_buckets: int = 64) -> "ray.data.Dataset":
-    return (
-        _with_kb(dup_ds, ["graph", "dataset", "key"], num_buckets)
-        .groupby("kb")
-        .map_groups(_flag_dups, batch_format="pandas")
-    )
+_KB_KEYS = {
+    "dup": ["graph", "dataset", "key"],      # IC-12 value-set groups
+    "val": ["graph", "ic", "subject"],       # IC-19/20/21 value merges
+    "pt": ["graph", "dataset", "key"],       # IC-17 dimension points
+}
+_KB_OFFSET = {"dup": 0, "val": 1, "pt": 2}
 
 
 class _FlagPoints:
@@ -133,13 +110,60 @@ class _FlagPoints:
         )
 
 
-def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64):
-    """pt rows → IC-17 findings Dataset (final columns), or None when no
-    dataset declares a measure count.  Findings stay distributed: the
-    group-count compare renders rows inside the bucketed map_groups
-    (ValidatorIC17.java:50-57 semantics, like the local path); only the
-    dataset-scale aggregates (totals, wildcard set) and the cap-bounded
-    wildcard fallback rows touch the driver."""
+def _pt_dataset_aggs(pivot_out) -> tuple[dict, set]:
+    """IC-17's dataset-scale aggregates — per-dataset pt-row totals and the
+    wildcard-dataset set — via map-side partials + a driver combine.  Both
+    results are driver-resident dicts anyway (dataset-scale, like the
+    schema indexes), so a shuffle buys nothing: one streaming scan emits a
+    tiny (graph, dataset, n, w) frame per block and the driver sums them,
+    avoiding an extra all-to-all (Ray 2.49 aggregator spin-up is ~5-10 s
+    per shuffle regardless of data size)."""
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["kind"] == "pt"]
+        if not len(p):
+            return pd.DataFrame(
+                {
+                    "graph": pd.Series(dtype="string"),
+                    "dataset": pd.Series(dtype="string"),
+                    "n": pd.Series(dtype="int64"),
+                    "w": pd.Series(dtype="int64"),
+                }
+            )
+        return (
+            p.assign(_w=(p["detail"] == "w").astype("int64"))
+            .groupby(["graph", "dataset"], sort=False)
+            .agg(n=("subject", "size"), w=("_w", "max"))
+            .reset_index()
+        )
+
+    tdf = pivot_out.map_batches(partials, batch_format="pandas").to_pandas()
+    if not len(tdf):  # empty to_pandas frames are COLUMN-LESS — len-guard
+        return {}, set()
+    comb = (
+        tdf.groupby(["graph", "dataset"], sort=False)
+        .agg(n=("n", "sum"), w=("w", "max"))
+        .reset_index()
+    )
+    totals = dict(zip(zip(comb["graph"], comb["dataset"]), comb["n"]))
+    wild_keys = {
+        (g, d)
+        for g, d, w in zip(comb["graph"], comb["dataset"], comb["w"])
+        if w
+    }
+    return totals, wild_keys
+
+
+def fused_findings(pivot_out, indexes: dict, num_buckets: int = 64):
+    """IC-12 (dup) + IC-19/20/21 (val) + IC-17 (pt) finalized through ONE
+    bucketed shuffle: each kind hashes its own group key into a disjoint
+    ``kb`` range (kind_offset * B + hash(key) % B), so a single
+    groupby("kb").map_groups dispatches all three second-stage groupings
+    where three separate sorts each paid Ray's fixed all-to-all spin-up.
+
+    IC-17 semantics are unchanged (ValidatorIC17.java:50-57): final rows
+    render inside the map_groups; only the dataset-scale aggregates and
+    the cap-bounded wildcard fallback touch the driver."""
     import ray
     import ray.data
 
@@ -148,44 +172,63 @@ def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64):
         for g, idx in indexes.items()
         for d, n in idx.ic17_nmeas_by_ds.items()
     }
-    if not nmeas:
-        return None
-
-    from ..util import bucket_count
-
-    # (graph, dataset) is corpus-scale on the shuffle path — bucketed
-    # count, not Ray's per-distinct-key Aggregate (util.bucket_agg)
-    tdf = bucket_count(
-        pt_ds, ["graph", "dataset"], num_buckets=num_buckets
-    ).to_pandas()  # not take_all: ~0.5 ms/row at dataset-scale rows
-    # empty to_pandas frames are COLUMN-LESS (schema-less empty blocks):
-    # every consumer must len-guard before column access
-    totals = (
-        dict(zip(zip(tdf["graph"], tdf["dataset"]), tdf["n"]))
-        if len(tdf)
-        else {}
-    )
-    wdf = pt_ds.filter(expr="detail == 'w'").to_pandas()
-    wild_keys = (
-        set(zip(wdf["graph"], wdf["dataset"])) if len(wdf) else set()
-    )
-    # enforce the wildcard cap STREAM-side, from the already-computed
-    # per-dataset totals, before any wildcard row is collected — the loud
-    # RuntimeError must fire before a pathological corpus can exhaust
-    # driver memory, not after
-    for k in wild_keys:
-        if totals.get(k, 0) > 100_000:
-            raise RuntimeError("IC-17 wildcard fallback exceeded cap")
-
+    if nmeas:
+        totals, wild_keys = _pt_dataset_aggs(pivot_out)
+        # enforce the wildcard cap STREAM-side, from the per-dataset
+        # totals, before any wildcard row is collected — the loud
+        # RuntimeError must fire before a pathological corpus can exhaust
+        # driver memory, not after
+        for k in wild_keys:
+            if totals.get(k, 0) > 100_000:
+                raise RuntimeError("IC-17 wildcard fallback exceeded cap")
+    else:
+        totals, wild_keys = {}, set()
     flag_points = _FlagPoints(nmeas, totals, wild_keys)
+    keep_pt = bool(nmeas)  # pt rows without a declared measure count are inert
+    B = num_buckets
 
-    def flag_points_fn(df: pd.DataFrame) -> pd.DataFrame:
-        return flag_points(df)
+    def add_kb(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for kind, cols in _KB_KEYS.items():
+            if kind == "pt" and not keep_pt:
+                continue
+            p = df[df["kind"] == kind]
+            if not len(p):
+                continue
+            key = p[cols[0]].astype(str)
+            for c in cols[1:]:
+                key = key + "\x00" + p[c].astype(str)
+            h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+            p = p.copy()
+            p["kb"] = (_KB_OFFSET[kind] * B + (h % B)).astype("int64")
+            parts.append(p)
+        if not parts:
+            # TYPED empty — a 0-row object-dtype frame would poison Ray's
+            # schema unification downstream (empty-block stickiness)
+            out = pd.DataFrame(
+                {c: pd.Series(dtype="string") for c in df.columns}
+            )
+            out["kb"] = pd.Series(dtype="int64")
+            return out
+        return pd.concat(parts, ignore_index=True)
+
+    def finalize_group(df: pd.DataFrame) -> pd.DataFrame:
+        # disjoint kb spaces mean one kind per group, but dispatch by the
+        # kind column so a hash collision across spaces can't misroute
+        outs = []
+        for kind, sub in df.groupby("kind", sort=False):
+            if kind == "dup":
+                outs.append(_flag_dups(sub))
+            elif kind == "val":
+                outs.append(_merge_vals(sub))
+            elif kind == "pt":
+                outs.append(flag_points(sub))
+        return pd.concat(outs, ignore_index=True) if outs else _fdf([])
 
     out = (
-        _with_kb(pt_ds, ["graph", "dataset", "key"], num_buckets)
+        pivot_out.map_batches(add_kb, batch_format="pandas")
         .groupby("kb")
-        .map_groups(flag_points_fn, batch_format="pandas")
+        .map_groups(finalize_group, batch_format="pandas")
     )
 
     # wildcard fallback: exact pairwise reference semantics.  ONE Dataset
@@ -193,23 +236,24 @@ def ic17_findings(pt_ds, indexes: dict, num_buckets: int = 64):
     # bounded by the per-dataset cap above), then groups driver-side —
     # N wildcard datasets must not mean N full scans.
     if wild_keys:
+
         def keep_wild(df, wk=wild_keys):
             m = [
-                (g, d) in wk for g, d in zip(df["graph"], df["dataset"])
+                (g, d) in wk and k == "pt"
+                for g, d, k in zip(df["graph"], df["dataset"], df["kind"])
             ]
-            import pandas as _pd
+            return df[pd.Series(m, index=df.index)].reset_index(drop=True)
 
-            return df[_pd.Series(m, index=df.index)].reset_index(drop=True)
-
-        all_wild = pt_ds.map_batches(
+        all_wild = pivot_out.map_batches(
             keep_wild, batch_format="pandas"
         ).to_pandas()
         by_ds: dict = {}
-        for g, d, subj, sha, key in zip(
-            all_wild["graph"], all_wild["dataset"], all_wild["subject"],
-            all_wild["file_sha256"], all_wild["key"],
-        ):
-            by_ds.setdefault((g, d), []).append((subj, sha, key))
+        if len(all_wild):
+            for g, d, subj, sha, key in zip(
+                all_wild["graph"], all_wild["dataset"], all_wild["subject"],
+                all_wild["file_sha256"], all_wild["key"],
+            ):
+                by_ds.setdefault((g, d), []).append((subj, sha, key))
         rows = _ic17_wildcard_rows(by_ds, nmeas)
         if rows:
             out = out.union(ray.data.from_pandas(_fdf(rows)))
@@ -267,14 +311,6 @@ def _merge_vals(df: pd.DataFrame) -> pd.DataFrame:
     merged = sha.merge(agg, on=keys, how="left")
     merged["detail"] = merged["detail"].fillna("")
     return merged[_F_COLS]
-
-
-def val_findings(val_ds, num_buckets: int = 64) -> "ray.data.Dataset":
-    return (
-        _with_kb(val_ds, ["graph", "ic", "subject"], num_buckets)
-        .groupby("kb")
-        .map_groups(_merge_vals, batch_format="pandas")
-    )
 
 
 def _ic17_local(pt: pd.DataFrame, indexes: dict) -> pd.DataFrame:

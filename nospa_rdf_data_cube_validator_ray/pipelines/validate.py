@@ -201,13 +201,10 @@ class CubeValidator:
             lambda df: df[["graph", "file_sha256", "ic", "subject", "detail"]],
             batch_format="pandas",
         )
-        ic12 = finalize.ic12_findings(_split_kind(pivot_out, "dup"), self.num_buckets)
-        vals = finalize.val_findings(_split_kind(pivot_out, "val"), self.num_buckets)
-        # IC-17 finalizes inside its bucketed map_groups (findings are
-        # observation-scale on a pathological corpus — never driver-side)
-        ic17 = finalize.ic17_findings(
-            _split_kind(pivot_out, "pt"), indexes, self.num_buckets
-        )
+        # IC-12 + IC-19/20/21 + IC-17 share ONE bucketed shuffle (disjoint
+        # kb spaces per kind); findings render inside the map_groups —
+        # observation-scale on a pathological corpus, never driver-side
+        fused = finalize.fused_findings(pivot_out, indexes, self.num_buckets)
 
         driver_dfs = [
             finalize.schema_findings_df(indexes),
@@ -224,9 +221,7 @@ class CubeValidator:
         ]
         driver_df = pd.concat(driver_dfs, ignore_index=True)
 
-        streams = [f_stream, ic12, vals]
-        if ic17 is not None:
-            streams.append(ic17)
+        streams = [f_stream, fused]
         parts = [
             ds.map_batches(
                 lambda df: _findings_table(df), batch_format="pandas"

@@ -225,7 +225,7 @@ def parse_corpus(
     max_triples_per_file: int | None = None,
     max_bytes_per_file: int | None = None,
     split_threshold: int | None = None,
-    chunk_bytes: int = 8 << 20,
+    chunk_bytes: int = 4 << 20,
 ) -> "ray.data.Dataset":
     """corpus Dataset → triple Dataset.
 

@@ -77,9 +77,9 @@ def random_cube(rng: random.Random, fid: int) -> str:
 def test_mt_fixture_shuffle_parity():
     """The measureType oracle corpus (the IC-17-heavy fixture behind
     cube_mt_ic17) must emit IDENTICAL findings through mode="shuffle" —
-    the streamed IC-17 finalize (finalize.ic17_findings renders rows
-    inside its bucketed map_groups) against the oracle-checked local
-    path."""
+    the streamed IC-17 finalize (finalize.fused_findings renders rows
+    inside the shared bucketed map_groups) against the oracle-checked
+    local path."""
     from nospa_rdf_data_cube_validator_ray import fixtures
 
     corpus = fixtures.tpch_mt_corpus("/root/testdata/sf0.001", n_files=8)
