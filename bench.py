@@ -71,7 +71,7 @@ def run_suite(
 
     # -- headline: full validation ---------------------------------------
     t0 = time.perf_counter()
-    v = CubeValidator(corpus_path=cpath, num_buckets=max(64, num_cpus * 4))
+    v = CubeValidator(corpus_path=cpath)
     n_triples = v.normalize().count()
     findings = v.validate_all()
     n_findings = findings.count()
@@ -183,6 +183,17 @@ def run_suite(
 
     timed("kg_code_analytics", kg_code_analytics)
 
+    # -- head-to-head vs the reference, SAME session/round: one 540K-obs
+    # single Turtle file (largeTest.ttl shape; reference README.md:91-97
+    # reports 52 s) through the shuffle path
+    gpath = giant_corpus_path()  # input prep, not timed
+    def giant():
+        gv = CubeValidator(corpus_path=gpath, mode="shuffle")
+        gv.normalize().count()
+        gv.validate_all().count()
+
+    timed("cube_validate_all_giant", giant)
+
     # -- scaling pair in the SAME round (fresh subprocesses), so BENCH_rN
     # carries headline + scaling + host-load context together and
     # round-over-round numbers are comparable.  Shut the suite's Ray
@@ -193,13 +204,139 @@ def run_suite(
         scal = run_scaling(sf_dir)
         out["scaling"] = {
             k: scal[k]
-            for k in ("scaling_efficiency", "triples_per_sec_lo", "triples_per_sec_hi")
+            for k in (
+                "scaling_efficiency", "triples_per_sec_lo", "triples_per_sec_hi",
+                "minhash_scaling_efficiency",
+            )
+            if k in scal
         }
         out["scaling"].update(scal["queries"])
     except Exception as e:  # never let the scaling add-on kill the bench line
         out["scaling"] = {"error": str(e)[:200]}
     out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     return out
+
+
+def minhash_probe_docs(sf_dir: str, replicas: int = 4):
+    """documents tiled ``replicas``× with disjoint doc_ids and per-replica
+    FULLY disjoint shingle sets (every word prefixed with a replica tag):
+    a weaker salt leaves replicas at Jaccard ~0.5 — below the 0.7
+    threshold but far above the LSH band false-positive floor — and the
+    candidate-pair count then grows QUADRATICALLY in the tile count
+    (measured: 12× docs → 32× wall).  With disjoint shingles both the
+    work and the pair output stay linear in the tiles."""
+    import pandas as pd
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
+
+    def tile(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for r in range(replicas):
+            p = df.copy()
+            p["doc_id"] = p["doc_id"] + r * 10_000_019
+            if r:
+                p["text"] = (p["text"] + " ").str.replace(
+                    " ", f" q{r} ", regex=False
+                )
+            parts.append(p)
+        return pd.concat(parts, ignore_index=True)
+
+    return docs.map_batches(tile, batch_format="pandas")
+
+
+def run_minhash_probe(sf_dir: str, num_cpus: int, replicas: int = 4) -> dict:
+    """Fresh-session MinHash-LSH end-to-end (shingle → signature →
+    band-bucket groupby → two-sided partitioned signature join) — the
+    shuffle-heavy SECONDARY scaling pipeline the headline's map-dominated
+    profile doesn't exercise."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from nospa_rdf_data_cube_validator_ray.stages import dedup as D
+
+    docs = minhash_probe_docs(sf_dir, replicas).materialize()
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    n_pairs = D.minhash_lsh_pairs(docs, threshold=0.7).count()
+    wall = time.perf_counter() - t0
+    return {
+        "metric": "MinHash-LSH near-dup pairs over the tiled documents table",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "docs": n_docs,
+        "pairs": n_pairs,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "queries": {"dedup_minhash_lsh": round(wall, 3)},
+    }
+
+
+def shuffle_probe_corpus(n_files: int = 8) -> str:
+    """``n_files`` copies of the 540K-obs giant cube under distinct paths
+    (= distinct graphs).  Content is generated once and reused — the
+    shuffle path keys every second-stage group on the graph column, so
+    identical content in different graphs is real independent work."""
+    out = f"/tmp/graft_giant_x{n_files}"
+    if not os.path.isdir(out):
+        import pyarrow.parquet as pq
+
+        src = pq.read_table(f"{giant_corpus_path()}/part-0000.parquet")
+        content = src.column("content")[0].as_py()
+        import pyarrow as pa
+
+        t = pa.table(
+            {
+                "repo": ["bench/giant"] * n_files,
+                "path": [f"large{i:02d}.ttl" for i in range(n_files)],
+                "commit": ["0" * 40] * n_files,
+                "lang": ["turtle"] * n_files,
+                "content": [content] * n_files,
+            }
+        )
+        tmp = out + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for i in range(n_files):  # one file per row → parallel read
+            pq.write_table(t.slice(i, 1), f"{tmp}/part-{i:04d}.parquet")
+        os.rename(tmp, out)
+    return out
+
+
+def run_shuffle_probe(num_cpus: int, n_files: int = 8) -> dict:
+    """Fresh-session SHUFFLE-path validation (chunk-split parse → bucketed
+    pivot groupby → IC-12/17/val finalize shuffles) over ~4.3 M
+    observations — the secondary scaling pipeline.  The map-dominated
+    zero-shuffle headline doesn't evidence shuffle scaling; this pipeline
+    is sized so compute dominates Ray 2.49's fixed aggregator spin-up
+    (~14 s/session), the regime a real multi-node job runs in."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from nospa_rdf_data_cube_validator_ray.pipelines.validate import CubeValidator
+
+    cpath = shuffle_probe_corpus(n_files)
+    t0 = time.perf_counter()
+    v = CubeValidator(corpus_path=cpath, mode="shuffle")
+    n_triples = v.normalize().count()
+    v.validate_all().count()
+    wall = time.perf_counter() - t0
+    return {
+        "metric": f"shuffle-path validation over {n_files}×540K-obs graphs",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "sf": f"giant-x{n_files}",
+        "num_cpus": num_cpus,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / wall, 1),
+        "queries": {"cube_validate_shuffle": round(wall, 3)},
+    }
 
 
 def run_scaling(
@@ -216,26 +353,25 @@ def run_scaling(
     DIMMs.  Both pairs are recorded in BASELINE.md."""
     corpus_path(sf_dir, replicas=replicas)  # warm the cache before timing
 
-    def one(c: int) -> dict:
+    def one(c: int, mode: str) -> dict:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(c)
         env["RAY_DATA_DISABLE_PROGRESS_BARS"] = "1"
+        argv = [sys.executable, __file__, mode, "--sf-dir", sf_dir]
+        if mode == "--headline-only":
+            argv += ["--replicas", str(replicas)]
         p = subprocess.run(
-            [
-                sys.executable, __file__, "--headline-only",
-                "--sf-dir", sf_dir, "--replicas", str(replicas),
-            ],
-            capture_output=True, text=True, env=env, check=True,
+            argv, capture_output=True, text=True, env=env, check=True,
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    lo = one(cpus_lo)
-    hi = one(cpus_hi)
+    lo = one(cpus_lo, "--headline-only")
+    hi = one(cpus_hi, "--headline-only")
     thr_lo = lo["triples_per_sec"]
     thr_hi = hi["triples_per_sec"]
     eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
-    return {
-        "metric": "scaling efficiency: headline validation at "
+    out = {
+        "metric": "scaling efficiency: headline validation + MinHash-LSH at "
         f"{cpus_lo} vs {cpus_hi} CPUs (fresh ray sessions, same input)",
         "value": round(eff, 3),
         "unit": "efficiency",
@@ -249,6 +385,19 @@ def run_scaling(
         "triples_per_sec_hi": thr_hi,
         "scaling_efficiency": round(eff, 3),
     }
+    # secondary pair: MinHash-LSH (shingle → signature → band-bucket
+    # groupby → two-sided partitioned signature join) — a map-dominated
+    # headline alone doesn't evidence shuffle/join scaling.  The heavier
+    # shuffle-path validator pair (--shuffle-probe, ~35 M triples) is
+    # recorded one-off in BASELINE.md rather than per-round: its 4-cpu
+    # point alone costs several minutes.
+    mlo = one(cpus_lo, "--minhash-probe")
+    mhi = one(cpus_hi, "--minhash-probe")
+    meff = (mhi["docs_per_sec"] / mlo["docs_per_sec"]) / (cpus_hi / cpus_lo)
+    out["queries"][f"dedup_minhash_lsh@{cpus_lo}cpus"] = mlo["value"]
+    out["queries"][f"dedup_minhash_lsh@{cpus_hi}cpus"] = mhi["value"]
+    out["minhash_scaling_efficiency"] = round(meff, 3)
+    return out
 
 
 def giant_corpus_path(n_obs: int = 540_000) -> str:
@@ -313,7 +462,7 @@ def run_giant(num_cpus: int, n_obs: int = 540_000) -> dict:
 
     cpath = giant_corpus_path(n_obs)
     t0 = time.perf_counter()
-    v = CubeValidator(corpus_path=cpath, mode="shuffle", num_buckets=num_cpus * 4)
+    v = CubeValidator(corpus_path=cpath, mode="shuffle")
     n_triples = v.normalize().count()
     findings = v.validate_all()
     n_findings = findings.count()
@@ -338,6 +487,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--giant", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--minhash-probe", action="store_true")
+    ap.add_argument("--shuffle-probe", action="store_true")
     ap.add_argument("--replicas", type=int, default=1)
     ap.add_argument("--sf-dir", default=SF_DIR_DEFAULT)
     ap.add_argument(
@@ -349,6 +500,10 @@ def main() -> None:
         out = run_scaling(args.sf_dir)
     elif args.giant:
         out = run_giant(args.cpus)
+    elif args.minhash_probe:
+        out = run_minhash_probe(args.sf_dir, args.cpus)
+    elif args.shuffle_probe:
+        out = run_shuffle_probe(args.cpus)
     else:
         out = run_suite(
             args.sf_dir, args.cpus,

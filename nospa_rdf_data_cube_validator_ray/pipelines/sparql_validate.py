@@ -942,7 +942,7 @@ class SparqlCubeValidator:
                 SpecLocalCheck(), batch_format="pyarrow", batch_size=None
             )
         else:
-            findings = spec_findings_shuffle(triples, self.num_buckets)
+            findings = spec_findings_shuffle(triples, self._inner._buckets())
         self._findings = findings.materialize()
         return self._findings
 

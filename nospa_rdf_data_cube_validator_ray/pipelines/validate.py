@@ -75,7 +75,7 @@ class CubeValidator:
         *,
         corpus_path: str | None = None,
         triples=None,
-        num_buckets: int = 64,
+        num_buckets: int | None = None,
         checkpoint_dir: str | None = None,
         strict_parse: bool = False,
         parse_concurrency=None,
@@ -115,6 +115,7 @@ class CubeValidator:
         self.strict_parse = strict_parse
         self.parse_concurrency = parse_concurrency
         self._triples = None        # normalized (phase 1) triple stream
+        self._derived_buckets = None
         self._indexes = None
         self._index_ref = None
         self._findings = None
@@ -172,6 +173,27 @@ class CubeValidator:
         self._triples = t
         return t
 
+    def _buckets(self) -> int:
+        """Shuffle-group count — derived from the triple count unless set.
+
+        Ray 2.49's sort-based groupby degrades sharply once a key value's
+        row volume passes ~50K rows (measured on an 8×540K-obs corpus,
+        39 M pivot rows, 32 cpus: 512 buckets = 154 s, 1024 = 15 s,
+        2048 = 9.5 s, 4096 = 11 s), so buckets are sized to ~16K rows
+        each: floor 256 (tiny corpora pay ≤0.25 s of per-key overhead),
+        cap 2^18 (the ~0.5 ms/distinct-key aggregator cost stays ≤2 min
+        even at 10^10-triple scale, where it amortizes)."""
+        if self.num_buckets is not None:
+            return self.num_buckets
+        if self._derived_buckets is None:
+            import math
+
+            n = self.normalize().count()  # materialized → metadata count
+            self._derived_buckets = min(
+                1 << 18, 1 << max(8, math.ceil(math.log2(max(1, n // 16_000))))
+            )
+        return self._derived_buckets
+
     def _ensure_indexes(self):
         if self._indexes is None:
             if self.mode == "local":
@@ -195,7 +217,7 @@ class CubeValidator:
             return self._validate_local(triples)
 
         indexes = self._ensure_indexes()
-        pivot_out = run_pivot(triples, self._index_ref, self.num_buckets).materialize()
+        pivot_out = run_pivot(triples, self._index_ref, self._buckets()).materialize()
 
         f_stream = _split_kind(pivot_out, "f").map_batches(
             lambda df: df[["graph", "file_sha256", "ic", "subject", "detail"]],
@@ -204,7 +226,7 @@ class CubeValidator:
         # IC-12 + IC-19/20/21 + IC-17 share ONE bucketed shuffle (disjoint
         # kb spaces per kind); findings render inside the map_groups —
         # observation-scale on a pathological corpus, never driver-side
-        fused = finalize.fused_findings(pivot_out, indexes, self.num_buckets)
+        fused = finalize.fused_findings(pivot_out, indexes, self._buckets())
 
         driver_dfs = [
             finalize.schema_findings_df(indexes),
@@ -285,7 +307,7 @@ class CubeValidator:
         from ..stages.export import phase2_triples, exact_dedup_triples
 
         p2 = phase2_triples(triples, self._index_ref)
-        return exact_dedup_triples(triples.union(p2), self.num_buckets)
+        return exact_dedup_triples(triples.union(p2), self._buckets())
 
     def export_model(self, out_dir: str, fmt: str = "parquet"):
         """exportModel parity (NospaValidator.java:56-67): serialize the

@@ -270,11 +270,21 @@ class PivotInputBuilder:
         h = pd.util.hash_pandas_object(
             out["graph"].astype(str) + "\x00" + out["subj"].astype(str), index=False
         ).to_numpy()
+        # thin the 64-byte sha to the FIRST row of each (graph, subj) in
+        # this batch — all rows of a (graph, subj) land in one bucket, so
+        # every bucket cohort keeps at least one carrier and PivotCheck
+        # recovers the per-graph sha there; the constant column was ~1/3
+        # of the shuffle payload
+        sha = out["file_sha256"]
+        dup = out.duplicated(["graph", "subj"]).to_numpy()
+        if dup.any():
+            sha = sha.to_numpy(copy=True)
+            sha[dup] = ""
         return pa.Table.from_arrays(
             [
                 pa.array((h % self.num_buckets).astype(np.int32), pa.int32()),
                 pa.array(out["graph"], pa.string()),
-                pa.array(out["file_sha256"], pa.string()),
+                pa.array(sha, pa.string()),
                 pa.array(out["subj"], pa.string()),
                 pa.array(out["role"].to_numpy(), pa.int8()),
                 pa.array(out["pred"], pa.string()),
@@ -409,9 +419,17 @@ class PivotCheck:
             )
 
         roles = df["role"].to_numpy()
-        sha_by_graph = (
-            df[["graph", "file_sha256"]].drop_duplicates("graph")
-            .set_index("graph")["file_sha256"]
+        # the shuffle carries sha only on each (graph, subj)'s first row
+        # per input batch (PivotInputBuilder thins it); one graph = one
+        # file = one sha, so restore the full column from any carrier
+        nz = df.loc[
+            df["file_sha256"].ne(""), ["graph", "file_sha256"]
+        ].drop_duplicates("graph")
+        sha_by_graph = nz.set_index("graph")["file_sha256"]
+        df = df.assign(
+            file_sha256=df["graph"]
+            .map(sha_by_graph)
+            .fillna("")
         )
         # composite int64 (graph, subj) key: every hot merge / groupby /
         # sort runs on ONE integer column instead of two object columns
