@@ -219,12 +219,15 @@ def run_suite(
 
 def minhash_probe_docs(sf_dir: str, replicas: int = 4):
     """documents tiled ``replicas``× with disjoint doc_ids and per-replica
-    FULLY disjoint shingle sets (every word prefixed with a replica tag):
-    a weaker salt leaves replicas at Jaccard ~0.5 — below the 0.7
-    threshold but far above the LSH band false-positive floor — and the
-    candidate-pair count then grows QUADRATICALLY in the tile count
-    (measured: 12× docs → 32× wall).  With disjoint shingles both the
-    work and the pair output stay linear in the tiles."""
+    disjoint shingle sets: every TOKEN is prefixed with a replica tag, so
+    each replica's shingle structure is isomorphic to the base corpus
+    (same pairwise Jaccard within a replica, zero across replicas) and
+    both the candidate count and the pair output stay linear in the
+    tiles.  A salt that INSERTS tag tokens between words instead creates
+    ``(tag, w, tag)`` shingles — effectively unigram overlap — which
+    inflates within-replica Jaccard across unrelated docs and blows the
+    candidate count (and the verify join's block sizes) up
+    quadratically."""
     import pandas as pd
 
     import ray.data
@@ -240,8 +243,8 @@ def minhash_probe_docs(sf_dir: str, replicas: int = 4):
             p = df.copy()
             p["doc_id"] = p["doc_id"] + r * 10_000_019
             if r:
-                p["text"] = (p["text"] + " ").str.replace(
-                    " ", f" q{r} ", regex=False
+                p["text"] = p["text"].str.replace(
+                    r"\S+", rf"q{r}\g<0>", regex=True
                 )
             parts.append(p)
         return pd.concat(parts, ignore_index=True)

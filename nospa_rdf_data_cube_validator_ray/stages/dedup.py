@@ -419,7 +419,37 @@ class MinHasher:
         return m.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in df["text"].fillna("")]
+        # batch-level shingle dedup: near-dup corpora repeat shingles
+        # heavily (sf0.1 documents: only ~25% unique), and the permute
+        # matmul dominates the stage — hash and permute each DISTINCT
+        # shingle once, then take per-doc column minima.  min over a
+        # multiset equals min over its support, so signatures are
+        # bit-identical to the per-doc path (which remains for callers).
+        texts = df["text"].fillna("")
+        sh_lists = [shingle_set(t, self.k) for t in texts]
+        code_of: dict[str, int] = {}
+        doc_codes: list[list[int]] = []
+        for sh in sh_lists:
+            doc_codes.append(
+                [code_of.setdefault(s, len(code_of)) for s in sh]
+            )
+        if code_of:
+            h = np.fromiter(
+                (_md5_u64_cached(s) for s in code_of),
+                dtype=np.uint64,
+                count=len(code_of),
+            ) % _B61
+            # (|U| × num_perm) layout: each doc's gather then reads ~|doc|
+            # CONTIGUOUS 1 KB rows — the (num_perm × |U|) orientation made
+            # it a strided column gather across a >100 MB matrix (cache-
+            # and TLB-hostile, and it stopped scaling across workers)
+            m = (
+                _mulmod61(h[:, None], self.a.T) + self.b.T
+            ) % np.uint64(_M61)
+        sent = np.full(self.num_perm, _M61, dtype=np.uint64)
+        sigs = [
+            m[c].min(axis=0) if c else sent for c in doc_codes
+        ]
         out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
         out["sig"] = [s.tobytes() for s in sigs]  # fixed num_perm×8 bytes, LE
         return out
