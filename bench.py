@@ -252,7 +252,7 @@ def minhash_probe_docs(sf_dir: str, replicas: int = 4):
     return docs.map_batches(tile, batch_format="pandas")
 
 
-def run_minhash_probe(sf_dir: str, num_cpus: int, replicas: int = 4) -> dict:
+def run_minhash_probe(sf_dir: str, num_cpus: int, replicas: int = 64) -> dict:
     """Fresh-session MinHash-LSH end-to-end (shingle → signature →
     band-bucket groupby → two-sided partitioned signature join) — the
     shuffle-heavy SECONDARY scaling pipeline the headline's map-dominated
@@ -504,7 +504,10 @@ def main() -> None:
     elif args.giant:
         out = run_giant(args.cpus)
     elif args.minhash_probe:
-        out = run_minhash_probe(args.sf_dir, args.cpus)
+        out = run_minhash_probe(
+            args.sf_dir, args.cpus,
+            **({"replicas": args.replicas} if args.replicas > 1 else {}),
+        )
     elif args.shuffle_probe:
         out = run_shuffle_probe(args.cpus)
     else:
