@@ -1376,6 +1376,54 @@ FROM two WHERE src <> dst GROUP BY src
 """
 
 
+def q_kg_random_walks(sf_dir: str):
+    """Deterministic hash-pick random walks (length 4, one walk per
+    node) over the import graph — the node2vec/DeepWalk-style corpus
+    generator, exactly reproducible because each step is
+    argmin(md5_u64(walk|step|candidate)) over the out-neighbors
+    (stages/graph.random_walks; size-adaptive driver frames / per-step
+    hash join + bucketed argmin, parity-tested)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import random_walks
+
+    return random_walks(_code_import_edges(sf_dir), length=4)
+
+
+def _random_walks_sql(length: int = 4) -> str:
+    """Chained per-step CTEs mirroring random_walks' pick exactly:
+    row_number ordered by (md5_number_lower(walk|step|dst), dst) — the
+    UBIGINT hash compares unsigned on both sides."""
+    parts = [
+        """e AS (SELECT DISTINCT src, dst FROM cedges),
+n AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+w0 AS (SELECT node AS walk, 0::BIGINT AS step, node FROM n)"""
+    ]
+    for t in range(1, length + 1):
+        parts.append(
+            f""",
+w{t} AS (
+  SELECT walk, {t}::BIGINT AS step, dst AS node
+  FROM (
+    SELECT w.walk, e.dst,
+           row_number() OVER (
+             PARTITION BY w.walk
+             ORDER BY md5_number_lower(w.walk || '|{t}|' || e.dst), e.dst
+           ) AS rn
+    FROM w{t - 1} w JOIN e ON e.src = w.node
+  ) WHERE rn = 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk, step, node FROM w{t}" for t in range(length + 1)
+    )
+    return f"WITH {_CODE_EDGE_BODY},\n" + "".join(parts) + "\n" + union
+
+
+_SQL_RANDOM_WALKS = _random_walks_sql()
+
+
 def q_kg_dag_depth(sf_dir: str):
     """Longest-path dependency depth (build-order / critical-path) over
     an acyclic import corpus — monotone Bellman-Ford-style fixpoint,
@@ -2104,6 +2152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_repo_profile": q_kg_repo_profile,
         "kg_dag_depth": q_kg_dag_depth,
         "kg_code_2hop": q_kg_code_2hop,
+        "kg_random_walks": q_kg_random_walks,
         "kg_pred_profile": q_kg_pred_profile,
         "kg_link_negatives": q_kg_link_negatives,
         "kg_node_features": q_kg_node_features,
@@ -2175,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_repo_profile": _SQL_REPO_PROFILE,
         "kg_dag_depth": _SQL_DAG_DEPTH,
         "kg_code_2hop": _SQL_CODE_2HOP,
+        "kg_random_walks": _SQL_RANDOM_WALKS,
         "kg_pred_profile": _SQL_PRED_PROFILE,
         "kg_link_negatives": _SQL_LINK_NEGATIVES,
         "kg_node_features": _SQL_NODE_FEATURES,

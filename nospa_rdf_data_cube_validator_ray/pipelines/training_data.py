@@ -896,6 +896,69 @@ GROUP BY source
 """
 
 
+def q_token_countmin(sf_dir: str, depth: int = 4, width: int = 1024):
+    """Count-Min sketch of the corpus token stream — the mergeable
+    frequency-estimate / heavy-hitter structure (Cormode & Muthukrishnan
+    2005) next to the KMV cardinality sketch.  Each block folds its own
+    token counts into a depth×width partial counter matrix MAP-side, so
+    the exchange is ≤ depth×width cells per block regardless of corpus
+    size; partials merge by cell-wise sum (bucketed — the key space is
+    only depth×width).  Row hash d is md5_u64(f"{d}|{token}") % width —
+    the established DuckDB bridge — so the cell matrix is bit-exact
+    against SQL, and estimates (min over rows at query time) upper-bound
+    true counts, asserted as a property in tests."""
+    import numpy as np
+
+    from ..stages.dedup import _md5_u64_cached
+    from ..stages.dedup import tokens as _tok
+
+    docs = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"].fillna("") for w in _tok(t)]
+        if not toks:
+            return pd.DataFrame(
+                {
+                    "d": pd.Series(dtype="int64"),
+                    "col": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        vc = pd.Series(toks, dtype="object").value_counts()
+        cnt = np.zeros((depth, width), dtype=np.int64)
+        for w, c in vc.items():
+            for d in range(depth):
+                cnt[d, _md5_u64_cached(f"{d}|{w}") % width] += int(c)
+        d_idx, col_idx = np.nonzero(cnt)
+        return pd.DataFrame(
+            {
+                "d": d_idx.astype("int64"),
+                "col": col_idx.astype("int64"),
+                "n": cnt[d_idx, col_idx],
+            }
+        )
+
+    from ..util import bucket_sum
+
+    return bucket_sum(
+        docs.map_batches(partial, batch_format="pandas"), ["d", "col"], ["n"]
+    )
+
+
+_SQL_TOKEN_COUNTMIN = r"""
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+  FROM documents
+),
+dd AS (SELECT unnest(generate_series(0, 3)) AS d)
+SELECT dd.d::BIGINT AS d,
+       (md5_number_lower(dd.d::varchar || '|' || t) % 1024)::BIGINT AS col,
+       count(*)::BIGINT AS n
+FROM tk CROSS JOIN dd
+GROUP BY 1, 2
+"""
+
+
 # -- boilerplate (line-level) removal ---------------------------------------
 
 
@@ -1048,6 +1111,7 @@ QUERIES = {
     "doc_len_quantiles": q_doc_len_quantiles,
     "docs_global_rank": q_docs_global_rank,
     "distinct_tokens_per_source": q_distinct_tokens_per_source,
+    "token_countmin": q_token_countmin,
     "boilerplate_removal": q_boilerplate_removal,
     "dup_span_coverage": q_dup_span_coverage,
 }
@@ -1419,6 +1483,7 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     "doc_len_quantiles": _SQL_LEN_QUANTILES,
     "docs_global_rank": _SQL_GLOBAL_RANK,
     "distinct_tokens_per_source": _SQL_DISTINCT_TOKENS,
+    "token_countmin": _SQL_TOKEN_COUNTMIN,
     "boilerplate_removal": _SQL_BOILERPLATE,
     "dup_span_coverage": _SQL_DUP_SPAN,
 }

@@ -866,3 +866,184 @@ def two_hop_sizes(
         ["node"],
         out_col="n_2hop",
     )
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    *,
+    length: int = 4,
+    starts: list[str] | None = None,
+    max_driver_edges: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Deterministic hash-pick random walks — the node2vec/DeepWalk-style
+    corpus generator of graph-representation pipelines, made exactly
+    reproducible (and SQL-replicable) by deriving each step from the
+    md5_u64 of ``walk|step|candidate``: at step t the walk at node u
+    moves to the out-neighbor v minimizing
+    ``(md5_u64(f"{walk}|{t}|{v}"), v)``.  No RNG state, so retries,
+    cluster sizes and the DuckDB oracle all agree bit-for-bit, and the
+    pick is uniform-ish per step without biasing toward high-degree
+    nodes the way degree-weighted sampling would.
+
+    Rows: (walk, step, node) with step 0 at the start node; a walk ends
+    early at a sink.  ``starts`` defaults to every node (src ∪ dst).
+
+    Size-adaptive like :func:`bfs_distances` (parity-tested):
+
+    * ≤ ``max_driver_edges``: adjacency collected once, steps run as
+      vectorized frames on the driver.
+    * larger: each step is ONE hash join (frontier ⋈ edges on the
+      current node) plus one bucketed per-walk argmin — the frontier
+      and the walk rows stay Datasets; the driver holds only the step
+      counter.  Cost is ``length`` × (join + bucketed groupby), the
+      same round shape as the distributed BFS.
+    """
+    from ..stages.dedup import _md5_u64
+
+    def _pick(cand: pd.DataFrame, step: int) -> pd.DataFrame:
+        """argmin over (md5_u64(walk|step|dst), dst) per walk.  Hashes are
+        computed HERE (never shipped): uint64 survives intact and no
+        int64 reinterpretation can flip the ordering."""
+        import numpy as np
+
+        if not len(cand):
+            return pd.DataFrame(
+                {
+                    "walk": pd.Series(dtype="string"),
+                    "node": pd.Series(dtype="string"),
+                }
+            )
+        h = np.fromiter(
+            (
+                _md5_u64(f"{w}|{step}|{v}")
+                for w, v in zip(cand["walk"], cand["dst"])
+            ),
+            dtype=np.uint64,
+            count=len(cand),
+        )
+        cand = cand.assign(_h=h).sort_values(["walk", "_h", "dst"])
+        top = cand.drop_duplicates("walk")
+        return pd.DataFrame(
+            {
+                "walk": top["walk"].astype("string").to_numpy(),
+                "node": top["dst"].astype("string").to_numpy(),
+            }
+        )
+
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        e = pd.concat(
+            list(
+                edges.map_batches(
+                    lambda d: d[["subj", "obj"]].rename(
+                        columns={"subj": "src", "obj": "dst"}
+                    ),
+                    batch_format="pandas",
+                ).iter_batches(batch_format="pandas", batch_size=None)
+            ),
+            ignore_index=True,
+        ).drop_duplicates()
+        if starts is None:
+            starts = sorted(set(e["src"]) | set(e["dst"]))
+        rows = [
+            pd.DataFrame(
+                {
+                    "walk": pd.Series(starts, dtype="string"),
+                    "step": pd.Series([0] * len(starts), dtype="int64"),
+                    "node": pd.Series(starts, dtype="string"),
+                }
+            )
+        ]
+        frontier = pd.DataFrame({"walk": starts, "cur": starts})
+        for t in range(1, length + 1):
+            cand = frontier.merge(
+                e, left_on="cur", right_on="src", how="inner"
+            )[["walk", "dst"]]
+            nxt = _pick(cand, t)
+            if not len(nxt):
+                break
+            rows.append(nxt.assign(step=t)[["walk", "step", "node"]])
+            frontier = nxt.rename(columns={"node": "cur"})
+        out = pd.concat(rows, ignore_index=True)
+        out["step"] = out["step"].astype("int64")
+        return ray.data.from_pandas(
+            out.sort_values(["walk", "step"], ignore_index=True)
+        )
+
+    from ..util import bucket_agg
+
+    np_ = _nparts(None)
+    mat = (
+        edges.map_batches(
+            lambda d: d[["subj", "obj"]].rename(
+                columns={"subj": "src", "obj": "dst"}
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if starts is None:
+        su = mat.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "walk": pd.concat(
+                        [df["src"], df["dst"]], ignore_index=True
+                    ).astype("string")
+                }
+            ).drop_duplicates(),
+            batch_format="pandas",
+        )
+        from ..functions.kernel import distinct
+
+        start_ds = distinct(su, ["walk"]).materialize()
+    else:
+        start_ds = ray.data.from_pandas(
+            pd.DataFrame({"walk": pd.Series(starts, dtype="string")})
+        ).materialize()
+
+    result = start_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "walk": df["walk"].astype("string"),
+                "step": pd.Series(0, index=df.index, dtype="int64"),
+                "node": df["walk"].astype("string"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    frontier = _ren(start_ds, {"walk": "w"}).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "walk": df["w"].astype("string"),
+                "src": df["w"].astype("string"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    for t in range(1, length + 1):
+        cand = heal_schema(frontier, np_).join(
+            heal_schema(mat, np_), "inner", np_, on=("src",)
+        )
+        nxt = bucket_agg(
+            cand.map_batches(
+                lambda df: df[["walk", "dst"]], batch_format="pandas"
+            ),
+            ["walk"],
+            lambda df, _t=t: _pick(df, _t),
+        ).materialize()
+        if nxt.count() == 0:
+            break
+        result = result.union(
+            nxt.map_batches(
+                lambda df, _t=t: pd.DataFrame(
+                    {
+                        "walk": df["walk"].astype("string"),
+                        "step": pd.Series(_t, index=df.index, dtype="int64"),
+                        "node": df["node"].astype("string"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        frontier = _ren(nxt, {"node": "src"})
+    return result
