@@ -1388,10 +1388,11 @@ def q_kg_random_walks(sf_dir: str):
     return random_walks(_code_import_edges(sf_dir), length=4)
 
 
-def _random_walks_sql(length: int = 4) -> str:
-    """Chained per-step CTEs mirroring random_walks' pick exactly:
-    row_number ordered by (md5_number_lower(walk|step|dst), dst) — the
-    UBIGINT hash compares unsigned on both sides."""
+def _random_walks_cte(length: int = 4) -> str:
+    """CTE body (w0..wL plus a unioned ``walks`` view) mirroring
+    random_walks' pick exactly: row_number ordered by
+    (md5_number_lower(walk|step|dst), dst) — the UBIGINT hash compares
+    unsigned on both sides."""
     parts = [
         """e AS (SELECT DISTINCT src, dst FROM cedges),
 n AS (
@@ -1415,13 +1416,68 @@ w{t} AS (
   ) WHERE rn = 1
 )"""
         )
-    union = "\nUNION ALL\n".join(
+    union = "\n  UNION ALL\n  ".join(
         f"SELECT walk, step, node FROM w{t}" for t in range(length + 1)
     )
-    return f"WITH {_CODE_EDGE_BODY},\n" + "".join(parts) + "\n" + union
+    return "".join(parts) + f",\nwalks AS (\n  {union}\n)"
 
 
-_SQL_RANDOM_WALKS = _random_walks_sql()
+_SQL_RANDOM_WALKS = (
+    f"WITH {_CODE_EDGE_BODY},\n"
+    + _random_walks_cte()
+    + "\nSELECT walk, step, node FROM walks"
+)
+
+
+def q_kg_walk_skipgrams(sf_dir: str, window: int = 2):
+    """Skip-gram (center, context) pairs from the deterministic walks —
+    the input tuples a node-embedding trainer consumes.  One map_batches
+    self-merge per walk block is wrong at scale (walk rows for one walk
+    can span blocks), so pairs come from a bucketed per-walk group:
+    within each walk, every ordered pair with 0 < |step gap| ≤ window."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import random_walks
+    from nospa_rdf_data_cube_validator_ray.util import bucket_agg
+
+    walks = random_walks(_code_import_edges(sf_dir), length=4)
+
+    def pairs(df):
+        import pandas as pd
+
+        m = df.merge(df, on="walk", suffixes=("_a", "_b"))
+        gap = (m["step_a"] - m["step_b"]).abs()
+        m = m[(gap > 0) & (gap <= window)]
+        out = pd.DataFrame(
+            {
+                "center": m["node_a"].astype("string"),
+                "context": m["node_b"].astype("string"),
+            }
+        )
+        return out.groupby(
+            ["center", "context"], as_index=False, sort=False
+        ).size().rename(columns={"size": "n"})
+
+    from nospa_rdf_data_cube_validator_ray.util import bucket_sum
+
+    # per-walk pair fan-out, then a cell-wise sum over the (center,
+    # context) pair vocabulary — both bucketed, never per-key groups
+    per_walk = bucket_agg(walks, ["walk"], pairs)
+    out = bucket_sum(per_walk, ["center", "context"], ["n"])
+    return out.map_batches(
+        lambda df: df.assign(n=df["n"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
+_SQL_WALK_SKIPGRAMS = (
+    f"WITH {_CODE_EDGE_BODY},\n"
+    + _random_walks_cte()
+    + """
+SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS n
+FROM walks a
+JOIN walks b ON b.walk = a.walk AND abs(b.step - a.step) BETWEEN 1 AND 2
+GROUP BY 1, 2
+"""
+)
 
 
 def q_kg_dag_depth(sf_dir: str):
@@ -2153,6 +2209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dag_depth": q_kg_dag_depth,
         "kg_code_2hop": q_kg_code_2hop,
         "kg_random_walks": q_kg_random_walks,
+        "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_pred_profile": q_kg_pred_profile,
         "kg_link_negatives": q_kg_link_negatives,
         "kg_node_features": q_kg_node_features,
@@ -2225,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_dag_depth": _SQL_DAG_DEPTH,
         "kg_code_2hop": _SQL_CODE_2HOP,
         "kg_random_walks": _SQL_RANDOM_WALKS,
+        "kg_walk_skipgrams": _SQL_WALK_SKIPGRAMS,
         "kg_pred_profile": _SQL_PRED_PROFILE,
         "kg_link_negatives": _SQL_LINK_NEGATIVES,
         "kg_node_features": _SQL_NODE_FEATURES,

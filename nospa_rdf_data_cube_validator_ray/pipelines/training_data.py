@@ -98,6 +98,26 @@ def q_minhash_pairs(sf_dir: str):
     return D.minhash_lsh_pairs(_docs(sf_dir), threshold=0.7)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Shard-vs-corpus near-dup filter (dedup.minhash_lsh_pairs_against):
+    documents with doc_id % 10 = 7 play the ARRIVING shard, the rest the
+    EXISTING corpus; only cross-side LSH candidates are enumerated and
+    each side's signatures verify through its own join — the
+    incremental-ingest shape of a continuously-fed training pipeline."""
+
+    def side(pred):
+        return _docs(sf_dir).map_batches(
+            lambda df, p=pred: df[p(df["doc_id"])].reset_index(drop=True),
+            batch_format="pandas",
+        )
+
+    return D.minhash_lsh_pairs_against(
+        side(lambda d: d % 10 == 7),
+        side(lambda d: d % 10 != 7),
+        threshold=0.7,
+    )
+
+
 def q_minhash_signatures(sf_dir: str):
     sigs = D.minhash_signatures(_docs(sf_dir))
 
@@ -1090,6 +1110,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_pairs": q_minhash_pairs,
+    "dedup_incremental": q_dedup_incremental,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "dedup_simhash_pairs": q_simhash_pairs,
@@ -1181,6 +1202,30 @@ SELECT c.da AS doc_id_a, c.db AS doc_id_b,
 FROM cand c
 JOIN mh x ON x.doc_id = c.da
 JOIN mh y ON y.doc_id = c.db AND y.perm = x.perm
+GROUP BY 1, 2
+HAVING count(*) FILTER (WHERE x.h = y.h) >= 90
+"""
+
+# incremental shard-vs-corpus variant: same bands, cross-side candidates
+# only, same 90-slot threshold
+_SQL_DEDUP_INCREMENTAL = f"""
+WITH {_minhash_cte()},
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         md5_number_lower((perm // 4)::VARCHAR || ':' ||
+                          string_agg(h::VARCHAR, ',' ORDER BY perm)) AS bucket
+  FROM mh GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS dn, b.doc_id AS dc
+  FROM bands a JOIN bands b ON a.bucket = b.bucket
+  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 != 7
+)
+SELECT c.dn AS new_doc_id, c.dc AS corpus_doc_id,
+       (count(*) FILTER (WHERE x.h = y.h))::BIGINT AS est_jaccard_num
+FROM cand c
+JOIN mh x ON x.doc_id = c.dn
+JOIN mh y ON y.doc_id = c.dc AND y.perm = x.perm
 GROUP BY 1, 2
 HAVING count(*) FILTER (WHERE x.h = y.h) >= 90
 """
@@ -1464,6 +1509,7 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
 """,
     "minhash_signatures": _SQL_MINHASH_SIGS,
     "dedup_minhash_pairs": _SQL_MINHASH_PAIRS,
+    "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
     "simhash": _SQL_SIMHASH,
     "dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
     "lang_id": _SQL_LANG_ID,

@@ -677,6 +677,153 @@ def minhash_lsh_pairs(
     return joined.map_batches(verify, batch_format="pandas")
 
 
+def minhash_lsh_pairs_against(
+    new_ds: "ray.data.Dataset",
+    corpus_ds: "ray.data.Dataset",
+    *,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 100_000,
+    num_partitions: int | None = None,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Incremental-ingest near-dup filter: (new_doc_id, corpus_doc_id,
+    est_jaccard_num) pairs between a NEW shard and an EXISTING corpus —
+    the shape a continuously-fed training pipeline runs per arriving
+    shard, where within-corpus pairs are already resolved and only
+    cross-side matches matter.
+
+    Same LSH machinery as :func:`minhash_lsh_pairs`, but the band-bucket
+    rows carry a side tag and each bucket emits only CROSS-side pairs
+    (new × corpus), so a bucket with n new + m corpus members costs
+    n·m, not (n+m)².  Verification joins each side's OWN signature
+    table — overlapping doc_id spaces between shard and corpus stay
+    unambiguous.  The corpus side's signatures/buckets are recomputed
+    here; a production loop would checkpoint them once (write_parquet)
+    and reuse across shards."""
+    min_eq = int(np.ceil(threshold * num_perm))
+    from ..util import heal_schema, join_partitions
+
+    num_partitions = join_partitions(num_partitions)
+
+    sig_n = minhash_signatures(
+        new_ds, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency
+    ).materialize()
+    sig_c = minhash_signatures(
+        corpus_ds, num_perm=num_perm, shingle_k=shingle_k,
+        concurrency=concurrency,
+    ).materialize()
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = np.int8(side)
+            df["_cb"] = (
+                df["bucket"].to_numpy(np.uint64) % np.uint64(_COARSE)
+            ).astype("int32")
+            return df
+
+        return f
+
+    both = (
+        band_buckets(sig_n, num_perm=num_perm, bands=bands)
+        .map_batches(tag(1), batch_format="pandas")
+        .union(
+            band_buckets(sig_c, num_perm=num_perm, bands=bands)
+            .map_batches(tag(0), batch_format="pandas")
+        )
+    )
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["bucket", "side", "doc_id"]].drop_duplicates().sort_values(
+            ["bucket", "side", "doc_id"]
+        )
+        keys = d["bucket"].to_numpy()
+        sides = d["side"].to_numpy()
+        ids = d["doc_id"].to_numpy()
+        bounds = _segment_bounds(keys)
+        outs_n, outs_c = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s > max_bucket:
+                raise RuntimeError(
+                    f"LSH bucket cap exceeded: {e - s} > {max_bucket}"
+                )
+            seg_sides = sides[s:e]
+            c_ids = ids[s:e][seg_sides == 0]
+            n_ids = ids[s:e][seg_sides == 1]
+            if len(c_ids) and len(n_ids):
+                outs_n.append(np.repeat(n_ids, len(c_ids)))
+                outs_c.append(np.tile(c_ids, len(n_ids)))
+        if not outs_n:
+            return pd.DataFrame(
+                {"new_doc_id": [], "corpus_doc_id": []}
+            ).astype("int64")
+        return pd.DataFrame(
+            {
+                "new_doc_id": np.concatenate(outs_n),
+                "corpus_doc_id": np.concatenate(outs_c),
+            }
+        ).astype("int64")
+
+    raw = both.groupby("_cb").map_groups(cross_pairs, batch_format="pandas")
+    cands = _dedup_pairs(
+        raw, id_cols=("new_doc_id", "corpus_doc_id")
+    ).materialize()
+
+    def rename(col_id: str, col_sig: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({col_id: df["doc_id"], col_sig: df["sig"]})
+
+        return f
+
+    joined = (
+        heal_schema(cands, num_partitions)
+        .join(
+            heal_schema(
+                sig_n.map_batches(
+                    rename("new_doc_id", "sig_a"), batch_format="pandas"
+                ),
+                num_partitions,
+            ),
+            "inner", num_partitions, on=("new_doc_id",),
+        )
+        .join(
+            heal_schema(
+                sig_c.map_batches(
+                    rename("corpus_doc_id", "sig_b"), batch_format="pandas"
+                ),
+                num_partitions,
+            ),
+            "inner", num_partitions, on=("corpus_doc_id",),
+        )
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"new_doc_id": [], "corpus_doc_id": [], "est_jaccard_num": []}
+            ).astype("int64")
+        sa = np.frombuffer(b"".join(df["sig_a"]), dtype=np.uint64).reshape(
+            len(df), num_perm
+        )
+        sb = np.frombuffer(b"".join(df["sig_b"]), dtype=np.uint64).reshape(
+            len(df), num_perm
+        )
+        eq = (sa == sb).sum(axis=1).astype("int64")
+        out = pd.DataFrame(
+            {
+                "new_doc_id": df["new_doc_id"].to_numpy(np.int64),
+                "corpus_doc_id": df["corpus_doc_id"].to_numpy(np.int64),
+                "est_jaccard_num": eq,
+            }
+        )
+        return out[eq >= min_eq].reset_index(drop=True)
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -95,3 +95,46 @@ def test_countmin_estimate_upper_bounds_true_count():
             cnt[d, _md5_u64(f"{d}|{w}") % width] for d in range(depth)
         )
         assert est >= c
+
+
+def test_incremental_pairs_are_cross_side_only():
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_against,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(6), dtype="int64"),
+            "text": [
+                base,                      # 0: corpus
+                base + "tail tail",        # 1: corpus near-dup of 0
+                "completely different words " * 10,   # 2: corpus
+                base + "extra token",      # 3: NEW near-dup of 0/1
+                "unrelated shard text " * 10,         # 4: NEW
+                base,                      # 5: NEW exact dup of 0
+            ],
+        }
+    )
+    new = ray.data.from_pandas(docs.iloc[3:].reset_index(drop=True))
+    corpus = ray.data.from_pandas(docs.iloc[:3].reset_index(drop=True))
+    got = minhash_lsh_pairs_against(
+        new, corpus, threshold=0.7
+    ).to_pandas()
+    assert len(got), "expected cross-side near-dup pairs"
+    assert set(got["new_doc_id"]) <= {3, 4, 5}
+    assert set(got["corpus_doc_id"]) <= {0, 1, 2}
+    # every cross pair the within-corpus run finds on the union shows up
+    allp = minhash_lsh_pairs(
+        ray.data.from_pandas(docs), threshold=0.7
+    ).to_pandas()
+    cross = {
+        (max(a, b), min(a, b))
+        for a, b in zip(allp["doc_id_a"], allp["doc_id_b"])
+        if (a >= 3) != (b >= 3)
+    }
+    got_set = {
+        (n, c) for n, c in zip(got["new_doc_id"], got["corpus_doc_id"])
+    }
+    assert got_set == cross
