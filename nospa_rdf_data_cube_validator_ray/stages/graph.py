@@ -16,14 +16,16 @@ implemented shuffle-minimal:
   * ``class_profile`` — one hash join (edges x types) + three
     aggregations whose outputs are #classes-scale.
   * ``bfs_distances`` — size-adaptive: exact driver BFS under
-    ``max_driver_edges`` (edge list collected ONCE), else per-round
-    broadcast-frontier expansion: the frontier set is ``ray.put`` once
-    per round and each round is a map-only scan of the materialized edge
-    Dataset — no shuffle, no corpus-scale driver state.  Frontier /
-    distance state is REACHABLE-SET scale (the entity-scale assumption
-    the alias table already documents), and rounds equal graph depth —
-    a graph with diameter ≫ ``max_rounds`` needs the pointer-jumping CC
-    shape (canonicalize.cc_labels), not a frontier walk.
+    ``max_driver_edges`` (edge list collected ONCE), else fully
+    distributed frontier rounds: (node, dist) and the frontier stay
+    Datasets, each round one hash join through the materialized edge
+    table plus one anti-join against the known set — the driver holds
+    only the round counter and frontier count.  Rounds equal graph
+    depth — a graph with diameter ≫ ``max_rounds`` needs the
+    pointer-jumping CC shape (canonicalize.cc_labels), not a frontier
+    walk.
+  * ``random_walks`` — deterministic hash-pick walk corpus; same
+    size-adaptive round shape as the BFS.
 """
 
 from __future__ import annotations
