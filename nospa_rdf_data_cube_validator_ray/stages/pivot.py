@@ -37,15 +37,19 @@ ROLE_DS = 1
 ROLE_TYPE = 2
 ROLE_EXPLINK = 3
 
+# map-side-combined: ONE row per (graph, subj) per input batch, the
+# subject's triples packed into parallel lists — the sort then moves
+# observation-count rows, not triple-count rows (~9× fewer at reference
+# shapes), and graph/sha/subj ship once per subject instead of per triple
 _PIVOT_SCHEMA = pa.schema(
     [
         ("bucket", pa.int32()),
         ("graph", pa.string()),
         ("file_sha256", pa.string()),
         ("subj", pa.string()),
-        ("role", pa.int8()),
-        ("pred", pa.string()),
-        ("obj_term", pa.string()),
+        ("roles", pa.list_(pa.int8())),
+        ("preds", pa.list_(pa.string())),
+        ("oterms", pa.list_(pa.string())),
     ]
 )
 
@@ -267,28 +271,45 @@ class PivotInputBuilder:
             out = pd.DataFrame(
                 columns=["graph", "file_sha256", "subj", "role", "pred", "obj_term"]
             )
+        # map-side combine: sort the batch's rows by (graph, subj), emit
+        # ONE packed row per subject — graph / sha / subj amortize over
+        # the subject's triples and the shuffle moves ~9× fewer rows
+        out = out.sort_values(["graph", "subj"], kind="stable", ignore_index=True)
+        g = out["graph"].to_numpy()
+        sj = out["subj"].to_numpy()
+        if len(out):
+            starts = np.flatnonzero(
+                np.r_[True, (g[1:] != g[:-1]) | (sj[1:] != sj[:-1])]
+            )
+        else:
+            starts = np.array([], dtype=np.int64)
+        offsets = pa.array(
+            np.r_[starts, len(out)].astype(np.int32), pa.int32()
+        )
+        graph_u = g[starts]
+        subj_u = sj[starts]
+        sha_u = out["file_sha256"].to_numpy()[starts]
         h = pd.util.hash_pandas_object(
-            out["graph"].astype(str) + "\x00" + out["subj"].astype(str), index=False
+            pd.Series(graph_u, dtype=object).astype(str)
+            + "\x00"
+            + pd.Series(subj_u, dtype=object).astype(str),
+            index=False,
         ).to_numpy()
-        # thin the 64-byte sha to the FIRST row of each (graph, subj) in
-        # this batch — all rows of a (graph, subj) land in one bucket, so
-        # every bucket cohort keeps at least one carrier and PivotCheck
-        # recovers the per-graph sha there; the constant column was ~1/3
-        # of the shuffle payload
-        sha = out["file_sha256"]
-        dup = out.duplicated(["graph", "subj"]).to_numpy()
-        if dup.any():
-            sha = sha.to_numpy(copy=True)
-            sha[dup] = ""
         return pa.Table.from_arrays(
             [
                 pa.array((h % self.num_buckets).astype(np.int32), pa.int32()),
-                pa.array(out["graph"], pa.string()),
-                pa.array(sha, pa.string()),
-                pa.array(out["subj"], pa.string()),
-                pa.array(out["role"].to_numpy(), pa.int8()),
-                pa.array(out["pred"], pa.string()),
-                pa.array(out["obj_term"], pa.string()),
+                pa.array(graph_u, pa.string()),
+                pa.array(sha_u, pa.string()),
+                pa.array(subj_u, pa.string()),
+                pa.ListArray.from_arrays(
+                    offsets, pa.array(out["role"].to_numpy(), pa.int8())
+                ),
+                pa.ListArray.from_arrays(
+                    offsets, pa.array(out["pred"], pa.string())
+                ),
+                pa.ListArray.from_arrays(
+                    offsets, pa.array(out["obj_term"], pa.string())
+                ),
             ],
             schema=_PIVOT_SCHEMA,
         )
@@ -418,18 +439,44 @@ class PivotCheck:
                 columns=_OUT_COLUMNS,
             )
 
+        # unpack the map-side-combined rows: one packed row per
+        # (graph, subj) per input batch → the flat per-triple frame the
+        # vectorized checks below operate on (np.repeat for the packed
+        # scalars, one concatenate per list column)
+        lens = np.fromiter(
+            (len(r) for r in df["roles"]), dtype=np.int64, count=len(df)
+        )
+        df = pd.DataFrame(
+            {
+                "graph": np.repeat(df["graph"].to_numpy(), lens),
+                "file_sha256": np.repeat(df["file_sha256"].to_numpy(), lens),
+                "subj": np.repeat(df["subj"].to_numpy(), lens),
+                "role": (
+                    np.concatenate([np.asarray(r) for r in df["roles"]])
+                    if len(df)
+                    else np.array([], dtype=np.int8)
+                ),
+                "pred": (
+                    np.concatenate(
+                        [np.asarray(r, dtype=object) for r in df["preds"]]
+                    )
+                    if len(df)
+                    else np.array([], dtype=object)
+                ),
+                "obj_term": (
+                    np.concatenate(
+                        [np.asarray(r, dtype=object) for r in df["oterms"]]
+                    )
+                    if len(df)
+                    else np.array([], dtype=object)
+                ),
+            }
+        )
         roles = df["role"].to_numpy()
-        # the shuffle carries sha only on each (graph, subj)'s first row
-        # per input batch (PivotInputBuilder thins it); one graph = one
-        # file = one sha, so restore the full column from any carrier
-        nz = df.loc[
-            df["file_sha256"].ne(""), ["graph", "file_sha256"]
-        ].drop_duplicates("graph")
-        sha_by_graph = nz.set_index("graph")["file_sha256"]
-        df = df.assign(
-            file_sha256=df["graph"]
-            .map(sha_by_graph)
-            .fillna("")
+        sha_by_graph = (
+            df[["graph", "file_sha256"]]
+            .drop_duplicates("graph")
+            .set_index("graph")["file_sha256"]
         )
         # composite int64 (graph, subj) key: every hot merge / groupby /
         # sort runs on ONE integer column instead of two object columns
