@@ -1657,6 +1657,201 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# ontology construction: RDFS inference + entity linking (stages/ontology,
+# stages/linking)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_type_inference(sf_dir: str):
+    """RDFS domain/range inference (rdfs2/rdfs3) reconciled against a
+    PARTIALLY-typed corpus: type assertions for nodes with
+    md5(node) % 3 == 0 are withheld (simulating an under-typed KG), and
+    kg:inNation deliberately declares range kg:Country — a class the
+    data asserts as kg:Nation — so the conflict counter is exercised.
+    Output: one row per inferred class (cls, n_inferred, n_new,
+    n_conflict); the declaration dict is ontology-scale and rides in the
+    batch closure, the only shuffle is ONE coarse node-bucket exchange
+    (stages/ontology.infer_types)."""
+    import pandas as pd
+
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import _md5_u64_cached
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        extract_edges,
+        type_table,
+    )
+    from nospa_rdf_data_cube_validator_ray.stages.ontology import infer_types
+
+    triples = _link_triples(sf_dir)
+
+    def withhold(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["subj"].map(lambda s: _md5_u64_cached(s) % 3 != 0)
+        return df[keep.to_numpy()].reset_index(drop=True)
+
+    decls = {
+        f"{_KGP}placedBy": (f"{_KGP}Order", f"{_KGP}Customer"),
+        f"{_KGP}follows": (f"{_KGP}Order", f"{_KGP}Order"),
+        f"{_KGP}inNation": (f"{_KGP}Customer", f"{_KGP}Country"),
+        f"{_KGP}inRegion": (f"{_KGP}Nation", f"{_KGP}Region"),
+    }
+    return infer_types(
+        extract_edges(triples),
+        type_table(triples).map_batches(withhold, batch_format="pandas"),
+        decls,
+    )
+
+
+# composed with _KG_EDGE_BODY (defined further down) after its binding
+_SQL_TYPE_INFERENCE_BODY = f"""
+ktypes AS (
+  SELECT subj, cls FROM (
+    SELECT '{_KGN}ord/' || o_orderkey AS subj, '{_KGP}Order' AS cls FROM orders
+    UNION ALL
+    SELECT '{_KGN}cust/' || c_custkey, '{_KGP}Customer' FROM customer
+    UNION ALL
+    SELECT '{_KGN}nat/' || n_nationkey, '{_KGP}Nation' FROM nation
+    UNION ALL
+    SELECT '{_KGN}reg/' || r_regionkey, '{_KGP}Region' FROM region
+  ) WHERE md5_number_lower(subj) % 3 != 0
+),
+decls(pred, dom, rng) AS (VALUES
+  ('{_KGP}placedBy', '{_KGP}Order', '{_KGP}Customer'),
+  ('{_KGP}follows', '{_KGP}Order', '{_KGP}Order'),
+  ('{_KGP}inNation', '{_KGP}Customer', '{_KGP}Country'),
+  ('{_KGP}inRegion', '{_KGP}Nation', '{_KGP}Region')
+),
+inf AS (
+  SELECT DISTINCT node, cls FROM (
+    SELECT e.subj AS node, d.dom AS cls
+    FROM edges e JOIN decls d ON e.pred = d.pred
+    UNION ALL
+    SELECT e.obj, d.rng FROM edges e JOIN decls d ON e.pred = d.pred
+  )
+),
+ast AS (SELECT DISTINCT subj AS node, cls FROM ktypes),
+astn AS (SELECT DISTINCT node FROM ast)
+SELECT inf.cls AS cls,
+       count(*)::BIGINT AS n_inferred,
+       sum(CASE WHEN astn.node IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       sum(CASE WHEN astn.node IS NOT NULL AND m.node IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_conflict
+FROM inf
+LEFT JOIN astn ON astn.node = inf.node
+LEFT JOIN ast m ON m.node = inf.node AND m.cls = inf.cls
+GROUP BY inf.cls
+ORDER BY cls
+"""
+
+
+def q_kg_subclass_closure(sf_dir: str):
+    """Ontology ancestor closure: the acyclic import corpus read as a
+    subClassOf hierarchy (m_k ⊑ m_{k//2}, m_k ⊑ m_{k//3}), transitively
+    closed (rdfs5/rdfs11 entailment) and summarized per class as
+    (node, n_ancestors, anc_min, anc_xor) — the xor is the 61-bit md5
+    fold that makes the closure SET value-exact in SQL.  Size-adaptive
+    semi-naive iteration, rounds = hierarchy depth
+    (stages/ontology.ancestor_closure; distributed regime
+    parity-tested)."""
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_dag_corpus
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        extract_code_corpus,
+    )
+    from nospa_rdf_data_cube_validator_ray.stages.ontology import (
+        ancestor_closure,
+    )
+
+    imp = (f"{_CODE}imports", f"{_CODE}importsFrom")
+    edges = extract_code_corpus(
+        ray.data.from_arrow(tpch_dag_corpus(sf_dir))
+    ).map_batches(
+        lambda df: df[df["pred"].isin(imp)].reset_index(drop=True),
+        batch_format="pandas",
+    )
+    return ancestor_closure(edges)
+
+
+_SQL_SUBCLASS_CLOSURE = f"""
+WITH RECURSIVE p AS (SELECT p_partkey AS k FROM part WHERE p_partkey >= 2),
+sedges AS (
+  SELECT '{_CODEN}mod/m' || k AS node, '{_CODEN}mod/m' || (k // 2) AS a FROM p
+  UNION
+  SELECT '{_CODEN}mod/m' || k, '{_CODEN}mod/m' || (k // 3) FROM p
+),
+cl(node, a) AS (
+  SELECT node, a FROM sedges
+  UNION
+  SELECT c.node, e.a FROM cl c JOIN sedges e ON e.node = c.a
+)
+SELECT node,
+       count(*)::BIGINT AS n_ancestors,
+       min(a) AS anc_min,
+       coalesce(bit_xor((md5_number_lower(a) % {1 << 61})::UBIGINT),
+                0)::BIGINT AS anc_xor
+FROM cl GROUP BY node
+"""
+
+
+def q_kg_entity_mentions(sf_dir: str):
+    """Gazetteer mention linking: the label dictionary (distinct corpus
+    tokens with md5 % 5 == 0 — a deterministic stand-in for an external
+    entity list) is built by one bucketed distinct, broadcast once via
+    ray.put, and matched MAP-ONLY per document — no corpus-scale
+    shuffle (stages/linking.entity_mentions)."""
+    from nospa_rdf_data_cube_validator_ray.stages.linking import (
+        build_gazetteer,
+        entity_mentions,
+    )
+
+    docs = _docs(sf_dir)
+    return entity_mentions(docs, build_gazetteer(docs))
+
+
+_SQL_ENTITY_MENTIONS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+  FROM documents
+),
+labels AS (SELECT DISTINCT t FROM toks WHERE md5_number_lower(t) % 5 = 0)
+SELECT doc_id, t AS entity, count(*)::BIGINT AS n_mentions
+FROM toks JOIN labels USING (t)
+GROUP BY doc_id, t
+"""
+
+
+def q_kg_entity_cooccur(sf_dir: str):
+    """Relation-candidate edges: unordered entity pairs co-mentioned in
+    one document, counted corpus-wide, kept at n >= 2.  Per-document
+    pair fan-out is cap-guarded (RAISES on pathological density rather
+    than silently truncating); the collapse is ONE coarse bucketed count
+    at pair-vocabulary scale (stages/linking.entity_cooccur)."""
+    from nospa_rdf_data_cube_validator_ray.stages.linking import (
+        build_gazetteer,
+        entity_cooccur,
+        entity_mentions,
+    )
+
+    docs = _docs(sf_dir)
+    return entity_cooccur(
+        entity_mentions(docs, build_gazetteer(docs)), min_count=2
+    )
+
+
+_SQL_ENTITY_COOCCUR = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+  FROM documents
+),
+labels AS (SELECT DISTINCT t FROM toks WHERE md5_number_lower(t) % 5 = 0),
+de AS (SELECT DISTINCT doc_id, t FROM toks JOIN labels USING (t))
+SELECT a.t AS ent_a, b.t AS ent_b, count(*)::BIGINT AS n
+FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.t < b.t
+GROUP BY a.t, b.t
+HAVING count(*) >= 2
+"""
+
+
 def q_kg_pred_profile(sf_dir: str):
     """Per-predicate planner statistics over the code KG — triple count
     plus a KMV sketch of the distinct-subject cardinality (kth-min
@@ -2057,6 +2252,8 @@ edges AS (
 )
 """
 
+_SQL_TYPE_INFERENCE = f"WITH {_KG_EDGE_BODY},{_SQL_TYPE_INFERENCE_BODY}"
+
 _SQL_KG_DEGREE = f"""
 WITH {_KG_EDGE_BODY},
 o AS (SELECT subj AS node, count(*) AS c FROM edges GROUP BY subj),
@@ -2213,6 +2410,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_profile": q_kg_pred_profile,
         "kg_link_negatives": q_kg_link_negatives,
         "kg_node_features": q_kg_node_features,
+        "kg_type_inference": q_kg_type_inference,
+        "kg_subclass_closure": q_kg_subclass_closure,
+        "kg_entity_mentions": q_kg_entity_mentions,
+        "kg_entity_cooccur": q_kg_entity_cooccur,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -2286,6 +2487,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_profile": _SQL_PRED_PROFILE,
         "kg_link_negatives": _SQL_LINK_NEGATIVES,
         "kg_node_features": _SQL_NODE_FEATURES,
+        "kg_type_inference": _SQL_TYPE_INFERENCE,
+        "kg_subclass_closure": _SQL_SUBCLASS_CLOSURE,
+        "kg_entity_mentions": _SQL_ENTITY_MENTIONS,
+        "kg_entity_cooccur": _SQL_ENTITY_COOCCUR,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)
