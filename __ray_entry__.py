@@ -1852,6 +1852,45 @@ HAVING count(*) >= 2
 """
 
 
+def q_kg_triple_ids(sf_dir: str):
+    """KG-embedding input encoding: the link KG dictionary-encoded to
+    dense 0-based integer (h, r, t) triples — entity ids are the global
+    lexicographic rank of the node IRI (ONE distributed sort via
+    packing.global_rank, no driver vocabulary), applied back with two
+    hash joins; the relation vocabulary is predicate-scale and
+    broadcasts as a dict (stages/graph.triple_ids)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        extract_edges,
+        triple_ids,
+    )
+
+    return triple_ids(extract_edges(_link_triples(sf_dir)))
+
+
+def q_kg_shape_check(sf_dir: str):
+    """SHACL-style cardinality validation over the link KG: Orders must
+    have exactly one kg:placedBy (chain orders carry kg:follows instead
+    — deliberate violations with n_found = 0), Customers exactly one
+    kg:inNation (satisfied — exercises the no-violation path), Nations
+    exactly TWO kg:inRegion (deliberately strict: every nation violates
+    with n_found = 1).  One row per violation; out-edge counts are
+    map-side partials meeting the type assertions in ONE coarse
+    node-bucket exchange (stages/ontology.shape_check)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        extract_edges,
+        type_table,
+    )
+    from nospa_rdf_data_cube_validator_ray.stages.ontology import shape_check
+
+    shapes = {
+        f"{_KGP}Order": {f"{_KGP}placedBy": (1, 1)},
+        f"{_KGP}Customer": {f"{_KGP}inNation": (1, 1)},
+        f"{_KGP}Nation": {f"{_KGP}inRegion": (2, 2)},
+    }
+    triples = _link_triples(sf_dir)
+    return shape_check(extract_edges(triples), type_table(triples), shapes)
+
+
 def q_kg_pred_profile(sf_dir: str):
     """Per-predicate planner statistics over the code KG — triple count
     plus a KMV sketch of the distinct-subject cardinality (kth-min
@@ -2254,6 +2293,49 @@ edges AS (
 
 _SQL_TYPE_INFERENCE = f"WITH {_KG_EDGE_BODY},{_SQL_TYPE_INFERENCE_BODY}"
 
+_SQL_TRIPLE_IDS = f"""
+WITH {_KG_EDGE_BODY},
+tnodes AS (
+  SELECT node, row_number() OVER (ORDER BY node) - 1 AS nid
+  FROM (SELECT subj AS node FROM edges UNION SELECT obj FROM edges)
+),
+trels AS (
+  SELECT pred, row_number() OVER (ORDER BY pred) - 1 AS rid
+  FROM (SELECT DISTINCT pred FROM edges)
+)
+SELECT n1.nid::BIGINT AS h, r.rid::BIGINT AS r, n2.nid::BIGINT AS t
+FROM edges e
+JOIN tnodes n1 ON e.subj = n1.node
+JOIN trels r ON e.pred = r.pred
+JOIN tnodes n2 ON e.obj = n2.node
+"""
+
+_SQL_SHAPE_CHECK = f"""
+WITH {_KG_EDGE_BODY},
+ktypes AS (
+  SELECT '{_KGN}ord/' || o_orderkey AS node, '{_KGP}Order' AS cls FROM orders
+  UNION ALL
+  SELECT '{_KGN}cust/' || c_custkey, '{_KGP}Customer' FROM customer
+  UNION ALL
+  SELECT '{_KGN}nat/' || n_nationkey, '{_KGP}Nation' FROM nation
+),
+shp(cls, pred, mn, mx) AS (VALUES
+  ('{_KGP}Order', '{_KGP}placedBy', 1, 1),
+  ('{_KGP}Customer', '{_KGP}inNation', 1, 1),
+  ('{_KGP}Nation', '{_KGP}inRegion', 2, 2)
+),
+cnt AS (SELECT subj AS node, pred, count(*) AS c FROM edges GROUP BY subj, pred),
+req AS (
+  SELECT t.node, s.cls, s.pred, s.mn, s.mx
+  FROM ktypes t JOIN shp s ON t.cls = s.cls
+)
+SELECT req.node AS node, req.cls AS cls, req.pred AS pred,
+       coalesce(cnt.c, 0)::BIGINT AS n_found,
+       req.mn::BIGINT AS expected_min, req.mx::BIGINT AS expected_max
+FROM req LEFT JOIN cnt ON cnt.node = req.node AND cnt.pred = req.pred
+WHERE coalesce(cnt.c, 0) < req.mn OR coalesce(cnt.c, 0) > req.mx
+"""
+
 _SQL_KG_DEGREE = f"""
 WITH {_KG_EDGE_BODY},
 o AS (SELECT subj AS node, count(*) AS c FROM edges GROUP BY subj),
@@ -2414,6 +2496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_subclass_closure": q_kg_subclass_closure,
         "kg_entity_mentions": q_kg_entity_mentions,
         "kg_entity_cooccur": q_kg_entity_cooccur,
+        "kg_triple_ids": q_kg_triple_ids,
+        "kg_shape_check": q_kg_shape_check,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -2491,6 +2575,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_subclass_closure": _SQL_SUBCLASS_CLOSURE,
         "kg_entity_mentions": _SQL_ENTITY_MENTIONS,
         "kg_entity_cooccur": _SQL_ENTITY_COOCCUR,
+        "kg_triple_ids": _SQL_TRIPLE_IDS,
+        "kg_shape_check": _SQL_SHAPE_CHECK,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

@@ -320,3 +320,100 @@ def infer_types(
     return bucket_sum(
         per_bucket, ["cls"], ["n_inferred", "n_new", "n_conflict"]
     ).sort("cls")
+
+
+def shape_check(
+    edges: "ray.data.Dataset",
+    types: "ray.data.Dataset",
+    shapes: dict[str, dict[str, tuple[int, int]]],
+    *,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """SHACL-style cardinality validation: for every node asserted as a
+    class with a shape, check that its outgoing edge count per
+    constrained predicate lies in ``[min, max]``.  Returns one row per
+    violation: (node, cls, pred, n_found, expected_min, expected_max).
+
+    ``shapes`` maps class IRI → {predicate IRI → (min, max)} and is
+    ontology-scale — it rides into the batch functions as a closure
+    dict.  Out-edge counts are map-side partials (per-batch
+    value_counts); counts and type assertions meet in ONE coarse
+    node-bucket exchange where the per-bucket reconcile is a vectorized
+    merge — nothing groups by a node-scale key in Ray."""
+    preds_of_interest = {p for reqs in shapes.values() for p in reqs}
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["pred"].isin(preds_of_interest)]
+        g = sub.groupby(["subj", "pred"], sort=False).size()
+        out = g.reset_index(name="c")
+        return pd.DataFrame(
+            {
+                "node": out["subj"].astype("string"),
+                "pred": out["pred"].astype("string"),
+                "cls": pd.array([None] * len(out), dtype="string"),
+                "c": out["c"].astype("int64"),
+            }
+        )
+
+    def type_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["cls"].isin(shapes.keys())]
+        return pd.DataFrame(
+            {
+                "node": sub["subj"].astype("string"),
+                "pred": pd.array([None] * len(sub), dtype="string"),
+                "cls": sub["cls"].astype("string"),
+                "c": pd.Series(-1, index=sub.index, dtype="int64"),
+            }
+        )
+
+    tagged = edges.map_batches(count_partial, batch_format="pandas").union(
+        types.map_batches(type_rows, batch_format="pandas")
+    )
+
+    req_rows = pd.DataFrame(
+        [
+            (cls, pred, mn, mx)
+            for cls, reqs in shapes.items()
+            for pred, (mn, mx) in reqs.items()
+        ],
+        columns=["cls", "pred", "mn", "mx"],
+    )
+
+    def reconcile(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "node": pd.Series(dtype="string"),
+                "cls": pd.Series(dtype="string"),
+                "pred": pd.Series(dtype="string"),
+                "n_found": pd.Series(dtype="int64"),
+                "expected_min": pd.Series(dtype="int64"),
+                "expected_max": pd.Series(dtype="int64"),
+            }
+        )
+        typed = df.loc[df["c"] < 0, ["node", "cls"]].drop_duplicates()
+        if not len(typed):
+            return empty
+        # counts may split across input batches: fold partials first
+        cnt = (
+            df.loc[df["c"] >= 0, ["node", "pred", "c"]]
+            .groupby(["node", "pred"], sort=False, as_index=False)["c"]
+            .sum()
+        )
+        req = typed.merge(req_rows, on="cls")
+        got = req.merge(cnt, on=["node", "pred"], how="left")
+        got["c"] = got["c"].fillna(0).astype("int64")
+        bad = got[(got["c"] < got["mn"]) | (got["c"] > got["mx"])]
+        if not len(bad):
+            return empty
+        return pd.DataFrame(
+            {
+                "node": bad["node"].astype("string"),
+                "cls": bad["cls"].astype("string"),
+                "pred": bad["pred"].astype("string"),
+                "n_found": bad["c"].to_numpy(),
+                "expected_min": bad["mn"].astype("int64").to_numpy(),
+                "expected_max": bad["mx"].astype("int64").to_numpy(),
+            }
+        )
+
+    return bucket_agg(tagged, ["node"], reconcile, num_buckets=num_buckets)

@@ -190,3 +190,56 @@ def test_entity_cooccur_cap_raises():
     m = entity_mentions(docs, build_gazetteer(docs, mod=1))
     with pytest.raises(RuntimeError, match="distinct"):
         entity_cooccur(m, max_entities_per_doc=10).materialize()
+
+
+def test_triple_ids_dense_and_exact():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import triple_ids
+
+    pairs = [("b", "a"), ("c", "a"), ("a", "d")]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": pd.Series([s for s, _ in pairs], dtype="string"),
+                "pred": pd.Series(["q", "p", "p"], dtype="string"),
+                "obj": pd.Series([o for _, o in pairs], dtype="string"),
+            }
+        )
+    )
+    out = (
+        triple_ids(ds)
+        .to_pandas()
+        .sort_values(["h", "r", "t"], ignore_index=True)
+    )
+    # nodes sorted: a=0 b=1 c=2 d=3; preds sorted: p=0 q=1
+    got = set(map(tuple, out[["h", "r", "t"]].to_numpy()))
+    assert got == {(1, 1, 0), (2, 0, 0), (0, 0, 3)}
+
+
+def test_shape_check_min_and_max_violations():
+    from nospa_rdf_data_cube_validator_ray.stages.ontology import shape_check
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": pd.Series(["n1", "n1", "n2"], dtype="string"),
+                "pred": pd.Series(["p", "p", "p"], dtype="string"),
+                "obj": pd.Series(["x", "y", "z"], dtype="string"),
+            }
+        )
+    )
+    types = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": pd.Series(["n1", "n2", "n3"], dtype="string"),
+                "cls": pd.Series(["C", "C", "C"], dtype="string"),
+            }
+        )
+    )
+    out = shape_check(edges, types, {"C": {"p": (1, 1)}}).to_pandas()
+    got = {
+        (str(r.node), int(r.n_found)) for r in out.itertuples()
+    }
+    # n1 has 2 (over max), n2 has 1 (ok), n3 has 0 (under min)
+    assert got == {("n1", 2), ("n3", 0)}
+    assert set(out["pred"].astype(str)) == {"p"}
+    assert (out["expected_min"] == 1).all() and (out["expected_max"] == 1).all()
