@@ -1996,3 +1996,155 @@ SELECT cluster_id, doc_id AS kept_doc_id, n_members FROM (
 
 QUERIES["dedup_cluster_keep"] = q_dedup_cluster_keep
 ORACLES["dedup_cluster_keep"] = _SQL_CLUSTER_KEEP
+
+
+def q_distinct_sketch_hll(sf_dir: str):
+    """HyperLogLog distinct-token sketch per source (Flajolet et al.
+    2007) — the constant-memory sibling of distinct_sketch_kmv: 256
+    registers (p=8) over the 61-bit md5 token-hash domain, register =
+    top 8 bits, rho = leading-zero rank of the remaining 53 bits
+    (1..54), register value = max rho.  Registers merge associatively
+    (elementwise max), so each batch emits at most 256 rows per source
+    and one bucketed pass combines them — the canonical mergeable-sketch
+    layout that never ships token-scale state.
+
+    Everything stays INTEGER so the DuckDB twin is bit-exact: the raw
+    HLL estimate alpha_256 * 256^2 / sum(2^-M[j]) is computed as
+    (7213 * 65536 * 2^54) // (10000 * sum(2^(54 - M[j]))) with empty
+    registers contributing 2^54 (no float ever appears; alpha_256 ≈
+    0.7213 carried as the rational 7213/10000).  This is the RAW
+    estimator — biased high (≈ alpha·m) when n ≪ m; n_regs is exact, so
+    a caller needing small-range accuracy applies linear counting
+    (m·ln(m/(m−n_regs)), float) downstream.  Rows per source:
+    (n_regs hit, sum_rho, est_hll)."""
+    from ..stages.dedup import _md5_u64_cached, tokens
+    from ..util import bucket_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        best: dict[tuple, int] = {}
+        for src, t in zip(df["source"], df["text"].fillna("")):
+            for tok in set(tokens(t)):
+                h = _md5_u64_cached(tok) & ((1 << 61) - 1)
+                rho = 54 - (h & ((1 << 53) - 1)).bit_length()
+                k = (src, h >> 53)
+                if best.get(k, 0) < rho:
+                    best[k] = rho
+        return pd.DataFrame(
+            {
+                "source": pd.Series([k[0] for k in best], dtype="string"),
+                "reg": pd.Series([k[1] for k in best], dtype="int64"),
+                "rho": pd.Series(list(best.values()), dtype="int64"),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, g in df.groupby("source", sort=False):
+            m = g.groupby("reg")["rho"].max()
+            denom = sum(1 << (54 - int(r)) for r in m)
+            denom += (256 - len(m)) * (1 << 54)
+            est = (7213 * 65536 * (1 << 54)) // (10000 * denom)
+            out.append((src, len(m), int(m.sum()), min(est, 1 << 62)))
+        return pd.DataFrame(
+            out, columns=["source", "n_regs", "sum_rho", "est_hll"]
+        ).astype({"source": "string", "n_regs": "int64",
+                  "sum_rho": "int64", "est_hll": "int64"})
+
+    return bucket_agg(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["source"],
+        merge,
+    )
+
+
+# md5_number_lower == _md5_u64; reg = top 8 of 61 bits, rho = 54 -
+# bit_length(low 53); estimate = integer-rational HLL raw formula
+_SQL_HLL = r"""
+WITH th AS (
+  SELECT DISTINCT source,
+         (md5_number_lower(unnest(regexp_extract_all(coalesce(text, ''), '\S+')))
+          % (1::HUGEINT << 61))::BIGINT AS h
+  FROM documents
+),
+regs AS (
+  SELECT source, h // (1::BIGINT << 53) AS reg,
+         max(CASE WHEN h % (1::BIGINT << 53) = 0 THEN 54
+                  ELSE 54 - length(bin(h % (1::BIGINT << 53))) END) AS rho
+  FROM th GROUP BY source, reg
+),
+agg AS (
+  SELECT source, count(*) AS n_regs, sum(rho) AS sum_rho,
+         sum(1::HUGEINT << (54 - rho)) AS d_hit
+  FROM regs GROUP BY source
+)
+SELECT source, n_regs::BIGINT AS n_regs, sum_rho::BIGINT AS sum_rho,
+       least((7213::HUGEINT * 65536 * (1::HUGEINT << 54))
+             // (10000 * (d_hit + (256 - n_regs) * (1::HUGEINT << 54))),
+             1::HUGEINT << 62)::BIGINT AS est_hll
+FROM agg
+"""
+
+QUERIES["distinct_sketch_hll"] = q_distinct_sketch_hll
+ORACLES["distinct_sketch_hll"] = _SQL_HLL
+
+
+def q_contamination_bloom(sf_dir: str):
+    """Fixed-memory Bloom-filter decontamination
+    (stages.dedup.bloom_contamination): 64 Kbit filter over the eval
+    split's shingles, 3 md5-salted hash functions, deterministic false
+    positives reproduced bit-exactly by the SQL twin."""
+    return D.bloom_contamination(_docs(sf_dir))
+
+
+# filter bits = 3 salted md5 positions per eval shingle; a train shingle
+# "hits" iff all 3 of its positions are set (false positives included —
+# that's the semantics under test)
+_SQL_CONTAM_BLOOM = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(w) = 0 THEN []::VARCHAR[]
+         WHEN length(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, length(w) - 2),
+                             i -> array_to_string(w[i:i + 2], ' '))
+    END)) AS s
+  FROM toks
+),
+bits AS (
+  SELECT DISTINCT
+         md5_number_lower(s || chr(31) || 'bloom' || j) % 65536 AS p
+  FROM sh, unnest([0, 1, 2]) AS u(j)
+  WHERE md5_number_lower(doc_id::VARCHAR) % 20 = 0
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hits
+  FROM (
+    SELECT doc_id,
+           md5_number_lower(s || chr(31) || 'bloom0') % 65536 AS p0,
+           md5_number_lower(s || chr(31) || 'bloom1') % 65536 AS p1,
+           md5_number_lower(s || chr(31) || 'bloom2') % 65536 AS p2
+    FROM sh
+    WHERE md5_number_lower(doc_id::VARCHAR) % 20 <> 0
+  )
+  WHERE p0 IN (SELECT p FROM bits) AND p1 IN (SELECT p FROM bits)
+        AND p2 IN (SELECT p FROM bits)
+  GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id, count(s)::BIGINT AS n_grams FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(g.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) > 0)::BIGINT AS flagged
+FROM documents d
+LEFT JOIN grams g ON d.doc_id = g.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE md5_number_lower(d.doc_id::VARCHAR) % 20 <> 0
+"""
+
+QUERIES["contamination_bloom"] = q_contamination_bloom
+ORACLES["contamination_bloom"] = _SQL_CONTAM_BLOOM

@@ -1038,6 +1038,78 @@ def benchmark_contamination(
     return ds.map_batches(scan, batch_format="pandas")
 
 
+def bloom_contamination(
+    ds: "ray.data.Dataset",
+    *,
+    bench_mod: int = 20,
+    shingle_k: int = 3,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Bloom-filter decontamination scan — the FIXED-MEMORY variant of
+    :func:`benchmark_contamination`.  The exact scan broadcasts the eval
+    set's full distinct-shingle set; at a 100 TB eval corpus that set is
+    itself unbounded, while a Bloom filter is ``m_bits`` forever (here
+    64 Kbit = 8 KB; production would size m from the eval cardinality).
+    Cost: deterministic false positives — flagged counts are an UPPER
+    bound on true overlap, which is the safe direction for
+    decontamination (never under-flag).
+
+    Every bit position is md5-derived (position j of shingle s =
+    ``md5(s + '\\x1f' + 'bloom' + str(j)) % m_bits``), so a DuckDB twin
+    reproduces the filter AND the false positives bit-exactly.
+
+    Two streaming passes, zero shuffle: (1) per-batch distinct bit
+    positions from eval-split docs (``md5(doc_id) % bench_mod == 0``,
+    same split as the exact scan) merged into one numpy bool array on
+    the driver and ``ray.put`` once; (2) a stateless map_batches scan
+    counting, per training doc, shingles whose ``n_hashes`` positions
+    are all set.  Returns (doc_id, n_grams, n_hits, flagged) int64."""
+    salts = [f"bloom{j}" for j in range(n_hashes)]
+
+    def eval_bits(df: pd.DataFrame) -> pd.DataFrame:
+        pos: set[int] = set()
+        for i, t in zip(df[id_col].astype("int64"), df[text_col].fillna("")):
+            if _md5_u64(str(int(i))) % bench_mod != 0:
+                continue
+            for s in shingle_set(t, shingle_k):
+                for salt in salts:
+                    pos.add(_md5_u64_cached(f"{s}\x1f{salt}") % m_bits)
+        return pd.DataFrame({"p": pd.Series(sorted(pos), dtype="int64")})
+
+    # the filter is ≤ m_bits positions regardless of eval size — the
+    # whole point; to_pandas (not take_all: ~0.5 ms/row) then one array
+    pdf = ds.map_batches(eval_bits, batch_format="pandas").to_pandas()
+    bits = np.zeros(m_bits, dtype=bool)
+    if len(pdf):  # empty to_pandas frames are COLUMN-LESS — len-guard
+        bits[pdf["p"].to_numpy()] = True
+    ref = ray.put(bits)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+        rows = []
+        for i, t in zip(df[id_col].astype("int64"), df[text_col].fillna("")):
+            i = int(i)
+            if _md5_u64(str(i)) % bench_mod == 0:
+                continue
+            sh = shingle_set(t, shingle_k)
+            hits = 0
+            for s in sh:
+                if all(
+                    b[_md5_u64_cached(f"{s}\x1f{salt}") % m_bits]
+                    for salt in salts
+                ):
+                    hits += 1
+            rows.append((i, len(sh), hits, 1 if hits else 0))
+        return pd.DataFrame(
+            rows, columns=[id_col, "n_grams", "n_hits", "flagged"]
+        ).astype("int64")
+
+    return ds.map_batches(scan, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # duplicate n-gram span coverage
 # ---------------------------------------------------------------------------

@@ -138,3 +138,100 @@ def test_incremental_pairs_are_cross_side_only():
         (n, c) for n, c in zip(got["new_doc_id"], got["corpus_doc_id"])
     }
     assert got_set == cross
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch + Bloom contamination (round-3 session 2)
+# ---------------------------------------------------------------------------
+
+
+def _docs_ds(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "source": pd.Series([r[1] for r in rows], dtype="string"),
+                "text": pd.Series([r[2] for r in rows], dtype="string"),
+            }
+        )
+    )
+
+
+def test_hll_estimate_tracks_exact_distinct():
+    # 3 sources with very different true cardinalities; HLL raw estimate
+    # (256 registers) must land within ±25% once n >> m is false — at
+    # these sizes the raw estimator's bias is small and DETERMINISTIC,
+    # so the bound is safe for a fixed corpus
+    import importlib.util, sys
+
+    spec = importlib.util.spec_from_file_location(
+        "q", "/root/repo/__ray_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    rows = []
+    for i in range(200):
+        rows.append((i, "big", " ".join(f"tok{j}" for j in range(i * 7, i * 7 + 7))))
+    rows.append((900, "tiny", "a b c a b"))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        import pyarrow as pa, pyarrow.parquet as pq
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[2] for r in rows],
+                "lang": "en",
+                "source": [r[1] for r in rows],
+                "n_chars": [len(r[2]) for r in rows],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(td, "documents.parquet"))
+        out = m.queries()["distinct_sketch_hll"](td).to_pandas()
+    big = out[out["source"] == "big"].iloc[0]
+    tiny = out[out["source"] == "tiny"].iloc[0]
+    assert abs(int(big["est_hll"]) - 1400) / 1400 < 0.25
+    # 3 distinct tokens: the RAW estimator is biased high at tiny n
+    # (≈ alpha·m = 184 when all registers sit near rho=1) — that's the
+    # documented raw-HLL behavior; n_regs is exact so a caller can apply
+    # linear counting (m·ln(m/V), float) downstream when n ≪ m
+    assert int(tiny["n_regs"]) == 3
+    assert 150 < int(tiny["est_hll"]) < 230
+
+
+def test_bloom_hits_superset_of_exact_overlap():
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import (
+        benchmark_contamination,
+        bloom_contamination,
+    )
+
+    # find doc ids on each side of the md5 % 20 split
+    evals = [i for i in range(200) if _md5_u64(str(i)) % 20 == 0][:3]
+    trains = [i for i in range(200) if _md5_u64(str(i)) % 20 != 0][:6]
+    rows = [(i, "s", "shared gram one two three four") for i in evals]
+    # half the train docs overlap the eval text, half are clean
+    rows += [
+        (i, "s", "shared gram one zzz")
+        if j < 3
+        else (i, "s", f"clean text {j} alpha beta gamma")
+        for j, i in enumerate(trains)
+    ]
+    ds = _docs_ds(rows)
+    exact = benchmark_contamination(ds).to_pandas().set_index("doc_id")
+    bloom = bloom_contamination(ds).to_pandas().set_index("doc_id")
+    assert sorted(exact.index) == sorted(bloom.index)
+    for i in exact.index:
+        # Bloom never under-counts: every exact hit is a bloom hit
+        assert bloom.loc[i, "n_hits"] >= exact.loc[i, "n_overlap"]
+        assert bloom.loc[i, "n_grams"] == exact.loc[i, "n_grams"]
+    assert (exact["n_overlap"] > 0).sum() >= 3  # the overlapping half
+
+
+def test_bloom_filter_is_deterministic():
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import bloom_contamination
+
+    rows = [(i, "s", f"text {i} common words here") for i in range(40)]
+    a = bloom_contamination(_docs_ds(rows)).to_pandas().sort_values("doc_id")
+    b = bloom_contamination(_docs_ds(rows)).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
