@@ -1016,6 +1016,34 @@ def q_kg_class_profile(sf_dir: str):
     return class_profile(_link_triples(sf_dir))
 
 
+def q_kg_link_scores(sf_dir: str):
+    """Common-neighbor link-prediction scores over the link graph
+    (stages/graph.link_scores): hub-capped wedge generation, anti-join
+    against existing edges, bucketed per-node top-5."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        extract_edges,
+        link_scores,
+    )
+
+    return link_scores(extract_edges(_link_triples(sf_dir)))
+
+
+def q_kg_bgp_match(sf_dir: str):
+    """Generic SPARQL basic-graph-pattern execution
+    (stages/graph.bgp_match): 'orders placed by customers in a region-1
+    nation' as a 3-pattern left-deep hash-join plan."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bgp_match
+
+    return bgp_match(
+        _link_triples(sf_dir),
+        [
+            ("?o", f"{_KGP}placedBy", "?c"),
+            ("?c", f"{_KGP}inNation", "?n"),
+            ("?n", f"{_KGP}inRegion", f"{_KGN}reg/1"),
+        ],
+    )
+
+
 def q_kg_bfs_depths(sf_dir: str):
     """Min-hop BFS distances from region 1 along reversed edges (the
     provenance chains point leaf→root) — size-adaptive traversal
@@ -2383,6 +2411,49 @@ LEFT JOIN (
 ) p ON ty.cls = p.cls
 """
 
+_SQL_KG_LINK_SCORES = f"""
+WITH {_KG_EDGE_BODY},
+und AS (
+  SELECT DISTINCT least(subj, obj) AS x, greatest(subj, obj) AS y
+  FROM edges WHERE subj <> obj
+),
+adj AS (
+  SELECT x AS node, y AS nbr FROM und UNION ALL SELECT y, x FROM und
+),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+a2 AS (
+  SELECT a.node, a.nbr AS mid FROM adj a JOIN deg ON a.nbr = deg.node
+  WHERE deg.d <= 128
+),
+wed AS (
+  SELECT a.node AS u, b.node AS w, count(*) AS score
+  FROM a2 a JOIN a2 b ON a.mid = b.mid
+  WHERE a.node < b.node
+  GROUP BY a.node, b.node
+),
+nw AS (
+  SELECT wed.* FROM wed ANTI JOIN und ON wed.u = und.x AND wed.w = und.y
+),
+rk AS (
+  SELECT u, w, score,
+         row_number() OVER (PARTITION BY u ORDER BY score DESC, w) AS rn
+  FROM nw
+)
+SELECT u AS node_u, w AS node_w, score::BIGINT AS score FROM rk WHERE rn <= 5
+"""
+
+_SQL_KG_BGP = f"""
+WITH {_KG_EDGE_BODY}
+SELECT p1.subj AS o, p1.obj AS c, p2.obj AS n
+FROM (SELECT DISTINCT subj, obj FROM edges
+      WHERE pred = '{_KGP}placedBy') p1
+JOIN (SELECT DISTINCT subj, obj FROM edges
+      WHERE pred = '{_KGP}inNation') p2 ON p1.obj = p2.subj
+JOIN (SELECT DISTINCT subj FROM edges
+      WHERE pred = '{_KGP}inRegion' AND obj = '{_KGN}reg/1') p3
+  ON p2.obj = p3.subj
+"""
+
 _SQL_KG_BFS = f"""
 WITH RECURSIVE {_KG_EDGE_BODY},
 reach(node, d) AS (
@@ -2468,6 +2539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree": q_kg_degree,
         "kg_path2": q_kg_path2,
         "kg_class_profile": q_kg_class_profile,
+        "kg_link_scores": q_kg_link_scores,
+        "kg_bgp_match": q_kg_bgp_match,
         "kg_bfs_depths": q_kg_bfs_depths,
         "cube_incremental": q_cube_incremental,
         "cube_report_lines": q_cube_report_lines,
@@ -2545,6 +2618,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree": _SQL_KG_DEGREE,
         "kg_path2": _SQL_KG_PATH2,
         "kg_class_profile": _SQL_KG_CLASS_PROFILE,
+        "kg_link_scores": _SQL_KG_LINK_SCORES,
+        "kg_bgp_match": _SQL_KG_BGP,
         "kg_bfs_depths": _SQL_KG_BFS,
         "cube_incremental": _SQL_INCREMENTAL,
         "cube_report_lines": (

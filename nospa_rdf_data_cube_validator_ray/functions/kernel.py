@@ -48,7 +48,9 @@ def distinct(ds: "ray.data.Dataset", cols: list[str] | None = None) -> "ray.data
     coarse-bucket shuffle, per-bucket ``drop_duplicates`` (the project's
     standard dedup shape; avoids the groupby-count Project path that
     breaks on schema-less empty blocks)."""
-    cols = cols or ds.schema().names
+    # copy: ``local`` below captures this list LAZILY — a caller mutating
+    # its list after the call must not change the executed selection
+    cols = list(cols) if cols else ds.schema().names
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         out = df[cols].drop_duplicates().reset_index(drop=True)

@@ -1130,3 +1130,205 @@ def triple_ids(
         )
 
     return enc.map_batches(finish, batch_format="pandas")
+
+
+def link_scores(
+    edges: "ray.data.Dataset",
+    *,
+    max_mid_degree: int = 128,
+    topk: int = 5,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Common-neighbor link-prediction scores (the count core of
+    Adamic-Adar / resource-allocation without their float damping):
+    for every non-adjacent unordered node pair (u, w) of the UNDIRECTED
+    graph, score = |N(u) ∩ N(w)|, reported top-``topk`` per ``node_u``
+    (ties broken by node_w asc — fully deterministic).
+
+    Scale shape: candidate pairs are generated as wedges through each
+    common neighbor m — Σ deg(m)² blowup — so mids with degree >
+    ``max_mid_degree`` are EXCLUDED up front (the standard hub cut:
+    stopword-like hubs carry no link signal, and the cap bounds wedge
+    fan-out at cap² per mid).  Everything else is hash joins + bucketed
+    counts: adjacency dedup, degree filter join, one self-join on the
+    mid, an anti-join against existing edges, and a per-node bucketed
+    top-k — no node-scale driver state, no Ray per-key Aggregate."""
+    from ..functions.kernel import distinct
+    from ..util import bucket_agg, bucket_count, heal_schema
+
+    np_ = _nparts(num_partitions)
+    und = _undirected(edges).materialize()  # distinct (x, y), x < y
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["x"], df["y"]], ignore_index=True),
+                "nbr": pd.concat([df["y"], df["x"]], ignore_index=True),
+            }
+        ).astype("string")
+
+    adj = und.map_batches(both_dirs, batch_format="pandas").materialize()
+    deg = bucket_count(adj, ["node"], out_col="_d")
+
+    def mid_ok(df: pd.DataFrame, cap=max_mid_degree) -> pd.DataFrame:
+        out = df.loc[df["_d"] <= cap, ["node", "mid"]].reset_index(drop=True)
+        return out.astype({"node": "string", "mid": "string"})
+
+    # adjacency restricted to low-degree mids: adj ⋈ deg on the nbr side
+    a2 = (
+        heal_schema(_ren(adj, {"nbr": "mid"}), np_)
+        .join(
+            heal_schema(_ren(deg, {"node": "mid"}), np_),
+            "inner", np_, on=("mid",),
+        )
+        .map_batches(mid_ok, batch_format="pandas")
+        .materialize()
+    )
+
+    def ordered(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["u"] < df["w"], ["u", "w"]].reset_index(drop=True)
+        return out.astype("string")
+
+    wedges = (
+        heal_schema(_ren(a2, {"node": "u"}), np_)
+        .join(
+            heal_schema(_ren(a2, {"node": "w"}), np_),
+            "inner", np_, on=("mid",),
+        )
+        .map_batches(ordered, batch_format="pandas")
+    )
+    # materialized: the anti-join consumes it next, and a fully-empty
+    # pair set (every mid over the cap, or wedges all self/ordered-out)
+    # is SCHEMA-LESS — it must short-circuit before reaching the join
+    # (empty-block stickiness); post-aggregation this is output-scale
+    scored = bucket_count(wedges, ["u", "w"], out_col="score").materialize()
+    if scored.count() == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.schema(
+                [("node_u", pa.string()), ("node_w", pa.string()),
+                 ("score", pa.int64())]
+            ).empty_table()
+        )
+
+    def not_edge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) and "_e" in df.columns:
+            df = df[df["_e"].isna()]
+        out = df[["u", "w", "score"]].reset_index(drop=True)
+        return out.astype({"u": "string", "w": "string", "score": "int64"})
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"x": "u", "y": "w"})
+        out["_e"] = pd.Series([1] * len(out), dtype="int64", index=out.index)
+        return out
+
+    new_pairs = (
+        heal_schema(scored, np_)
+        .join(
+            heal_schema(
+                und.map_batches(mark, batch_format="pandas"), np_
+            ),
+            "left_outer", np_, on=("u", "w"),
+        )
+        .map_batches(not_edge, batch_format="pandas")
+    )
+
+    def top(df: pd.DataFrame, k=topk) -> pd.DataFrame:
+        out = (
+            df.sort_values(["u", "score", "w"], ascending=[True, False, True])
+            .groupby("u", sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+        return out.rename(columns={"u": "node_u", "w": "node_w"})
+
+    return bucket_agg(new_pairs, ["u"], top)
+
+
+def bgp_match(
+    triples: "ray.data.Dataset",
+    patterns: list[tuple[str, str, str]],
+    *,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Conjunctive basic-graph-pattern matcher — the join core of a
+    SPARQL engine (SPARQL 1.1 §18.5 BGP evaluation over the default
+    union graph; the spec backend in pipelines/sparql_validate.py hand
+    compiles its ICs, this is the GENERIC path).  ``patterns`` are
+    (s, p, o) strings where a leading ``?`` marks a variable; constants
+    must be IRIs (matched against ``subj``/``pred``/IRI-``obj``).
+
+    Plan: each pattern becomes a pred/const-filtered DISTINCT projection
+    of the triple stream (set semantics per scan — the corpus is a graph
+    MERGE, so identical triples from different files are one logical
+    triple); patterns then fold left-deep through hash joins on their
+    shared variables.  A pattern sharing NO variable with the prefix is
+    a cartesian product and raises (guard against accidental cross
+    joins at corpus scale).  Returns one row per solution, columns =
+    variable names (without ``?``) in first-appearance order."""
+    from ..functions.kernel import distinct
+    from ..util import heal_schema
+
+    np_ = _nparts(num_partitions)
+    if not patterns:
+        raise ValueError("bgp_match needs at least one pattern")
+
+    def scan(pat) -> tuple["ray.data.Dataset", list[str]]:
+        s, p, o = pat
+        sv = s.startswith("?")
+        pv = p.startswith("?")
+        ov = o.startswith("?")
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = pd.Series(True, index=df.index)
+            if not sv:
+                m &= df["subj"] == s
+            if not pv:
+                m &= df["pred"] == p
+            if not ov:
+                m &= (df["obj"] == o) & (df["obj_kind"] == 0)
+            sub = df[m]
+            cols = {}
+            if sv:
+                cols[s[1:]] = sub["subj"].astype("string")
+            if pv:
+                cols[p[1:]] = sub["pred"].astype("string")
+            if ov and o[1:] not in cols:
+                cols[o[1:]] = sub["obj"].astype("string")
+            elif ov:  # repeated variable (?x p ?x): enforce equality
+                keep = sub["subj"] == sub["obj"]
+                return pd.DataFrame(
+                    {s[1:]: sub.loc[keep, "subj"].astype("string")}
+                )
+            if not cols:  # fully-ground pattern: existence check row
+                return pd.DataFrame({"_hit": pd.Series([1] * len(sub), dtype="int64")})
+            return pd.DataFrame(cols).reset_index(drop=True)
+
+        out = triples.map_batches(f, batch_format="pandas")
+        vs = [v[1:] for v, flag in ((s, sv), (p, pv), (o, ov)) if flag]
+        vs = list(dict.fromkeys(vs))
+        return (distinct(out, vs) if vs else out.limit(1)), vs
+
+    acc, bound = scan(patterns[0])
+    # copy: scan's vs list is captured by distinct's LAZY closure — an
+    # in-place `bound += ...` would retroactively change that scan's
+    # column selection before it executes
+    bound = list(bound)
+    for pat in patterns[1:]:
+        nxt, vs = scan(pat)
+        shared = [v for v in vs if v in bound]
+        if not shared:
+            raise ValueError(
+                f"pattern {pat} shares no variable with the prefix — "
+                "cartesian products are rejected at corpus scale"
+            )
+        acc = heal_schema(acc, np_).join(
+            heal_schema(nxt, np_), "inner", np_, on=tuple(shared)
+        )
+        bound += [v for v in vs if v not in bound]
+
+    def order_cols(df: pd.DataFrame, cols=tuple(bound)) -> pd.DataFrame:
+        return df[list(cols)].astype("string")
+
+    return acc.map_batches(order_cols, batch_format="pandas")

@@ -235,3 +235,80 @@ def test_bloom_filter_is_deterministic():
     a = bloom_contamination(_docs_ds(rows)).to_pandas().sort_values("doc_id")
     b = bloom_contamination(_docs_ds(rows)).to_pandas().sort_values("doc_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# link_scores + bgp_match
+# ---------------------------------------------------------------------------
+
+
+def _triples_ds(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "graph": pd.Series(["g"] * len(rows), dtype="string"),
+                "file_sha256": pd.Series(["x"] * len(rows), dtype="string"),
+                "subj": pd.Series([r[0] for r in rows], dtype="string"),
+                "pred": pd.Series([r[1] for r in rows], dtype="string"),
+                "obj_kind": pd.Series([0] * len(rows), dtype="int8"),
+                "obj": pd.Series([r[2] for r in rows], dtype="string"),
+                "obj_dt": pd.Series([""] * len(rows), dtype="string"),
+                "obj_lang": pd.Series([""] * len(rows), dtype="string"),
+            }
+        )
+    )
+
+
+def test_link_scores_counts_common_neighbors():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import link_scores
+
+    # star: a,b,c all point at m (siblings share 1 common neighbor);
+    # a-b also share a second mid m2
+    pairs = [("a", "m"), ("b", "m"), ("c", "m"), ("a", "m2"), ("b", "m2")]
+    out = link_scores(_edges(pairs)).to_pandas()
+    got = {
+        (r.node_u, r.node_w): r.score for r in out.itertuples()
+    }
+    assert got[("a", "b")] == 2
+    assert got[("a", "c")] == 1 and got[("b", "c")] == 1
+    # m and m2 are adjacent to every sibling — (m, m2) share a,b as
+    # common neighbors and are NOT adjacent themselves
+    assert got[("m", "m2")] == 2
+    # existing edges never appear
+    assert ("a", "m") not in got
+
+
+def test_link_scores_hub_cap_excludes_high_degree_mids():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import link_scores
+
+    pairs = [(f"x{i}", "hub") for i in range(6)]
+    out = link_scores(_edges(pairs), max_mid_degree=5).to_pandas()
+    assert len(out) == 0  # the only mid is over the cap
+
+
+def test_bgp_match_chain_and_constants():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bgp_match
+
+    rows = [
+        ("o1", "P", "c1"), ("o2", "P", "c2"),
+        ("c1", "N", "n1"), ("c2", "N", "n2"), ("n1", "R", "r1"),
+        ("n2", "R", "r2"),
+    ]
+    out = bgp_match(
+        _triples_ds(rows),
+        [("?o", "P", "?c"), ("?c", "N", "?n"), ("?n", "R", "r1")],
+    ).to_pandas()
+    assert list(out.columns) == ["o", "c", "n"]  # first-appearance order
+    assert [tuple(r) for r in out.to_numpy()] == [("o1", "c1", "n1")]
+
+
+def test_bgp_match_repeated_variable_and_cartesian_guard():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bgp_match
+
+    rows = [("a", "P", "a"), ("a", "P", "b"), ("b", "Q", "c")]
+    out = bgp_match(_triples_ds(rows), [("?x", "P", "?x")]).to_pandas()
+    assert list(out["x"]) == ["a"]
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(
+            _triples_ds(rows), [("?x", "P", "?y"), ("?z", "Q", "?w")]
+        ).to_pandas()
