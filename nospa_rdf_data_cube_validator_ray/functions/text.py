@@ -348,3 +348,36 @@ def pii_scrub(
         [_md5_u64(t) % (1 << 61) for t in s], dtype="int64"
     )
     return out
+
+
+_SENT_SPLIT_RE = re.compile(r"[.!?]+", re.ASCII)
+
+
+def sentence_stats(
+    df: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Per-document sentence segmentation stats (all exact integers).
+
+    A sentence is a ``[.!?]+``-delimited segment containing at least one
+    token (\\S+ match) — the cheap ASCII segmentation a quality filter
+    runs before mean-sentence-length cuts.  Vectorized: one regex split
+    + explode + one groupby per batch, no per-row Python.
+
+    n_sentences / max_sentence_tokens / sum_sentence_tokens (sum counts
+    tokens INSIDE sentences — differs from n_tokens only when a token
+    is pure punctuation glue like ``...``)."""
+    s = df[text_col].fillna("")
+    ex = s.str.split(_SENT_SPLIT_RE, regex=True).explode()
+    t = ex.str.count(_TOKEN_RE).astype("int64")
+    d = pd.DataFrame({"_i": ex.index, "t": t.to_numpy()})
+    d = d[d["t"] > 0]
+    g = d.groupby("_i")["t"].agg(["size", "max", "sum"])
+    out = pd.DataFrame(
+        {
+            "doc_id": df[id_col].astype("int64"),
+            "n_sentences": g["size"].reindex(df.index).fillna(0).astype("int64"),
+            "max_sentence_tokens": g["max"].reindex(df.index).fillna(0).astype("int64"),
+            "sum_sentence_tokens": g["sum"].reindex(df.index).fillna(0).astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)

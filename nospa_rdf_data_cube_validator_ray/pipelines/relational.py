@@ -1149,3 +1149,99 @@ ORACLES = {
     "events_user_cumsum": _SQL_EVENTS_USER_CUMSUM,
     "top_customers": _SQL_TOP_CUSTOMERS,
 }
+
+
+def q_events_scd(sf_dir: str):
+    """SCD type-2 dimension build from a change stream (the CDC →
+    warehouse-dimension pattern): per user, consecutive events with the
+    same event_type collapse into one VERSION with a validity interval
+    [valid_from_us, valid_to_us) — valid_to is the next change's
+    timestamp, −1 for the open current version — plus a 1-based version
+    number.
+
+    Shape: user-bucketed ``groupby(bucket).map_groups`` (a user's whole
+    stream lands in one pandas frame — the same co-location every
+    sessionize/retention query here relies on), then ONE vectorized
+    sort + shift-compare per bucket; no per-user pandas groups, no
+    global sort.  Ties inside a user share a timestamp deterministically
+    via the event_id tiebreak (mirrored in the oracle's window ORDER
+    BY)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_type": df["event_type"].astype("string"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": (
+                    (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+                ).astype("int64"),
+            }
+        )
+        out["_b"] = (out["user_id"].to_numpy(np.int64) % 64).astype("int32")
+        return out
+
+    def scd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        change = (g["user_id"] != g["user_id"].shift()) | (
+            g["event_type"] != g["event_type"].shift()
+        )
+        s = g[change].copy()
+        same_user = (
+            s["user_id"].to_numpy() == s["user_id"].shift(-1).to_numpy()
+        )
+        nxt = s["ts_us"].shift(-1).to_numpy()
+        s["valid_to_us"] = pd.Series(
+            np.where(same_user, nxt, -1), index=s.index
+        ).astype("int64")
+        s["version"] = (s.groupby("user_id", sort=False).cumcount() + 1).astype(
+            "int64"
+        )
+        s = s.rename(columns={"ts_us": "valid_from_us"})
+        return s[
+            ["user_id", "event_type", "valid_from_us", "valid_to_us", "version"]
+        ].reset_index(drop=True)
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(scd, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+_SQL_EVENTS_SCD = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+o AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+c AS (
+  SELECT user_id, event_type, ts_us AS valid_from_us, event_id
+  FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+),
+v AS (
+  SELECT user_id, event_type, valid_from_us,
+         coalesce(lead(valid_from_us) OVER w2, -1) AS valid_to_us,
+         row_number() OVER w2 AS version
+  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+)
+SELECT user_id::BIGINT AS user_id, event_type,
+       valid_from_us::BIGINT AS valid_from_us,
+       valid_to_us::BIGINT AS valid_to_us,
+       version::BIGINT AS version
+FROM v
+"""
+
+QUERIES["events_scd"] = q_events_scd
+ORACLES["events_scd"] = _SQL_EVENTS_SCD

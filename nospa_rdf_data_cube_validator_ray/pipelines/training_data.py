@@ -2148,3 +2148,93 @@ WHERE md5_number_lower(d.doc_id::VARCHAR) % 20 <> 0
 
 QUERIES["contamination_bloom"] = q_contamination_bloom
 ORACLES["contamination_bloom"] = _SQL_CONTAM_BLOOM
+
+
+def q_text_sentences(sf_dir: str):
+    """Sentence segmentation stats (functions/text.sentence_stats):
+    vectorized split + explode + one groupby per batch."""
+    return _docs(sf_dir).map_batches(T.sentence_stats, batch_format="pandas")
+
+
+# sentence = [.!?]+-delimited segment with ≥1 \S+ token
+_SQL_SENTENCES = r"""
+WITH segs AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(coalesce(text, ''), '[.!?]+')) AS seg
+  FROM documents
+),
+st AS (
+  SELECT doc_id, length(regexp_extract_all(seg, '\S+')) AS t FROM segs
+),
+nz AS (SELECT doc_id, t FROM st WHERE t > 0)
+SELECT d.doc_id,
+       coalesce(count(nz.t), 0)::BIGINT AS n_sentences,
+       coalesce(max(nz.t), 0)::BIGINT AS max_sentence_tokens,
+       coalesce(sum(nz.t), 0)::BIGINT AS sum_sentence_tokens
+FROM documents d LEFT JOIN nz ON d.doc_id = nz.doc_id
+GROUP BY d.doc_id
+"""
+
+QUERIES["text_sentences"] = q_text_sentences
+ORACLES["text_sentences"] = _SQL_SENTENCES
+
+
+def q_docs_expectations(sf_dir: str):
+    """Data-quality expectations gate (stages/expect.expectations):
+    six rules over documents — five row-local rules in one streaming
+    scan, one bucketed exact-distinct for the uniqueness rule."""
+    from ..stages.expect import expectations
+
+    return expectations(
+        _docs(sf_dir),
+        [
+            ("doc_id_unique", "unique", "doc_id"),
+            ("lang_in_set", "in_set", "lang", {"en", "de", "fr"}),
+            ("n_chars_between", "between", "n_chars", 64, 100_000),
+            ("n_chars_consistent", "custom",
+             lambda df: df["text"].fillna("").str.len().to_numpy()
+             != df["n_chars"].to_numpy()),
+            ("source_matches", "matches", "source", r"src[0-9]+"),
+            ("text_not_null", "not_null", "text"),
+        ],
+    )
+
+
+_SQL_EXPECTATIONS = """
+SELECT * FROM (
+  -- violations = rows − distinct values, NULL counting as ONE distinct
+  -- value (count(DISTINCT) skips NULLs, hence the (any nulls)::INT term)
+  SELECT 'doc_id_unique' AS rule, count(*)::BIGINT AS n_checked,
+         (count(*) - count(DISTINCT doc_id)
+          - (count(*) FILTER (WHERE doc_id IS NULL) > 0)::INT
+         )::BIGINT AS n_violations
+  FROM documents
+  UNION ALL
+  SELECT 'lang_in_set', count(*),
+         count(*) FILTER (WHERE lang IS NULL
+                          OR lang NOT IN ('en', 'de', 'fr'))
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars_between', count(*),
+         count(*) FILTER (WHERE n_chars IS NULL OR n_chars < 64
+                          OR n_chars > 100000)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars_consistent', count(*),
+         count(*) FILTER (WHERE length(coalesce(text, '')) <> n_chars
+                          OR n_chars IS NULL)
+  FROM documents
+  UNION ALL
+  SELECT 'source_matches', count(*),
+         count(*) FILTER (
+           WHERE NOT regexp_full_match(coalesce(source, ''), 'src[0-9]+'))
+  FROM documents
+  UNION ALL
+  SELECT 'text_not_null', count(*),
+         count(*) FILTER (WHERE text IS NULL)
+  FROM documents
+) ORDER BY rule
+"""
+
+QUERIES["docs_expectations"] = q_docs_expectations
+ORACLES["docs_expectations"] = _SQL_EXPECTATIONS

@@ -312,3 +312,86 @@ def test_bgp_match_repeated_variable_and_cartesian_guard():
         bgp_match(
             _triples_ds(rows), [("?x", "P", "?y"), ("?z", "Q", "?w")]
         ).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# sentence stats + expectations + SCD-2
+# ---------------------------------------------------------------------------
+
+
+def test_sentence_stats_segments_and_blanks():
+    from nospa_rdf_data_cube_validator_ray.functions.text import sentence_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+            "text": pd.Series(
+                ["One two. Three!? Four five six.", "...", None, "no stop"],
+                dtype="string",
+            ),
+        }
+    )
+    out = sentence_stats(df).set_index("doc_id")
+    assert list(out.loc[1]) == [3, 3, 6]      # 2 + 1 + 3 tokens
+    assert list(out.loc[2]) == [0, 0, 0]      # pure punctuation
+    assert list(out.loc[3]) == [0, 0, 0]      # NULL text
+    assert list(out.loc[4]) == [1, 2, 2]      # unterminated sentence
+
+
+def test_expectations_counts_injected_violations():
+    from nospa_rdf_data_cube_validator_ray.stages.expect import expectations
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 1, 2, None, None], dtype="Int64"),
+            "lang": pd.Series(["en", "xx", None, "en", "en"], dtype="string"),
+            "n": pd.Series([5, 50, 500, None, 5], dtype="Int64"),
+        }
+    )
+    out = expectations(
+        ray.data.from_pandas(df),
+        [
+            ("id_unique", "unique", "doc_id"),
+            ("lang_ok", "in_set", "lang", {"en"}),
+            ("n_range", "between", "n", 10, 100),
+            ("lang_re", "matches", "lang", r"[a-z]{2}"),
+        ],
+    ).set_index("rule")
+    # distinct doc_ids = {1, 2, NULL} → 5 − 3 = 2 dup rows
+    assert list(out.loc["id_unique"]) == [5, 2]
+    assert list(out.loc["lang_ok"]) == [5, 2]      # 'xx' + NULL
+    assert list(out.loc["n_range"]) == [5, 4]      # 5, 500, NULL, 5
+    assert list(out.loc["lang_re"]) == [5, 1]      # NULL→'' fails fullmatch
+
+
+def test_scd_collapses_runs_and_versions():
+    from nospa_rdf_data_cube_validator_ray.pipelines.relational import q_events_scd
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 01:00:00",
+         "2024-01-01 02:00:00", "2024-01-01 03:00:00",
+         "2024-01-01 00:30:00"]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "event_id": pd.Series([1, 2, 3, 4, 5], dtype="int64"),
+            "ts": ts,
+            "user_id": pd.Series([7, 7, 7, 7, 9], dtype="int64"),
+            "event_type": ["view", "view", "buy", "view", "view"],
+            "value": 0.0,
+            "props": "",
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(td, "events.parquet"))
+        out = q_events_scd(td)
+    u7 = out[out["user_id"] == 7].sort_values("version")
+    assert list(u7["event_type"]) == ["view", "buy", "view"]  # run collapsed
+    assert list(u7["version"]) == [1, 2, 3]
+    # interval chaining: each valid_to == next valid_from; last is open
+    assert list(u7["valid_to_us"])[:2] == list(u7["valid_from_us"])[1:]
+    assert list(u7["valid_to_us"])[2] == -1
+    u9 = out[out["user_id"] == 9]
+    assert len(u9) == 1 and int(u9["valid_to_us"].iloc[0]) == -1
