@@ -15,6 +15,7 @@ both sides.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray.data
@@ -2238,3 +2239,172 @@ SELECT * FROM (
 
 QUERIES["docs_expectations"] = q_docs_expectations
 ORACLES["docs_expectations"] = _SQL_EXPECTATIONS
+
+
+def q_pq_recall(sf_dir: str):
+    """Product-quantization ANN (stages/embedding.PQIndex: 8×16
+    subspace codebooks, ADC lookup-table scan, exact block rerank)
+    graded like knn_ivf_recall by a recall bound: per query,
+    |PQ top-5 ∩ exact top-5| ≥ 4.  The oracle predicts all-true."""
+    embs = _embs(sf_dir)
+    exact = E.knn_topk(embs, query_ids=list(range(10)), k=5)
+    pq = E.pq_topk(embs, query_ids=list(range(10)), k=5)
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    pv = pq.groupby("query_id")["neighbor_id"].apply(set)
+    qids = sorted(ex.index)
+    return pd.DataFrame(
+        {
+            "query_id": pd.array(qids, dtype="int64"),
+            "recall_ok": [len(ex[q] & pv.get(q, set())) >= 4 for q in qids],
+        }
+    )
+
+
+_SQL_PQ_RECALL = """
+SELECT vec_id::BIGINT AS query_id, true AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+QUERIES["knn_pq_recall"] = q_pq_recall
+ORACLES["knn_pq_recall"] = _SQL_PQ_RECALL
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """Long→wide pivot: per-user event-type count matrix (the feature
+    table a churn model trains on).  Map-side combine — each batch emits
+    one partially-aggregated row per user seen — then one bucketed sum
+    over users; the pivot itself is vectorized crosstab arithmetic, and
+    the column set is FIXED (declared types), so the schema is stable
+    regardless of which types a shard happens to contain."""
+    import ray.data as rd
+
+    from ..util import bucket_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"].astype("int64"), df["event_type"])
+        out = pd.DataFrame({"user_id": ct.index.astype("int64")})
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = (
+                ct[t].to_numpy() if t in ct.columns else 0
+            )
+            out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return bucket_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        [f"n_{t}" for t in _EVENT_TYPES],
+    )
+
+
+_SQL_EVENTS_PIVOT = """
+SELECT user_id::BIGINT AS user_id,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+QUERIES["events_pivot"] = q_events_pivot
+ORACLES["events_pivot"] = _SQL_EVENTS_PIVOT
+
+
+def q_docs_split_counts(sf_dir: str):
+    """Reproducible train/val/test assignment: split =
+    md5(doc_id || ':split') % 100 → train < 80 ≤ val < 90 ≤ test — a
+    pure per-row hash, so the assignment is identical across cluster
+    sizes, retries and shards (never random_shuffle + slice, which is
+    neither stable nor resumable).  Reported as per-(source, split)
+    counts via map-side combine + one tiny groupby."""
+    from ..stages.dedup import _md5_u64
+    from ..util import bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.Series(
+            [_md5_u64(f"{int(i)}:split") % 100 for i in df["doc_id"]],
+            index=df.index,
+        )
+        split = pd.Series(
+            np.where(h < 80, "train", np.where(h < 90, "val", "test")),
+            index=df.index,
+        )
+        g = (
+            pd.DataFrame({"source": df["source"], "split": split})
+            .groupby(["source", "split"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return g.astype({"source": "string", "split": "string", "n": "int64"})
+
+    return bucket_sum(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["source", "split"],
+        ["n"],
+    )
+
+
+_SQL_SPLIT_COUNTS = """
+WITH s AS (
+  SELECT source,
+         md5_number_lower(doc_id::VARCHAR || ':split') % 100 AS h
+  FROM documents
+)
+SELECT source,
+       CASE WHEN h < 80 THEN 'train'
+            WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n
+FROM s GROUP BY 1, 2
+"""
+
+QUERIES["docs_split_counts"] = q_docs_split_counts
+ORACLES["docs_split_counts"] = _SQL_SPLIT_COUNTS
+
+
+def q_docs_profile(sf_dir: str):
+    """Catalog-style column profile over documents
+    (stages/expect.table_profile): per column — rows, nulls, exact
+    distinct (one combined bucketed distinct for all columns),
+    lexicographic min/max of the string form."""
+    from ..stages.expect import table_profile
+
+    return table_profile(
+        _docs(sf_dir), ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
+# min/max compare the VARCHAR form (binary collation == Python code
+# points for this ASCII data); count(DISTINCT) skips NULLs on both sides
+_SQL_DOCS_PROFILE = """
+SELECT * FROM (
+  SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,
+         count(*) FILTER (WHERE doc_id IS NULL)::BIGINT AS n_nulls,
+         count(DISTINCT doc_id)::BIGINT AS n_distinct,
+         min(doc_id::VARCHAR) AS min_str, max(doc_id::VARCHAR) AS max_str
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(*) FILTER (WHERE lang IS NULL),
+         count(DISTINCT lang), min(lang), max(lang)
+  FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(*) FILTER (WHERE source IS NULL),
+         count(DISTINCT source), min(source), max(source)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*), count(*) FILTER (WHERE n_chars IS NULL),
+         count(DISTINCT n_chars),
+         min(n_chars::VARCHAR), max(n_chars::VARCHAR)
+  FROM documents
+) ORDER BY col_name
+"""
+
+QUERIES["docs_profile"] = q_docs_profile
+ORACLES["docs_profile"] = _SQL_DOCS_PROFILE

@@ -87,20 +87,37 @@ def _md5_u64_cached(s: str) -> int:
     return h
 
 
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Exact ``x mod (2^61−1)`` for x < 2^63: one Mersenne shift-fold
+    (x = q·2^61 + r ≡ q + r) then one conditional subtract — the fold
+    result is < 2·M61 for any x < 2^63.  Replaces u64 ``%`` (hardware
+    division, unvectorizable) in the MinHash permute hot path: the
+    divisions made the signature stage ALU-bound and memory-hungry
+    enough to stop scaling across workers."""
+    m = np.uint64(_M61)
+    x = (x & m) + (x >> np.uint64(61))
+    return x - m * (x >= m)
+
+
 def _mulmod61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
     """(a*h) mod (2^61−1) for uint64 arrays, overflow-free (numpy has no
     128-bit ints): split both factors at 31/30 bits and reduce with
-    2^61 ≡ 1 (mod M61).  Broadcasting-friendly."""
-    m = np.uint64(_M61)
+    2^61 ≡ 1 (mod M61).  Broadcasting-friendly.  Division-free — every
+    partial stays provably below 2^63, so :func:`_fold61` is exact:
+
+    * t1 = 2·a1·h1 ≤ 2·(2^30−1)² = 2^61 − 2^32 + 2 < M61: no reduction
+    * mid = a1·h0 + a0·h1 < 2^62: one fold
+    * t2 pre-fold < 2^61 (x0 < 2^30 ⇒ x0·2^31 ≤ 2^61 − 2^31): one fold
+    * t3 = a0·h0 < 2^62: one fold
+    * t1 + t2 + t3 < 3·M61 < 2^63: one fold"""
     a1, a0 = a >> np.uint64(31), a & _LOW31          # a1 < 2^30, a0 < 2^31
     h1, h0 = h >> np.uint64(31), h & _LOW31
-    # a*h = a1*h1*2^62 + (a1*h0 + a0*h1)*2^31 + a0*h0
-    t1 = ((a1 * h1) % m) * np.uint64(2) % m          # 2^62 ≡ 2 (mod M61)
-    mid = (a1 * h0 + a0 * h1) % m                    # < 2^62 pre-mod: safe
-    x1, x0 = mid >> np.uint64(30), mid & _LOW30      # mid*2^31 ≡ x1 + x0*2^31
-    t2 = (x1 + (x0 << np.uint64(31))) % m
-    t3 = (a0 * h0) % m                               # < 2^62: safe
-    return (t1 + t2 + t3) % m
+    # a*h = a1*h1*2^62 + (a1*h0 + a0*h1)*2^31 + a0*h0;  2^62 ≡ 2 (mod M61)
+    t1 = (a1 * h1) << np.uint64(1)
+    mid = _fold61(a1 * h0 + a0 * h1)                 # mid*2^31 ≡ x1 + x0*2^31
+    t2 = _fold61((mid >> np.uint64(30)) + ((mid & _LOW30) << np.uint64(31)))
+    t3 = _fold61(a0 * h0)
+    return _fold61(t1 + t2 + t3)
 
 
 def kmv_sketch(hashes, k: int = 64) -> tuple[int, int]:
@@ -402,50 +419,100 @@ class MinHasher:
     exact (a·h+b) mod (2^61−1) — the same integers a DuckDB oracle
     computes with HUGEINT arithmetic."""
 
-    def __init__(self, num_perm: int = 128, shingle_k: int = 3, seed: int = 42):
+    def __init__(
+        self,
+        num_perm: int = 128,
+        shingle_k: int = 3,
+        seed: int = 42,
+        memo_rows: int = 1 << 19,
+    ):
         a, b = minhash_params(num_perm, seed)
         self.a = np.array(a, dtype=np.uint64)[:, None]
         self.b = np.array(b, dtype=np.uint64)[:, None]
         self.num_perm = num_perm
         self.k = shingle_k
+        # cross-batch memo of PERMUTED rows (shingle → its num_perm
+        # signature slots), array-backed so per-doc minima gather straight
+        # from it: near-dup corpora repeat shingles heavily ACROSS batches
+        # (measured ~5× on the bench probe), and re-permuting a repeat
+        # costs ~35 array passes vs one dict hit.  Bounded: reset when
+        # ``memo_rows`` (default 512 K rows ≈ num_perm·8 B each) is full —
+        # per-ACTOR memory, independent of corpus size.
+        self._memo_cap = memo_rows
+        self._idx: dict[str, int] = {}
+        self._rows = np.empty((0, num_perm), dtype=np.uint64)
+        self._n = 0
 
     def signature(self, text: str) -> np.ndarray:
         sh = shingle_set(text, self.k)
         if not sh:
             # sentinel: real slots are < M61, so all-M61 marks "no shingles"
             return np.full(self.num_perm, _M61, dtype=np.uint64)
-        h = np.array([_md5_u64_cached(s) for s in sh], dtype=np.uint64) % _B61
-        m = (_mulmod61(self.a, h[None, :]) + self.b) % np.uint64(_M61)
+        h = np.array([_md5_u64_cached(s) for s in sh], dtype=np.uint64) & (
+            _B61 - np.uint64(1)  # % 2^61 == low-61-bit mask: no division
+        )
+        m = _fold61(_mulmod61(self.a, h[None, :]) + self.b)  # sum < 2·M61
         return m.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        # batch-level shingle dedup: near-dup corpora repeat shingles
-        # heavily (sf0.1 documents: only ~25% unique), and the permute
-        # matmul dominates the stage — hash and permute each DISTINCT
-        # shingle once, then take per-doc column minima.  min over a
-        # multiset equals min over its support, so signatures are
+        # shingle dedup ACROSS batches: near-dup corpora repeat shingles
+        # heavily (sf0.1 documents: only ~25% unique within a batch, ~5×
+        # repetition across a block's batches on the bench probe), and
+        # the permute dominates the stage — hash and permute each
+        # distinct shingle ONCE per actor lifetime (bounded memo), then
+        # take per-doc row minima straight from the memo array.  min
+        # over a multiset equals min over its support, so signatures are
         # bit-identical to the per-doc path (which remains for callers).
+        if self._n > self._memo_cap:
+            self._idx = {}
+            self._rows = np.empty((0, self.num_perm), dtype=np.uint64)
+            self._n = 0
         texts = df["text"].fillna("")
         sh_lists = [shingle_set(t, self.k) for t in texts]
-        code_of: dict[str, int] = {}
+        idx = self._idx
+        new_sh: list[str] = []
+        n0 = self._n
         doc_codes: list[list[int]] = []
         for sh in sh_lists:
-            doc_codes.append(
-                [code_of.setdefault(s, len(code_of)) for s in sh]
-            )
-        if code_of:
+            row = []
+            for s in sh:
+                i = idx.get(s)
+                if i is None:
+                    i = n0 + len(new_sh)
+                    idx[s] = i
+                    new_sh.append(s)
+                row.append(i)
+            doc_codes.append(row)
+        if new_sh:
+            need = n0 + len(new_sh)
+            if need > len(self._rows):
+                grown = np.empty(
+                    (max(need, 2 * len(self._rows), 1 << 16), self.num_perm),
+                    dtype=np.uint64,
+                )
+                grown[:n0] = self._rows[:n0]
+                self._rows = grown
             h = np.fromiter(
-                (_md5_u64_cached(s) for s in code_of),
+                (_md5_u64_cached(s) for s in new_sh),
                 dtype=np.uint64,
-                count=len(code_of),
-            ) % _B61
+                count=len(new_sh),
+            ) & (_B61 - np.uint64(1))  # % 2^61 == mask: no division
             # (|U| × num_perm) layout: each doc's gather then reads ~|doc|
             # CONTIGUOUS 1 KB rows — the (num_perm × |U|) orientation made
             # it a strided column gather across a >100 MB matrix (cache-
-            # and TLB-hostile, and it stopped scaling across workers)
-            m = (
-                _mulmod61(h[:, None], self.a.T) + self.b.T
-            ) % np.uint64(_M61)
+            # and TLB-hostile, and it stopped scaling across workers).
+            # CHUNKED over shingles: the permute's temporaries then live
+            # in cache instead of streaming hundreds of MB per batch
+            # through DRAM — the stage was memory-bandwidth-bound, which
+            # is also why extra workers didn't speed it up
+            step = 4096
+            for s0 in range(0, len(new_sh), step):
+                hc = h[s0 : s0 + step, None]
+                self._rows[n0 + s0 : n0 + min(s0 + step, len(new_sh))] = (
+                    _fold61(_mulmod61(hc, self.a.T) + self.b.T)  # sum < 2·M61
+                )
+            self._n = need
+        m = self._rows
         sent = np.full(self.num_perm, _M61, dtype=np.uint64)
         sigs = [
             m[c].min(axis=0) if c else sent for c in doc_codes

@@ -507,3 +507,186 @@ def lsh_cosine_pairs(
     from .dedup import _dedup_pairs
 
     return _dedup_pairs(found, id_cols=("vec_id_a", "vec_id_b"))
+
+
+class PQIndex:
+    """Product quantization ANN (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector splits into
+    ``m`` subspaces, each k-means-quantized to ``k`` centroids on a
+    bounded driver-side sample, and every corpus vector is encoded as
+    ``m`` small codes — m bytes instead of 4·dim, the compression that
+    keeps a 100 TB embedding corpus scannable.
+
+    Search is asymmetric distance computation (ADC): per query, ONE
+    (m × k) lookup table of subspace dot products; scoring a corpus
+    block is a pure integer gather + row sum over the code matrix — no
+    float matmul over corpus vectors.  ``search`` then exact-reranks
+    each block's ADC shortlist (the standard IVFADC+R production
+    pattern), so the returned top-k is exact over the union of block
+    shortlists and recall degrades only when a true neighbor falls
+    outside a whole block's shortlist."""
+
+    def __init__(self, m: int = 8, k: int = 16, iters: int = 10, seed: int = 42):
+        self.m = m
+        self.k = k
+        self.iters = iters
+        self.seed = seed
+        self.codebooks = None  # (m, k, dim/m)
+
+    def train(self, sample: np.ndarray) -> "PQIndex":
+        x = _normalize(np.asarray(sample, dtype=np.float64))
+        dim = x.shape[1]
+        if dim % self.m:
+            raise ValueError(f"dim {dim} not divisible by m={self.m}")
+        dsub = dim // self.m
+        rng = np.random.RandomState(self.seed)
+        books = np.empty((self.m, self.k, dsub))
+        for mi in range(self.m):
+            sub = x[:, mi * dsub : (mi + 1) * dsub]
+            kk = min(self.k, len(sub))
+            c = sub[rng.choice(len(sub), size=kk, replace=False)]
+            for _ in range(self.iters):
+                # L2 assignment via the expanded form (‖c‖² − 2·x·c)
+                d = (c * c).sum(axis=1)[None, :] - 2.0 * (sub @ c.T)
+                assign = np.argmin(d, axis=1)
+                for j in range(kk):
+                    sel = assign == j
+                    if sel.any():
+                        c[j] = sub[sel].mean(axis=0)
+            if kk < self.k:  # degenerate tiny sample: pad by repetition
+                c = np.concatenate([c, np.repeat(c[:1], self.k - kk, axis=0)])
+            books[mi] = c
+        self.codebooks = books
+        return self
+
+    def encode(
+        self, ds: "ray.data.Dataset", *, emb_col: str = "embedding"
+    ) -> "ray.data.Dataset":
+        """Adds int64 columns pq0..pq{m-1} (argmin-L2 subspace codes);
+        keeps the embedding column for the rerank step."""
+        bref = ray.put(self.codebooks)
+        m = self.m
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            if not len(df):
+                for mi in range(m):
+                    out[f"pq{mi}"] = pd.array([], dtype="int64")
+                return out
+            books = ray.get(bref)
+            mat = _normalize(_emb_matrix(df, emb_col))
+            dsub = mat.shape[1] // m
+            for mi in range(m):
+                sub = mat[:, mi * dsub : (mi + 1) * dsub]
+                c = books[mi]
+                d = (c * c).sum(axis=1)[None, :] - 2.0 * (sub @ c.T)
+                out[f"pq{mi}"] = np.argmin(d, axis=1).astype("int64")
+            return out
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    def search(
+        self,
+        encoded: "ray.data.Dataset",
+        queries: np.ndarray,
+        query_ids: list[int],
+        *,
+        k: int = 5,
+        shortlist: int = 64,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> pd.DataFrame:
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        m = self.m
+        dsub = q.shape[1] // m
+        # per-query (m, k) dot-product LUTs — the whole query-side state
+        luts = np.stack(
+            [
+                np.stack(
+                    [
+                        q[qi, mi * dsub : (mi + 1) * dsub] @ self.codebooks[mi].T
+                        for mi in range(m)
+                    ]
+                )
+                for qi in range(len(q))
+            ]
+        )
+        qref = ray.put(
+            {"luts": luts, "ids": np.asarray(query_ids), "q": q}
+        )
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            cols = ["query_id", "neighbor_id", "cos"]
+            if not len(df):
+                return pd.DataFrame(columns=cols)
+            s = ray.get(qref)
+            codes = np.stack(
+                [df[f"pq{mi}"].to_numpy(np.int64) for mi in range(m)], axis=1
+            )
+            ids = df[id_col].to_numpy()
+            mat = None  # decoded lazily, only for shortlist rows
+            frames = []
+            for qi in range(len(s["ids"])):
+                lut = s["luts"][qi]  # (m, k)
+                adc = lut[np.arange(m)[:, None], codes.T].sum(axis=0)
+                j = np.nonzero(ids != s["ids"][qi])[0]
+                if not len(j):
+                    continue
+                jj = j[np.lexsort((ids[j], -adc[j]))[:shortlist]]
+                if mat is None:
+                    mat = _normalize(_emb_matrix(df, emb_col))
+                cos = mat[jj] @ s["q"][qi]
+                top = np.lexsort((ids[jj], -cos))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": s["ids"][qi],
+                            "neighbor_id": ids[jj][top],
+                            "cos": cos[top],
+                        }
+                    )
+                )
+            if not frames:
+                return pd.DataFrame(columns=cols)
+            return pd.concat(frames, ignore_index=True)
+
+        cands = encoded.map_batches(f, batch_format="pandas").to_pandas()
+        if not len(cands):
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "rank"]
+            ).astype("int64")
+        cands = cands.sort_values(
+            ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+        )
+        top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        top["rank"] = top.groupby("query_id").cumcount() + 1
+        return top[["query_id", "neighbor_id", "rank"]].astype("int64")
+
+
+def pq_topk(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    shortlist: int = 64,
+    train_sample: int = 4096,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k via PQ ADC + exact block rerank."""
+    sdf = ds.limit(train_sample).to_pandas()
+    if not len(sdf):
+        raise ValueError("pq_topk needs a non-empty embedding dataset")
+    sample = np.stack(sdf[emb_col].to_numpy()).astype(np.float64)
+    index = PQIndex(m=m, k=n_centroids).train(sample)
+    encoded = index.encode(ds, emb_col=emb_col).materialize()
+    qrows = ds.filter(expr=f"{id_col} in {sorted(set(query_ids))}").take_all()
+    order = {v: i for i, v in enumerate(query_ids)}
+    qrows.sort(key=lambda r: order[r[id_col]])
+    qmat = np.array([r[emb_col] for r in qrows], dtype=np.float64)
+    return index.search(
+        encoded, qmat, [r[id_col] for r in qrows],
+        k=k, shortlist=shortlist, emb_col=emb_col, id_col=id_col,
+    )

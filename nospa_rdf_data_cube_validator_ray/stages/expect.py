@@ -122,3 +122,86 @@ def expectations(
         rows, columns=["rule", "n_checked", "n_violations"]
     ).astype({"rule": "string", "n_checked": "int64", "n_violations": "int64"})
     return out.sort_values("rule", ignore_index=True)
+
+
+def table_profile(
+    ds: "ray.data.Dataset", cols: list[str]
+) -> pd.DataFrame:
+    """Column-profiling summary — the pay-as-you-go statistics pass a
+    catalog/optimizer runs at ingest: per column, row count, NULL
+    count, EXACT distinct count, and lexicographic min/max of the
+    string form (stringified so one schema covers every column type;
+    numeric min/max is a one-line variant).
+
+    Scale shape: one streaming scan emits per-batch partials — null/row
+    counts plus per-batch DISTINCT (col, value) pairs — so the shuffle
+    moves per-block-distinct values, not rows; ONE bucketed distinct
+    across all profiled columns together (col is part of the key)
+    counts exact cardinalities.  min/max fold associatively from
+    block-scale partials on the driver."""
+    from ..functions.kernel import distinct
+    from ..util import bucket_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            nn = s.dropna().astype(str)
+            rows.append(
+                (
+                    c,
+                    len(s),
+                    int(s.isna().sum()),
+                    nn.min() if len(nn) else None,
+                    nn.max() if len(nn) else None,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["col_name", "n", "nulls", "mn", "mx"]
+        ).astype({"col_name": "string", "n": "int64", "nulls": "int64",
+                  "mn": "string", "mx": "string"})
+
+    stats = ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+    def dpairs(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            v = df[c].dropna().astype(str).drop_duplicates()
+            frames.append(pd.DataFrame({"col_name": c, "v": v}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"col_name": "string", "v": "string"})
+
+    def count_per_col(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("col_name", sort=False, as_index=False).size()
+        return g.rename(columns={"size": "nd"}).astype(
+            {"col_name": "string", "nd": "int64"}
+        )
+
+    # distinct (col, value) pairs, then per-col counts — one shuffle for
+    # ALL profiled columns; bucket_agg keeps per-key cost off Ray
+    nd = bucket_agg(
+        distinct(
+            ds.map_batches(dpairs, batch_format="pandas"), ["col_name", "v"]
+        ),
+        ["col_name"],
+        count_per_col,
+    ).to_pandas()
+    nd_map = (
+        dict(zip(nd["col_name"], nd["nd"])) if len(nd) else {}
+    )
+
+    g = stats.groupby("col_name", sort=False)
+    out = pd.DataFrame(
+        {
+            "col_name": pd.Series(list(g.groups), dtype="string"),
+            "n_rows": g["n"].sum().to_numpy(),
+            "n_nulls": g["nulls"].sum().to_numpy(),
+            "n_distinct": [
+                int(nd_map.get(c, 0)) for c in g.groups
+            ],
+            "min_str": g["mn"].min().to_numpy(),
+            "max_str": g["mx"].max().to_numpy(),
+        }
+    ).astype({"n_rows": "int64", "n_nulls": "int64", "n_distinct": "int64",
+              "min_str": "string", "max_str": "string"})
+    return out.sort_values("col_name", ignore_index=True)

@@ -395,3 +395,92 @@ def test_scd_collapses_runs_and_versions():
     assert list(u7["valid_to_us"])[2] == -1
     u9 = out[out["user_id"] == 9]
     assert len(u9) == 1 and int(u9["valid_to_us"].iloc[0]) == -1
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN + pivot + split + profile
+# ---------------------------------------------------------------------------
+
+
+def _emb_ds(n=64, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    mat = rng.standard_normal((n, dim))
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": pd.Series(range(n), dtype="int64"),
+                "embedding": [row.astype(np.float32) for row in mat],
+            }
+        )
+    )
+
+
+def test_pq_reranked_topk_matches_exact_on_small_corpus():
+    from nospa_rdf_data_cube_validator_ray.stages.embedding import (
+        knn_topk,
+        pq_topk,
+    )
+
+    ds = _emb_ds()
+    # shortlist ≥ corpus ⇒ the rerank IS the exact scan: results equal
+    exact = knn_topk(ds, query_ids=[0, 1, 2], k=5)
+    pq = pq_topk(ds, query_ids=[0, 1, 2], k=5, m=4, shortlist=64)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), pq.reset_index(drop=True)
+    )
+
+
+def test_pq_codes_are_deterministic_and_bounded():
+    from nospa_rdf_data_cube_validator_ray.stages.embedding import PQIndex
+
+    ds = _emb_ds(n=40)
+    sample = np.stack(ds.to_pandas()["embedding"].to_numpy())
+    a = PQIndex(m=4, k=8).train(sample)
+    b = PQIndex(m=4, k=8).train(sample)
+    assert np.array_equal(a.codebooks, b.codebooks)  # seeded training
+    enc = a.encode(ds).to_pandas()
+    for mi in range(4):
+        c = enc[f"pq{mi}"]
+        assert c.between(0, 7).all()
+
+
+def test_events_pivot_counts_match_value_counts():
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+    from nospa_rdf_data_cube_validator_ray.pipelines.training_data import (
+        q_events_pivot,
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": pd.Series(range(8), dtype="int64"),
+            "ts": pd.to_datetime(["2024-01-01"] * 8).astype("datetime64[us]"),
+            "user_id": pd.Series([1, 1, 1, 2, 2, 3, 3, 3], dtype="int64"),
+            "event_type": ["view", "view", "click", "purchase", "view",
+                           "error", "signup", "error"],
+            "value": 0.0,
+            "props": "",
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(td, "events.parquet"))
+        out = q_events_pivot(td).to_pandas().set_index("user_id").sort_index()
+    assert list(out.columns) == ["n_click", "n_error", "n_purchase",
+                                 "n_signup", "n_view"]
+    assert list(out.loc[1]) == [1, 0, 0, 0, 2]
+    assert list(out.loc[2]) == [0, 0, 1, 0, 1]
+    assert list(out.loc[3]) == [0, 2, 0, 1, 0]
+
+
+def test_table_profile_exact_counts():
+    from nospa_rdf_data_cube_validator_ray.stages.expect import table_profile
+
+    df = pd.DataFrame(
+        {
+            "a": pd.Series([1, 2, 2, None], dtype="Int64"),
+            "b": pd.Series(["x", None, "y", "x"], dtype="string"),
+        }
+    )
+    out = table_profile(ray.data.from_pandas(df), ["a", "b"]).set_index("col_name")
+    assert list(out.loc["a"]) == [4, 1, 2, "1", "2"]
+    assert list(out.loc["b"]) == [4, 1, 2, "x", "y"]
