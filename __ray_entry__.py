@@ -1880,6 +1880,97 @@ HAVING count(*) >= 2
 """
 
 
+def q_kg_entity_lift(sf_dir: str):
+    """Association-scored relation candidates: lift(a, b) =
+    N·c(a,b) / (c(a)·c(b)) over the co-occurrence edges (lift =
+    exp(PMI); the ratio form is IEEE-exact on both sides — ONE
+    int64→float64 division, no ln).  Per-entity document frequencies
+    are dictionary-scale and broadcast once; scoring is map-only
+    (stages/linking.entity_lift)."""
+    from nospa_rdf_data_cube_validator_ray.stages.linking import (
+        build_gazetteer,
+        entity_lift,
+        entity_mentions,
+    )
+
+    docs = _docs(sf_dir)
+    return entity_lift(
+        entity_mentions(docs, build_gazetteer(docs)), min_count=2
+    )
+
+
+_SQL_ENTITY_LIFT = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+  FROM documents
+),
+labels AS (SELECT DISTINCT t FROM toks WHERE md5_number_lower(t) % 5 = 0),
+de AS (SELECT DISTINCT doc_id, t FROM toks JOIN labels USING (t)),
+nd AS (SELECT count(DISTINCT doc_id) AS total FROM de),
+ec AS (SELECT t, count(*) AS c FROM de GROUP BY t),
+pairs AS (
+  SELECT a.t AS ent_a, b.t AS ent_b, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t
+  HAVING count(*) >= 2
+)
+SELECT ent_a, ent_b, n::BIGINT AS n,
+       ((SELECT total FROM nd) * n)::DOUBLE / (ca.c * cb.c)::DOUBLE AS lift
+FROM pairs
+JOIN ec ca ON ca.t = ent_a
+JOIN ec cb ON cb.t = ent_b
+"""
+
+
+def q_kg_kcore(sf_dir: str):
+    """k-core (k=2) of the undirected import graph — bounded iterative
+    peel (stages/graph.kcore: size-adaptive driver bincount loop /
+    per-round bucketed degree + two hash semi-joins; RAISES rather than
+    early-stopping if the graph out-peels the bound, because the SQL
+    twin unrolls exactly that many rounds).  Rows: (node, deg-in-core)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import kcore
+
+    return kcore(_code_import_edges(sf_dir), k=2, max_rounds=_KCORE_ROUNDS)
+
+
+_KCORE_ROUNDS = 16
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """``rounds`` chained peel CTEs mirroring stages/graph.kcore: each
+    round recomputes undirected degrees and keeps edges whose BOTH
+    endpoints have degree >= k.  After convergence the remaining rounds
+    are no-ops, so the unrolled form equals the fixpoint whenever the
+    engine (which verifies convergence and raises otherwise) returns."""
+    parts = [
+        f"und AS (SELECT DISTINCT least(src, dst) AS x,"
+        f" greatest(src, dst) AS y FROM cedges WHERE src <> dst)",
+        "e0 AS MATERIALIZED (SELECT x, y FROM und)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM "
+            f"(SELECT x AS node FROM e{i} UNION ALL SELECT y FROM e{i}) "
+            f"GROUP BY node)"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT x, y FROM e{i} "
+            f"WHERE x IN (SELECT node FROM d{i} WHERE deg >= {k}) "
+            f"AND y IN (SELECT node FROM d{i} WHERE deg >= {k}))"
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {_CODE_EDGE_BODY},
+{body}
+SELECT node, count(*)::BIGINT AS deg
+FROM (SELECT x AS node FROM e{rounds} UNION ALL SELECT y FROM e{rounds})
+GROUP BY node
+"""
+
+
+_SQL_KG_KCORE = _kcore_sql(2, _KCORE_ROUNDS)
+
+
 def q_kg_triple_ids(sf_dir: str):
     """KG-embedding input encoding: the link KG dictionary-encoded to
     dense 0-based integer (h, r, t) triples — entity ids are the global
@@ -2569,6 +2660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_subclass_closure": q_kg_subclass_closure,
         "kg_entity_mentions": q_kg_entity_mentions,
         "kg_entity_cooccur": q_kg_entity_cooccur,
+        "kg_entity_lift": q_kg_entity_lift,
+        "kg_kcore": q_kg_kcore,
         "kg_triple_ids": q_kg_triple_ids,
         "kg_shape_check": q_kg_shape_check,
     }
@@ -2650,6 +2743,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_subclass_closure": _SQL_SUBCLASS_CLOSURE,
         "kg_entity_mentions": _SQL_ENTITY_MENTIONS,
         "kg_entity_cooccur": _SQL_ENTITY_COOCCUR,
+        "kg_entity_lift": _SQL_ENTITY_LIFT,
+        "kg_kcore": _SQL_KG_KCORE,
         "kg_triple_ids": _SQL_TRIPLE_IDS,
         "kg_shape_check": _SQL_SHAPE_CHECK,
     }

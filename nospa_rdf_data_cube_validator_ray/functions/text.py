@@ -381,3 +381,105 @@ def sentence_stats(
         }
     )
     return out.reset_index(drop=True)
+
+
+# Gopher-rule stop set (Rae et al. 2021 §A1.1 uses a must-contain word
+# list; this is the classic 8-word variant) — compared on lower()ed
+# tokens, ASCII-only so Python/DuckDB lowercasing agree
+_GOPHER_STOPS = ("and", "be", "have", "of", "that", "the", "to", "with")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_BULLET_LINE_RE = re.compile(r"(?m)^[-*]")
+_ELLIPSIS_LINE_RE = re.compile(r"(?m)\.\.\.$")
+_ELLIPSIS_RE = re.compile(r"\.\.\.")
+
+
+def gopher_filter(
+    df: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021, "Scaling
+    Language Models" §A1.1) — per document, one boolean per rule plus
+    the conjunction ``keep``.  Every threshold is evaluated in INTEGER
+    arithmetic (``10*n_sym <= n_words`` instead of ``n_sym/n_words <=
+    0.1``) so the DuckDB oracle is bit-exact with no float compares:
+
+    * r_nwords    — 50 <= word count <= 100 000
+    * r_wordlen   — mean word length in [3, 10]
+    * r_sym       — ('#' chars + '...' occurrences) / words <= 0.1
+    * r_bullet    — lines starting with '-' or '*' <= 90 %
+    * r_ellipsis  — lines ending with '...' <= 30 %
+    * r_alpha     — words containing an [A-Za-z] >= 80 %
+    * r_stop      — at least 2 distinct Gopher stop words present
+
+    Vectorized: tokens flatten to ONE flat array per batch; per-doc
+    reductions are ``np.add.reduceat`` / ``np.bitwise_or.reduceat``
+    over row offsets (distinct-stopword counting is a per-doc 8-bit
+    OR + popcount), never a per-row Python loop."""
+    s = df[text_col].fillna("")
+    toks = s.str.findall(_TOKEN_RE)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    n_words = lens
+    flat = (
+        np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        if lens.sum()
+        else np.array([], dtype=object)
+    )
+    fs = pd.Series(flat, dtype=object)
+    tok_len = fs.str.len().to_numpy(dtype=np.int64) if len(fs) else np.array([], dtype=np.int64)
+    tok_alpha = (
+        fs.str.contains(_ALPHA_RE).to_numpy(dtype=np.int64)
+        if len(fs)
+        else np.array([], dtype=np.int64)
+    )
+    stop_idx = {w: i for i, w in enumerate(_GOPHER_STOPS)}
+    stop_bit = (
+        fs.str.lower().map(lambda t: 1 << stop_idx.get(t, 32)).to_numpy(dtype=np.int64)
+        & ((1 << len(_GOPHER_STOPS)) - 1)
+        if len(fs)
+        else np.array([], dtype=np.int64)
+    )
+    # per-doc reductions over the flat arrays: reduceat needs the start
+    # offset of each NON-EMPTY doc (reduceat misbehaves on empty slices)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    nz = n_words > 0
+    sum_len = np.zeros(len(df), dtype=np.int64)
+    n_alpha = np.zeros(len(df), dtype=np.int64)
+    stops = np.zeros(len(df), dtype=np.int64)
+    if nz.any():
+        sum_len[nz] = np.add.reduceat(tok_len, offs[nz])
+        n_alpha[nz] = np.add.reduceat(tok_alpha, offs[nz])
+        stops[nz] = np.bitwise_or.reduceat(stop_bit, offs[nz])
+    n_stop = np.array(
+        [bin(int(b)).count("1") for b in stops], dtype=np.int64
+    )
+    n_sym = (
+        s.str.count("#").to_numpy(dtype=np.int64)
+        + s.str.count(_ELLIPSIS_RE).to_numpy(dtype=np.int64)
+    )
+    n_lines = s.str.split("\n").str.len().to_numpy(dtype=np.int64)
+    n_bullet = s.str.count(_BULLET_LINE_RE).to_numpy(dtype=np.int64)
+    n_ell_lines = s.str.count(_ELLIPSIS_LINE_RE).to_numpy(dtype=np.int64)
+
+    r_nwords = (n_words >= 50) & (n_words <= 100_000)
+    r_wordlen = (3 * n_words <= sum_len) & (sum_len <= 10 * n_words)
+    r_sym = 10 * n_sym <= n_words
+    r_bullet = 10 * n_bullet <= 9 * n_lines
+    r_ellipsis = 10 * n_ell_lines <= 3 * n_lines
+    r_alpha = 5 * n_alpha >= 4 * n_words
+    r_stop = n_stop >= 2
+    keep = (
+        r_nwords & r_wordlen & r_sym & r_bullet & r_ellipsis & r_alpha & r_stop
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": df[id_col].astype("int64"),
+            "n_words": n_words,
+            "r_nwords": r_nwords,
+            "r_wordlen": r_wordlen,
+            "r_sym": r_sym,
+            "r_bullet": r_bullet,
+            "r_ellipsis": r_ellipsis,
+            "r_alpha": r_alpha,
+            "r_stop": r_stop,
+            "keep": keep,
+        }
+    ).reset_index(drop=True)

@@ -2408,3 +2408,65 @@ SELECT * FROM (
 
 QUERIES["docs_profile"] = q_docs_profile
 ORACLES["docs_profile"] = _SQL_DOCS_PROFILE
+
+
+def q_docs_gopher_filter(sf_dir: str):
+    """Gopher-style composite quality filter (functions/text.gopher_filter):
+    per doc, one boolean per rule (word-count bounds, mean word length,
+    symbol ratio, bullet/ellipsis line ratios, alpha-word fraction,
+    stop-word presence) + the conjunction — map-only, flat-array
+    reduceat reductions, integer-arithmetic thresholds so the SQL twin
+    is bit-exact."""
+    from ..functions.text import gopher_filter
+
+    return _docs(sf_dir).map_batches(gopher_filter, batch_format="pandas")
+
+
+_SQL_GOPHER = r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM d
+),
+tstat AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         sum(length(t)) AS sum_len,
+         count(*) FILTER (WHERE regexp_matches(t, '[A-Za-z]')) AS n_alpha,
+         count(DISTINCT lower(t)) FILTER (
+           WHERE lower(t) IN ('and','be','have','of','that','the','to','with')
+         ) AS n_stop
+  FROM toks GROUP BY doc_id
+),
+lstat AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, '#', ''))
+           + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(regexp_extract_all(text, '(?m)^[-*]')) AS n_bullet,
+         len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ell
+  FROM d
+),
+j AS (
+  SELECT d.doc_id,
+         coalesce(n_words, 0) AS w, coalesce(sum_len, 0) AS sl,
+         coalesce(n_alpha, 0) AS na, coalesce(n_stop, 0) AS ns,
+         n_sym, n_lines, n_bullet, n_ell
+  FROM d LEFT JOIN tstat USING (doc_id) JOIN lstat USING (doc_id)
+)
+SELECT doc_id, w::BIGINT AS n_words,
+       (w >= 50 AND w <= 100000) AS r_nwords,
+       (3 * w <= sl AND sl <= 10 * w) AS r_wordlen,
+       (10 * n_sym <= w) AS r_sym,
+       (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+       (10 * n_ell <= 3 * n_lines) AS r_ellipsis,
+       (5 * na >= 4 * w) AS r_alpha,
+       (ns >= 2) AS r_stop,
+       (w >= 50 AND w <= 100000 AND 3 * w <= sl AND sl <= 10 * w
+        AND 10 * n_sym <= w AND 10 * n_bullet <= 9 * n_lines
+        AND 10 * n_ell <= 3 * n_lines AND 5 * na >= 4 * w
+        AND ns >= 2) AS keep
+FROM j
+"""
+
+QUERIES["docs_gopher_filter"] = q_docs_gopher_filter
+ORACLES["docs_gopher_filter"] = _SQL_GOPHER

@@ -30,6 +30,7 @@ implemented shuffle-minimal:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray
@@ -1332,3 +1333,137 @@ def bgp_match(
         return df[list(cols)].astype("string")
 
     return acc.map_batches(order_cols, batch_format="pandas")
+
+
+def kcore(
+    edges: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    max_rounds: int = 16,
+    max_driver_edges: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """The k-core of the UNDIRECTED closure of a (subj, obj) edge
+    Dataset — iterative peel: repeatedly drop nodes whose (undirected,
+    deduplicated, self-loop-free) degree is below ``k`` until a pass
+    removes nothing.  Returns (node, deg) with deg = the node's degree
+    INSIDE the core.  The classic density filter a KG-construction
+    pipeline runs before community detection / embedding training.
+
+    Rounds are BOUNDED: a graph still peeling after ``max_rounds``
+    passes raises (the SQL oracle twin unrolls exactly ``max_rounds``
+    peels, so convergence inside the bound is part of the correctness
+    contract — a silent early stop would return a superset of the
+    core).  Peel rounds needed equal the core-number spread, which is
+    tiny for real degree distributions (power-law graphs converge in a
+    handful of passes).
+
+    Size-adaptive like :func:`components` (both regimes parity-tested):
+    at or under ``max_driver_edges`` distinct undirected edges the peel
+    runs vectorized on the driver (np.bincount per pass over int-coded
+    endpoints); above it each pass is one degree count
+    (util.bucket_count over the symmetric edge list) + two hash
+    semi-joins keeping edges whose BOTH endpoints survive, with a
+    count-based fixpoint test — per-pass cost is edge-linear, no
+    node-scale driver state."""
+    import pyarrow as pa
+
+    from ..util import heal_schema, join_partitions
+
+    empty = pa.schema(
+        [("node", pa.string()), ("deg", pa.int64())]
+    ).empty_table()
+    und = _undirected(edges).materialize()
+    m = und.count()
+    if m == 0:
+        return ray.data.from_arrow(empty)
+
+    if m <= max_driver_edges:
+        df = und.to_pandas()
+        codes, nodes = pd.factorize(
+            pd.concat([df["x"], df["y"]], ignore_index=True)
+        )
+        ex = codes[: len(df)].copy()
+        ey = codes[len(df):].copy()
+        n = len(nodes)
+        for _ in range(max_rounds):
+            deg = np.bincount(ex, minlength=n) + np.bincount(ey, minlength=n)
+            ok = deg >= k
+            keep = ok[ex] & ok[ey]
+            if keep.all():
+                out = pd.DataFrame(
+                    {"node": pd.array(nodes[deg >= k], dtype="string"),
+                     "deg": deg[deg >= k].astype("int64")}
+                )
+                return ray.data.from_pandas(out) if len(out) else (
+                    ray.data.from_arrow(empty)
+                )
+            ex, ey = ex[keep], ey[keep]
+            if not len(ex):
+                return ray.data.from_arrow(empty)
+        raise RuntimeError(
+            f"kcore: still peeling after {max_rounds} rounds — raise "
+            "max_rounds (and regenerate the oracle) for this graph"
+        )
+
+    from ..util import bucket_count
+
+    np_ = join_partitions(num_partitions)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["x"], df["y"]], ignore_index=True),
+            }
+        ).astype("string")
+
+    cur = und
+    prev_m = m
+    for _ in range(max_rounds):
+        deg = bucket_count(
+            cur.map_batches(sym, batch_format="pandas"), ["node"],
+            out_col="deg",
+        )
+        core = deg.filter(expr=f"deg >= {k}").materialize()
+        kept = heal_schema(
+            cur.join(
+                core.map_batches(
+                    lambda df: df[["node"]].rename(columns={"node": "x"}),
+                    batch_format="pandas",
+                ),
+                "inner",
+                np_,
+                on=("x",),
+            ),
+            np_,
+        )
+        kept = heal_schema(
+            kept.join(
+                core.map_batches(
+                    lambda df: df[["node"]].rename(columns={"node": "y"}),
+                    batch_format="pandas",
+                ),
+                "inner",
+                np_,
+                on=("y",),
+            ),
+            np_,
+        ).map_batches(
+            lambda df: df[["x", "y"]] if len(df) else df,
+            batch_format="pandas",
+        ).materialize()
+        cur_m = kept.count()
+        if cur_m == prev_m:
+            return core.map_batches(
+                lambda df: df[["node", "deg"]].astype(
+                    {"node": "string", "deg": "int64"}
+                ),
+                batch_format="pandas",
+            )
+        if cur_m == 0:
+            return ray.data.from_arrow(empty)
+        cur, prev_m = kept, cur_m
+    raise RuntimeError(
+        f"kcore: still peeling after {max_rounds} rounds — raise "
+        "max_rounds (and regenerate the oracle) for this graph"
+    )

@@ -155,3 +155,68 @@ def entity_cooccur(
         return df[df["n"] >= min_count].reset_index(drop=True)
 
     return counted.map_batches(thresh, batch_format="pandas")
+
+
+def entity_lift(
+    mentions: "ray.data.Dataset",
+    *,
+    min_count: int = 2,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """PMI-family association scoring of the co-occurrence edges —
+    the step that turns raw relation-candidate counts into ranked
+    candidates: ``lift(a, b) = N * c(a,b) / (c(a) * c(b))`` where
+    ``c`` counts documents and ``N`` is the corpus document count
+    (lift is exp(PMI); the RATIO form keeps both sides IEEE-exact —
+    one int64→float64 conversion and ONE division, whereas ln() is
+    not bit-reproducible across libms).
+
+    Scale shape: pair counts come from :func:`entity_cooccur` (the one
+    pair-vocabulary-scale shuffle); per-entity document frequencies are
+    entity-vocabulary-scale — the same dictionary regime as the
+    gazetteer itself — so they collapse through a bucketed count and
+    BROADCAST once via ``ray.put``; the scoring pass is map-only."""
+    de = mentions.map_batches(
+        lambda df: df[["doc_id", "entity"]].drop_duplicates(),
+        batch_format="pandas",
+    ).materialize()
+    pairs = entity_cooccur(mentions, min_count=min_count,
+                           num_buckets=num_buckets)
+    ec = bucket_count(de, ["entity"], out_col="c", num_buckets=num_buckets)
+    ecp = ec.to_pandas()
+    n_docs = int(
+        bucket_agg(
+            de.map_batches(
+                lambda df: df[["doc_id"]].drop_duplicates(),
+                batch_format="pandas",
+            ),
+            ["doc_id"],
+            lambda df: df.drop_duplicates(["doc_id"]),
+            num_buckets=num_buckets,
+        ).count()
+    )
+    ref = ray.put(dict(zip(ecp["entity"], ecp["c"])) if len(ecp) else {})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "ent_a": pd.array([], dtype="string"),
+                    "ent_b": pd.array([], dtype="string"),
+                    "n": pd.array([], dtype="int64"),
+                    "lift": pd.array([], dtype="float64"),
+                }
+            )
+        cmap = ray.get(ref)
+        ca = df["ent_a"].map(cmap).to_numpy(dtype=np.int64)
+        cb = df["ent_b"].map(cmap).to_numpy(dtype=np.int64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        out = df[["ent_a", "ent_b", "n"]].copy()
+        # int64 products are exact below 2^53, then ONE float division —
+        # the DuckDB twin computes (N*n)::DOUBLE / (ca*cb)::DOUBLE
+        out["lift"] = (n_docs * n).astype(np.float64) / (
+            ca * cb
+        ).astype(np.float64)
+        return out
+
+    return pairs.map_batches(score, batch_format="pandas")

@@ -484,3 +484,92 @@ def test_table_profile_exact_counts():
     out = table_profile(ray.data.from_pandas(df), ["a", "b"]).set_index("col_name")
     assert list(out.loc["a"]) == [4, 1, 2, "1", "2"]
     assert list(out.loc["b"]) == [4, 1, 2, "x", "y"]
+
+
+# ---------------------------------------------------------------------------
+# kcore / entity_lift / gopher_filter
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_tendrils_and_keeps_the_clique():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import kcore
+
+    # triangle a-b-c (the 2-core) with a pendant chain c-d-e
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    out = kcore(_edges(pairs), k=2).to_pandas()
+    got = dict(zip(out["node"], out["deg"]))
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_regime_parity_and_empty_core():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import kcore
+
+    # two triangles joined by a bridge + a star that fully peels at k=2
+    pairs = (
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("p", "q"), ("q", "r"), ("p", "r"), ("c", "p")]
+        + [("hub", f"leaf{i}") for i in range(4)]
+    )
+    drv = kcore(_edges(pairs), k=2).to_pandas()
+    dist = kcore(_edges(pairs), k=2, max_driver_edges=0).to_pandas()
+    key = lambda df: sorted(zip(df["node"], df["deg"]))
+    assert key(drv) == key(dist)
+    assert "hub" not in set(drv["node"])
+    # a pure star has no 2-core at all: both regimes return empty
+    star = [("hub", f"leaf{i}") for i in range(4)]
+    assert kcore(_edges(star), k=2).count() == 0
+    assert kcore(_edges(star), k=2, max_driver_edges=0).count() == 0
+
+
+def test_kcore_raises_when_peel_outruns_the_bound():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import kcore
+
+    # a length-6 path needs 3 peel rounds at k=2 to empty out
+    path = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    with pytest.raises(RuntimeError, match="still peeling"):
+        kcore(_edges(path), k=2, max_rounds=2)
+
+
+def test_entity_lift_matches_hand_computation():
+    from nospa_rdf_data_cube_validator_ray.stages.linking import entity_lift
+
+    # 3 docs; A and B co-occur in docs 1 and 2; c(A)=3, c(B)=2, N=3
+    mentions = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([1, 1, 2, 2, 3], dtype="int64"),
+                "entity": pd.array(["A", "B", "A", "B", "A"], dtype="string"),
+                "n_mentions": pd.array([1, 1, 1, 1, 1], dtype="int64"),
+            }
+        )
+    )
+    out = entity_lift(mentions, min_count=2).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["ent_a"], row["ent_b"], row["n"]) == ("A", "B", 2)
+    assert row["lift"] == (3 * 2) / (3 * 2)
+
+
+def test_gopher_filter_rules_fire_individually():
+    from nospa_rdf_data_cube_validator_ray.functions.text import gopher_filter
+
+    good = "the quick brown fox jumps have with that " * 8  # 64 words
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                good,
+                "short text",                     # fails r_nwords
+                good + " ####" * 20,              # symbol-heavy
+                "\n".join(["- b"] * 10),          # all bullet lines
+            ],
+        }
+    )
+    out = gopher_filter(df).set_index("doc_id")
+    assert bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "r_nwords"])
+    assert not bool(out.loc[3, "r_sym"])
+    assert not bool(out.loc[4, "r_bullet"])
+    # null text behaves like empty: zero words, keep = False
+    nul = gopher_filter(pd.DataFrame({"doc_id": [9], "text": [None]}))
+    assert int(nul.loc[0, "n_words"]) == 0 and not bool(nul.loc[0, "keep"])
