@@ -234,7 +234,7 @@ def minhash_probe_docs(sf_dir: str, replicas: int = 4):
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        override_num_blocks=16,
+        override_num_blocks=64,
     )
 
     def tile(df: pd.DataFrame) -> pd.DataFrame:

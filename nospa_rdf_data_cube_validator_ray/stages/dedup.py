@@ -425,6 +425,7 @@ class MinHasher:
         shingle_k: int = 3,
         seed: int = 42,
         memo_rows: int = 1 << 19,
+        chunk_rows: int = 128,
     ):
         a, b = minhash_params(num_perm, seed)
         self.a = np.array(a, dtype=np.uint64)[:, None]
@@ -439,6 +440,7 @@ class MinHasher:
         # ``memo_rows`` (default 512 K rows ≈ num_perm·8 B each) is full —
         # per-ACTOR memory, independent of corpus size.
         self._memo_cap = memo_rows
+        self._chunk = chunk_rows
         self._idx: dict[str, int] = {}
         self._rows = np.empty((0, num_perm), dtype=np.uint64)
         self._n = 0
@@ -455,34 +457,105 @@ class MinHasher:
         return m.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        # shingle dedup ACROSS batches: near-dup corpora repeat shingles
-        # heavily (sf0.1 documents: only ~25% unique within a batch, ~5×
-        # repetition across a block's batches on the bench probe), and
-        # the permute dominates the stage — hash and permute each
-        # distinct shingle ONCE per actor lifetime (bounded memo), then
-        # take per-doc row minima straight from the memo array.  min
-        # over a multiset equals min over its support, so signatures are
-        # bit-identical to the per-doc path (which remains for callers).
+        # Two regimes, chosen per batch, bit-identical outputs (min over
+        # a multiset equals min over its support, and both paths compute
+        # the same (a·h+b) mod M61 integers):
+        #
+        # * MEMO path — near-dup corpora repeat shingles heavily (sf0.1
+        #   documents: ~25% unique within a batch, ~5× repetition across
+        #   a block), so permute each distinct shingle ONCE per actor
+        #   lifetime (bounded array-backed memo) and take per-doc row
+        #   minima by gathering memo rows.
+        # * STREAM path — when repetition is LOW (word-shingle corpora
+        #   are mostly unique), the memo is pure overhead: its row
+        #   writes + per-instance gathers stream ~2 KB per shingle
+        #   through a >L3 buffer, which saturates single-node DRAM and
+        #   stops the stage scaling across workers.  Instead permute the
+        #   per-instance hash array in doc-aligned chunks small enough
+        #   to stay in cache and reduce per-doc minima in place
+        #   (np.minimum.reduceat) — nothing corpus-sized is written.
+        texts = df["text"].fillna("")
+        sh_lists = [shingle_set(t, self.k) for t in texts]
+        lens = np.fromiter(
+            (len(s) for s in sh_lists), dtype=np.int64, count=len(sh_lists)
+        )
+        instances = int(lens.sum())
+        # batch-local dedup first (cheap, needed by both paths)
+        code_of: dict[str, int] = {}
+        doc_codes: list[list[int]] = []
+        for sh in sh_lists:
+            doc_codes.append([code_of.setdefault(s, len(code_of)) for s in sh])
+        uniq = list(code_of)
+        # hits the memo would score on this batch (batch-distinct already
+        # in it) — decide the regime from actual reuse, not a guess
+        memo_hits = sum(1 for s in uniq if s in self._idx) if self._n else 0
+        reuse = (instances - len(uniq)) + memo_hits
+        if uniq and reuse * 3 < instances:
+            return self._stream_batch(df, sh_lists, lens, code_of, doc_codes)
+        return self._memo_batch(df, uniq, doc_codes)
+
+    def _hash_uniq(self, uniq: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (_md5_u64_cached(s) for s in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        ) & (_B61 - np.uint64(1))  # % 2^61 == low-61-bit mask: no division
+
+    def _finish(self, df: pd.DataFrame, sigs) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        out["sig"] = [s.tobytes() for s in sigs]  # fixed num_perm×8 B, LE
+        return out
+
+    def _stream_batch(self, df, sh_lists, lens, code_of, doc_codes):
+        h_uniq = self._hash_uniq(list(code_of))
+        flat = h_uniq[np.concatenate(doc_codes).astype(np.int64)] if len(
+            h_uniq
+        ) else np.array([], dtype=np.uint64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        sent = np.full(self.num_perm, _M61, dtype=np.uint64)
+        sigs: list = [sent] * len(sh_lists)
+        # doc-aligned chunks of ~8·chunk instances: the (num_perm × n)
+        # permute temporaries stay cache-resident and are consumed by
+        # reduceat immediately — no memo write, no gather
+        target = max(self._chunk * 8, 1024)
+        d0 = 0
+        while d0 < len(sh_lists):
+            d1 = d0
+            tot = 0
+            while d1 < len(sh_lists) and (tot == 0 or tot + lens[d1] <= target):
+                tot += lens[d1]
+                d1 += 1
+            nz = [d for d in range(d0, d1) if lens[d]]
+            if nz:
+                lo, hi = starts[nz[0]], ends[nz[-1]]
+                hc = flat[lo:hi]
+                m = _fold61(
+                    _mulmod61(self.a, hc[None, :]) + self.b
+                )  # (num_perm, tot); sum < 2·M61
+                offs = (starts[nz] - lo).astype(np.int64)
+                mins = np.minimum.reduceat(m, offs, axis=1)
+                for j, d in enumerate(nz):
+                    sigs[d] = mins[:, j]
+            d0 = d1
+        return self._finish(df, sigs)
+
+    def _memo_batch(self, df, uniq, doc_codes):
         if self._n > self._memo_cap:
             self._idx = {}
             self._rows = np.empty((0, self.num_perm), dtype=np.uint64)
             self._n = 0
-        texts = df["text"].fillna("")
-        sh_lists = [shingle_set(t, self.k) for t in texts]
         idx = self._idx
-        new_sh: list[str] = []
         n0 = self._n
-        doc_codes: list[list[int]] = []
-        for sh in sh_lists:
-            row = []
-            for s in sh:
-                i = idx.get(s)
-                if i is None:
-                    i = n0 + len(new_sh)
-                    idx[s] = i
-                    new_sh.append(s)
-                row.append(i)
-            doc_codes.append(row)
+        new_sh: list[str] = []
+        remap = np.empty(len(uniq), dtype=np.int64)
+        for bc, s in enumerate(uniq):
+            i = idx.get(s)
+            if i is None:
+                i = n0 + len(new_sh)
+                idx[s] = i
+                new_sh.append(s)
+            remap[bc] = i
         if new_sh:
             need = n0 + len(new_sh)
             if need > len(self._rows):
@@ -492,20 +565,18 @@ class MinHasher:
                 )
                 grown[:n0] = self._rows[:n0]
                 self._rows = grown
-            h = np.fromiter(
-                (_md5_u64_cached(s) for s in new_sh),
-                dtype=np.uint64,
-                count=len(new_sh),
-            ) & (_B61 - np.uint64(1))  # % 2^61 == mask: no division
+            h = self._hash_uniq(new_sh)
             # (|U| × num_perm) layout: each doc's gather then reads ~|doc|
             # CONTIGUOUS 1 KB rows — the (num_perm × |U|) orientation made
             # it a strided column gather across a >100 MB matrix (cache-
             # and TLB-hostile, and it stopped scaling across workers).
-            # CHUNKED over shingles: the permute's temporaries then live
-            # in cache instead of streaming hundreds of MB per batch
-            # through DRAM — the stage was memory-bandwidth-bound, which
-            # is also why extra workers didn't speed it up
-            step = 4096
+            # CHUNKED over shingles: 128 rows × num_perm × 8 B keeps every
+            # permute temporary ~128 KB — L2-resident and below glibc's
+            # mmap threshold, so the ~10 temporaries per fold recycle in
+            # cache instead of streaming 4 MB each through DRAM/munmap;
+            # measured 16-way actor-parallel, big chunks made per-task
+            # CPU inflate ~10x vs the same kernel standalone
+            step = self._chunk
             for s0 in range(0, len(new_sh), step):
                 hc = h[s0 : s0 + step, None]
                 self._rows[n0 + s0 : n0 + min(s0 + step, len(new_sh))] = (
@@ -515,22 +586,34 @@ class MinHasher:
         m = self._rows
         sent = np.full(self.num_perm, _M61, dtype=np.uint64)
         sigs = [
-            m[c].min(axis=0) if c else sent for c in doc_codes
+            m[remap[c]].min(axis=0) if c else sent for c in doc_codes
         ]
-        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
-        out["sig"] = [s.tobytes() for s in sigs]  # fixed num_perm×8 bytes, LE
-        return out
+        return self._finish(df, sigs)
 
 
 def minhash_signatures(
-    ds: "ray.data.Dataset", *, num_perm: int = 128, shingle_k: int = 3, concurrency=None
+    ds: "ray.data.Dataset",
+    *,
+    num_perm: int = 128,
+    shingle_k: int = 3,
+    concurrency=None,
+    batch_size: int = 1024,
 ) -> "ray.data.Dataset":
+    # batch_size is EXPLICIT and small: each batch materializes a
+    # (distinct-shingles × num_perm) u64 permute matrix, and word-level
+    # k-shingles are nearly unique — a block-sized batch (tens of
+    # thousands of docs) allocates GiB-scale temporaries per actor,
+    # saturating DRAM so extra workers stop helping (measured: the
+    # signature stage ran 4 cpus == 16 cpus on 20 K-doc batches).
+    # ~1 K docs keeps the matrix ~100 MB and restores task-level
+    # parallel slack.
     from ..util import auto_concurrency
 
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
         batch_format="pandas",
+        batch_size=batch_size,
         concurrency=auto_concurrency(concurrency),
     )
 
