@@ -1880,6 +1880,24 @@ HAVING count(*) >= 2
 """
 
 
+def q_kg_ra_scores(sf_dir: str):
+    """Resource-allocation link prediction over the link graph —
+    link_scores with mid_weight="inv_deg": score = Σ over common
+    neighbors m of (10^6 // deg(m)), integer floor arithmetic so the
+    damping is bit-exact on both sides (float 1/deg sums are
+    order-dependent under IEEE addition)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        extract_edges,
+        link_scores,
+    )
+
+    return link_scores(
+        extract_edges(_link_triples(sf_dir)), mid_weight="inv_deg"
+    )
+
+
+
+
 def q_kg_entity_lift(sf_dir: str):
     """Association-scored relation candidates: lift(a, b) =
     N·c(a,b) / (c(a)·c(b)) over the co-occurrence edges (lift =
@@ -2533,6 +2551,40 @@ rk AS (
 SELECT u AS node_u, w AS node_w, score::BIGINT AS score FROM rk WHERE rn <= 5
 """
 
+
+
+_SQL_KG_RA_SCORES = f"""
+WITH {_KG_EDGE_BODY},
+und AS (
+  SELECT DISTINCT least(subj, obj) AS x, greatest(subj, obj) AS y
+  FROM edges WHERE subj <> obj
+),
+adj AS (
+  SELECT x AS node, y AS nbr FROM und UNION ALL SELECT y, x FROM und
+),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+a2 AS (
+  SELECT a.node, a.nbr AS mid, (1000000 // deg.d) AS wm
+  FROM adj a JOIN deg ON a.nbr = deg.node
+  WHERE deg.d <= 128
+),
+wed AS (
+  SELECT a.node AS u, b.node AS w, sum(a.wm) AS score
+  FROM a2 a JOIN a2 b ON a.mid = b.mid
+  WHERE a.node < b.node
+  GROUP BY a.node, b.node
+),
+nw AS (
+  SELECT wed.* FROM wed ANTI JOIN und ON wed.u = und.x AND wed.w = und.y
+),
+rk AS (
+  SELECT u, w, score,
+         row_number() OVER (PARTITION BY u ORDER BY score DESC, w) AS rn
+  FROM nw
+)
+SELECT u AS node_u, w AS node_w, score::BIGINT AS score FROM rk WHERE rn <= 5
+"""
+
 _SQL_KG_BGP = f"""
 WITH {_KG_EDGE_BODY}
 SELECT p1.subj AS o, p1.obj AS c, p2.obj AS n
@@ -2661,6 +2713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_mentions": q_kg_entity_mentions,
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_entity_lift": q_kg_entity_lift,
+        "kg_ra_scores": q_kg_ra_scores,
         "kg_kcore": q_kg_kcore,
         "kg_triple_ids": q_kg_triple_ids,
         "kg_shape_check": q_kg_shape_check,
@@ -2744,6 +2797,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_mentions": _SQL_ENTITY_MENTIONS,
         "kg_entity_cooccur": _SQL_ENTITY_COOCCUR,
         "kg_entity_lift": _SQL_ENTITY_LIFT,
+        "kg_ra_scores": _SQL_KG_RA_SCORES,
         "kg_kcore": _SQL_KG_KCORE,
         "kg_triple_ids": _SQL_TRIPLE_IDS,
         "kg_shape_check": _SQL_SHAPE_CHECK,

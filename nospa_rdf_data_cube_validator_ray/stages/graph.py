@@ -1139,12 +1139,21 @@ def link_scores(
     max_mid_degree: int = 128,
     topk: int = 5,
     num_partitions: int | None = None,
+    mid_weight: str = "one",
+    weight_scale: int = 1_000_000,
 ) -> "ray.data.Dataset":
-    """Common-neighbor link-prediction scores (the count core of
-    Adamic-Adar / resource-allocation without their float damping):
-    for every non-adjacent unordered node pair (u, w) of the UNDIRECTED
-    graph, score = |N(u) ∩ N(w)|, reported top-``topk`` per ``node_u``
-    (ties broken by node_w asc — fully deterministic).
+    """Common-neighbor link-prediction scores: for every non-adjacent
+    unordered node pair (u, w) of the UNDIRECTED graph,
+    score = Σ over common neighbors m of weight(m), reported
+    top-``topk`` per ``node_u`` (ties broken by node_w asc — fully
+    deterministic).  ``mid_weight``:
+
+    * ``"one"`` — score = |N(u) ∩ N(w)| (plain common neighbors);
+    * ``"inv_deg"`` — score = Σ (weight_scale // deg(m)), the
+      resource-allocation index in INTEGER floor arithmetic (the float
+      1/deg damping of RA / Adamic-Adar is order-dependent under IEEE
+      summation and thus not bit-reproducible; integer-scaled floor
+      weights are exact on both engine and SQL sides).
 
     Scale shape: candidate pairs are generated as wedges through each
     common neighbor m — Σ deg(m)² blowup — so mids with degree >
@@ -1171,9 +1180,20 @@ def link_scores(
     adj = und.map_batches(both_dirs, batch_format="pandas").materialize()
     deg = bucket_count(adj, ["node"], out_col="_d")
 
+    weighted = mid_weight == "inv_deg"
+    if mid_weight not in ("one", "inv_deg"):
+        raise ValueError(f"unknown mid_weight {mid_weight!r}")
+
     def mid_ok(df: pd.DataFrame, cap=max_mid_degree) -> pd.DataFrame:
-        out = df.loc[df["_d"] <= cap, ["node", "mid"]].reset_index(drop=True)
-        return out.astype({"node": "string", "mid": "string"})
+        keep = df.loc[df["_d"] <= cap]
+        out = keep[["node", "mid"]].reset_index(drop=True).astype(
+            {"node": "string", "mid": "string"}
+        )
+        if weighted:
+            out["_w"] = (
+                weight_scale // keep["_d"].to_numpy(dtype=np.int64)
+            ).astype("int64")
+        return out
 
     # adjacency restricted to low-degree mids: adj ⋈ deg on the nbr side
     a2 = (
@@ -1187,13 +1207,24 @@ def link_scores(
     )
 
     def ordered(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.loc[df["u"] < df["w"], ["u", "w"]].reset_index(drop=True)
-        return out.astype("string")
+        keep = df.loc[df["u"] < df["w"]]
+        out = keep[["u", "w"]].reset_index(drop=True).astype("string")
+        if weighted:
+            out["_w"] = keep["_w"].to_numpy(dtype=np.int64)
+        return out
+
+    def drop_w(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["_w"]) if "_w" in df.columns else df
 
     wedges = (
         heal_schema(_ren(a2, {"node": "u"}), np_)
         .join(
-            heal_schema(_ren(a2, {"node": "w"}), np_),
+            heal_schema(
+                _ren(a2, {"node": "w"}).map_batches(
+                    drop_w, batch_format="pandas"
+                ),
+                np_,
+            ),
             "inner", np_, on=("mid",),
         )
         .map_batches(ordered, batch_format="pandas")
@@ -1202,7 +1233,15 @@ def link_scores(
     # pair set (every mid over the cap, or wedges all self/ordered-out)
     # is SCHEMA-LESS — it must short-circuit before reaching the join
     # (empty-block stickiness); post-aggregation this is output-scale
-    scored = bucket_count(wedges, ["u", "w"], out_col="score").materialize()
+    if weighted:
+        from ..util import bucket_sum
+
+        scored = bucket_sum(wedges, ["u", "w"], ["_w"]).map_batches(
+            lambda df: df.rename(columns={"_w": "score"}),
+            batch_format="pandas",
+        ).materialize()
+    else:
+        scored = bucket_count(wedges, ["u", "w"], out_col="score").materialize()
     if scored.count() == 0:
         import pyarrow as pa
 

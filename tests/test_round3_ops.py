@@ -573,3 +573,21 @@ def test_gopher_filter_rules_fire_individually():
     # null text behaves like empty: zero words, keep = False
     nul = gopher_filter(pd.DataFrame({"doc_id": [9], "text": [None]}))
     assert int(nul.loc[0, "n_words"]) == 0 and not bool(nul.loc[0, "keep"])
+
+
+def test_ra_weighted_link_scores_integer_damping():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import link_scores
+
+    # u-m1-w and u-m2-w wedges; deg(m1)=2, deg(m2)=3 (extra leaf)
+    pairs = [
+        ("u", "m1"), ("w", "m1"),
+        ("u", "m2"), ("w", "m2"), ("m2", "leaf"),
+    ]
+    out = link_scores(_edges(pairs), mid_weight="inv_deg").to_pandas()
+    row = out[(out["node_u"] == "u") & (out["node_w"] == "w")]
+    assert len(row) == 1
+    # 10^6//2 + 10^6//3 = 500000 + 333333
+    assert int(row["score"].iloc[0]) == 833333
+    plain = link_scores(_edges(pairs)).to_pandas()
+    prow = plain[(plain["node_u"] == "u") & (plain["node_w"] == "w")]
+    assert int(prow["score"].iloc[0]) == 2
