@@ -2470,3 +2470,87 @@ FROM j
 
 QUERIES["docs_gopher_filter"] = q_docs_gopher_filter
 ORACLES["docs_gopher_filter"] = _SQL_GOPHER
+
+
+def q_multimodal_phash(sf_dir: str):
+    """Perceptual block hash over REAL decoded BMP pixels
+    (stages/multimodal.PHash): 64 floor-boundary pixel segments, bit =
+    segment brighter than the image mean via cross-multiplied INTEGER
+    compare — every bit (and the 4 x 16-bit LSH band keys) reproduced
+    exactly by the SQL twin from the text bytes the encoder consumed.
+    Bands are 8 x 8-bit (radius-7 pigeonhole)."""
+    payloads = M.attach_payload(_docs(sf_dir), media="bmp")
+    from ..stages.multimodal import phash_table
+
+    return phash_table(payloads)
+
+
+# pixel byte j (0-based, row-major RGB) = text byte j % n (np.resize
+# cycling; ASCII corpus so ascii(substr) == the utf-8 byte); segment of
+# byte j = (j*64)//total; bit i set iff seg_sum*total > all_sum*seg_len
+_SQL_PHASH_CTE = """
+d AS (
+  SELECT doc_id, coalesce(text, '') AS text, length(coalesce(text, '')) AS n,
+         greatest(4, least(32, floor(sqrt(length(coalesce(text, ''))))::INT))
+           AS side
+  FROM documents
+),
+p AS (SELECT doc_id, text, n, side * side * 3 AS total FROM d),
+bytes AS (
+  SELECT doc_id, (j * 64) // total AS seg,
+         CASE WHEN n = 0 THEN 0
+              ELSE ascii(substr(text, ((j % n) + 1)::INT, 1)) END AS v
+  FROM p, unnest(generate_series(0, total - 1)) AS t(j)
+),
+segs AS (
+  SELECT doc_id, seg, sum(v) AS s, count(*) AS l
+  FROM bytes GROUP BY doc_id, seg
+),
+tots AS (SELECT doc_id, sum(v) AS ts, count(*) AS tl FROM bytes GROUP BY doc_id),
+ph AS (
+  SELECT segs.doc_id,
+         sum(CASE WHEN s * tl > ts * l THEN (1::HUGEINT << seg::INT)
+                  ELSE 0::HUGEINT END) AS u
+  FROM segs JOIN tots USING (doc_id)
+  GROUP BY segs.doc_id
+)
+"""
+
+_SQL_PHASH = f"""
+WITH {_SQL_PHASH_CTE}
+SELECT doc_id,
+       (CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+             ELSE u END)::BIGINT AS phash,
+       (u % 256)::BIGINT AS band0, ((u >> 8) % 256)::BIGINT AS band1,
+       ((u >> 16) % 256)::BIGINT AS band2, ((u >> 24) % 256)::BIGINT AS band3,
+       ((u >> 32) % 256)::BIGINT AS band4, ((u >> 40) % 256)::BIGINT AS band5,
+       ((u >> 48) % 256)::BIGINT AS band6, ((u >> 56) % 256)::BIGINT AS band7
+FROM ph
+"""
+
+QUERIES["multimodal_phash"] = q_multimodal_phash
+ORACLES["multimodal_phash"] = _SQL_PHASH
+
+
+def q_multimodal_phash_pairs(sf_dir: str):
+    """Near-duplicate IMAGE pairs (multimodal dedup): phash band-bucket
+    candidates + exact SWAR-popcount verify at Hamming <= 7
+    (stages/multimodal.phash_pairs).  The 8-band bucketing is
+    pigeonhole-complete for that radius, so the pair set equals the
+    oracle's all-pairs filter exactly."""
+    payloads = M.attach_payload(_docs(sf_dir), media="bmp")
+    from ..stages.multimodal import phash_pairs
+
+    return phash_pairs(payloads)
+
+
+_SQL_PHASH_PAIRS = f"""
+WITH {_SQL_PHASH_CTE}
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.u::UBIGINT, b.u::UBIGINT))::BIGINT AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.u::UBIGINT, b.u::UBIGINT)) <= 7
+"""
+
+QUERIES["multimodal_phash_pairs"] = q_multimodal_phash_pairs
+ORACLES["multimodal_phash_pairs"] = _SQL_PHASH_PAIRS

@@ -381,3 +381,134 @@ def video_frame_stats(
         batch_size=batch_size,
         concurrency=auto_concurrency(concurrency),
     )
+
+
+class PHash:
+    """Perceptual block hash over REAL decoded pixels — the image
+    analogue of SimHash for near-duplicate detection: the flattened
+    pixel byte sequence splits into 64 equal floor-boundary segments
+    (byte j → segment (j·64)//total), and bit i is set when segment i
+    is brighter than the image average (cross-multiplied integer
+    compare ``seg_sum · total_count > total_sum · seg_count`` — no
+    float division, so the SQL oracle reproduces every bit).  Output:
+    the signed-int64 view of the 64-bit hash + its 8 × 8-bit band
+    keys (pigeonhole-complete bucketing for Hamming ≤ 7 — images move
+    more bits per edit than text simhash, so the radius is wider and
+    the bands narrower than stages/dedup.simhash's 4 × 16)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        seg64 = np.arange(64, dtype=np.uint64)
+        hashes = np.empty(len(df), dtype=np.uint64)
+        for r, (p, mt) in enumerate(zip(df["payload"], _media_types(df))):
+            if mt != "image/bmp":
+                raise ValueError(f"PHash needs image/bmp rows, got {mt!r}")
+            px = C.decode_bmp(bytes(p)).astype(np.int64).ravel()
+            total = px.size
+            seg = (np.arange(total) * 64) // total
+            s = np.bincount(seg, weights=px, minlength=64).astype(np.int64)
+            cnt = np.bincount(seg, minlength=64).astype(np.int64)
+            bits = (s * total) > (int(px.sum()) * cnt)
+            hashes[r] = np.sum(
+                np.where(bits, np.uint64(1) << seg64, np.uint64(0)),
+                dtype=np.uint64,
+            )
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        out["phash"] = hashes.view(np.int64)
+        for bidx in range(8):
+            out[f"band{bidx}"] = (
+                (hashes >> np.uint64(8 * bidx)) & np.uint64(0xFF)
+            ).astype("int64")
+        return out
+
+
+def phash_table(
+    ds: "ray.data.Dataset", *, batch_size: int = 64, concurrency=None
+) -> "ray.data.Dataset":
+    """Payload table (image/bmp) → (doc_id, phash, band0..band7)."""
+    from ..util import auto_concurrency
+
+    return ds.map_batches(
+        PHash,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=auto_concurrency(concurrency),
+    )
+
+
+def phash_pairs(
+    ds: "ray.data.Dataset", *, max_hamming: int = 7, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Near-duplicate IMAGE pairs: band-bucket candidate generation over
+    the 8 × 8-bit phash bands (any pair within Hamming ≤ 7 of 64 bits
+    shares at least one exact band — pigeonhole), then exact SWAR
+    popcount verify.  Mirrors stages/dedup.simhash_pairs' shape: the
+    only shuffle is the coarse band-bucket groupby at candidate scale."""
+    from ..stages import dedup as D
+
+    hashes = phash_table(ds).materialize()
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for bidx in range(8):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": df["doc_id"].astype("int64"),
+                        "u": df["phash"].astype("int64"),
+                        "bucket": (
+                            df[f"band{bidx}"].to_numpy(np.int64)
+                            + (bidx << 8)
+                        ),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    fanned = hashes.map_batches(fan_out, batch_format="pandas")
+
+    def coarse(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_cb"] = (out["bucket"].to_numpy(np.int64) % num_buckets).astype(
+            "int32"
+        )
+        return out
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["bucket", "doc_id", "u"]].drop_duplicates(
+            ["bucket", "doc_id"]
+        ).sort_values(["bucket", "doc_id"])
+        ks = d["bucket"].to_numpy()
+        ids = d["doc_id"].to_numpy(np.int64)
+        us = d["u"].to_numpy(np.int64).view(np.uint64)
+        bounds = D._segment_bounds(ks)
+        outs = []
+        for s0, e0 in zip(bounds[:-1], bounds[1:]):
+            n = e0 - s0
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            ham = D._popcount64(
+                us[s0:e0][ia] ^ us[s0:e0][ib]
+            ).astype("int64")
+            keep = ham <= max_hamming
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id_a": ids[s0:e0][ia][keep],
+                        "doc_id_b": ids[s0:e0][ib][keep],
+                        "hamming": ham[keep],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"doc_id_a": [], "doc_id_b": [], "hamming": []}
+            ).astype("int64")
+        return pd.concat(outs, ignore_index=True)
+
+    raw = (
+        fanned.map_batches(coarse, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return D._dedup_pairs(raw, extra_cols=("hamming",))

@@ -591,3 +591,34 @@ def test_ra_weighted_link_scores_integer_damping():
     plain = link_scores(_edges(pairs)).to_pandas()
     prow = plain[(plain["node_u"] == "u") & (plain["node_w"] == "w")]
     assert int(prow["score"].iloc[0]) == 2
+
+
+def test_phash_bits_and_pair_completeness():
+    import numpy as np
+
+    from nospa_rdf_data_cube_validator_ray.functions import codecs as C
+    from nospa_rdf_data_cube_validator_ray.stages.multimodal import (
+        PHash,
+        phash_pairs,
+    )
+
+    # two images one dark-pixel apart -> tiny hamming; one inverted -> far
+    base = np.zeros((4, 4, 3), dtype=np.uint8)
+    base[:2] = 200  # top half bright
+    near = base.copy(); near[3, 3, 2] = 255
+    far = 200 - base
+    pf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [C.encode_bmp(a) for a in (base, near, far)],
+            "media_type": ["image/bmp"] * 3,
+        }
+    )
+    t = PHash()(pf)
+    h = dict(zip(t["doc_id"], t["phash"].to_numpy(np.int64).view(np.uint64)))
+    ham = lambda a, b: bin(int(h[a] ^ h[b])).count("1")
+    assert ham(1, 2) <= 7 < ham(1, 3)
+    pairs = phash_pairs(ray.data.from_pandas(pf)).to_pandas()
+    got = set(zip(pairs["doc_id_a"], pairs["doc_id_b"]))
+    assert (1, 2) in got and (1, 3) not in got
+    assert int(pairs.set_index(["doc_id_a", "doc_id_b"]).loc[(1, 2), "hamming"]) == ham(1, 2)
