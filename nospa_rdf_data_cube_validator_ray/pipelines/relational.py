@@ -1245,3 +1245,70 @@ FROM v
 
 QUERIES["events_scd"] = q_events_scd
 ORACLES["events_scd"] = _SQL_EVENTS_SCD
+
+
+def q_events_late_data(sf_dir: str):
+    """Watermark / out-of-order accounting — the bookkeeping a streaming
+    ingest runs to size its allowed-lateness window: with event_id as
+    the ARRIVAL order, each event's lateness is how far its event time
+    sits behind the per-user high-watermark (running max of ts seen so
+    far).  Vectorized per user-aligned bucket (sort by arrival +
+    groupby cummax — no per-user pandas groups); all integers, so the
+    window-function oracle is exact."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    num_buckets = 32
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kb": (df["user_id"].astype("int64") % num_buckets),
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": (
+                    (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+                ).astype("int64"),
+            }
+        )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "event_id"])
+        wm = d.groupby("user_id", sort=False)["ts_us"].cummax()
+        d = d.assign(
+            lateness_us=(wm - d["ts_us"]).astype("int64"),
+            is_late=(wm > d["ts_us"]),
+        )
+        return d[["event_id", "user_id", "ts_us", "lateness_us", "is_late"]]
+
+    out = (
+        ds.map_batches(proj, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return out
+    for c in ("event_id", "user_id", "ts_us", "lateness_us"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_LATE_DATA = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS wm
+  FROM events
+)
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       ts_us::BIGINT AS ts_us,
+       (wm - ts_us)::BIGINT AS lateness_us,
+       wm > ts_us AS is_late
+FROM e
+"""
+
+QUERIES["events_late_data"] = q_events_late_data
+ORACLES["events_late_data"] = _SQL_LATE_DATA
