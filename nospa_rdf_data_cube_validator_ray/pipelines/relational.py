@@ -1312,3 +1312,120 @@ FROM e
 
 QUERIES["events_late_data"] = q_events_late_data
 ORACLES["events_late_data"] = _SQL_LATE_DATA
+
+
+def cdc_merge(
+    base: "ray.data.Dataset",
+    feed: "ray.data.Dataset",
+    *,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Lakehouse MERGE: apply a change feed (op 'U' upsert / 'D' delete,
+    totally ordered per key by ``seq_col``) to a base table — the
+    compaction step of any CDC ingest.  ``base`` rows are implicit
+    inserts at seq 0; the surviving row per key is the one with the
+    highest seq, dropped entirely when that op is a delete.
+
+    Same scale shape as stages/dedup.latest_snapshot: map-side per-batch
+    pre-resolve (combiner — shuffle traffic is keys-per-block, not
+    feed-scale), ONE coarse key-hash bucket shuffle, vectorized
+    ``sort_values + drop_duplicates(keep='last')`` per bucket, then the
+    delete filter."""
+    from ..util import bucket_agg, heal_schema
+
+    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out[seq_col] = pd.Series([0] * len(out), dtype="int64", index=out.index)
+        out[op_col] = pd.Series(["I"] * len(out), dtype="string", index=out.index)
+        return out
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values([key, seq_col]).drop_duplicates(
+            [key], keep="last"
+        )
+
+    both = heal_schema(base.map_batches(tag_base, batch_format="pandas"), 8).union(
+        heal_schema(feed, 8)
+    ).map_batches(pre, batch_format="pandas")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        last = df.sort_values([key, seq_col]).drop_duplicates(
+            [key], keep="last"
+        )
+        out = last[last[op_col] != "D"].drop(columns=[seq_col, op_col])
+        return out.reset_index(drop=True)
+
+    return bucket_agg(both, [key], resolve, num_buckets=num_buckets)
+
+
+def q_events_cdc_merge(sf_dir: str):
+    """CDC MERGE demo over the event table: a deterministic change feed
+    (event_id % 7 == 0 → upsert with value + 1000 at seq 1;
+    event_id % 13 == 0 → delete at seq 2, so ids divisible by 91 are
+    updated THEN deleted) applied with pipelines/relational.cdc_merge.
+    The oracle replays the same feed with a window row_number."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "event_type": df["event_type"].astype("string"),
+                "value": df["value"].astype("float64"),
+            }
+        )
+
+    base = ds.map_batches(proj, batch_format="pandas")
+
+    def make_feed(df: pd.DataFrame) -> pd.DataFrame:
+        d = proj(df)
+        ups = d[d["event_id"] % 7 == 0].copy()
+        ups["value"] = ups["value"] + 1000.0
+        ups["seq"] = pd.Series([1] * len(ups), dtype="int64", index=ups.index)
+        ups["op"] = pd.Series(["U"] * len(ups), dtype="string", index=ups.index)
+        dels = d[d["event_id"] % 13 == 0].copy()
+        dels["seq"] = pd.Series([2] * len(dels), dtype="int64", index=dels.index)
+        dels["op"] = pd.Series(["D"] * len(dels), dtype="string", index=dels.index)
+        return pd.concat([ups, dels], ignore_index=True)
+
+    feed = ds.map_batches(make_feed, batch_format="pandas")
+    out = cdc_merge(base, feed, key="event_id").to_pandas()
+    if not len(out):
+        return out
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_CDC_MERGE = """
+WITH b AS (
+  SELECT event_id, user_id, event_type, value, 0 AS seq, 'I' AS op
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id, event_type, value + 1000.0 AS value,
+         1 AS seq, 'U' AS op
+  FROM events WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id, user_id, event_type, value, 2 AS seq, 'D' AS op
+  FROM events WHERE event_id % 13 = 0
+),
+a AS (SELECT * FROM b UNION ALL SELECT * FROM f),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY seq DESC) AS rn
+  FROM a
+)
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       event_type, value
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+QUERIES["events_cdc_merge"] = q_events_cdc_merge
+ORACLES["events_cdc_merge"] = _SQL_CDC_MERGE

@@ -622,3 +622,30 @@ def test_phash_bits_and_pair_completeness():
     got = set(zip(pairs["doc_id_a"], pairs["doc_id_b"]))
     assert (1, 2) in got and (1, 3) not in got
     assert int(pairs.set_index(["doc_id_a", "doc_id_b"]).loc[(1, 2), "hamming"]) == ham(1, 2)
+
+
+def test_cdc_merge_upsert_delete_semantics():
+    from nospa_rdf_data_cube_validator_ray.pipelines.relational import cdc_merge
+
+    base = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": pd.array([1, 2, 3], dtype="int64"),
+                "v": pd.array([10, 20, 30], dtype="int64"),
+            }
+        )
+    )
+    feed = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": pd.array([2, 3, 3, 4], dtype="int64"),
+                "v": pd.array([21, 31, 0, 40], dtype="int64"),
+                "seq": pd.array([1, 1, 2, 1], dtype="int64"),
+                "op": pd.array(["U", "U", "D", "U"], dtype="string"),
+            }
+        )
+    )
+    out = cdc_merge(base, feed, key="k").to_pandas()
+    got = dict(zip(out["k"].astype(int), out["v"].astype(int)))
+    # 1 untouched, 2 updated, 3 updated-then-deleted, 4 inserted by feed
+    assert got == {1: 10, 2: 21, 4: 40}
