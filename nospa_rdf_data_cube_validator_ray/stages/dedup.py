@@ -799,9 +799,15 @@ def minhash_lsh_pairs(
         sigs.map_batches(rename("doc_id_b", "sig_b"), batch_format="pandas"),
         num_partitions,
     )
-    joined = heal_schema(cands, num_partitions).join(
+    first = heal_schema(cands, num_partitions).join(
         sig_a, "inner", num_partitions, on=("doc_id_a",)
-    ).join(sig_b, "inner", num_partitions, on=("doc_id_b",))
+    )
+    # heal between the chained joins: the first join's output can carry
+    # schema-less empty partitions that break the second join's key
+    # resolution (same failure mode fixed in minhash_lsh_pairs_against)
+    joined = heal_schema(first, num_partitions).join(
+        sig_b, "inner", num_partitions, on=("doc_id_b",)
+    )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -928,26 +934,27 @@ def minhash_lsh_pairs_against(
 
         return f
 
-    joined = (
-        heal_schema(cands, num_partitions)
-        .join(
-            heal_schema(
-                sig_n.map_batches(
-                    rename("new_doc_id", "sig_a"), batch_format="pandas"
-                ),
-                num_partitions,
+    first = heal_schema(cands, num_partitions).join(
+        heal_schema(
+            sig_n.map_batches(
+                rename("new_doc_id", "sig_a"), batch_format="pandas"
             ),
-            "inner", num_partitions, on=("new_doc_id",),
-        )
-        .join(
-            heal_schema(
-                sig_c.map_batches(
-                    rename("corpus_doc_id", "sig_b"), batch_format="pandas"
-                ),
-                num_partitions,
+            num_partitions,
+        ),
+        "inner", num_partitions, on=("new_doc_id",),
+    )
+    # heal BETWEEN the chained joins too: the first join's output can
+    # contain schema-less empty partitions (sparse candidate sets), and
+    # those reach the second join's key resolution as column-less blocks
+    # ("No match for key field corpus_doc_id" — hit at sf0.01)
+    joined = heal_schema(first, num_partitions).join(
+        heal_schema(
+            sig_c.map_batches(
+                rename("corpus_doc_id", "sig_b"), batch_format="pandas"
             ),
-            "inner", num_partitions, on=("corpus_doc_id",),
-        )
+            num_partitions,
+        ),
+        "inner", num_partitions, on=("corpus_doc_id",),
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
