@@ -1898,6 +1898,55 @@ def q_kg_ra_scores(sf_dir: str):
 
 
 
+def q_kg_communities(sf_dir: str):
+    """Deterministic synchronous label propagation (3 rounds, neighbour
+    mode with lexicographic-min tie-break) over the undirected import
+    graph — stages/graph.lp_communities, size-adaptive driver/bucketed
+    regimes, parity-tested.  Float-free, so the fixed-round unroll has
+    an exact SQL twin."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import lp_communities
+
+    return lp_communities(_code_import_edges(sf_dir), rounds=_LP_ROUNDS)
+
+
+_LP_ROUNDS = 3
+
+
+def _lp_sql(rounds: int) -> str:
+    """``rounds`` chained label-propagation CTEs mirroring
+    stages/graph.lp_communities exactly (MATERIALIZED — plain chained
+    CTEs inline exponentially in DuckDB)."""
+    parts = [
+        "und AS (SELECT DISTINCT least(src, dst) AS x,"
+        " greatest(src, dst) AS y FROM cedges WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT x AS src, y AS dst FROM und"
+        " UNION ALL SELECT y, x FROM und)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label"
+        " FROM adj)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"c{i + 1} AS MATERIALIZED (SELECT a.dst AS node, l.label,"
+            f" count(*) AS c FROM adj a JOIN l{i} l ON l.node = a.src"
+            f" GROUP BY a.dst, l.label)"
+        )
+        parts.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY c DESC, label) AS rn FROM c{i + 1}"
+            f") WHERE rn = 1)"
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {{_CODE_EDGE_BODY}},
+{body}
+SELECT node, label FROM l{rounds}
+""".replace("{_CODE_EDGE_BODY}", _CODE_EDGE_BODY)
+
+
+_SQL_KG_COMMUNITIES = _lp_sql(_LP_ROUNDS)
+
+
 def q_kg_entity_lift(sf_dir: str):
     """Association-scored relation candidates: lift(a, b) =
     N·c(a,b) / (c(a)·c(b)) over the co-occurrence edges (lift =
@@ -2714,6 +2763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_entity_lift": q_kg_entity_lift,
         "kg_ra_scores": q_kg_ra_scores,
+        "kg_communities": q_kg_communities,
         "kg_kcore": q_kg_kcore,
         "kg_triple_ids": q_kg_triple_ids,
         "kg_shape_check": q_kg_shape_check,
@@ -2798,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_cooccur": _SQL_ENTITY_COOCCUR,
         "kg_entity_lift": _SQL_ENTITY_LIFT,
         "kg_ra_scores": _SQL_KG_RA_SCORES,
+        "kg_communities": _SQL_KG_COMMUNITIES,
         "kg_kcore": _SQL_KG_KCORE,
         "kg_triple_ids": _SQL_TRIPLE_IDS,
         "kg_shape_check": _SQL_SHAPE_CHECK,

@@ -1506,3 +1506,123 @@ def kcore(
         f"kcore: still peeling after {max_rounds} rounds — raise "
         "max_rounds (and regenerate the oracle) for this graph"
     )
+
+
+def lp_communities(
+    edges: "ray.data.Dataset",
+    *,
+    rounds: int = 3,
+    max_driver_edges: int = 2_000_000,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Deterministic synchronous label propagation (community detection)
+    over the UNDIRECTED closure: every node starts labelled as itself;
+    each round every node adopts the MODE of its neighbours' previous
+    labels, ties broken by the lexicographically smallest label — fully
+    deterministic, so a fixed ``rounds`` unrolls to an exact SQL twin
+    (float-free, unlike modularity methods).  Returns (node, label).
+
+    Size-adaptive (parity-tested): under ``max_driver_edges`` the round
+    loop runs vectorized on the driver (factorized codes + one bincount
+    per round); above it each round is ONE bucketed count over the
+    message table (labels gathered per edge inside the bucket via a
+    pandas merge — the same co-partition trick as bucket_agg) + a
+    vectorized per-node argmax, i.e. no Ray per-key Aggregate and no
+    driver node table."""
+    import pyarrow as pa
+
+    from ..util import bucket_agg
+
+    und = _undirected(edges).materialize()
+    if und.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.string()), ("label", pa.string())])
+            .empty_table()
+        )
+
+    def mode_pick(df: pd.DataFrame) -> pd.DataFrame:
+        # per (node): label with max count, ties -> min label
+        g = (
+            df.groupby(["node", "label"], sort=False, as_index=False)
+            .size()
+            .sort_values(
+                ["node", "size", "label"], ascending=[True, False, True]
+            )
+        )
+        out = g.drop_duplicates(["node"], keep="first")[["node", "label"]]
+        return out.reset_index(drop=True).astype("string")
+
+    if und.count() <= max_driver_edges:
+        df = und.to_pandas()
+        codes, nodes = pd.factorize(
+            pd.concat([df["x"], df["y"]], ignore_index=True)
+        )
+        ex, ey = codes[: len(df)], codes[len(df):]
+        src = np.concatenate([ex, ey])
+        dst = np.concatenate([ey, ex])
+        n = len(nodes)
+        # label rank = lexicographic rank of the node string, so integer
+        # min/argmax tie-breaks equal STRING tie-breaks exactly
+        order = np.argsort(nodes)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        lab = rank.copy()
+        for _ in range(rounds):
+            msg_lab = lab[src]
+            key = dst.astype(np.int64) * n + msg_lab
+            ks, cnts = np.unique(key, return_counts=True)  # message-scale,
+            # never the n^2 dense key space a bincount would allocate
+            kn, kl = ks // n, ks % n
+            # sort by (node, -count, label-rank) and keep first per node
+            o = np.lexsort((kl, -cnts, kn))
+            first = np.r_[True, kn[o][1:] != kn[o][:-1]]
+            new = lab.copy()
+            new[kn[o][first]] = kl[o][first]
+            lab = new
+        inv = np.empty(n, dtype=np.int64)
+        inv[rank] = np.arange(n)  # rank -> node code
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": pd.array(nodes, dtype="string"),
+                    "label": pd.array(nodes[inv[lab]], dtype="string"),
+                }
+            )
+        )
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([df["x"], df["y"]], ignore_index=True),
+                "dst": pd.concat([df["y"], df["x"]], ignore_index=True),
+            }
+        ).astype("string")
+
+    sym_edges = und.map_batches(sym, batch_format="pandas").materialize()
+    labels = sym_edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["src"], "label": df["src"]}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    from ..util import heal_schema, join_partitions
+
+    np_ = join_partitions(None)
+    for _ in range(rounds):
+        # message table: for edge (src -> dst), dst receives label(src)
+        msgs = heal_schema(sym_edges, np_).join(
+            heal_schema(labels, np_).map_batches(
+                lambda df: df.rename(columns={"node": "src"}),
+                batch_format="pandas",
+            ),
+            "inner", np_, on=("src",),
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["dst"], "label": df["label"]}
+            ).astype("string"),
+            batch_format="pandas",
+        )
+        labels = bucket_agg(
+            msgs, ["node"], mode_pick, num_buckets=num_buckets
+        ).materialize()
+    return labels

@@ -649,3 +649,20 @@ def test_cdc_merge_upsert_delete_semantics():
     got = dict(zip(out["k"].astype(int), out["v"].astype(int)))
     # 1 untouched, 2 updated, 3 updated-then-deleted, 4 inserted by feed
     assert got == {1: 10, 2: 21, 4: 40}
+
+
+def test_lp_communities_regime_parity_and_tiebreak():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import lp_communities
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("p", "q"), ("q", "r"), ("p", "r"), ("c", "p"), ("a", "z"),
+    ]
+    drv = lp_communities(_edges(pairs)).to_pandas()
+    dist = lp_communities(_edges(pairs), max_driver_edges=0).to_pandas()
+    key = lambda df: sorted(zip(df["node"], df["label"]))
+    assert key(drv) == key(dist)
+    lab = dict(zip(drv["node"], drv["label"]))
+    # triangles converge to their lexicographic minima
+    assert lab["a"] == lab["b"] == lab["c"] == "a"
+    assert lab["q"] == lab["r"]
