@@ -2554,3 +2554,107 @@ WHERE bit_count(xor(a.u::UBIGINT, b.u::UBIGINT)) <= 7
 
 QUERIES["multimodal_phash_pairs"] = q_multimodal_phash_pairs
 ORACLES["multimodal_phash_pairs"] = _SQL_PHASH_PAIRS
+
+
+def q_docs_lm_oov(sf_dir: str, k: int = 1000):
+    """LM-familiarity proxy without a model: fraction of each document's
+    token bigrams (with multiplicity) that fall OUTSIDE the corpus-wide
+    top-k bigram table — high OOV-bigram fraction flags boilerplate-free
+    but unnatural text the way an n-gram LM perplexity cut would,
+    in exact integer counts plus ONE IEEE division.
+
+    Scale shape: the top-k table is the small side — built by the
+    text_bigrams machinery (map-side Counter, bucketed sum, block top-k
+    merge; ties broken n DESC then bigram ASC so the cut is
+    deterministic), broadcast once via ray.put; scoring is map-only."""
+    from collections import Counter
+
+    import ray
+
+    from ..stages.dedup import tokens
+    from ..util import bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in df["text"].fillna(""):
+            toks = tokens(t)
+            c.update(a + " " + b for a, b in zip(toks, toks[1:]))
+        return pd.DataFrame(
+            {
+                "bigram": list(c.keys()),
+                "n": pd.array(list(c.values()), dtype="int64"),
+            }
+        )
+
+    agg = bucket_sum(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["bigram"],
+        ["n"],
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+
+    cands = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    top = set(
+        cands.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(k)["bigram"]
+    ) if len(cands) else set()
+    ref = ray.put(top)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = ray.get(ref)
+        nb, noov = [], []
+        for t in df["text"].fillna(""):
+            toks = tokens(t)
+            bgs = [a + " " + b for a, b in zip(toks, toks[1:])]
+            nb.append(len(bgs))
+            noov.append(sum(1 for g in bgs if g not in vocab))
+        nb = np.asarray(nb, dtype=np.int64)
+        noov = np.asarray(noov, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_bigrams": nb,
+                "n_oov": noov,
+                "oov_frac": np.where(
+                    nb > 0, noov.astype(np.float64) / np.maximum(nb, 1), 0.0
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pandas")
+
+
+_SQL_LM_OOV = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+top AS (
+  SELECT bigram FROM (
+    SELECT bigram, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
+    FROM b GROUP BY bigram
+  ) WHERE rn <= 1000
+),
+per AS (
+  SELECT b.doc_id, count(*) AS nb,
+         count(*) FILTER (WHERE top.bigram IS NULL) AS noov
+  FROM b LEFT JOIN top ON b.bigram = top.bigram
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       coalesce(nb, 0)::BIGINT AS n_bigrams,
+       coalesce(noov, 0)::BIGINT AS n_oov,
+       CASE WHEN coalesce(nb, 0) > 0
+            THEN noov::DOUBLE / nb::DOUBLE ELSE 0.0 END AS oov_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+QUERIES["docs_lm_oov"] = q_docs_lm_oov
+ORACLES["docs_lm_oov"] = _SQL_LM_OOV

@@ -8,7 +8,11 @@ hash, print a pass/fail table.  Usage:
 from __future__ import annotations
 
 import hashlib
+import functools
 import sys
+
+print = functools.partial(print, flush=True)  # noqa: A001 — line-buffer
+# progress through shell redirects so long sweeps are observable
 
 import duckdb
 import pandas as pd
