@@ -1262,6 +1262,114 @@ FROM o FULL OUTER JOIN i ON o.node = i.node
 """
 
 
+def q_kg_hits(sf_dir: str):
+    """Deterministic integer HITS hubs & authorities (2 iterations,
+    max-normalized floor arithmetic — bit-exact across engines, unlike
+    the classical L2-normalized float HITS) over the import graph
+    (stages/graph.hits_int; size-adaptive: driver loop under an edge
+    threshold, per-half-step hash join + bucketed sum + scalar-max
+    broadcast above, parity-tested)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import hits_int
+
+    return hits_int(_code_import_edges(sf_dir))
+
+
+def _hits_sql(iters: int = 2, scale: int = 1_000_000) -> str:
+    """K unrolled MATERIALIZED-CTE HITS iterations mirroring
+    hits_int's integer semantics exactly (floor division and
+    max-normalization both sides).  MATERIALIZED matters: DuckDB
+    inlines plain chained CTEs exponentially (the kg_kcore lesson)."""
+    parts = [
+        f"""nodes AS MATERIALIZED (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM cedges UNION ALL SELECT dst FROM cedges)
+),
+hub0 AS MATERIALIZED (SELECT node, {scale}::BIGINT AS v FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+a{i}r AS MATERIALIZED (
+  SELECT n.node, coalesce(s.s, 0)::BIGINT AS s
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.v)::BIGINT AS s
+    FROM hub{i - 1} h JOIN cedges e ON e.src = h.node GROUP BY e.dst
+  ) s ON n.node = s.node
+),
+a{i}m AS MATERIALIZED (SELECT greatest(max(s), 1) AS m FROM a{i}r),
+auth{i} AS MATERIALIZED (
+  SELECT r.node, (r.s * {scale} // m.m)::BIGINT AS v
+  FROM a{i}r r CROSS JOIN a{i}m m
+),
+h{i}r AS MATERIALIZED (
+  SELECT n.node, coalesce(s.s, 0)::BIGINT AS s
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.v)::BIGINT AS s
+    FROM auth{i} a JOIN cedges e ON e.dst = a.node GROUP BY e.src
+  ) s ON n.node = s.node
+),
+h{i}m AS MATERIALIZED (SELECT greatest(max(s), 1) AS m FROM h{i}r),
+hub{i} AS MATERIALIZED (
+  SELECT r.node, (r.s * {scale} // m.m)::BIGINT AS v
+  FROM h{i}r r CROSS JOIN h{i}m m
+)"""
+        )
+    return (
+        f"WITH {_CODE_EDGE_BODY},\n"
+        + "".join(parts)
+        + f"""
+SELECT a.node, a.v AS auth, h.v AS hub
+FROM auth{iters} a JOIN hub{iters} h ON a.node = h.node"""
+    )
+
+
+_SQL_CODE_HITS = _hits_sql()
+
+
+def q_kg_clustering(sf_dir: str):
+    """Per-node local clustering coefficient of the undirected import
+    graph, as integer parts-per-million (stages/graph.clustering_coeff:
+    triangle membership counts from the degree-oriented enumeration +
+    one bucketed sum, joined onto distinct-neighbor degrees)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import clustering_coeff
+
+    return clustering_coeff(_code_import_edges(sf_dir))
+
+
+_SQL_CODE_CLUSTERING = f"""
+WITH {_CODE_EDGE_BODY},
+u AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+  FROM cedges WHERE src != dst
+),
+tris AS MATERIALIZED (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM u e1
+  JOIN u e2 ON e2.x = e1.y
+  JOIN u e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+tcount AS (
+  SELECT node, count(*)::BIGINT AS tri
+  FROM (SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+  GROUP BY node
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT x AS node FROM u UNION ALL SELECT y FROM u)
+  GROUP BY node
+)
+SELECT d.node,
+       coalesce(t.tri, 0)::BIGINT AS tri,
+       d.deg,
+       CASE WHEN d.deg >= 2
+            THEN (2 * coalesce(t.tri, 0) * 1000000 // (d.deg * (d.deg - 1)))::BIGINT
+            ELSE 0::BIGINT END AS coeff_ppm
+FROM deg d LEFT JOIN tcount t ON d.node = t.node
+"""
+
+
 def _code_triples(sf_dir: str):
     """All code triples (imports + definitions) for the code corpus,
     extracted once per sf_dir."""
@@ -2767,6 +2875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": q_kg_kcore,
         "kg_triple_ids": q_kg_triple_ids,
         "kg_shape_check": q_kg_shape_check,
+        "kg_hits": q_kg_hits,
+        "kg_clustering": q_kg_clustering,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -2852,6 +2962,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _SQL_KG_KCORE,
         "kg_triple_ids": _SQL_TRIPLE_IDS,
         "kg_shape_check": _SQL_SHAPE_CHECK,
+        "kg_hits": _SQL_CODE_HITS,
+        "kg_clustering": _SQL_CODE_CLUSTERING,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

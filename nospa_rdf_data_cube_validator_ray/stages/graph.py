@@ -1626,3 +1626,254 @@ def lp_communities(
             msgs, ["node"], mode_pick, num_buckets=num_buckets
         ).materialize()
     return labels
+
+
+def hits_int(
+    edges: "ray.data.Dataset",
+    *,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    max_driver_edges: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Deterministic INTEGER HITS (hubs & authorities, Kleinberg) —
+    floor arithmetic end to end so a SQL oracle reproduces it
+    bit-exactly (the classical L2 normalization is IEEE-float and
+    summation-order-dependent; max-normalization is order-free):
+
+        hub_0(n) = scale                           (every node)
+        a_raw(n) = Σ_{m→n} hub_i(m)                (per-EDGE; multi-edges
+                                                    contribute once each)
+        auth(n)  = a_raw(n) * scale // max(a_raw)  (max over all nodes)
+        h_raw(n) = Σ_{n→m} auth(m)
+        hub(n)   = h_raw(n) * scale // max(h_raw)
+
+    so both scores live in [0, scale] after every iteration.  Overflow
+    bound (documented, not checked per row): a_raw ≤ in_deg_max·scale,
+    and the normalization product a_raw·scale stays in int64 while
+    in_deg_max < 2^63 / scale² ≈ 9.2·10^6 at the default scale — at
+    larger degree scales pass a smaller ``scale``.
+
+    Size-adaptive like ``pagerank_int`` (parity-tested): under
+    ``max_driver_edges`` the edge list is collected once and the loop
+    runs vectorized on the driver; above it each half-step is one hash
+    join (scores ⋈ edges) + one bucketed sum + a GLOBAL max (a scalar
+    aggregate, broadcast into the normalization map_batches — never a
+    per-key Ray aggregate)."""
+    from ..functions.kernel import distinct
+    from ..util import bucket_sum, join_partitions
+
+    np_ = _nparts(num_partitions)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["subj"].astype("string"), "dst": df["obj"].astype("string")}
+        )
+
+    pairs = edges.map_batches(to_pairs, batch_format="pandas")
+    n_edges = pairs.count()
+
+    if n_edges <= max_driver_edges:
+        e = pd.concat(
+            list(pairs.iter_batches(batch_format="pandas", batch_size=65536)),
+            ignore_index=True,
+        )
+        nodes = pd.Index(pd.concat([e["src"], e["dst"]]).unique())
+        hub = pd.Series(scale, index=nodes, dtype="int64")
+        auth = pd.Series(0, index=nodes, dtype="int64")
+        for _ in range(iters):
+            a_raw = (
+                pd.DataFrame({"dst": e["dst"], "v": hub[e["src"]].to_numpy()})
+                .groupby("dst")["v"]
+                .sum()
+                .reindex(nodes, fill_value=0)
+                .astype("int64")
+            )
+            amax = max(int(a_raw.max()), 1)
+            auth = (a_raw * scale // amax).astype("int64")
+            h_raw = (
+                pd.DataFrame({"src": e["src"], "v": auth[e["dst"]].to_numpy()})
+                .groupby("src")["v"]
+                .sum()
+                .reindex(nodes, fill_value=0)
+                .astype("int64")
+            )
+            hmax = max(int(h_raw.max()), 1)
+            hub = (h_raw * scale // hmax).astype("int64")
+        out = pd.DataFrame(
+            {
+                "node": pd.Series(nodes, dtype="string"),
+                "auth": auth.to_numpy(),
+                "hub": hub.to_numpy(),
+            }
+        )
+        return ray.data.from_pandas(out.sort_values("node", ignore_index=True))
+
+    pairs = heal_schema(pairs, np_).materialize()
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([df["src"], df["dst"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"node": u.astype("string")})
+
+    nodes_ds = heal_schema(
+        distinct(pairs.map_batches(node_partial, batch_format="pandas"), ["node"]),
+        np_,
+    ).materialize()
+
+    def _half_step(
+        scores: "ray.data.Dataset", key: str, other: str
+    ) -> "ray.data.Dataset":
+        """One normalized propagation: sum ``scores`` over edges into
+        ``other``-side nodes, then max-normalize to [0, scale]."""
+        msgs = (
+            pairs.join(
+                heal_schema(scores, np_).map_batches(
+                    lambda df, key=key: df.rename(columns={"node": key}),
+                    batch_format="pandas",
+                ),
+                "inner",
+                np_,
+                on=(key,),
+            )
+            .map_batches(
+                lambda df, other=other: pd.DataFrame(
+                    {"node": df[other].astype("string"),
+                     "v": df["v"].astype("int64")}
+                ),
+                batch_format="pandas",
+            )
+        )
+        raw = heal_schema(
+            bucket_sum(msgs, ["node"], ["v"], num_buckets=np_), np_
+        )
+        joined = heal_schema(nodes_ds, np_).join(
+            raw, "left_outer", np_, on=("node",)
+        ).materialize()
+        mx = max(int(joined.max("v") or 0), 1)
+
+        def norm(df: pd.DataFrame, mx=mx) -> pd.DataFrame:
+            v = (
+                df["v"].fillna(0).astype("int64")
+                if "v" in df.columns
+                else pd.Series(0, index=df.index, dtype="int64")
+            )
+            return pd.DataFrame(
+                {"node": df["node"].astype("string"),
+                 "v": (v * scale // mx).astype("int64")}
+            )
+
+        return joined.map_batches(norm, batch_format="pandas").materialize()
+
+    def init_scores(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"].astype("string"),
+             "v": pd.Series(scale, index=df.index, dtype="int64")}
+        )
+
+    hub_ds = nodes_ds.map_batches(init_scores, batch_format="pandas").materialize()
+    auth_ds = None
+    for _ in range(iters):
+        auth_ds = _half_step(hub_ds, "src", "dst")
+        hub_ds = _half_step(auth_ds, "dst", "src")
+
+    merged = heal_schema(
+        auth_ds.map_batches(
+            lambda df: df.rename(columns={"v": "auth"}), batch_format="pandas"
+        ),
+        np_,
+    ).join(
+        heal_schema(
+            hub_ds.map_batches(
+                lambda df: df.rename(columns={"v": "hub"}), batch_format="pandas"
+            ),
+            np_,
+        ),
+        "inner",
+        np_,
+        on=("node",),
+    )
+    return merged.map_batches(
+        lambda df: df[["node", "auth", "hub"]], batch_format="pandas"
+    )
+
+
+def clustering_coeff(
+    edges: "ray.data.Dataset",
+    *,
+    scale: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-node local clustering coefficient over the UNDIRECTED simple
+    graph (self-loops dropped, multi-edges collapsed):
+
+        tri(n)   = number of triangles containing n
+        deg(n)   = distinct-neighbor degree
+        coeff    = 2·tri·scale // (deg·(deg−1))   (0 when deg < 2)
+
+    emitted as integer parts-per-``scale`` so the DuckDB twin is
+    hash-exact (float division would diverge).  Rides the
+    degree-oriented ``triangle_enum`` (wedge fan-out bounded O(√m));
+    per-node triangle counts come from exploding each canonical
+    (a, b, c) row into 3 (node, 1) rows and one bucketed sum — never a
+    per-key Ray aggregate.  Returns (node, tri, deg, coeff_ppm) for
+    every node of the undirected graph."""
+    from ..util import bucket_sum
+
+    np_ = _nparts(num_partitions)
+    und = _undirected(edges).materialize()
+
+    def tri_explode(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([df["a"], df["b"], df["c"]], ignore_index=True)
+        return pd.DataFrame(
+            {"node": nodes.astype("string"),
+             "tri": pd.Series(1, index=nodes.index, dtype="int64")}
+        )
+
+    tri_counts = bucket_sum(
+        triangle_enum(edges, num_partitions=np_).map_batches(
+            tri_explode, batch_format="pandas"
+        ),
+        ["node"],
+        ["tri"],
+        num_buckets=np_,
+    )
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([df["x"], df["y"]], ignore_index=True)
+        return pd.DataFrame(
+            {"node": nodes.astype("string"),
+             "deg": pd.Series(1, index=nodes.index, dtype="int64")}
+        )
+
+    deg = bucket_sum(
+        und.map_batches(deg_partial, batch_format="pandas"),
+        ["node"],
+        ["deg"],
+        num_buckets=np_,
+    )
+
+    joined = heal_schema(deg, np_).join(
+        heal_schema(tri_counts, np_), "left_outer", np_, on=("node",)
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tri = (
+            df["tri"].fillna(0).astype("int64")
+            if "tri" in df.columns
+            else pd.Series(0, index=df.index, dtype="int64")
+        )
+        d = df["deg"].astype("int64")
+        denom = (d * (d - 1)).to_numpy()
+        coeff = np.where(
+            denom > 0, 2 * tri.to_numpy() * scale // np.maximum(denom, 1), 0
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "node": df["node"].astype("string"),
+                "tri": tri,
+                "deg": d,
+                "coeff_ppm": coeff,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -199,3 +199,62 @@ def test_pagerank_int_regime_parity():
         .sort_values("node", ignore_index=True)
     )
     pd.testing.assert_frame_equal(fast, dist.astype(fast.dtypes.to_dict()))
+
+
+def test_hits_int_semantics():
+    # a -> b, c -> b, b -> a ; 1 iteration, scale 1e6:
+    # a_raw: b = hub(a)+hub(c) = 2e6, a = hub(b) = 1e6; amax = 2e6
+    # auth:  b = 1e6, a = 500000, c = 0
+    # h_raw: a = auth(b) = 1e6, c = auth(b) = 1e6, b = auth(a) = 500000
+    # hmax = 1e6 -> hub: a = 1e6, c = 1e6, b = 500000
+    rows = [("a", "p", 0, "b"), ("c", "p", 0, "b"), ("b", "p", 0, "a")]
+    out = (
+        G.hits_int(G.extract_edges(_triples(rows)), iters=1)
+        .to_pandas()
+        .set_index("node")
+    )
+    assert dict(out["auth"]) == {"a": 500000, "b": 1000000, "c": 0}
+    assert dict(out["hub"]) == {"a": 1000000, "b": 500000, "c": 1000000}
+
+
+def test_hits_int_regime_parity():
+    rows = [
+        ("a", "p", 0, "b"),
+        ("b", "p", 0, "c"),
+        ("c", "p", 0, "a"),
+        ("a", "p", 0, "c"),
+        ("d", "p", 0, "a"),
+        ("a", "p", 0, "a"),  # self-loop
+        ("a", "p", 0, "b"),  # multi-edge (contributes twice)
+    ]
+    edges = G.extract_edges(_triples(rows))
+    fast = G.hits_int(edges, iters=2).to_pandas().sort_values("node", ignore_index=True)
+    dist = (
+        G.hits_int(edges, iters=2, max_driver_edges=0)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist.astype(fast.dtypes.to_dict()))
+
+
+def test_clustering_coeff():
+    # triangle a-b-c plus pendant d on a:
+    # deg: a=3, b=2, c=2, d=1 ; tri: a=b=c=1, d=0
+    # coeff(a) = 2*1*1e6 // (3*2) = 333333 ; b,c = 1e6 ; d = 0
+    rows = [
+        ("a", "p", 0, "b"),
+        ("b", "p", 0, "c"),
+        ("c", "p", 0, "a"),
+        ("a", "p", 0, "d"),
+        ("b", "p", 0, "a"),  # reverse duplicate collapses
+    ]
+    out = (
+        G.clustering_coeff(G.extract_edges(_triples(rows)))
+        .to_pandas()
+        .set_index("node")
+    )
+    assert dict(out["tri"]) == {"a": 1, "b": 1, "c": 1, "d": 0}
+    assert dict(out["deg"]) == {"a": 3, "b": 2, "c": 2, "d": 1}
+    assert dict(out["coeff_ppm"]) == {
+        "a": 333333, "b": 1000000, "c": 1000000, "d": 0,
+    }
