@@ -2658,3 +2658,224 @@ FROM documents d LEFT JOIN per USING (doc_id)
 
 QUERIES["docs_lm_oov"] = q_docs_lm_oov
 ORACLES["docs_lm_oov"] = _SQL_LM_OOV
+
+
+# -- paragraph-level global first-occurrence dedup --------------------------
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Exact paragraph dedup with GLOBAL first-occurrence keep (the
+    Pile / SlimPajama line-dedup rule): every paragraph occurrence
+    except the first in corpus order (doc_id, position) is dropped —
+    including repeats WITHIN a document — and each document is
+    reassembled from its surviving paragraphs.  The single-line fixture
+    corpus derives a 4-paragraph corpus as a pure function of doc_id
+    (the derived-corpus oracle trick shared with boilerplate_removal):
+    a shared header (doc_id % 5) that repeats inside the document, the
+    document's own text, and a shared footer (doc_id % 3).
+
+    Distribution: occurrences (doc_id, idx, h61) explode map-side; the
+    global winner per paragraph hash is one bucketed min over a packed
+    (doc_id·8 + idx) composite (util.bucket_agg — never a per-key Ray
+    aggregate at paragraph-hash scale); one hash join flags each
+    occurrence against its winner; reassembly is a second bucketed
+    aggregate keyed by doc_id.  Nothing corpus-scale touches the
+    driver, and paragraph text rides the shuffle once."""
+    from ..stages.dedup import _md5_u64
+    from ..util import bucket_agg, heal_schema, join_partitions
+
+    docs = _docs(sf_dir)
+    np_ = join_partitions(None)
+
+    def occurrences(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        head = "PARA head " + (ids % 5).astype(str)
+        foot = "PARA foot " + (ids % 3).astype(str)
+        body = df["text"].fillna("")
+        paras = pd.concat([head, body, head, foot], ignore_index=True)
+        n = len(df)
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.concat([ids] * 4, ignore_index=True),
+                "idx": np.repeat(np.arange(4, dtype="int64"), n),
+                "para": paras.astype("string"),
+            }
+        )
+        out["h61"] = pd.array(
+            [_md5_u64(p) % (1 << 61) for p in out["para"]], dtype="int64"
+        )
+        return out
+
+    occ = docs.map_batches(occurrences, batch_format="pandas").materialize()
+
+    def min_per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["doc_id"].to_numpy() * 8 + df["idx"].to_numpy()
+        g = (
+            pd.DataFrame({"h61": df["h61"], "mn": ck})
+            .groupby("h61", as_index=False)["mn"]
+            .min()
+        )
+        return g.astype({"h61": "int64", "mn": "int64"})
+
+    winners = bucket_agg(occ, ["h61"], min_per_hash)
+
+    flagged = heal_schema(occ, np_).join(
+        heal_schema(winners, np_), "inner", np_, on=("h61",)
+    )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["doc_id", "idx"], ignore_index=True)
+        keep = (g["doc_id"].to_numpy() * 8 + g["idx"].to_numpy()) == g[
+            "mn"
+        ].to_numpy()
+        kept = g[keep]
+        n_par = g.groupby("doc_id").size()
+        n_kept = kept.groupby("doc_id").size().reindex(n_par.index, fill_value=0)
+        clean = (
+            kept.groupby("doc_id")["para"]
+            .agg("\n".join)
+            .reindex(n_par.index, fill_value="")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(n_par.index, dtype="int64"),
+                "n_par": pd.array(n_par.to_numpy(), dtype="int64"),
+                "n_kept": pd.array(n_kept.to_numpy(), dtype="int64"),
+                "clean_h61": pd.array(
+                    [_md5_u64(t) % (1 << 61) for t in clean],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return bucket_agg(flagged, ["doc_id"], reassemble)
+
+
+_SQL_PARA_DEDUP = r"""
+WITH lsts AS (
+  SELECT doc_id,
+         ['PARA head ' || (doc_id % 5),
+          coalesce(text, ''),
+          'PARA head ' || (doc_id % 5),
+          'PARA foot ' || (doc_id % 3)] AS lst
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(lst) AS para,
+         unnest([0, 1, 2, 3]) AS idx
+  FROM lsts
+),
+ranked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (
+           PARTITION BY md5_number_lower(para) % 2305843009213693952
+           ORDER BY doc_id, idx
+         ) AS rn
+  FROM occ
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_par,
+       count(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+       (md5_number_lower(coalesce(
+          string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), ''))
+        % 2305843009213693952)::BIGINT AS clean_h61
+FROM ranked
+GROUP BY doc_id
+"""
+
+QUERIES["paragraph_dedup"] = q_paragraph_dedup
+ORACLES["paragraph_dedup"] = _SQL_PARA_DEDUP
+
+
+# -- hashed linear quality classifier (model-inference shape) ---------------
+
+
+class _QualityModel:
+    """Fasttext-style linear classifier over hashed uni+bigram features
+    — the model-inference stage shape: the weight table is built ONCE
+    per actor in __init__ (for a real model this is the
+    load-checkpoint step), __call__ scores whole batches.  Weights are
+    a pure function of the feature id (md5-derived integers in
+    [-1000, 1000]) so the DuckDB oracle reproduces scores bit-exactly
+    without shipping a weight file."""
+
+    def __init__(self, dim: int = 4096):
+        from ..stages.dedup import _md5_u64
+
+        self.dim = dim
+        self.w = np.array(
+            [_md5_u64(f"w{f}") % 2001 - 1000 for f in range(dim)],
+            dtype=np.int64,
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.dedup import _md5_u64_cached, tokens
+
+        ids, n_grams, scores = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = tokens(text if isinstance(text, str) else "")
+            grams = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            fs = np.array(
+                [_md5_u64_cached(g) % self.dim for g in grams], dtype=np.int64
+            )
+            ids.append(doc_id)
+            n_grams.append(len(grams))
+            scores.append(int(self.w[fs].sum()) if len(fs) else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "n_grams": pd.array(n_grams, dtype="int64"),
+                "score": pd.array(scores, dtype="int64"),
+                "keep": pd.array(
+                    [1 if s > 0 else 0 for s in scores], dtype="int64"
+                ),
+            }
+        )
+
+
+def q_quality_classifier(sf_dir: str):
+    """Deterministic linear quality-classifier inference over the
+    corpus (actor pool: weights built once per actor, batches scored
+    vectorized against the in-actor weight table)."""
+    from ..util import auto_concurrency
+
+    return _docs(sf_dir).map_batches(
+        _QualityModel,
+        batch_format="pandas",
+        concurrency=auto_concurrency(None),
+        batch_size=256,
+    )
+
+
+_SQL_QUALITY_CLF = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+scored AS (
+  SELECT doc_id,
+         ((md5_number_lower('w' || (md5_number_lower(g) % 4096)) % 2001)::BIGINT
+          - 1000) AS wt
+  FROM grams
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n, sum(wt)::BIGINT AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n, 0)::BIGINT AS n_grams,
+       coalesce(per.s, 0)::BIGINT AS score,
+       (CASE WHEN coalesce(per.s, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+QUERIES["quality_classifier"] = q_quality_classifier
+ORACLES["quality_classifier"] = _SQL_QUALITY_CLF

@@ -666,3 +666,61 @@ def test_lp_communities_regime_parity_and_tiebreak():
     # triangles converge to their lexicographic minima
     assert lab["a"] == lab["b"] == lab["c"] == "a"
     assert lab["q"] == lab["r"]
+
+
+# -- paragraph dedup + quality classifier -----------------------------------
+
+
+def test_paragraph_dedup_global_first_occurrence():
+    """Within-doc repeats and later cross-doc copies are dropped; the
+    first occurrence in (doc_id, idx) order survives."""
+    from nospa_rdf_data_cube_validator_ray.pipelines.training_data import (
+        q_paragraph_dedup,
+    )
+    import pyarrow.parquet as pq
+    import duckdb
+
+    out = (
+        q_paragraph_dedup("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(out) == 500
+    assert (out["n_par"] == 4).all()
+    # the in-doc header repeat guarantees every doc loses at least one
+    assert (out["n_kept"] <= 3).all()
+    # doc 0 is globally first: header + own text + footer all survive
+    assert out.loc[out["doc_id"] == 0, "n_kept"].iloc[0] == 3
+    # any doc with doc_id >= 15 shares header (mod 5) and footer (mod 3)
+    # with strictly earlier docs — only its own text can survive, unless
+    # that text itself duplicates an earlier doc's text
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).to_pandas()
+    first_by_text = docs.groupby(docs["text"].fillna(""))["doc_id"].min()
+    own_is_first = (
+        docs.set_index("doc_id")["text"].fillna("").map(first_by_text)
+        == docs.set_index("doc_id").index
+    )
+    late = out[out["doc_id"] >= 15].set_index("doc_id")
+    expected = own_is_first.loc[late.index].astype(int)
+    assert (late["n_kept"] == expected).all()
+
+
+def test_quality_classifier_deterministic_and_scored():
+    from nospa_rdf_data_cube_validator_ray.pipelines.training_data import (
+        _QualityModel,
+    )
+
+    m = _QualityModel()
+    df = pd.DataFrame(
+        {"doc_id": pd.array([1, 2], dtype="int64"),
+         "text": ["hash join scan", None]}
+    )
+    a = m(df)
+    b = _QualityModel()(df)
+    pd.testing.assert_frame_equal(a, b)
+    # 3 unigrams + 2 bigrams
+    assert a["n_grams"].tolist() == [5, 0]
+    assert a.loc[1, "score"] == 0 and a.loc[1, "keep"] == 0
+    assert a.loc[0, "keep"] == (1 if a.loc[0, "score"] > 0 else 0)
