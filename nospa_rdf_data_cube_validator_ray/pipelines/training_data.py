@@ -2879,3 +2879,83 @@ FROM documents d LEFT JOIN per USING (doc_id)
 
 QUERIES["quality_classifier"] = q_quality_classifier
 ORACLES["quality_classifier"] = _SQL_QUALITY_CLF
+
+
+# -- integer k-means embedding clustering -----------------------------------
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Deterministic integer Lloyd's k-means over the embedding table
+    (stages/embedding.kmeans_int: quantize → seed from the k lowest
+    ids → 2 broadcast-assignment/partial-sum rounds → final assignment;
+    only k×dim centroids and k-per-block partials ever leave the
+    stream)."""
+    from ..stages.embedding import kmeans_int
+
+    return kmeans_int(_embs(sf_dir))
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                scale: int = 10_000, offset: int = 100_000) -> str:
+    """Unrolled MATERIALIZED-CTE Lloyd's iterations mirroring
+    kmeans_int exactly: nonnegative quantization (so DuckDB's
+    truncating ``//`` equals numpy's floor), argmin ties to the lowest
+    centroid id, empty clusters keep their previous centroid."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))::BIGINT"
+    ).format(dim=dim)
+
+    def asg_body(prev: str) -> str:
+        return f"""(
+    SELECT vec_id, qv, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM (
+      SELECT q.vec_id, q.qv, c.cid, {d2} AS d2
+      FROM q CROSS JOIN {prev} c))"""
+
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * {scale})::BIGINT + {offset}) AS qv
+  FROM embeddings
+),
+cent0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
+  FROM q ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for j in range(1, iters + 1):
+        parts.append(
+            f""",
+asg{j} AS MATERIALIZED (
+  SELECT vec_id, qv, cid FROM {asg_body(f"cent{j - 1}")}
+  WHERE rn = 1
+),
+sums{j} AS MATERIALIZED (
+  SELECT cid, i, sum(qv[i])::BIGINT AS s, count(*)::BIGINT AS n
+  FROM asg{j}, unnest(generate_series(1, {dim})) AS u(i)
+  GROUP BY cid, i
+),
+cent{j} AS MATERIALIZED (
+  SELECT p.cid, coalesce(nv.qv, p.qv) AS qv
+  FROM cent{j - 1} p LEFT JOIN (
+    SELECT cid, list(s // n ORDER BY i) AS qv FROM sums{j} GROUP BY cid
+  ) nv ON p.cid = nv.cid
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT vec_id, cid AS cluster, d2 AS dist2
+FROM {asg_body(f"cent{iters}")}
+WHERE rn = 1"""
+    )
+
+
+_SQL_KMEANS = _kmeans_sql()
+
+QUERIES["kmeans_clusters"] = q_kmeans_clusters
+ORACLES["kmeans_clusters"] = _SQL_KMEANS

@@ -690,3 +690,106 @@ def pq_topk(
         encoded, qmat, [r[id_col] for r in qrows],
         k=k, shortlist=shortlist, emb_col=emb_col, id_col=id_col,
     )
+
+
+def kmeans_int(
+    embs: "ray.data.Dataset",
+    *,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+    offset: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Deterministic INTEGER Lloyd's k-means over an embedding column —
+    the embedding-clustering curation step (SemDeDup-style cluster
+    assignment), made bit-exact across engines:
+
+    - vectors quantize to ``floor(x * scale) + offset`` (int64; the
+      offset keeps every coordinate nonnegative so floor and truncating
+      integer division agree — DuckDB ``//`` truncates toward zero on
+      negatives while numpy floors; distances are offset-invariant)
+    - seeds = the k lowest-``id_col`` vectors (globally deterministic)
+    - assignment = argmin integer squared distance, ties to the lowest
+      centroid id (numpy argmin-first == SQL ORDER BY d2, cid)
+    - update = elementwise integer mean ``S // n``; empty clusters keep
+      their previous centroid
+    - ``iters`` update rounds, then one final assignment pass; returns
+      (id, cluster, dist2).
+
+    Distribution (the classic MapReduce Lloyd's): centroids are k×dim
+    int64 — driver-resident and broadcast into each assignment pass via
+    closure capture; per-batch partial sums (k rows per block) are the
+    only thing reduced driver-side, so nothing corpus-scale leaves the
+    object store at any cluster size."""
+    import numpy as np
+    import pandas as pd
+
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        q = np.floor(v * scale).astype(np.int64) + offset
+        return pd.DataFrame(
+            {"vec_id": df[id_col].astype("int64"),
+             "qv": list(q)}
+        )
+
+    ds_q = embs.map_batches(quantize, batch_format="pandas").materialize()
+
+    # deterministic seeds: k lowest ids (bounded per-block partials,
+    # never a full sort)
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, "vec_id")
+
+    seeds = (
+        ds_q.map_batches(seed_partial, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(k, "vec_id")
+        .sort_values("vec_id", ignore_index=True)
+    )
+    cent = np.stack(seeds["qv"].to_numpy()).astype(np.int64)  # (k, dim)
+
+    def assign(q: np.ndarray, c: np.ndarray):
+        qq = np.einsum("ij,ij->i", q, q)
+        cc = np.einsum("ij,ij->i", c, c)
+        d2 = qq[:, None] - 2 * (q @ c.T) + cc[None, :]
+        a = np.argmin(d2, axis=1)
+        return a, d2[np.arange(len(a)), a]
+
+    for _ in range(iters):
+        def partial(df: pd.DataFrame, c=cent) -> pd.DataFrame:
+            q = np.stack(df["qv"].to_numpy()).astype(np.int64)
+            a, _ = assign(q, c)
+            s = np.zeros_like(c)
+            np.add.at(s, a, q)
+            n = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pd.DataFrame(
+                {"cid": np.arange(len(c), dtype="int64"),
+                 "n": n, "s": list(s)}
+            )
+
+        parts = ds_q.map_batches(partial, batch_format="pandas").to_pandas()
+        if len(parts) == 0:
+            break
+        n_tot = parts.groupby("cid")["n"].sum()
+        new = cent.copy()
+        for cid in range(len(cent)):
+            n = int(n_tot.get(cid, 0))
+            if n > 0:
+                s = np.sum(
+                    np.stack(parts.loc[parts["cid"] == cid, "s"].to_numpy()),
+                    axis=0,
+                ).astype(np.int64)
+                new[cid] = s // n  # nonnegative: floor == trunc
+        cent = new
+
+    def final(df: pd.DataFrame, c=cent) -> pd.DataFrame:
+        q = np.stack(df["qv"].to_numpy()).astype(np.int64)
+        a, d = assign(q, c)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"),
+             "cluster": pd.array(a, dtype="int64"),
+             "dist2": pd.array(d, dtype="int64")}
+        )
+
+    return ds_q.map_batches(final, batch_format="pandas")

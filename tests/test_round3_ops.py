@@ -724,3 +724,32 @@ def test_quality_classifier_deterministic_and_scored():
     assert a["n_grams"].tolist() == [5, 0]
     assert a.loc[1, "score"] == 0 and a.loc[1, "keep"] == 0
     assert a.loc[0, "keep"] == (1 if a.loc[0, "score"] > 0 else 0)
+
+
+def test_kmeans_int_separates_two_blobs():
+    from nospa_rdf_data_cube_validator_ray.stages.embedding import kmeans_int
+
+    rows = []
+    for i in range(6):
+        base = 0.9 if i % 2 else -0.9
+        rows.append(
+            {"vec_id": i,
+             "embedding": np.full(4, base, dtype=np.float32)
+             + np.float32(0.01 * i)}
+        )
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = (
+        kmeans_int(ds, k=2, iters=2)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    # seeds are vec_id 0 (negative blob) and 1 (positive blob):
+    # evens cluster with 0, odds with 1
+    assert out["cluster"].tolist() == [0, 1, 0, 1, 0, 1]
+    assert (out["dist2"] >= 0).all()
+    again = (
+        kmeans_int(ds, k=2, iters=2)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(out, again)
