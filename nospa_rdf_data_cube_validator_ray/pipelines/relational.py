@@ -1429,3 +1429,71 @@ FROM r WHERE rn = 1 AND op <> 'D'
 
 QUERIES["events_cdc_merge"] = q_events_cdc_merge
 ORACLES["events_cdc_merge"] = _SQL_CDC_MERGE
+
+
+# -- Z-order (Morton) storage layout ----------------------------------------
+
+
+def q_events_zorder(sf_dir: str):
+    """Multi-dimensional storage layout: the Z-order (Morton) curve
+    over (user_id, event minute), the standard data-clustering key for
+    parquet layouts that must serve both user-keyed and time-ranged
+    scans.  16 bits per dimension interleave to a 32-bit z-code
+    (vectorized magic-number bit spreading, no per-row loop); the top 8
+    bits are the coarse range-partition id a writer would direct output
+    files by.  Pure map-side — layout assignment shuffles nothing."""
+    import numpy as np
+
+    import ray.data
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def z(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["user_id"].to_numpy().astype(np.int64) % 65536).astype(
+            np.uint64
+        )
+        minutes = (
+            (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(minutes=1)
+        ).to_numpy().astype(np.int64)
+        b = (minutes % 65536).astype(np.uint64)
+
+        def spread(x: np.ndarray) -> np.ndarray:
+            x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+            x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+            x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+            x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+            return x
+
+        zc = (spread(a) | (spread(b) << np.uint64(1))).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "z": pd.array(zc, dtype="int64"),
+                "zbucket": pd.array(zc >> 24, dtype="int64"),
+            }
+        )
+
+    return events.map_batches(z, batch_format="pandas")
+
+
+_SQL_ZORDER = r"""
+WITH ab AS (
+  SELECT event_id,
+         (user_id % 65536)::BIGINT AS a,
+         ((epoch_us(ts) // 60000000) % 65536)::BIGINT AS b
+  FROM events
+),
+zz AS (
+  SELECT event_id,
+         list_sum(list_transform(generate_series(0, 15),
+           i -> (((a >> i) & 1) << (2 * i))
+              + (((b >> i) & 1) << (2 * i + 1))))::BIGINT AS z
+  FROM ab
+)
+SELECT event_id, z, (z >> 24)::BIGINT AS zbucket FROM zz
+"""
+
+QUERIES["events_zorder"] = q_events_zorder
+ORACLES["events_zorder"] = _SQL_ZORDER

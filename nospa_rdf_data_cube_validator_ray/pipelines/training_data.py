@@ -2959,3 +2959,148 @@ _SQL_KMEANS = _kmeans_sql()
 
 QUERIES["kmeans_clusters"] = q_kmeans_clusters
 ORACLES["kmeans_clusters"] = _SQL_KMEANS
+
+
+# -- positional inverted index build ----------------------------------------
+
+
+def q_postings_index(sf_dir: str):
+    """Search-index construction: the positional inverted index
+    (token → ordered (doc, position) postings) summarized per token as
+    document frequency, collection frequency, and a content hash of the
+    ordered postings list — the verifiable artifact a phrase/proximity
+    query engine would consume.  Postings explode map-side (one row per
+    token occurrence, 1-based positions); the per-token assembly is one
+    bucketed aggregate (util.bucket_agg — token-scale keys never reach
+    a Ray per-key aggregate), with each token's postings serialized in
+    (doc_id, pos) order inside its bucket."""
+    from ..stages.dedup import _md5_u64, tokens
+    from ..util import bucket_agg
+
+    docs = _docs(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks, poss = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            ts = tokens(text if isinstance(text, str) else "")
+            ids.extend([doc_id] * len(ts))
+            toks.extend(ts)
+            poss.extend(range(1, len(ts) + 1))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "token": pd.array(toks, dtype="string"),
+                "pos": pd.array(poss, dtype="int64"),
+            }
+        )
+
+    occ = docs.map_batches(explode, batch_format="pandas")
+
+    def per_token(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["token", "doc_id", "pos"], ignore_index=True)
+        g["entry"] = g["doc_id"].astype(str) + ":" + g["pos"].astype(str)
+        agg = g.groupby("token").agg(
+            df_=("doc_id", "nunique"),
+            cf=("doc_id", "size"),
+            plist=("entry", " ".join),
+        )
+        return pd.DataFrame(
+            {
+                "token": pd.array(agg.index, dtype="string"),
+                "df": pd.array(agg["df_"].to_numpy(), dtype="int64"),
+                "cf": pd.array(agg["cf"].to_numpy(), dtype="int64"),
+                "postings_h61": pd.array(
+                    [_md5_u64(p) % (1 << 61) for p in agg["plist"]],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return bucket_agg(occ, ["token"], per_token)
+
+
+_SQL_POSTINGS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i] AS token, i
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+)
+SELECT token,
+       count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS cf,
+       (md5_number_lower(
+          string_agg(doc_id || ':' || i, ' ' ORDER BY doc_id, i))
+        % 2305843009213693952)::BIGINT AS postings_h61
+FROM pos GROUP BY token
+"""
+
+QUERIES["postings_index"] = q_postings_index
+ORACLES["postings_index"] = _SQL_POSTINGS
+
+
+# -- normalized-text exact dedup (CCNet-style) ------------------------------
+
+
+def q_dedup_normalized(sf_dir: str):
+    """Exact dedup AFTER text normalization (the CCNet/Gopher variant
+    that catches trivially-reformatted copies): lowercase, strip
+    non-alphanumerics, collapse whitespace runs, trim — then keep the
+    min doc_id per normalized form.  Normalization is a vectorized
+    pandas .str chain (ASCII regex classes, RE2-parity like pii_scrub);
+    dedup rides the coarse-bucketed exact_dedup engine, so nothing is
+    ever grouped per distinct text by Ray."""
+    from ..stages import dedup as D
+    from ..stages.dedup import _md5_u64
+
+    docs = _docs(sf_dir)
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            df["text"]
+            .fillna("")
+            .str.lower()
+            .str.replace(r"[^a-z0-9\s]", "", regex=True)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "norm": n.astype("string")}
+        )
+
+    kept = D.exact_dedup(
+        docs.map_batches(normalize, batch_format="pandas"), text_col="norm"
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "norm_h61": pd.array(
+                    [_md5_u64(t) % (1 << 61) for t in df["norm"]],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return kept.map_batches(project, batch_format="pandas")
+
+
+_SQL_DEDUP_NORM = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', '', 'g'),
+           '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT min(doc_id)::BIGINT AS doc_id,
+       (md5_number_lower(norm) % 2305843009213693952)::BIGINT AS norm_h61
+FROM n GROUP BY norm
+"""
+
+QUERIES["dedup_normalized"] = q_dedup_normalized
+ORACLES["dedup_normalized"] = _SQL_DEDUP_NORM

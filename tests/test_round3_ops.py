@@ -753,3 +753,63 @@ def test_kmeans_int_separates_two_blobs():
         .sort_values("vec_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_dedup_normalized_collapses_reformatted_copies():
+    from nospa_rdf_data_cube_validator_ray.stages import dedup as D
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([3, 1, 2], dtype="int64"),
+                "text": ["Hello,  World!", "hello world", "other doc"],
+            }
+        )
+    )
+
+    def normalize(df):
+        n = (
+            df["text"].fillna("").str.lower()
+            .str.replace(r"[^a-z0-9\s]", "", regex=True)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "norm": n.astype("string")}
+        )
+
+    kept = (
+        D.exact_dedup(
+            docs.map_batches(normalize, batch_format="pandas"), text_col="norm"
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # doc 3 ("Hello,  World!") normalizes to doc 1's text -> min id 1 kept
+    assert kept["doc_id"].tolist() == [1, 2]
+
+
+def test_zorder_interleave_matches_bit_definition():
+    from nospa_rdf_data_cube_validator_ray.pipelines.relational import (
+        q_events_zorder,
+    )
+
+    out = q_events_zorder("/root/testdata/sf0.001").to_pandas()
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+    ).to_pandas()
+    merged = out.merge(ev, on="event_id")
+    row = merged.iloc[0]
+    a = int(row["user_id"]) % 65536
+    minutes = int(
+        (row["ts"] - pd.Timestamp(0)) // pd.Timedelta(minutes=1)
+    ) % 65536
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((minutes >> i) & 1) << (2 * i + 1)
+    assert int(row["z"]) == z
+    assert int(row["zbucket"]) == z >> 24
