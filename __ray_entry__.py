@@ -1370,6 +1370,39 @@ FROM deg d LEFT JOIN tcount t ON d.node = t.node
 """
 
 
+def q_kg_scc(sf_dir: str):
+    """Strongly connected components (cycle groups) of the directed
+    import graph — label = each SCC's lexicographically smallest module
+    (stages/graph.scc; size-adaptive: iterative Tarjan on the driver
+    under an edge threshold, distributed FW-BW-MIN peeling above,
+    parity-tested)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import scc
+
+    return scc(_code_import_edges(sf_dir))
+
+
+_SQL_CODE_SCC = f"""
+WITH RECURSIVE {_CODE_EDGE_BODY},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM cedges),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM de UNION ALL SELECT dst FROM de)
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM de
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN de e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a, r1.b
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.node, least(n.node, coalesce(min(m.b), n.node)) AS label
+FROM nodes n LEFT JOIN mutual m ON m.a = n.node
+GROUP BY n.node
+"""
+
+
 def _code_triples(sf_dir: str):
     """All code triples (imports + definitions) for the code corpus,
     extracted once per sf_dir."""
@@ -2877,6 +2910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_shape_check": q_kg_shape_check,
         "kg_hits": q_kg_hits,
         "kg_clustering": q_kg_clustering,
+        "kg_scc": q_kg_scc,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -2964,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_shape_check": _SQL_SHAPE_CHECK,
         "kg_hits": _SQL_CODE_HITS,
         "kg_clustering": _SQL_CODE_CLUSTERING,
+        "kg_scc": _SQL_CODE_SCC,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

@@ -1877,3 +1877,400 @@ def clustering_coeff(
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def _tarjan_scc_labels(e: pd.DataFrame) -> pd.DataFrame:
+    """Driver-regime SCC: iterative Tarjan over an (src, dst) edge
+    frame; returns (node, label) with label = the component's
+    lexicographically smallest node id."""
+    nodes = pd.Index(pd.concat([e["src"], e["dst"]]).unique())
+    idx = pd.Series(np.arange(len(nodes)), index=nodes)
+    src = idx[e["src"]].to_numpy()
+    dst = idx[e["dst"]].to_numpy()
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    starts = np.searchsorted(src_s, np.arange(len(nodes) + 1))
+
+    n = len(nodes)
+    UNVISITED = -1
+    index_of = np.full(n, UNVISITED, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    next_index = 0
+    n_comp = 0
+
+    for root in range(n):
+        if index_of[root] != UNVISITED:
+            continue
+        # work stack of (node, next-edge-cursor)
+        work = [(root, starts[root])]
+        index_of[root] = low[root] = next_index
+        next_index += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, cur = work[-1]
+            if cur < starts[v + 1]:
+                work[-1] = (v, cur + 1)
+                w = dst_s[cur]
+                if index_of[w] == UNVISITED:
+                    index_of[w] = low[w] = next_index
+                    next_index += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, starts[w]))
+                elif on_stack[w]:
+                    low[v] = min(low[v], index_of[w])
+            else:
+                work.pop()
+                if work:
+                    p = work[-1][0]
+                    low[p] = min(low[p], low[v])
+                if low[v] == index_of[v]:
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp[w] = n_comp
+                        if w == v:
+                            break
+                    n_comp += 1
+
+    lab = (
+        pd.DataFrame({"node": pd.Series(nodes, dtype="string"), "c": comp})
+        .groupby("c")["node"]
+        .transform("min")
+    )
+    return pd.DataFrame(
+        {"node": pd.Series(nodes, dtype="string"), "label": lab.astype("string")}
+    ).sort_values("node", ignore_index=True)
+
+
+def scc(
+    edges: "ray.data.Dataset",
+    *,
+    max_driver_edges: int = 2_000_000,
+    max_outer_rounds: int = 30,
+    max_prop_rounds: int = 64,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Strongly connected components of the directed (subj → obj)
+    graph: rows (node, label), label = the SCC's lexicographically
+    smallest node id — the cycle-group structure of an import graph
+    (every module in a dependency cycle shares a label).
+
+    Size-adaptive (parity-tested): under ``max_driver_edges`` the
+    distinct edge list is collected once and labeled by iterative
+    Tarjan on the driver.  Above it, the FW-BW-MIN peeling scheme
+    (Orzan-style coloring) runs fully distributed: (1) forward-MIN
+    coloring to fixpoint — color(v) = min id that reaches v within the
+    still-active subgraph (one hash join + bucketed min per round,
+    rounds ≤ active diameter); (2) backward membership from each pivot
+    p (color(p) = p) along edges that stay inside p's color class —
+    exactly SCC(p); (3) assign and peel members, repeat.  Each outer
+    round retires every pivot's SCC, and two fast paths finish early:
+    when no intra-color edge remains the active remainder is provably
+    acyclic (all singletons), and when the active edge set empties the
+    surviving nodes are edge-free singletons.  Pathological id-ascending
+    SCC chains that exceed ``max_outer_rounds`` (or a propagation that
+    exceeds ``max_prop_rounds``) raise rather than return wrong
+    labels."""
+    from ..functions.kernel import distinct
+    from ..util import bucket_agg
+
+    np_ = _nparts(num_partitions)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["subj"].astype("string"), "dst": df["obj"].astype("string")}
+        ).drop_duplicates(ignore_index=True)
+
+    pairs = distinct(
+        edges.map_batches(to_pairs, batch_format="pandas"), ["src", "dst"]
+    ).materialize()
+
+    if pairs.count() <= max_driver_edges:
+        e = pd.concat(
+            list(pairs.iter_batches(batch_format="pandas", batch_size=65536)),
+            ignore_index=True,
+        )
+        if len(e) == 0:
+            import pyarrow as pa
+
+            return ray.data.from_arrow(
+                pa.schema([("node", pa.string()), ("label", pa.string())])
+                .empty_table()
+            )
+        return ray.data.from_pandas(_tarjan_scc_labels(e))
+
+    # ---- distributed FW-BW-MIN peeling ------------------------------------
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([df["src"], df["dst"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"node": u.astype("string")})
+
+    active_nodes = heal_schema(
+        distinct(pairs.map_batches(node_partial, batch_format="pandas"), ["node"]),
+        np_,
+    ).materialize()
+    active_edges = heal_schema(pairs, np_).materialize()
+    done: list["ray.data.Dataset"] = []
+
+    def min_by_node(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("node", as_index=False)["label"]
+            .min()
+            .astype({"node": "string", "label": "string"})
+        )
+
+    for _ in range(max_outer_rounds):
+        if active_nodes.count() == 0:
+            break
+        # (1) forward-MIN coloring to fixpoint
+        colors = active_nodes.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].astype("string"),
+                 "label": df["node"].astype("string")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        for _r in range(max_prop_rounds):
+            msgs = active_edges.join(
+                heal_schema(colors, np_).map_batches(
+                    lambda df: df.rename(columns={"node": "src"}),
+                    batch_format="pandas",
+                ),
+                "inner",
+                np_,
+                on=("src",),
+            ).map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["dst"].astype("string"),
+                     "label": df["label"].astype("string")}
+                ),
+                batch_format="pandas",
+            )
+            new_colors = bucket_agg(
+                heal_schema(colors, np_).union(heal_schema(msgs, np_)),
+                ["node"],
+                min_by_node,
+                num_buckets=np_,
+            ).materialize()
+            # fixpoint check: count of (node,label) rows that changed
+            delta = (
+                heal_schema(new_colors, np_)
+                .join(
+                    heal_schema(colors, np_).map_batches(
+                        lambda df: df.rename(columns={"label": "old"}),
+                        batch_format="pandas",
+                    ),
+                    "inner",
+                    np_,
+                    on=("node",),
+                )
+                .map_batches(
+                    lambda df: df[df["label"] != df["old"]][["node"]],
+                    batch_format="pandas",
+                )
+                .count()
+            )
+            colors = new_colors
+            if delta == 0:
+                break
+        else:
+            raise RuntimeError(
+                "scc: forward coloring did not converge within "
+                f"max_prop_rounds={max_prop_rounds}"
+            )
+        # (2) backward membership from pivots within color classes.
+        # member rows: (node, label).  seed = pivots.
+        members = colors.map_batches(
+            lambda df: df[df["node"] == df["label"]].reset_index(drop=True),
+            batch_format="pandas",
+        ).materialize()
+        # color-annotated edges (both endpoints' colors).  The two
+        # annotation joins MUST NOT share one execution plan: each join
+        # partition holds a HashShuffleAggregator CPU slot alive, and two
+        # concurrent joins at join_partitions = CPUs/2 each claim every
+        # core, starving the producer tasks (observed hang at 4 cpus) —
+        # materialize between them so the operators run serially.
+        ec_half = heal_schema(
+            active_edges.join(
+                heal_schema(colors, np_).map_batches(
+                    lambda df: df.rename(
+                        columns={"node": "src", "label": "csrc"}
+                    ),
+                    batch_format="pandas",
+                ),
+                "inner",
+                np_,
+                on=("src",),
+            ),
+            np_,
+        ).materialize()
+        ec = ec_half.join(
+            heal_schema(colors, np_).map_batches(
+                lambda df: df.rename(columns={"node": "dst", "label": "cdst"}),
+                batch_format="pandas",
+            ),
+            "inner",
+            np_,
+            on=("dst",),
+        ).map_batches(
+            lambda df: df[df["csrc"] == df["cdst"]][["src", "dst"]].reset_index(
+                drop=True
+            ),
+            batch_format="pandas",
+        )
+        ec = heal_schema(ec, np_).materialize()
+        prev_n = members.count()
+        # no intra-color edge anywhere ⇒ the active remainder is ACYCLIC
+        # (any directed cycle is mutually reachable, hence one color
+        # class with internal edges) ⇒ every remaining node is its own
+        # SCC — finish in one shot.  This also keeps the schema-less
+        # fully-empty ec away from the join below.
+        if ec.count() == 0:
+            done.append(
+                active_nodes.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"node": df["node"].astype("string"),
+                         "label": df["node"].astype("string")}
+                    ),
+                    batch_format="pandas",
+                )
+            )
+            active_nodes = active_nodes.limit(0).materialize()
+            break
+        for _r in range(max_prop_rounds):
+            # u joins SCC if edge u→w and w is a member (same color class
+            # already enforced in ec; label rides along from w)
+            grow = ec.join(
+                heal_schema(members, np_).map_batches(
+                    lambda df: df.rename(columns={"node": "dst"}),
+                    batch_format="pandas",
+                ),
+                "inner",
+                np_,
+                on=("dst",),
+            ).map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["src"].astype("string"),
+                     "label": df["label"].astype("string")}
+                ),
+                batch_format="pandas",
+            )
+            new_members = bucket_agg(
+                heal_schema(members, np_).union(heal_schema(grow, np_)),
+                ["node"],
+                min_by_node,
+                num_buckets=np_,
+            ).materialize()
+            n_now = new_members.count()
+            members = new_members
+            if n_now == prev_n:
+                break
+            prev_n = n_now
+        else:
+            raise RuntimeError(
+                "scc: backward membership did not converge within "
+                f"max_prop_rounds={max_prop_rounds}"
+            )
+        done.append(members)
+        # (3) peel: drop members from active nodes and edges
+        anti = members.map_batches(
+            lambda df: df[["node"]], batch_format="pandas"
+        ).materialize()
+        active_nodes = heal_schema(active_nodes, np_).join(
+            heal_schema(
+                anti.map_batches(
+                    lambda df: df.assign(_m=1), batch_format="pandas"
+                ),
+                np_,
+            ),
+            "left_outer",
+            np_,
+            on=("node",),
+        ).map_batches(
+            lambda df: df[df["_m"].isna()][["node"]].reset_index(drop=True)
+            if "_m" in df.columns
+            else df[["node"]],
+            batch_format="pandas",
+        ).materialize()
+        if active_nodes.count() == 0:
+            break
+        active_edges = heal_schema(active_edges, np_).join(
+            heal_schema(
+                anti.map_batches(
+                    lambda df: df.rename(columns={"node": "src"}).assign(_m=1),
+                    batch_format="pandas",
+                ),
+                np_,
+            ),
+            "left_outer",
+            np_,
+            on=("src",),
+        ).map_batches(
+            lambda df: df[df["_m"].isna()][["src", "dst"]].reset_index(drop=True)
+            if "_m" in df.columns
+            else df[["src", "dst"]],
+            batch_format="pandas",
+        )
+        # the filter above can emit schema-less empty blocks — heal
+        # BEFORE the second anti-join or its key probe fails; and
+        # materialize so the two anti-joins never run concurrently
+        # (aggregator CPU-slot starvation, see ec above)
+        active_edges = heal_schema(active_edges, np_).materialize()
+        if active_edges.count() == 0:
+            # every surviving node is edge-free ⇒ its own SCC; a fully
+            # empty dataset is schema-less and must not reach a join
+            done.append(
+                active_nodes.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"node": df["node"].astype("string"),
+                         "label": df["node"].astype("string")}
+                    ),
+                    batch_format="pandas",
+                )
+            )
+            active_nodes = active_nodes.limit(0).materialize()
+            break
+        active_edges = active_edges.join(
+            heal_schema(
+                anti.map_batches(
+                    lambda df: df.rename(columns={"node": "dst"}).assign(_m=1),
+                    batch_format="pandas",
+                ),
+                np_,
+            ),
+            "left_outer",
+            np_,
+            on=("dst",),
+        ).map_batches(
+            lambda df: df[df["_m"].isna()][["src", "dst"]].reset_index(drop=True)
+            if "_m" in df.columns
+            else df[["src", "dst"]],
+            batch_format="pandas",
+        )
+        active_edges = heal_schema(active_edges, np_).materialize()
+        if active_edges.count() == 0:
+            done.append(
+                active_nodes.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"node": df["node"].astype("string"),
+                         "label": df["node"].astype("string")}
+                    ),
+                    batch_format="pandas",
+                )
+            )
+            active_nodes = active_nodes.limit(0).materialize()
+            break
+    else:
+        raise RuntimeError(
+            f"scc: peeling did not finish within max_outer_rounds="
+            f"{max_outer_rounds}"
+        )
+
+    out = done[0]
+    for d in done[1:]:
+        out = heal_schema(out, np_).union(heal_schema(d, np_))
+    return out

@@ -813,3 +813,62 @@ def test_zorder_interleave_matches_bit_definition():
         z |= ((minutes >> i) & 1) << (2 * i + 1)
     assert int(row["z"]) == z
     assert int(row["zbucket"]) == z >> 24
+
+
+# -- SCC --------------------------------------------------------------------
+
+
+SCC_GRAPH = [
+    ("a", "b"), ("b", "c"), ("c", "a"),        # 3-cycle
+    ("c", "d"), ("d", "e"), ("e", "d"),        # 2-cycle downstream
+    ("e", "f"),                                # tail singleton
+    ("g", "g"),                                # self-loop singleton
+]
+
+
+def test_scc_driver_labels():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import scc
+
+    out = scc(_edges(SCC_GRAPH)).to_pandas().set_index("node")["label"]
+    assert dict(out) == {
+        "a": "a", "b": "a", "c": "a",
+        "d": "d", "e": "d",
+        "f": "f", "g": "g",
+    }
+
+
+def test_scc_regime_parity():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import scc
+
+    edges = _edges(SCC_GRAPH)
+    fast = scc(edges).to_pandas().sort_values("node", ignore_index=True)
+    dist = (
+        scc(edges, max_driver_edges=0)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist.astype(fast.dtypes.to_dict()))
+
+
+def test_scc_distributed_acyclic_fast_path_and_chain_of_cycles():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import scc
+
+    # descending chain: every node is its own color (no smaller id
+    # reaches it) -> no intra-color edge -> acyclic fast path finishes
+    # the whole graph in ONE outer round
+    chain = [(f"n{i + 1:02d}", f"n{i:02d}") for i in range(4)]
+    out = (
+        scc(_edges(chain), max_driver_edges=0, max_outer_rounds=1)
+        .to_pandas()
+        .set_index("node")["label"]
+    )
+    assert all(out.index == out.to_numpy())
+    # chained 2-cycles peel one SCC per outer round: 3 cycles can't
+    # finish in 2 rounds
+    cyc = [
+        ("a1", "a2"), ("a2", "a1"), ("a2", "b1"),
+        ("b1", "b2"), ("b2", "b1"), ("b2", "c1"),
+        ("c1", "c2"), ("c2", "c1"),
+    ]
+    with pytest.raises(RuntimeError, match="outer_rounds"):
+        scc(_edges(cyc), max_driver_edges=0, max_outer_rounds=2)
