@@ -1691,6 +1691,57 @@ FROM reach GROUP BY node
 """
 
 
+def q_kg_dag_paths(sf_dir: str):
+    """Distinct root-to-module path counts (provenance fan-in) over the
+    acyclic import corpus — monotone sum fixpoint, rounds = graph
+    depth, raises on cycles (stages/graph.dag_path_counts;
+    size-adaptive driver loop / join rounds, parity-tested)."""
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_dag_corpus
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        extract_code_corpus,
+    )
+    from nospa_rdf_data_cube_validator_ray.stages.graph import dag_path_counts
+
+    imp = (f"{_CODE}imports", f"{_CODE}importsFrom")
+    edges = extract_code_corpus(
+        ray.data.from_arrow(tpch_dag_corpus(sf_dir))
+    ).map_batches(
+        lambda df: df[df["pred"].isin(imp)].reset_index(drop=True),
+        batch_format="pandas",
+    )
+    return dag_path_counts(edges)
+
+
+_SQL_DAG_PATHS = f"""
+WITH RECURSIVE p AS (SELECT p_partkey AS k FROM part WHERE p_partkey >= 2),
+dedges AS (
+  -- explicit DISTINCT: inside a WITH RECURSIVE block DuckDB 1.0 leaves
+  -- duplicate rows in a sibling CTE's plain UNION (observed: one dup
+  -- pair), which max-based oracles tolerate but path COUNTS must not
+  SELECT DISTINCT src, dst FROM (
+    SELECT k AS src, k // 2 AS dst FROM p
+    UNION ALL
+    SELECT k, k // 3 FROM p)
+),
+dnodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT src AS n FROM dedges UNION ALL SELECT dst FROM dedges)
+),
+roots AS (
+  SELECT n FROM dnodes WHERE n NOT IN (SELECT dst FROM dedges)
+),
+walk(node) AS (
+  SELECT n FROM roots
+  UNION ALL
+  SELECT e.dst FROM walk w JOIN dedges e ON e.src = w.node
+)
+SELECT '{_CODEN}mod/m' || node AS node, count(*)::BIGINT AS n_paths
+FROM walk GROUP BY node
+"""
+
+
 def q_kg_node_features(sf_dir: str):
     """GNN feature assembly: ONE node-feature table (node, out_deg,
     in_deg, n_2hop, pr) composed from three analytics results by hash
@@ -2911,6 +2962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": q_kg_hits,
         "kg_clustering": q_kg_clustering,
         "kg_scc": q_kg_scc,
+        "kg_dag_paths": q_kg_dag_paths,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -2999,6 +3051,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _SQL_CODE_HITS,
         "kg_clustering": _SQL_CODE_CLUSTERING,
         "kg_scc": _SQL_CODE_SCC,
+        "kg_dag_paths": _SQL_DAG_PATHS,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

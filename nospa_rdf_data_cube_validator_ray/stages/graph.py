@@ -2274,3 +2274,179 @@ def scc(
     for d in done[1:]:
         out = heal_schema(out, np_).union(heal_schema(d, np_))
     return out
+
+
+def dag_path_counts(
+    edges: "ray.data.Dataset",
+    *,
+    max_iters: int = 64,
+    max_driver_edges: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Distinct root-to-node path counts over a dependency DAG — the
+    provenance/fan-in question (how many build orders reach this
+    module): roots are nodes with NO incoming edge, paths(root) = 1,
+    paths(v) = Σ paths(u) over in-edges u → v.  Returns (node,
+    n_paths) for every node.  Iteration is the monotone fixpoint
+    p_{i+1}(v) = is_root(v) + Σ_{u→v} p_i(u) (p_i counts root paths of
+    length ≤ i), which stabilizes in longest-path rounds on a DAG; a
+    cyclic graph grows forever and raises at ``max_iters`` instead of
+    returning wrong counts.
+
+    Size-adaptive like ``dag_depth`` (parity-tested): vectorized
+    driver loop under ``max_driver_edges``; above it each round is one
+    hash join (counts ⋈ edges on src) + one bucketed sum + a fixpoint
+    signature check."""
+    np_ = _nparts(num_partitions)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["subj"].astype("string"), "dst": df["obj"].astype("string")}
+        ).drop_duplicates(ignore_index=True)
+
+    pairs = edges.map_batches(to_pairs, batch_format="pandas").materialize()
+    n_edges = pairs.count()
+
+    if n_edges == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.string()), ("n_paths", pa.int64())])
+            .empty_table()
+        )
+
+    if n_edges <= max_driver_edges:
+        e = pd.concat(
+            list(pairs.iter_batches(batch_format="pandas", batch_size=65536)),
+            ignore_index=True,
+        ).drop_duplicates(ignore_index=True)
+        nodes = pd.Index(pd.concat([e["src"], e["dst"]]).unique())
+        root = (~nodes.isin(e["dst"])).astype("int64")
+        root = pd.Series(root, index=nodes)
+        p = root.copy()
+        for _ in range(max_iters):
+            inc = (
+                pd.DataFrame({"dst": e["dst"], "c": p[e["src"]].to_numpy()})
+                .groupby("dst")["c"]
+                .sum()
+                .reindex(nodes, fill_value=0)
+                .astype("int64")
+            )
+            new = (root + inc).astype("int64")
+            if new.equals(p):
+                break
+            p = new
+        else:
+            raise RuntimeError(
+                f"dag_path_counts did not converge in {max_iters} rounds: "
+                "the graph contains a cycle or is deeper than the bound"
+            )
+        out = pd.DataFrame(
+            {"node": pd.Series(nodes, dtype="string"), "n_paths": p.to_numpy()}
+        )
+        return ray.data.from_pandas(out.sort_values("node", ignore_index=True))
+
+    # distributed regime
+    from ..functions.kernel import distinct
+    from ..util import bucket_sum, ds_signature
+
+    pairs = heal_schema(pairs, np_).materialize()
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([df["src"], df["dst"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"node": u.astype("string")})
+
+    nodes_ds = heal_schema(
+        distinct(pairs.map_batches(node_partial, batch_format="pandas"), ["node"]),
+        np_,
+    ).materialize()
+
+    dst_set = heal_schema(
+        distinct(
+            pairs.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["dst"].astype("string")}
+                ).drop_duplicates(ignore_index=True),
+                batch_format="pandas",
+            ),
+            ["node"],
+        ).map_batches(lambda df: df.assign(_in=1), batch_format="pandas"),
+        np_,
+    )
+    roots_ds = heal_schema(nodes_ds, np_).join(
+        dst_set, "left_outer", np_, on=("node",)
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "node": df["node"].astype("string"),
+                "root": (
+                    df["_in"].isna()
+                    if "_in" in df.columns
+                    else pd.Series(True, index=df.index)
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    roots_ds = heal_schema(roots_ds, np_).materialize()
+
+    p_ds = roots_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("string"),
+             "c": df["root"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def sig(ds) -> int:
+        return ds_signature(ds, ["node", "c"])
+
+    cur = sig(p_ds)
+    for it in range(max_iters + 1):
+        if it == max_iters:
+            raise RuntimeError(
+                f"dag_path_counts did not converge in {max_iters} rounds: "
+                "the graph contains a cycle or is deeper than the bound"
+            )
+        msgs = pairs.join(
+            heal_schema(_ren(p_ds, {"node": "src"}), np_),
+            "inner",
+            np_,
+            on=("src",),
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["dst"].astype("string"),
+                 "c": df["c"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+        sums = heal_schema(
+            bucket_sum(heal_schema(msgs, np_), ["node"], ["c"], num_buckets=np_),
+            np_,
+        )
+        p_new = roots_ds.join(
+            _ren(sums, {"c": "s"}), "left_outer", np_, on=("node",)
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"].astype("string"),
+                    "c": (
+                        df["root"].astype("int64")
+                        + (
+                            df["s"].fillna(0).astype("int64")
+                            if "s" in df.columns
+                            else 0
+                        )
+                    ).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+        p_ds = p_new
+        new = sig(p_ds)
+        if new == cur:
+            break
+        cur = new
+    return p_ds.map_batches(
+        lambda df: df.rename(columns={"c": "n_paths"}), batch_format="pandas"
+    )

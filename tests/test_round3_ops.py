@@ -872,3 +872,27 @@ def test_scc_distributed_acyclic_fast_path_and_chain_of_cycles():
     ]
     with pytest.raises(RuntimeError, match="outer_rounds"):
         scc(_edges(cyc), max_driver_edges=0, max_outer_rounds=2)
+
+
+def test_dag_path_counts_hand_and_parity_and_cycle():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import dag_path_counts
+
+    # diamond: r -> a, r -> b, a -> t, b -> t  (2 paths to t) plus tail
+    dag = [("r", "a"), ("r", "b"), ("a", "t"), ("b", "t"), ("t", "u")]
+    out = (
+        dag_path_counts(_edges(dag)).to_pandas().set_index("node")["n_paths"]
+    )
+    assert dict(out) == {"r": 1, "a": 1, "b": 1, "t": 2, "u": 2}
+    dist = (
+        dag_path_counts(_edges(dag), max_driver_edges=0)
+        .to_pandas()
+        .set_index("node")["n_paths"]
+    )
+    assert dict(dist) == dict(out)
+    # a root-free cycle stabilizes at 0 paths (no root reaches it) —
+    # correct, not an error
+    iso = dag_path_counts(_edges([("a", "b"), ("b", "a")])).to_pandas()
+    assert iso["n_paths"].tolist() == [0, 0]
+    # a cycle REACHABLE from a root grows forever -> must raise
+    with pytest.raises(RuntimeError, match="converge"):
+        dag_path_counts(_edges([("r", "a"), ("a", "b"), ("b", "a")]))
