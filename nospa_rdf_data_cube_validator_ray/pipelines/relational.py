@@ -1497,3 +1497,64 @@ SELECT event_id, z, (z >> 24)::BIGINT AS zbucket FROM zz
 
 QUERIES["events_zorder"] = q_events_zorder
 ORACLES["events_zorder"] = _SQL_ZORDER
+
+
+# -- JSONL sink/source round trip -------------------------------------------
+
+
+def q_events_jsonl_roundtrip(sf_dir: str):
+    """Multi-format IO surface: export the event stream to partitioned
+    JSONL (one file per block — the resumable-sink layout), read it
+    back with the JSON source, and aggregate per event type.  The
+    oracle computes the same aggregate straight from parquet, so any
+    row lost, duplicated, or value-mangled by the serialize→parse hop
+    breaks the hash.  The aggregate is a ~5-key groupby (fine for Ray's
+    per-key Aggregate); the result materializes before the scratch
+    directory is removed."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id"],
+    )
+    out_dir = tempfile.mkdtemp(prefix="graft_jsonl_rt_")
+    try:
+        # fresh mkdtemp per call: Ray file sinks APPEND into existing
+        # directories, so reusing a path would double-count on re-runs
+        ds.write_json(out_dir)
+        back = ray.data.read_json(out_dir)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("event_type", as_index=False).agg(
+                n=("event_id", "size"), uid_sum=("user_id", "sum")
+            )
+            return g.astype(
+                {"event_type": "string", "n": "int64", "uid_sum": "int64"}
+            )
+
+        res = (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .sum(["n", "uid_sum"])
+        )
+        out = res.to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    out = out.rename(
+        columns={"sum(n)": "n", "sum(uid_sum)": "uid_sum"}
+    ).astype({"event_type": "string", "n": "int64", "uid_sum": "int64"})
+    return out.sort_values("event_type", ignore_index=True)
+
+
+_SQL_JSONL_RT = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(user_id)::BIGINT AS uid_sum
+FROM events GROUP BY event_type
+"""
+
+QUERIES["events_jsonl_roundtrip"] = q_events_jsonl_roundtrip
+ORACLES["events_jsonl_roundtrip"] = _SQL_JSONL_RT

@@ -3104,3 +3104,105 @@ FROM n GROUP BY norm
 
 QUERIES["dedup_normalized"] = q_dedup_normalized
 ORACLES["dedup_normalized"] = _SQL_DEDUP_NORM
+
+
+# -- deterministic hashed-projection embedding inference --------------------
+
+
+class _HashEmbedder:
+    """Embedding-inference stage shape: a deterministic 16-dim hashed
+    random-projection text encoder (feature-hashing with md5-derived
+    ±1 signs — the Charikar/Weinberger hashing-trick layout a real
+    encoder checkpoint would replace).  Per-actor state: the sign cache
+    (token → ±1 vector) built lazily in the actor, so repeated tokens
+    across batches never re-hash — the analogue of a loaded model's
+    weight table living in __init__."""
+
+    DIM = 16
+
+    def __init__(self):
+        self._signs: dict[str, "np.ndarray"] = {}
+
+    def _sign_vec(self, tok: str) -> "np.ndarray":
+        from ..stages.dedup import _md5_u64
+
+        v = self._signs.get(tok)
+        if v is None:
+            v = np.array(
+                [
+                    1 if _md5_u64(f"{tok}|{d}") % 2 == 1 else -1
+                    for d in range(self.DIM)
+                ],
+                dtype=np.int64,
+            )
+            self._signs[tok] = v
+        return v
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.dedup import tokens
+
+        n = len(df)
+        out = np.zeros((n, self.DIM), dtype=np.int64)
+        n_toks = np.zeros(n, dtype=np.int64)
+        for i, text in enumerate(df["text"]):
+            ts = tokens(text if isinstance(text, str) else "")
+            n_toks[i] = len(ts)
+            acc = out[i]
+            for t in ts:
+                acc += self._sign_vec(t)
+        res = {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+               "n_tokens": n_toks}
+        for d in range(self.DIM):
+            res[f"e{d}"] = out[:, d]
+        return pd.DataFrame(res)
+
+
+def q_doc_embed_hash(sf_dir: str):
+    """Deterministic hashed-projection document embeddings (actor pool
+    with a lazily-built per-actor sign table — the batched-inference
+    stage shape; output is 16 integer coordinates per doc)."""
+    from ..util import auto_concurrency
+
+    return _docs(sf_dir).map_batches(
+        _HashEmbedder,
+        batch_format="pandas",
+        concurrency=auto_concurrency(None),
+        batch_size=256,
+    )
+
+
+def _embed_hash_sql(dim: int = 16) -> str:
+    cols = ",\n       ".join(
+        f"coalesce(sum(s) FILTER (WHERE i = {d}), 0)::BIGINT AS e{d}"
+        for d in range(dim)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS t
+  FROM documents
+),
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+signs AS (
+  SELECT doc_id, i,
+         CASE WHEN md5_number_lower(tok || '|' || i) % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM occ, unnest(generate_series(0, {dim - 1})) AS u(i)
+),
+per AS (
+  SELECT doc_id,
+       {cols}
+  FROM signs GROUP BY doc_id
+),
+nt AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks
+)
+SELECT nt.doc_id, nt.n_tokens,
+       {", ".join(f"coalesce(per.e{d}, 0)::BIGINT AS e{d}" for d in range(dim))}
+FROM nt LEFT JOIN per USING (doc_id)
+"""
+
+
+_SQL_EMBED_HASH = _embed_hash_sql()
+
+QUERIES["doc_embed_hash"] = q_doc_embed_hash
+ORACLES["doc_embed_hash"] = _SQL_EMBED_HASH
