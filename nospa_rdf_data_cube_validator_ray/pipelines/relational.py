@@ -1558,3 +1558,110 @@ FROM events GROUP BY event_type
 
 QUERIES["events_jsonl_roundtrip"] = q_events_jsonl_roundtrip
 ORACLES["events_jsonl_roundtrip"] = _SQL_JSONL_RT
+
+
+# -- trailing-window spike (anomaly) detection ------------------------------
+
+
+def q_events_spike(sf_dir: str, win: int = 8):
+    """Streaming anomaly rule over the event stream: for every
+    (event_type, hour) cell — hours taken densely over the corpus'
+    global [min, max] hour range, zero-filled — flag a spike when
+    ``n * win > 3 * trailing-win-hour sum`` once a full window of
+    history exists.  Integer arithmetic only (cross-multiplied rule, no
+    ratios) so the oracle hash-matches.  Hourly counts aggregate via a
+    coarse-bucketed partial (hour keys scale with the time range —
+    never a raw Ray per-key aggregate); the dense per-type series is
+    rebuilt inside a per-type map_groups (event-type cardinality is
+    small and bounded) with a vectorized cumsum-difference window."""
+    import ray.data
+
+    from ..util import bucket_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour_id = ((df["ts"] - pd.Timestamp(0)) // pd.Timedelta(hours=1)).astype(
+            "int64"
+        )
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "hour_id": hour_id})
+            .groupby(["event_type", "hour_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g.astype({"event_type": "string", "hour_id": "int64", "n": "int64"})
+
+    counts = bucket_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour_id"],
+        ["n"],
+    ).materialize()
+
+    # global dense hour range: two scalar aggregates, broadcast
+    lo = counts.min("hour_id")
+    hi = counts.max("hour_id")
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].iloc[0]
+        dense = (
+            df.set_index("hour_id")["n"]
+            .reindex(range(lo, hi + 1), fill_value=0)
+            .astype("int64")
+        )
+        n = dense.to_numpy()
+        c = np.concatenate([[0], np.cumsum(n)])
+        # trailing sum over [h-win, h-1]
+        idx = np.arange(len(n))
+        prev = np.where(idx >= win, c[idx] - c[np.maximum(idx - win, 0)], 0)
+        spike = ((idx >= win) & (n * win > 3 * prev)).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([et] * len(n), dtype="string"),
+                "hour_id": pd.array(dense.index.to_numpy(), dtype="int64"),
+                "n": n,
+                "prev_sum": pd.array(prev, dtype="int64"),
+                "spike": spike,
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        per_type, batch_format="pandas"
+    )
+
+
+_SQL_EVENTS_SPIKE = """
+WITH c AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour_id,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM c),
+hours AS (
+  SELECT unnest(generate_series(lo, hi)) AS hour_id FROM rng
+),
+types AS (SELECT DISTINCT event_type FROM c),
+dense AS (
+  SELECT t.event_type, h.hour_id, coalesce(c.n, 0)::BIGINT AS n,
+         (h.hour_id - (SELECT lo FROM rng))::BIGINT AS idx
+  FROM types t CROSS JOIN hours h
+  LEFT JOIN c ON c.event_type = t.event_type AND c.hour_id = h.hour_id
+),
+w AS (
+  SELECT event_type, hour_id, n, idx,
+         coalesce(sum(n) OVER (
+           PARTITION BY event_type ORDER BY hour_id
+           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev_sum
+  FROM dense
+)
+SELECT event_type, hour_id, n,
+       CASE WHEN idx >= 8 THEN prev_sum ELSE 0 END AS prev_sum,
+       CASE WHEN idx >= 8 AND n * 8 > 3 * prev_sum
+            THEN 1 ELSE 0 END::BIGINT AS spike
+FROM w
+"""
+
+QUERIES["events_spike"] = q_events_spike
+ORACLES["events_spike"] = _SQL_EVENTS_SPIKE
