@@ -2681,7 +2681,7 @@ def q_paragraph_dedup(sf_dir: str):
     occurrence against its winner; reassembly is a second bucketed
     aggregate keyed by doc_id.  Nothing corpus-scale touches the
     driver, and paragraph text rides the shuffle once."""
-    from ..stages.dedup import _md5_u64
+    from ..stages.dedup import _md5_u64, _md5_u64_cached
     from ..util import bucket_agg, heal_schema, join_partitions
 
     docs = _docs(sf_dir)
@@ -2701,8 +2701,11 @@ def q_paragraph_dedup(sf_dir: str):
                 "para": paras.astype("string"),
             }
         )
+        # cached: the head/foot paragraphs have only 8 distinct values
+        # corpus-wide, so ~half the hashes here are repeats
         out["h61"] = pd.array(
-            [_md5_u64(p) % (1 << 61) for p in out["para"]], dtype="int64"
+            [_md5_u64_cached(p) % (1 << 61) for p in out["para"]],
+            dtype="int64",
         )
         return out
 
@@ -3052,18 +3055,26 @@ def q_dedup_normalized(sf_dir: str):
     pandas .str chain (ASCII regex classes, RE2-parity like pii_scrub);
     dedup rides the coarse-bucketed exact_dedup engine, so nothing is
     ever grouped per distinct text by Ray."""
+    import re
+
     from ..stages import dedup as D
     from ..stages.dedup import _md5_u64
 
     docs = _docs(sf_dir)
+
+    # re.ASCII: Python's default \s is Unicode while DuckDB's RE2 \s is
+    # ASCII-only — without the flag a U+00A0/U+2028 document would
+    # normalize differently on the two sides (the tokens() convention)
+    drop_re = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    ws_re = re.compile(r"\s+", re.ASCII)
 
     def normalize(df: pd.DataFrame) -> pd.DataFrame:
         n = (
             df["text"]
             .fillna("")
             .str.lower()
-            .str.replace(r"[^a-z0-9\s]", "", regex=True)
-            .str.replace(r"\s+", " ", regex=True)
+            .str.replace(drop_re, "", regex=True)
+            .str.replace(ws_re, " ", regex=True)
             .str.strip()
         )
         return pd.DataFrame(

@@ -377,6 +377,7 @@ def triangle_enum(
     *,
     max_broadcast_nodes: int = 5_000_000,
     num_partitions: int | None = None,
+    undirected: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Enumerate all triangles of the undirected version of ``edges`` as
     rows (a, b, c), each triangle exactly once, ordered by the
@@ -393,9 +394,16 @@ def triangle_enum(
     Size-adaptive degree lookup (parity-tested): node degrees broadcast
     as a ``ray.put`` dict under ``max_broadcast_nodes`` (map-side
     orientation, no extra shuffle); above it, two hash joins attach the
-    endpoint degrees instead — same output either way."""
+    endpoint degrees instead — same output either way.
+
+    ``undirected``: a caller that already holds the distinct (x, y)
+    undirected edge set (e.g. clustering_coeff, which also needs it for
+    degrees) passes it here to skip a second corpus-scale distinct
+    shuffle."""
     np_ = _nparts(num_partitions)
-    u = heal_schema(_undirected(edges), np_).materialize()
+    u = heal_schema(
+        undirected if undirected is not None else _undirected(edges), np_
+    ).materialize()
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         c = pd.concat([df["x"], df["y"]], ignore_index=True).value_counts()
@@ -1673,6 +1681,17 @@ def hits_int(
     pairs = edges.map_batches(to_pairs, batch_format="pandas")
     n_edges = pairs.count()
 
+    if n_edges == 0:
+        # an emptied dataset yields zero batches (pd.concat([]) raises)
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.schema(
+                [("node", pa.string()), ("auth", pa.int64()),
+                 ("hub", pa.int64())]
+            ).empty_table()
+        )
+
     if n_edges <= max_driver_edges:
         e = pd.concat(
             list(pairs.iter_batches(batch_format="pandas", batch_size=65536)),
@@ -1830,7 +1849,7 @@ def clustering_coeff(
         )
 
     tri_counts = bucket_sum(
-        triangle_enum(edges, num_partitions=np_).map_batches(
+        triangle_enum(edges, num_partitions=np_, undirected=und).map_batches(
             tri_explode, batch_format="pandas"
         ),
         ["node"],
@@ -1989,19 +2008,23 @@ def scc(
     pairs = distinct(
         edges.map_batches(to_pairs, batch_format="pandas"), ["src", "dst"]
     ).materialize()
+    n_pairs = pairs.count()
 
-    if pairs.count() <= max_driver_edges:
+    if n_pairs == 0:
+        # guard BEFORE collecting: an emptied dataset yields zero
+        # batches and pd.concat([]) raises
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.string()), ("label", pa.string())])
+            .empty_table()
+        )
+
+    if n_pairs <= max_driver_edges:
         e = pd.concat(
             list(pairs.iter_batches(batch_format="pandas", batch_size=65536)),
             ignore_index=True,
         )
-        if len(e) == 0:
-            import pyarrow as pa
-
-            return ray.data.from_arrow(
-                pa.schema([("node", pa.string()), ("label", pa.string())])
-                .empty_table()
-            )
         return ray.data.from_pandas(_tarjan_scc_labels(e))
 
     # ---- distributed FW-BW-MIN peeling ------------------------------------
@@ -2022,6 +2045,21 @@ def scc(
             .min()
             .astype({"node": "string", "label": "string"})
         )
+
+    def retire_rest(nodes_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Label every remaining active node as its own singleton SCC
+        and return the emptied active set (shared by the three
+        early-finish paths so their labeling shape cannot drift)."""
+        done.append(
+            nodes_ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["node"].astype("string"),
+                     "label": df["node"].astype("string")}
+                ),
+                batch_format="pandas",
+            )
+        )
+        return nodes_ds.limit(0).materialize()
 
     for _ in range(max_outer_rounds):
         if active_nodes.count() == 0:
@@ -2130,16 +2168,7 @@ def scc(
         # SCC — finish in one shot.  This also keeps the schema-less
         # fully-empty ec away from the join below.
         if ec.count() == 0:
-            done.append(
-                active_nodes.map_batches(
-                    lambda df: pd.DataFrame(
-                        {"node": df["node"].astype("string"),
-                         "label": df["node"].astype("string")}
-                    ),
-                    batch_format="pandas",
-                )
-            )
-            active_nodes = active_nodes.limit(0).materialize()
+            active_nodes = retire_rest(active_nodes)
             break
         for _r in range(max_prop_rounds):
             # u joins SCC if edge u→w and w is a member (same color class
@@ -2223,16 +2252,7 @@ def scc(
         if active_edges.count() == 0:
             # every surviving node is edge-free ⇒ its own SCC; a fully
             # empty dataset is schema-less and must not reach a join
-            done.append(
-                active_nodes.map_batches(
-                    lambda df: pd.DataFrame(
-                        {"node": df["node"].astype("string"),
-                         "label": df["node"].astype("string")}
-                    ),
-                    batch_format="pandas",
-                )
-            )
-            active_nodes = active_nodes.limit(0).materialize()
+            active_nodes = retire_rest(active_nodes)
             break
         active_edges = active_edges.join(
             heal_schema(
@@ -2253,16 +2273,7 @@ def scc(
         )
         active_edges = heal_schema(active_edges, np_).materialize()
         if active_edges.count() == 0:
-            done.append(
-                active_nodes.map_batches(
-                    lambda df: pd.DataFrame(
-                        {"node": df["node"].astype("string"),
-                         "label": df["node"].astype("string")}
-                    ),
-                    batch_format="pandas",
-                )
-            )
-            active_nodes = active_nodes.limit(0).materialize()
+            active_nodes = retire_rest(active_nodes)
             break
     else:
         raise RuntimeError(
@@ -2297,6 +2308,8 @@ def dag_path_counts(
     driver loop under ``max_driver_edges``; above it each round is one
     hash join (counts ⋈ edges on src) + one bucketed sum + a fixpoint
     signature check."""
+    from ..functions.kernel import distinct
+
     np_ = _nparts(num_partitions)
 
     def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -2304,7 +2317,13 @@ def dag_path_counts(
             {"src": df["subj"].astype("string"), "dst": df["obj"].astype("string")}
         ).drop_duplicates(ignore_index=True)
 
-    pairs = edges.map_batches(to_pairs, batch_format="pandas").materialize()
+    # GLOBAL distinct, not just per-batch: a duplicate (src, dst) pair
+    # split across blocks would double-count every path through it in
+    # the distributed fixpoint (the driver regime and the SQL oracle
+    # both dedup globally)
+    pairs = distinct(
+        edges.map_batches(to_pairs, batch_format="pandas"), ["src", "dst"]
+    ).materialize()
     n_edges = pairs.count()
 
     if n_edges == 0:
@@ -2347,7 +2366,6 @@ def dag_path_counts(
         return ray.data.from_pandas(out.sort_values("node", ignore_index=True))
 
     # distributed regime
-    from ..functions.kernel import distinct
     from ..util import bucket_sum, ds_signature
 
     pairs = heal_schema(pairs, np_).materialize()
