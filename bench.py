@@ -116,6 +116,7 @@ def run_suite(
         "embedding_dup_pairs",
         lambda: E.cosine_threshold_pairs(embs, threshold=0.35).count(),
     )
+    timed("kmeans_clusters", lambda: E.kmeans_int(embs).count())
     timed("dedup_clusters", lambda: D.jaccard_clusters(docs).count())
     from nospa_rdf_data_cube_validator_ray.stages.packing import pack_sequences
 

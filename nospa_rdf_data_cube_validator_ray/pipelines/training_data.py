@@ -1784,9 +1784,14 @@ def q_multimodal_video_stats(sf_dir: str):
     frames → integer pixel sums.  The oracle re-derives each sampled
     frame's cycled byte sum in SQL (frame k pixels =
     np.resize(bytes[k:], 8*8*3))."""
+    from ..util import stage_concurrency
+
+    # TWO actor-pool stages share this plan: split the pool budget or
+    # the chained pools over-subscribe the CPU slots and deadlock
+    c = stage_concurrency(2)
     payloads = M.attach_payload(_docs(sf_dir), media="nbv")
-    sampled = M.sample_frames(payloads, stride=2, mode="real")
-    return M.video_frame_stats(sampled)
+    sampled = M.sample_frames(payloads, stride=2, mode="real", concurrency=c)
+    return M.video_frame_stats(sampled, concurrency=c)
 
 
 # clip = 4 frames, frame k = np.resize(bytes[k:], 192); stride-2 real
@@ -3217,3 +3222,62 @@ _SQL_EMBED_HASH = _embed_hash_sql()
 
 QUERIES["doc_embed_hash"] = q_doc_embed_hash
 ORACLES["doc_embed_hash"] = _SQL_EMBED_HASH
+
+
+# -- overlapping token chunking (RAG/window pre-processing) -----------------
+
+
+def q_docs_chunks(sf_dir: str, width: int = 64, stride: int = 48):
+    """Sliding-window token chunking (the RAG / context-window
+    preprocessing step): each document splits into chunks of ``width``
+    tokens starting every ``stride`` tokens (overlap = width − stride),
+    the final chunk truncated at the document end; empty documents
+    produce no chunks.  Pure map-side fan-out — chunk assembly never
+    shuffles; rows are (doc_id, chunk_id, n_chunk_tokens, chunk_h61)
+    with the chunk content value-checked by hash."""
+    from ..stages.dedup import _md5_u64, tokens
+
+    docs = _docs(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, ns, hs = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            ts = tokens(text if isinstance(text, str) else "")
+            for cid, s in enumerate(range(0, len(ts), stride)):
+                chunk = ts[s : s + width]
+                ids.append(doc_id)
+                cids.append(cid)
+                ns.append(len(chunk))
+                hs.append(_md5_u64(" ".join(chunk)) % (1 << 61))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "chunk_id": pd.array(cids, dtype="int64"),
+                "n_chunk_tokens": pd.array(ns, dtype="int64"),
+                "chunk_h61": pd.array(hs, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pandas")
+
+
+_SQL_DOCS_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+starts AS (
+  SELECT doc_id, t, n, unnest(generate_series(0, n - 1, 48)) AS s
+  FROM nz
+)
+SELECT doc_id,
+       (s // 48)::BIGINT AS chunk_id,
+       (least(s + 64, n) - s)::BIGINT AS n_chunk_tokens,
+       (md5_number_lower(array_to_string(t[s + 1:least(s + 64, n)], ' '))
+        % 2305843009213693952)::BIGINT AS chunk_h61
+FROM starts
+"""
+
+QUERIES["docs_chunks"] = q_docs_chunks
+ORACLES["docs_chunks"] = _SQL_DOCS_CHUNKS

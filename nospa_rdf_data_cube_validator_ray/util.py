@@ -30,6 +30,21 @@ def auto_concurrency(concurrency=None):
     return max(2, n - max(1, n // 8))
 
 
+def stage_concurrency(n_stages: int, concurrency=None):
+    """Per-stage FIXED pool size when ``n_stages`` actor-pool stages run
+    inside ONE streaming plan: the auto_concurrency budget split N ways.
+    Chained pools each sized auto_concurrency() over-subscribe the
+    cluster's CPU slots (pools hold their slots for the life of the
+    plan) and the plan deadlocks timing-dependently — observed:
+    sample_frames → video_frame_stats, both at auto_concurrency(=7) in
+    an 8-cpu session, hung ~half the time while the single-pool
+    pipelines always completed.  Returns the caller's value untouched
+    when given."""
+    if concurrency is not None:
+        return concurrency
+    return max(1, auto_concurrency(None) // n_stages)
+
+
 def join_partitions(num_partitions=None) -> int:
     """Hash-partition count for ``Dataset.join`` / wide groupby stages,
     derived from the CLUSTER's total CPUs — the one shared default for
