@@ -1597,7 +1597,11 @@ def q_knn_neighbor_sources(sf_dir: str):
 
     from ..util import heal_schema
 
-    np_ = 8
+    from ..util import join_partitions
+
+    # cluster-derived (a constant 8 = all aggregator slots in an
+    # 8-cpu session -> producer starvation deadlock)
+    np_ = join_partitions(None)
     knn = E.knn_topk(_embs(sf_dir), query_ids=list(range(10)), k=5)
     left = heal_schema(
         ray.data.from_pandas(knn.rename(columns={"neighbor_id": "doc_id"})),
@@ -1960,7 +1964,11 @@ def q_dedup_cluster_keep(sf_dir: str):
 
     from ..util import bucket_agg, heal_schema
 
-    np_ = 8
+    from ..util import join_partitions
+
+    # cluster-derived (a constant 8 = all aggregator slots in an
+    # 8-cpu session -> producer starvation deadlock)
+    np_ = join_partitions(None)
     clusters = D.jaccard_clusters(_docs(sf_dir))  # (doc_id, cluster_id)
     meta = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]

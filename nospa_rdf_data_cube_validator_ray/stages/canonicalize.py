@@ -262,7 +262,7 @@ def cc_labels(
     edges: "ray.data.Dataset",
     *,
     max_iters: int = 15,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed connected components over an undirected (src, dst)
     edge Dataset: iterative min-label propagation (label(v) ← min(label(v),
@@ -277,8 +277,11 @@ def cc_labels(
     :func:`_sameas_edges`)."""
     import pyarrow as pa
 
-    from ..util import heal_schema
+    from ..util import heal_schema, join_partitions
 
+    # cluster-derived, never a constant: 8 aggregator actors in an
+    # 8-cpu session starve the producer tasks (deadlock)
+    num_partitions = join_partitions(num_partitions)
     edges = heal_schema(edges, num_partitions).materialize()
 
     # groupby / join stages can emit schema-LESS empty pandas blocks (see
@@ -408,7 +411,7 @@ def sameas_alias_table(
     triples: "ray.data.Dataset",
     *,
     max_iters: int = 15,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     max_driver_edges: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Connected components over owl:sameAs edges.  Returns a Dataset
@@ -449,13 +452,16 @@ def canonicalize_with_alias_table(
     triples: "ray.data.Dataset",
     alias_table: "ray.data.Dataset",
     *,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Entity-link via hash JOINs against a (node, root) alias Dataset —
     the path for alias tables too large to broadcast: subj then obj are
     left-joined to the table and replaced where a root exists.  (IRI
     normalization still happens map-side via :func:`canonicalize` with an
     empty alias dict before this join.)"""
+    from ..util import join_partitions
+
+    num_partitions = join_partitions(num_partitions)
     def app(col: str, kind_guard):
         def f(df: pd.DataFrame) -> pd.DataFrame:
             out = df.copy()

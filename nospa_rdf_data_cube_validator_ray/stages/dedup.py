@@ -267,7 +267,7 @@ def jaccard_clusters(
     max_block: int = 10_000,
     ngram: int = 1,
     max_iters: int = 15,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     max_driver_edges: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Near-duplicate cluster assignment: the blocked exact-Jaccard pair
@@ -320,7 +320,7 @@ def cluster_from_pairs(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_iters: int = 15,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     max_driver_edges: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Shared cluster-assignment tail for any near-dup pair graph
@@ -379,7 +379,11 @@ def cluster_from_pairs(
     def ids_only(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df[id_col].astype("int64")})
 
-    from ..util import heal_schema
+    from ..util import heal_schema, join_partitions
+
+    # cluster-derived, never a constant: 8 aggregator actors in an
+    # 8-cpu session starve the producer tasks (deadlock)
+    num_partitions = join_partitions(num_partitions)
 
     joined = heal_schema(
         ds.map_batches(ids_only, batch_format="pandas"), num_partitions

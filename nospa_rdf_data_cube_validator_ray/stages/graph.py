@@ -643,7 +643,7 @@ def components(
     edges: "ray.data.Dataset",
     *,
     max_iters: int = 15,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     max_driver_edges: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Connected components of the UNDIRECTED closure of a (subj, obj)
