@@ -1149,6 +1149,59 @@ def q_kg_snapshot_latest(sf_dir: str):
     return latest.map_batches(project, batch_format="pandas")
 
 
+def q_kg_snapshot_asof(sf_dir: str, asof: int = 1):
+    """Time-travel read: the corpus AS OF commit ``asof`` — versions
+    newer than the cutoff are filtered map-side (predicate pushdown on
+    the totally ordered commit column), then the same latest-wins
+    resolution as kg_snapshot_latest.  Output carries the per-row
+    content sha256 (the north-rule invariant) so the oracle checks the
+    reconstructed historical snapshot value-exactly."""
+    import hashlib
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_versioned_corpus
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import latest_snapshot
+
+    import ray.data
+
+    cutoff = f"{asof:040d}"
+    asof_rows = ray.data.from_arrow(tpch_versioned_corpus(sf_dir)).map_batches(
+        lambda df: df[df["commit"] <= cutoff].reset_index(drop=True),
+        batch_format="pandas",
+    )
+    latest = latest_snapshot(asof_rows)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "path": df["path"].astype("string"),
+                "commit": df["commit"].astype("string"),
+                "sha": pd.Series(
+                    [
+                        hashlib.sha256(t.encode("utf-8")).hexdigest()
+                        for t in df["content"]
+                    ],
+                    dtype="string",
+                    index=df.index,
+                ),
+            }
+        )
+
+    return latest.map_batches(project, batch_format="pandas")
+
+
+_SQL_SNAPSHOT_ASOF = """
+WITH p AS (SELECT p_partkey AS k FROM part),
+snap AS (
+  SELECT k, CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS j
+  FROM p
+)
+SELECT 'src/m' || k || '.py' AS path,
+       lpad(j::VARCHAR, 40, '0') AS "commit",
+       sha256('import m' || ((k + 13 * j) % 97) || chr(10)) AS sha
+FROM snap
+"""
+
+
 _SQL_SNAPSHOT_LATEST = """
 WITH p AS (SELECT p_partkey AS k FROM part),
 latest AS (
@@ -2963,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": q_kg_clustering,
         "kg_scc": q_kg_scc,
         "kg_dag_paths": q_kg_dag_paths,
+        "kg_snapshot_asof": q_kg_snapshot_asof,
     }
     q.update(td.QUERIES)
     q.update(rel.QUERIES)
@@ -3052,6 +3106,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_clustering": _SQL_CODE_CLUSTERING,
         "kg_scc": _SQL_CODE_SCC,
         "kg_dag_paths": _SQL_DAG_PATHS,
+        "kg_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     }
     o.update(td.ORACLES)
     o.update(rel.ORACLES)

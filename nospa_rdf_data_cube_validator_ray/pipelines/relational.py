@@ -1665,3 +1665,71 @@ FROM w
 
 QUERIES["events_spike"] = q_events_spike
 ORACLES["events_spike"] = _SQL_EVENTS_SPIKE
+
+
+# -- zone-map (page min/max) metadata build ---------------------------------
+
+
+def q_events_zonemap(sf_dir: str, page: int = 256):
+    """Storage-layout metadata: per-page zone maps (min/max/count over
+    fixed ``event_id // page`` pages) for the scan planner's predicate
+    pruning — the statistics a writer emits next to each page so a
+    reader can skip pages whose [min, max] misses the filter.  Pages
+    are keyed by the stable event_id (not by physical block, which
+    would not be deterministic across runs).  Map-side partials per
+    batch, one coarse-bucketed merge — page count scales with data, so
+    it never becomes a per-key Ray aggregate."""
+    import ray.data
+
+    from ..util import bucket_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = ((df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)).astype(
+            "int64"
+        )
+        g = pd.DataFrame(
+            {
+                "page": (df["event_id"].astype("int64") // page),
+                "ts_us": ts_us,
+                "user_id": df["user_id"].astype("int64"),
+            }
+        ).groupby("page", as_index=False).agg(
+            n=("user_id", "size"),
+            ts_min=("ts_us", "min"),
+            ts_max=("ts_us", "max"),
+            uid_min=("user_id", "min"),
+            uid_max=("user_id", "max"),
+        )
+        return g.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("page", as_index=False).agg(
+            n=("n", "sum"),
+            ts_min=("ts_min", "min"),
+            ts_max=("ts_max", "max"),
+            uid_min=("uid_min", "min"),
+            uid_max=("uid_max", "max"),
+        )
+        return g.astype("int64")
+
+    return bucket_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["page"], merge
+    )
+
+
+_SQL_ZONEMAP = """
+SELECT (event_id // 256)::BIGINT AS page,
+       count(*)::BIGINT AS n,
+       min(epoch_us(ts))::BIGINT AS ts_min,
+       max(epoch_us(ts))::BIGINT AS ts_max,
+       min(user_id)::BIGINT AS uid_min,
+       max(user_id)::BIGINT AS uid_max
+FROM events GROUP BY 1
+"""
+
+QUERIES["events_zonemap"] = q_events_zonemap
+ORACLES["events_zonemap"] = _SQL_ZONEMAP
