@@ -1780,6 +1780,78 @@ QUERIES["multimodal_audio_stats"] = q_multimodal_audio_stats
 ORACLES["multimodal_audio_stats"] = _SQL_AUDIO_STATS
 
 
+def q_multimodal_resize(sf_dir: str):
+    """REAL image-resize round trip, value-exact: text → 24-bit BMP →
+    actor-pool nearest-neighbor resample to an 8×8 thumbnail with the
+    actual codec (stages/multimodal.ResizeImage mode='real': decode →
+    resize_nn → re-encode) → decode the thumbnail → integer pixel stats.
+    The oracle re-derives every thumbnail pixel purely in SQL from the
+    NN index rule out[i,j] = in[i*side//8, j*side//8]."""
+    from ..util import stage_concurrency
+
+    # TWO actor pools share this plan (ResizeImage → ImageStats):
+    # split the pool budget or the chained pools deadlock
+    c = stage_concurrency(2)
+    payloads = M.attach_payload(_docs(sf_dir), media="bmp")
+    thumbs = M.resize_payloads(payloads, mode="real", target_side=8, concurrency=c)
+    return M.image_stats(thumbs, concurrency=c)
+
+
+# source pixel byte for thumb index k (row i=k//24, col j=(k//3)%8,
+# channel c=k%3) is cycled text byte ((i*side//8)*side + j*side//8)*3+c mod n
+_SQL_RESIZE = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(4, least(32, floor(sqrt(length(text)))::INT)) AS side
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, 8::BIGINT AS height, 8::BIGINT AS width,
+       list_sum(list_transform(generate_series(0, 191),
+         k -> ascii(substr(text,
+              ((((k // 24) * side // 8) * side
+                 + ((k // 3) % 8) * side // 8) * 3 + k % 3) % n + 1,
+              1))))::BIGINT AS px_sum
+FROM d
+"""
+
+QUERIES["multimodal_resize"] = q_multimodal_resize
+ORACLES["multimodal_resize"] = _SQL_RESIZE
+
+
+def q_multimodal_audio_resample(sf_dir: str):
+    """REAL audio decimation round trip, value-exact: text → PCM16 WAV →
+    actor-pool 4× decimation with the actual codec
+    (stages/multimodal.ResampleAudio: decode → every 4th sample →
+    re-encode at rate//4) → decode the resampled payload → integer
+    stats.  The oracle picks exactly the surviving sample indices."""
+    from ..util import stage_concurrency
+
+    c = stage_concurrency(2)
+    payloads = M.attach_payload(_docs(sf_dir), media="wav")
+    down = M.resample_audio(payloads, factor=4, concurrency=c)
+    return M.audio_stats(down, concurrency=c)
+
+
+# surviving sample m (of ceil(n/4)) is cycled byte (4m mod len) shifted
+# and scaled exactly as attach_payload built the original samples
+_SQL_AUDIO_RESAMPLE = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len,
+         greatest(64, least(4000, 4 * length(text))) AS n
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, 2000::BIGINT AS rate,
+       ((n + 3) // 4)::BIGINT AS n_samples,
+       (256 * list_sum(list_transform(generate_series(0, (n + 3) // 4 - 1),
+          m -> ascii(substr(text, (m * 4) % len + 1, 1)) - 128)))::BIGINT
+         AS samp_sum
+FROM d
+"""
+
+QUERIES["multimodal_audio_resample"] = q_multimodal_audio_resample
+ORACLES["multimodal_audio_resample"] = _SQL_AUDIO_RESAMPLE
+
+
 def q_multimodal_video_stats(sf_dir: str):
     """REAL video round-trip, value-exact: text → 4-frame NBV clip
     (attach_payload media='nbv') → actor-pool frame sampling that keeps

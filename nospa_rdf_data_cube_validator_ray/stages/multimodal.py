@@ -348,6 +348,48 @@ def audio_stats(
     )
 
 
+class ResampleAudio:
+    """Actor-pool audio-resample stage (integer decimation): decode the
+    PCM16 WAV payload, keep every ``factor``-th sample, re-encode at
+    ``rate // factor``.  Pure index arithmetic — no filtering — so a SQL
+    oracle can reproduce the surviving samples exactly, and the
+    decode → slice → encode round trip exercises the real codec in both
+    directions."""
+
+    def __init__(self, factor: int = 4):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for p, mt in zip(df["payload"], _media_types(df)):
+            if mt != "audio/wav":
+                raise ValueError(f"ResampleAudio needs audio/wav rows, got {mt!r}")
+            rate, s = C.decode_wav(bytes(p))
+            payloads.append(C.encode_wav(s[:: self.factor], rate // self.factor))
+        out = df[["doc_id"]].copy()
+        out["media_type"] = "audio/wav"
+        out["payload"] = payloads
+        out["n_bytes"] = np.array([len(p) for p in payloads], dtype=np.int64)
+        return out
+
+
+def resample_audio(
+    ds: "ray.data.Dataset", *, factor: int = 4, concurrency=None
+) -> "ray.data.Dataset":
+    """Payload table (audio/wav) → decimated audio/wav payload table."""
+    from ..util import auto_concurrency
+
+    return ds.map_batches(
+        ResampleAudio,
+        fn_constructor_kwargs={"factor": factor},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=auto_concurrency(concurrency),
+    )
+
+
 class VideoFrameStats:
     """Actor-pool decoded-frame statistics over a SampleFrames output
     (frames = list of BMP-encoded byte strings): integer pixel sums —

@@ -390,6 +390,53 @@ def test_multimodal_real_decode_pipeline():
     )
 
 
+def test_resample_audio_decimation():
+    """ResampleAudio keeps exactly every k-th sample at rate // k."""
+    import numpy as np
+
+    from nospa_rdf_data_cube_validator_ray.functions import codecs as C
+
+    rng = np.random.RandomState(3)
+    s = rng.randint(-32768, 32767, size=1001).astype(np.int16)
+    df = pd.DataFrame(
+        {
+            "doc_id": [7],
+            "payload": [C.encode_wav(s, rate=8000)],
+            "media_type": ["audio/wav"],
+        }
+    )
+    out = M.ResampleAudio(factor=4)(df)
+    rate, got = C.decode_wav(bytes(out.loc[0, "payload"]))
+    assert rate == 2000 and (got == s[::4]).all()
+    with pytest.raises(ValueError, match="audio/wav"):
+        M.ResampleAudio(factor=4)(
+            pd.DataFrame({"payload": [b"x"], "doc_id": [0],
+                          "media_type": ["image/bmp"]})
+        )
+    with pytest.raises(ValueError):
+        M.ResampleAudio(factor=0)
+
+
+def test_resize_real_matches_manual_nn():
+    """Real resize through the payload pipeline equals a hand resize."""
+    import numpy as np
+
+    from nospa_rdf_data_cube_validator_ray.functions import codecs as C
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(13, 13, 3), dtype=np.uint8)
+    df = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "payload": [C.encode_bmp(px)],
+            "media_type": ["image/bmp"],
+        }
+    )
+    out = M.ResizeImage(mode="real", target_side=8)(df)
+    got = C.decode_bmp(bytes(out.loc[0, "payload"]))
+    assert (got == C.resize_nn(px, 8, 8)).all()
+
+
 def test_pii_scrub_kernel():
     df = pd.DataFrame(
         {
