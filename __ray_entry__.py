@@ -1499,6 +1499,41 @@ def q_kg_code_reachable(sf_dir: str):
     )
 
 
+_CLOSENESS_SEEDS = [f"{_CODEN}mod/m{k}" for k in (1, 2, 3, 5)]
+
+
+def q_kg_closeness(sf_dir: str):
+    """Sampled closeness centrality over the import graph: ONE
+    multi-source BFS carries all K seed frontiers at once (state keyed
+    on the (src, node) pair — stages/graph.multi_bfs_distances, the
+    size-adaptive driver/distributed generalization of bfs_distances),
+    then a K-row aggregate of reachable-set size and integer distance
+    sum (the exact ingredients of closeness; the float division is
+    presentation)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import closeness_table
+
+    return closeness_table(_code_import_edges(sf_dir), _CLOSENESS_SEEDS)
+
+
+_SQL_KG_CLOSENESS = f"""
+WITH RECURSIVE {_CODE_EDGE_BODY},
+seeds(s) AS (
+  SELECT unnest(['{_CODEN}mod/m1', '{_CODEN}mod/m2',
+                 '{_CODEN}mod/m3', '{_CODEN}mod/m5'])
+),
+reach(src, node, d) AS (
+  SELECT s, s, 0 FROM seeds
+  UNION
+  SELECT r.src, c.dst, r.d + 1
+  FROM reach r JOIN cedges c ON c.src = r.node
+  WHERE r.d < 100
+),
+m AS (SELECT src, node, min(d) AS d FROM reach GROUP BY src, node)
+SELECT src, count(*)::BIGINT AS n_reached, sum(d)::BIGINT AS dist_sum
+FROM m GROUP BY src
+"""
+
+
 def q_kg_code_defs(sf_dir: str):
     """The materialized definition-attribute view (module, kind, name)
     of the code KG — definesFunction/definesClass triples projected
@@ -2988,6 +3023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_pagerank": q_kg_code_pagerank,
         "kg_code_components": q_kg_code_components,
         "kg_code_reachable": q_kg_code_reachable,
+        "kg_closeness": q_kg_closeness,
         "kg_code_defs": q_kg_code_defs,
         "kg_module_summary": q_kg_module_summary,
         "kg_commit_import_diff": q_kg_commit_import_diff,
@@ -3078,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_pagerank": _SQL_CODE_PAGERANK,
         "kg_code_components": _SQL_CODE_COMPONENTS,
         "kg_code_reachable": _SQL_CODE_REACHABLE,
+        "kg_closeness": _SQL_KG_CLOSENESS,
         "kg_code_defs": _SQL_CODE_DEFS,
         "kg_module_summary": _SQL_MODULE_SUMMARY,
         "kg_commit_import_diff": _SQL_COMMIT_DIFF,

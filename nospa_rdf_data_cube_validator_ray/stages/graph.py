@@ -356,6 +356,226 @@ def bfs_distances(
     )
 
 
+def multi_bfs_distances(
+    edges: "ray.data.Dataset",
+    seeds: list[str],
+    *,
+    reverse: bool = False,
+    max_rounds: int = 64,
+    max_driver_edges: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Min-hop distances from EVERY seed at once — rows
+    (src, node, dist) for each seed × reachable node.  The multi-source
+    generalization of :func:`bfs_distances` (the primitive behind
+    sampled closeness / harmonic centrality): state is keyed on the
+    (src, node) PAIR, so one pass of frontier rounds carries all K
+    seeds and the edge table is joined once per round, not once per
+    seed.
+
+    Size-adaptive like the single-source version (parity-tested):
+    ≤ ``max_driver_edges`` edges run K driver BFS walks over ONE
+    collected adjacency; above it, distributed frontier rounds where
+    the frontier and dist tables are Datasets of (src, node[, dist])
+    and each round is one hash join + one left-outer anti-join — the
+    driver holds only the round counter.  Rounds are bounded by the
+    DEEPEST seed's eccentricity."""
+    src_col, dst_col = ("obj", "subj") if reverse else ("subj", "obj")
+    seeds_u = list(dict.fromkeys(seeds))
+    n_edges = edges.count()
+
+    if n_edges <= max_driver_edges:
+        adj: dict[str, list[str]] = {}
+        for df in edges.map_batches(
+            lambda d: d[[src_col, dst_col]], batch_format="pandas"
+        ).iter_batches(batch_format="pandas", batch_size=65536):
+            for s, t in zip(df[src_col], df[dst_col]):
+                adj.setdefault(s, []).append(t)
+        rows_src: list[str] = []
+        rows_node: list[str] = []
+        rows_dist: list[int] = []
+        for seed in seeds_u:
+            dist: dict[str, int] = {seed: 0}
+            frontier = [seed]
+            d = 0
+            while frontier:
+                if d >= max_rounds:
+                    raise RuntimeError(
+                        f"multi_bfs_distances exceeded max_rounds={max_rounds}"
+                    )
+                d += 1
+                nxt: list[str] = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                frontier = nxt
+            rows_src.extend([seed] * len(dist))
+            rows_node.extend(dist.keys())
+            rows_dist.extend(dist.values())
+        out = pd.DataFrame(
+            {
+                "src": pd.Series(rows_src, dtype="string"),
+                "node": pd.Series(rows_node, dtype="string"),
+                "dist": pd.Series(rows_dist, dtype="int64"),
+            }
+        )
+        return ray.data.from_pandas(
+            out.sort_values(["src", "dist", "node"], ignore_index=True)
+        )
+
+    from ..util import bucket_agg
+
+    np_ = _nparts(None)
+    mat = edges.map_batches(
+        lambda d: d[[src_col, dst_col]], batch_format="pandas"
+    ).materialize()
+
+    def _typed_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "node" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="string"),
+                    "node": pd.Series(dtype="string"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "src": df["src"].astype("string"),
+                "node": df["node"].astype("string"),
+            }
+        )
+
+    dist_ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src": pd.Series(seeds_u, dtype="string"),
+                "node": pd.Series(seeds_u, dtype="string"),
+                "dist": pd.Series([0] * len(seeds_u), dtype="int64"),
+            }
+        )
+    ).materialize()
+    frontier_ds = dist_ds
+    d = 0
+    while frontier_ds.count() > 0:
+        if d >= max_rounds:
+            raise RuntimeError(
+                f"multi_bfs_distances exceeded max_rounds={max_rounds} "
+                "(graph deeper than the frontier-round regime supports)"
+            )
+        d += 1
+        # expand: edges ⋈ frontier on the walk column; the seed tag
+        # rides along so one join advances every source's frontier
+        cand = (
+            mat.join(
+                heal_schema(
+                    _ren(
+                        frontier_ds.map_batches(
+                            _typed_pairs, batch_format="pandas"
+                        ),
+                        {"node": src_col},
+                    ),
+                    np_,
+                ),
+                "inner",
+                np_,
+                on=(src_col,),
+            )
+            .map_batches(
+                lambda df: _typed_pairs(
+                    df.rename(columns={dst_col: "node"})
+                ).drop_duplicates(),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        if cand.count() == 0:
+            break
+        cand = bucket_agg(
+            cand,
+            ["src", "node"],
+            lambda df: df.drop_duplicates(["src", "node"]),
+            num_buckets=np_,
+        ).map_batches(_typed_pairs, batch_format="pandas")
+
+        def first_reached(df: pd.DataFrame, d=d) -> pd.DataFrame:
+            if len(df) and "_seen" in df.columns:
+                df = df[df["_seen"].isna()]
+            pairs = _typed_pairs(df)
+            pairs["dist"] = pd.Series(
+                [d] * len(pairs), dtype="int64", index=pairs.index
+            )
+            return pairs
+
+        new = (
+            heal_schema(cand, np_)
+            .join(
+                heal_schema(_ren(dist_ds, {"dist": "_seen"}), np_),
+                "left_outer",
+                np_,
+                on=("src", "node"),
+            )
+            .map_batches(first_reached, batch_format="pandas")
+            .materialize()
+        )
+        dist_ds = dist_ds.union(new).materialize()
+        frontier_ds = new
+
+    return dist_ds.sort(["src", "dist", "node"]).map_batches(
+        lambda df: df.astype(
+            {"src": "string", "node": "string", "dist": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
+def closeness_table(
+    edges: "ray.data.Dataset",
+    seeds: list[str],
+    *,
+    reverse: bool = False,
+    max_rounds: int = 64,
+    max_driver_edges: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Sampled closeness-centrality statistics: for each seed, the
+    reachable-set size and the integer sum of min-hop distances (the
+    two exact ingredients of closeness C(u) = (r-1)²/(n-1)/dist_sum —
+    kept as integers so a SQL oracle can hash-compare them; the float
+    division is the caller's presentation step).  One multi-source BFS
+    over the shared edge table, then a K-row aggregate."""
+    pairs = multi_bfs_distances(
+        edges,
+        seeds,
+        reverse=reverse,
+        max_rounds=max_rounds,
+        max_driver_edges=max_driver_edges,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", sort=False)["dist"].agg(["count", "sum"])
+        return pd.DataFrame(
+            {
+                "src": pd.Series(g.index, dtype="string"),
+                "n_reached": g["count"].to_numpy().astype("int64"),
+                "dist_sum": g["sum"].to_numpy().astype("int64"),
+            }
+        )
+
+    from ..util import bucket_sum
+
+    out = bucket_sum(
+        pairs.map_batches(partial, batch_format="pandas"),
+        ["src"],
+        ["n_reached", "dist_sum"],
+    )
+    return out.sort("src").map_batches(
+        lambda df: df.astype(
+            {"src": "string", "n_reached": "int64", "dist_sum": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _undirected(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     """Distinct undirected edge set (x, y) with x < y, self-loops dropped."""
     from ..functions.kernel import distinct

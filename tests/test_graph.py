@@ -121,6 +121,40 @@ def test_bfs_cycle_terminates():
     assert dict(dist) == {"a": 0, "b": 1, "c": 2}
 
 
+def test_multi_bfs_driver_regime():
+    edges = _chain_edges(6)
+    df = G.multi_bfs_distances(edges, ["root", "v3", "root"]).to_pandas()
+    # duplicate seed collapses; each src column is its own BFS
+    assert set(df["src"].unique()) == {"root", "v3"}
+    d = df.set_index(["src", "node"])["dist"]
+    assert d[("root", "root")] == 0 and d[("root", "v6")] == 7
+    assert d[("v3", "v6")] == 3 and ("v3", "v0") not in d.index
+    # per-seed slices equal the single-source walk
+    single = G.bfs_distances(edges, ["v3"]).to_pandas()
+    sub = (
+        df[df["src"] == "v3"][["node", "dist"]]
+        .sort_values(["dist", "node"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sub, single)
+
+
+def test_multi_bfs_regime_parity_and_closeness():
+    edges = _chain_edges(6)
+    seeds = ["root", "v3"]
+    a = G.multi_bfs_distances(edges, seeds).to_pandas()
+    b = G.multi_bfs_distances(edges, seeds, max_driver_edges=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    c = G.closeness_table(edges, seeds).to_pandas().set_index("src")
+    # root reaches root,w0,v0..v6 = 9 nodes; dist_sum = 0+1+(1..7)
+    assert c.loc["root", "n_reached"] == 9
+    assert c.loc["root", "dist_sum"] == 1 + sum(range(1, 8))
+    assert c.loc["v3", "n_reached"] == 4  # v3,v4,v5,v6
+    assert c.loc["v3", "dist_sum"] == 0 + 1 + 2 + 3
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        G.multi_bfs_distances(edges, ["root"], max_rounds=3)
+
+
 def test_triangle_enum_known_graph():
     # K4 minus one edge on {a,b,c,d}: triangles abc, abd (cd missing);
     # plus an isolated edge e-f and a self-loop g-g (ignored)
