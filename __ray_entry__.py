@@ -1499,6 +1499,49 @@ def q_kg_code_reachable(sf_dir: str):
     )
 
 
+def q_kg_triangle_types(sf_dir: str):
+    """Directed-motif census of the import graph's triangles: which of
+    the 6 ordered pairs exist (bit mask) and the cyclic/transitive
+    split (stages/graph.triangle_motifs — map-side bit-weighted pair
+    explosion meeting the distinct directed edge set in ONE hash join,
+    re-assembled by a bucketed sum)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import triangle_motifs
+
+    return triangle_motifs(_code_import_edges(sf_dir))
+
+
+_SQL_TRIANGLE_TYPES = f"""
+WITH {_CODE_EDGE_BODY},
+de AS (SELECT DISTINCT src, dst FROM cedges WHERE src != dst),
+u AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y FROM de),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM u e1 JOIN u e2 ON e2.x = e1.y
+  JOIN u e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+m AS (
+  SELECT a, b, c,
+     (CASE WHEN EXISTS (SELECT 1 FROM de WHERE src = a AND dst = b)
+           THEN 1 ELSE 0 END
+    + CASE WHEN EXISTS (SELECT 1 FROM de WHERE src = b AND dst = a)
+           THEN 2 ELSE 0 END
+    + CASE WHEN EXISTS (SELECT 1 FROM de WHERE src = b AND dst = c)
+           THEN 4 ELSE 0 END
+    + CASE WHEN EXISTS (SELECT 1 FROM de WHERE src = c AND dst = b)
+           THEN 8 ELSE 0 END
+    + CASE WHEN EXISTS (SELECT 1 FROM de WHERE src = c AND dst = a)
+           THEN 16 ELSE 0 END
+    + CASE WHEN EXISTS (SELECT 1 FROM de WHERE src = a AND dst = c)
+           THEN 32 ELSE 0 END)::BIGINT AS mask
+  FROM tri
+)
+SELECT a, b, c, mask,
+       CASE WHEN (mask & 21) = 21 OR (mask & 42) = 42
+            THEN 'cyclic' ELSE 'transitive' END AS motif
+FROM m
+"""
+
+
 _CLOSENESS_SEEDS = [f"{_CODEN}mod/m{k}" for k in (1, 2, 3, 5)]
 
 
@@ -3024,6 +3067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_components": q_kg_code_components,
         "kg_code_reachable": q_kg_code_reachable,
         "kg_closeness": q_kg_closeness,
+        "kg_triangle_types": q_kg_triangle_types,
         "kg_code_defs": q_kg_code_defs,
         "kg_module_summary": q_kg_module_summary,
         "kg_commit_import_diff": q_kg_commit_import_diff,
@@ -3115,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_components": _SQL_CODE_COMPONENTS,
         "kg_code_reachable": _SQL_CODE_REACHABLE,
         "kg_closeness": _SQL_KG_CLOSENESS,
+        "kg_triangle_types": _SQL_TRIANGLE_TYPES,
         "kg_code_defs": _SQL_CODE_DEFS,
         "kg_module_summary": _SQL_MODULE_SUMMARY,
         "kg_commit_import_diff": _SQL_COMMIT_DIFF,

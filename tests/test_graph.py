@@ -155,6 +155,35 @@ def test_multi_bfs_regime_parity_and_closeness():
         G.multi_bfs_distances(edges, ["root"], max_rounds=3)
 
 
+def test_triangle_motifs_known_graph():
+    rows = [
+        # feed-forward triad on a,b,c: a→b, b→c, a→c
+        ("a", "p", 0, "b"), ("b", "p", 0, "c"), ("a", "p", 0, "c"),
+        # directed 3-cycle on x,y,z: x→y, y→z, z→x
+        ("x", "p", 0, "y"), ("y", "p", 0, "z"), ("z", "p", 0, "x"),
+    ]
+    out = (
+        G.triangle_motifs(G.extract_edges(_triples(rows)))
+        .to_pandas()
+        .set_index(["a", "b", "c"])
+    )
+    assert len(out) == 2
+    assert out.loc[("a", "b", "c"), "mask"] == 1 + 4 + 32
+    assert out.loc[("a", "b", "c"), "motif"] == "transitive"
+    assert out.loc[("x", "y", "z"), "mask"] == 1 + 4 + 16
+    assert out.loc[("x", "y", "z"), "motif"] == "cyclic"
+    # reciprocal edge flips nothing unless it completes a rotation:
+    # add c→a — now a→b→c→a is a full rotation
+    rows.append(("c", "p", 0, "a"))
+    out2 = (
+        G.triangle_motifs(G.extract_edges(_triples(rows)))
+        .to_pandas()
+        .set_index(["a", "b", "c"])
+    )
+    assert out2.loc[("a", "b", "c"), "mask"] == 1 + 4 + 16 + 32
+    assert out2.loc[("a", "b", "c"), "motif"] == "cyclic"
+
+
 def test_triangle_enum_known_graph():
     # K4 minus one edge on {a,b,c,d}: triangles abc, abd (cd missing);
     # plus an isolated edge e-f and a self-loop g-g (ignored)
