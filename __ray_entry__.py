@@ -461,6 +461,57 @@ def q_cube_xml_by_pred(sf_dir: str):
     return state["xml_by_pred"]
 
 
+def q_cube_nquads_by_pred(sf_dir: str):
+    """N-Quads parser oracle-checked at TPC-H scale: every Turtle corpus
+    file is re-serialized as N-Quads with a per-file NAMED GRAPH label
+    (stages/export.nquads_document) and re-parsed by the N-Quads reader
+    (rdf_parser.parse_nquads — graph label scopes each row); the
+    per-predicate counts must equal the Turtle corpus's (same oracle as
+    cube_triples_by_pred).  Graph-label semantics (named vs default
+    graph) are unit-tested in tests/test_multiformat.py."""
+    state = _CACHE.setdefault(sf_dir, {})
+    if "nquads_by_pred" not in state:
+        import pyarrow as pa
+        import ray.data
+
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
+        from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+        from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_turtle
+        from nospa_rdf_data_cube_validator_ray.stages.export import nquads_document
+
+        corpus = ray.data.from_arrow(tpch_cube_corpus(sf_dir))
+
+        def to_nq(batch: pa.Table) -> pa.Table:
+            cols = {c: batch.column(c).to_pylist()
+                    for c in ("repo", "path", "commit", "lang", "content")}
+            out = {k: [] for k in cols}
+            for repo, path, commit, _lang, content in zip(
+                cols["repo"], cols["path"], cols["commit"],
+                cols["lang"], cols["content"],
+            ):
+                out["repo"].append(repo)
+                out["path"].append(path.rsplit(".", 1)[0] + ".nq")
+                out["commit"].append(commit)
+                out["lang"].append("nquads")
+                out["content"].append(
+                    nquads_document(
+                        parse_turtle(content),
+                        graph_iri=f"http://example.org/g/{path}",
+                    )
+                )
+            return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
+
+        nq_corpus = corpus.map_batches(to_nq, batch_format="pyarrow", batch_size=1)
+        ds = (
+            parse_corpus(nq_corpus)
+            .groupby("pred")
+            .count()
+            .rename_columns({"count()": "n"})
+        )
+        state["nquads_by_pred"] = ds.to_pandas()
+    return state["nquads_by_pred"]
+
+
 def q_cube_phase2_by_pred(sf_dir: str):
     """Phase-2 normalization materialization (the export path,
     Normalizer.java:90-189): the DataSet-attached tp:a_unit is pushed down
@@ -3049,6 +3100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_mt_ic17": q_mt_ic17,
         "cube_triples_by_pred": q_cube_triples_by_pred,
         "cube_xml_by_pred": q_cube_xml_by_pred,
+        "cube_nquads_by_pred": q_cube_nquads_by_pred,
         "kg_canonical_iris": q_kg_canonical_iris,
         "kg_sameas_roots": q_kg_sameas_roots,
         "kg_degree": q_kg_degree,
@@ -3139,6 +3191,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_mt_ic17": _SQL_MT_IC17,
         "cube_triples_by_pred": _SQL_TRIPLES_BY_PRED,
         "cube_xml_by_pred": _SQL_TRIPLES_BY_PRED,
+        "cube_nquads_by_pred": _SQL_TRIPLES_BY_PRED,
         "kg_canonical_iris": _SQL_KG_CANONICAL,
         "kg_sameas_roots": _SQL_KG_ROOTS,
         "kg_degree": _SQL_KG_DEGREE,

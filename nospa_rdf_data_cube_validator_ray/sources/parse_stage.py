@@ -140,11 +140,23 @@ class ParseRDF:
             fmt = format_for(lang, path)
             if fmt is None or content is None:
                 continue
+            glabels = None
             try:
                 if fmt == "turtle" and cid:
                     from .rdf_parser import parse_turtle
 
                     triples = parse_turtle(content, anon_prefix=f"c{cid}_a")
+                elif fmt == "nquads":
+                    # the quad's graph label scopes the row; default-graph
+                    # rows fall back to the file's graph id below.  A named
+                    # graph can span FILES, which breaks the one-graph-one-
+                    # block invariant of the zero-shuffle local path —
+                    # validate .nq corpora with CubeValidator(mode="shuffle")
+                    from .rdf_parser import parse_nquads
+
+                    quads = parse_nquads(content)
+                    triples = [t for _, t in quads]
+                    glabels = [g for g, _ in quads]
                 else:
                     triples = parse_document(content, fmt)
             except RDFSyntaxError as e:
@@ -191,7 +203,10 @@ class ParseRDF:
                         f"(> {self.max_bytes_per_file >> 20} MB block budget): "
                         "validate this corpus with CubeValidator(mode='shuffle')"
                     )
-            graphs.extend([gid] * n)
+            if glabels is None:
+                graphs.extend([gid] * n)
+            else:
+                graphs.extend([g or gid for g in glabels])
             shas.extend([sha] * n)
             for s, p, k, o, dt, lg in triples:
                 subjs.append(s)

@@ -440,6 +440,65 @@ def parse_ntriples(text: str) -> list[Triple]:
     return triples
 
 
+# ---------------------------------------------------------------------------
+# N-Quads parser (N-Triples line + optional graph label, RDF 1.1 N-Quads)
+# ---------------------------------------------------------------------------
+
+_NQ_LINE_RE = re.compile(
+    r"""^[ \t]*
+    (?:(?P<s_iri><[^>]*>)|(?P<s_bn>_:\S+))
+    [ \t]+<(?P<p>[^>]*)>[ \t]+
+    (?:(?P<o_iri><[^>]*>)
+      |(?P<o_bn>_:[^ \t]+)
+      |"(?P<o_lit>(?:[^"\\]|\\.)*)"
+        (?:\^\^<(?P<o_dt>[^>]*)>|@(?P<o_lang>[a-zA-Z0-9\-]+))?
+    )
+    (?:[ \t]+(?:(?P<g_iri><[^>]*>)|(?P<g_bn>_:[^ \t]+)))?
+    [ \t]*\.[ \t]*(?:\#.*)?$""",
+    re.VERBOSE,
+)
+
+
+def parse_nquads(text: str) -> list[tuple[str, Triple]]:
+    """N-Quads → (graph_label, triple) pairs.  A line without a graph
+    label belongs to the default graph: graph_label is "" and the caller
+    assigns its own scope (ParseRDF uses the file's graph id, matching
+    how every 3-term format is scoped)."""
+    quads: list[tuple[str, Triple]] = []
+    append = quads.append
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = _NQ_LINE_RE.match(line)
+        if m is None:
+            raise RDFSyntaxError(f"bad N-Quads line: {line[:80]!r}")
+        if m.group("s_iri"):
+            s = _unescape(m.group("s_iri")[1:-1])
+        else:
+            s = m.group("s_bn")
+        p = _unescape(m.group("p"))
+        if m.group("g_iri"):
+            g = _unescape(m.group("g_iri")[1:-1])
+        else:
+            g = m.group("g_bn") or ""
+        if m.group("o_iri"):
+            t = (s, p, KIND_IRI, _unescape(m.group("o_iri")[1:-1]), "", "")
+        elif m.group("o_bn"):
+            t = (s, p, KIND_BNODE, m.group("o_bn"), "", "")
+        else:
+            t = (
+                s,
+                p,
+                KIND_LITERAL,
+                _unescape(m.group("o_lit")),
+                _unescape(m.group("o_dt") or ""),
+                m.group("o_lang") or "",
+            )
+        append((g, t))
+    return quads
+
+
 def parse_turtle(text: str, anon_prefix: str = "a") -> list[Triple]:
     p = TurtleParser()
     p._anon_prefix = anon_prefix
@@ -751,6 +810,9 @@ _FORMAT_ALIASES = {
     "rdf/xml": "rdfxml",
     "rdf": "rdfxml",
     "xml": "rdfxml",
+    "nquads": "nquads",
+    "n-quads": "nquads",
+    "nq": "nquads",
 }
 
 
@@ -776,6 +838,10 @@ def parse_document(content: str, fmt: str) -> list[Triple]:
         return parse_ntriples(content)
     if fmt == "rdfxml":
         return parse_rdfxml(content)
+    if fmt == "nquads":
+        # graph labels dropped: callers that scope by graph (ParseRDF)
+        # call parse_nquads directly
+        return [t for _, t in parse_nquads(content)]
     raise RDFSyntaxError(f"unsupported format {fmt!r}")
 
 

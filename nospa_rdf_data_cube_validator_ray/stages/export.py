@@ -344,6 +344,20 @@ def write_rdfxml(triples, out_dir: str) -> list[str]:
     return sorted(manifest["path"]) if len(manifest) else []
 
 
+def nquads_document(rows, graph_iri: str | None = None) -> str:
+    """Parser triple tuples (s, p, kind, obj, dt, lang) → N-Quads text,
+    every line labeled with ``graph_iri`` (None → default-graph lines,
+    i.e. plain N-Triples).  The write twin of rdf_parser.parse_nquads."""
+    from ..model import term_str
+
+    g = f" <{graph_iri}>" if graph_iri else ""
+    lines = []
+    for s, p, k, o, dt, lg_ in rows:
+        st = s if s.startswith("_:") else f"<{s}>"
+        lines.append(f"{st} <{p}> {term_str(k, o, dt, lg_)}{g} .")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
 def exact_dedup_triples(triples, num_buckets: int = 64):
     """Exact set-dedup of the triple table: per-batch identity hash →
     bucket shuffle → per-bucket drop_duplicates (the groupby-shuffle dedup

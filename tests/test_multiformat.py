@@ -64,6 +64,67 @@ def to_rdfxml(turtle_text: str) -> str:
     return "\n".join(out)
 
 
+def test_nquads_parse_and_graph_scoping():
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+    from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import (
+        RDFSyntaxError,
+        parse_nquads,
+    )
+
+    nq = "\n".join(
+        [
+            "# comment",
+            '<http://x/s> <http://x/p> "lit"@en <http://x/g1> .',
+            '<http://x/s> <http://x/p> "4"^^<http://www.w3.org/2001/XMLSchema#int> .',
+            "_:b1 <http://x/q> <http://x/o> _:gb .",
+            "<http://x/s2> <http://x/p> _:b2 <http://x/g1> .  # trailing",
+            "",
+        ]
+    )
+    quads = parse_nquads(nq)
+    assert [g for g, _ in quads] == ["http://x/g1", "", "_:gb", "http://x/g1"]
+    assert quads[0][1] == ("http://x/s", "http://x/p", 2, "lit", "", "en")
+    assert quads[2][1][0] == "_:b1" and quads[2][1][2] == 0
+    import pytest
+
+    with pytest.raises(RDFSyntaxError, match="N-Quads"):
+        parse_nquads("<http://x/s> <http://x/p> .")
+
+    # corpus path: named-graph rows scope to the label, default-graph
+    # rows to the file's graph id
+    corpus = pa.table(
+        {
+            "repo": pa.array(["m"]),
+            "path": pa.array(["f.nq"]),
+            "commit": pa.array(["c"]),
+            "lang": pa.array([""]),
+            "content": pa.array([nq]),
+        }
+    )
+    df = parse_corpus(ray.data.from_arrow(corpus)).to_pandas()
+    assert len(df) == 4
+    gs = set(df["graph"])
+    assert "http://x/g1" in gs and "_:gb" in gs
+    assert sum(g not in ("http://x/g1", "_:gb") for g in df["graph"]) == 1
+
+
+def test_nquads_roundtrip_writer():
+    from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_nquads
+    from nospa_rdf_data_cube_validator_ray.stages.export import nquads_document
+
+    ttl, _ = wf_cube("IC11")
+    triples = parse_turtle(ttl)
+    doc = nquads_document(triples, graph_iri="http://x/g")
+    back = parse_nquads(doc)
+    assert all(g == "http://x/g" for g, _ in back)
+    assert sorted(t for _, t in back) == sorted(triples)
+    # default-graph writer emits plain N-Triples lines
+    doc2 = nquads_document(triples)
+    back2 = parse_nquads(doc2)
+    assert all(g == "" for g, _ in back2)
+    assert sorted(t for _, t in back2) == sorted(triples)
+
+
 def test_mixed_formats_same_findings():
     ttl, _expected = wf_cube("IC11")  # one IC-11 violation planted
     rows = {
