@@ -2454,6 +2454,59 @@ QUERIES["docs_split_counts"] = q_docs_split_counts
 ORACLES["docs_split_counts"] = _SQL_SPLIT_COUNTS
 
 
+def q_docs_split_leakage_safe(sf_dir: str):
+    """LEAKAGE-SAFE train/val/test assignment: the hash split key is the
+    near-dup CLUSTER id (stages/dedup.jaccard_clusters), not the doc id,
+    so a near-duplicate pair can never straddle train and test — the
+    cluster-aware eval-contamination guard every dedup paper recommends
+    over per-doc hashing.  Same stable-hash rule as docs_split_counts
+    (md5(key || ':split') % 100 → 80/10/10), applied per cluster."""
+    from ..stages.dedup import _md5_u64
+
+    clusters = D.jaccard_clusters(_docs(sf_dir))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "cluster_id": pd.Series(dtype="int64"),
+                    "split": pd.Series(dtype="string"),
+                }
+            )
+        # memoized per batch: cluster ids repeat by construction
+        memo = {
+            int(c): _md5_u64(f"{int(c)}:split") % 100
+            for c in df["cluster_id"].unique()
+        }
+        h = df["cluster_id"].map(memo).to_numpy()
+        out = df[["doc_id", "cluster_id"]].astype("int64").copy()
+        out["split"] = pd.Series(
+            np.where(h < 80, "train", np.where(h < 90, "val", "test")),
+            index=df.index,
+        ).astype("string")
+        return out
+
+    return clusters.map_batches(assign, batch_format="pandas")
+
+
+_SQL_SPLIT_LEAKAGE_SAFE = f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN md5_number_lower(cluster_id::VARCHAR || ':split') % 100 < 80
+            THEN 'train'
+            WHEN md5_number_lower(cluster_id::VARCHAR || ':split') % 100 < 90
+            THEN 'val' ELSE 'test' END AS split
+FROM ({_cc_sql(
+    pairs_ctes=f"{_JACCARD_W_CTE},{chr(10)}p AS ({_JACCARD_PAIRS_SELECT})",
+    base_table="documents",
+    id_col="doc_id",
+)}) cl
+"""
+
+QUERIES["docs_split_leakage_safe"] = q_docs_split_leakage_safe
+ORACLES["docs_split_leakage_safe"] = _SQL_SPLIT_LEAKAGE_SAFE
+
+
 def q_docs_profile(sf_dir: str):
     """Catalog-style column profile over documents
     (stages/expect.table_profile): per column — rows, nulls, exact

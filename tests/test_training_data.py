@@ -390,6 +390,25 @@ def test_multimodal_real_decode_pipeline():
     )
 
 
+def test_split_leakage_safe_invariant():
+    """Docs sharing a near-dup cluster always land in the same split."""
+    from nospa_rdf_data_cube_validator_ray.pipelines.training_data import (
+        q_docs_split_leakage_safe,
+    )
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import _md5_u64
+
+    df = q_docs_split_leakage_safe("/root/testdata/sf0.001").to_pandas()
+    assert (df.groupby("cluster_id")["split"].nunique() == 1).all()
+    # the guard is actually exercised: some cluster holds >1 doc
+    sizes = df.groupby("cluster_id").size()
+    assert (sizes > 1).any()
+    # split rule matches the shared stable-hash convention
+    row = df.iloc[0]
+    h = _md5_u64(f"{int(row['cluster_id'])}:split") % 100
+    expected = "train" if h < 80 else ("val" if h < 90 else "test")
+    assert row["split"] == expected
+
+
 def test_resample_audio_decimation():
     """ResampleAudio keeps exactly every k-th sample at rate // k."""
     import numpy as np
