@@ -512,6 +512,55 @@ def q_cube_nquads_by_pred(sf_dir: str):
     return state["nquads_by_pred"]
 
 
+def q_cube_trig_by_pred(sf_dir: str):
+    """TriG parser oracle-checked at TPC-H scale: every Turtle corpus
+    file re-serialized as a TriG named-graph block
+    (stages/export.trig_document) and re-parsed by the TriG reader
+    (rdf_parser.parse_trig — the Turtle grammar plus graph blocks);
+    per-predicate counts must equal the Turtle corpus's."""
+    state = _CACHE.setdefault(sf_dir, {})
+    if "trig_by_pred" not in state:
+        import pyarrow as pa
+        import ray.data
+
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
+        from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+        from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_turtle
+        from nospa_rdf_data_cube_validator_ray.stages.export import trig_document
+
+        corpus = ray.data.from_arrow(tpch_cube_corpus(sf_dir))
+
+        def to_trig(batch: pa.Table) -> pa.Table:
+            cols = {c: batch.column(c).to_pylist()
+                    for c in ("repo", "path", "commit", "lang", "content")}
+            out = {k: [] for k in cols}
+            for repo, path, commit, _lang, content in zip(
+                cols["repo"], cols["path"], cols["commit"],
+                cols["lang"], cols["content"],
+            ):
+                out["repo"].append(repo)
+                out["path"].append(path.rsplit(".", 1)[0] + ".trig")
+                out["commit"].append(commit)
+                out["lang"].append("trig")
+                out["content"].append(
+                    trig_document(
+                        parse_turtle(content),
+                        graph_iri=f"http://example.org/g/{path}",
+                    )
+                )
+            return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
+
+        trig_corpus = corpus.map_batches(to_trig, batch_format="pyarrow", batch_size=1)
+        ds = (
+            parse_corpus(trig_corpus)
+            .groupby("pred")
+            .count()
+            .rename_columns({"count()": "n"})
+        )
+        state["trig_by_pred"] = ds.to_pandas()
+    return state["trig_by_pred"]
+
+
 def q_cube_phase2_by_pred(sf_dir: str):
     """Phase-2 normalization materialization (the export path,
     Normalizer.java:90-189): the DataSet-attached tp:a_unit is pushed down
@@ -3101,6 +3150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_triples_by_pred": q_cube_triples_by_pred,
         "cube_xml_by_pred": q_cube_xml_by_pred,
         "cube_nquads_by_pred": q_cube_nquads_by_pred,
+        "cube_trig_by_pred": q_cube_trig_by_pred,
         "kg_canonical_iris": q_kg_canonical_iris,
         "kg_sameas_roots": q_kg_sameas_roots,
         "kg_degree": q_kg_degree,
@@ -3192,6 +3242,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_triples_by_pred": _SQL_TRIPLES_BY_PRED,
         "cube_xml_by_pred": _SQL_TRIPLES_BY_PRED,
         "cube_nquads_by_pred": _SQL_TRIPLES_BY_PRED,
+        "cube_trig_by_pred": _SQL_TRIPLES_BY_PRED,
         "kg_canonical_iris": _SQL_KG_CANONICAL,
         "kg_sameas_roots": _SQL_KG_ROOTS,
         "kg_degree": _SQL_KG_DEGREE,

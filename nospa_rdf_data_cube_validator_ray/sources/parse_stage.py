@@ -146,15 +146,20 @@ class ParseRDF:
                     from .rdf_parser import parse_turtle
 
                     triples = parse_turtle(content, anon_prefix=f"c{cid}_a")
-                elif fmt == "nquads":
+                elif fmt in ("nquads", "trig"):
                     # the quad's graph label scopes the row; default-graph
                     # rows fall back to the file's graph id below.  A named
                     # graph can span FILES, which breaks the one-graph-one-
                     # block invariant of the zero-shuffle local path —
-                    # validate .nq corpora with CubeValidator(mode="shuffle")
-                    from .rdf_parser import parse_nquads
+                    # validate .nq/.trig corpora with
+                    # CubeValidator(mode="shuffle")
+                    from .rdf_parser import parse_nquads, parse_trig
 
-                    quads = parse_nquads(content)
+                    quads = (
+                        parse_nquads(content)
+                        if fmt == "nquads"
+                        else parse_trig(content)
+                    )
                     triples = [t for _, t in quads]
                     glabels = [g for g, _ in quads]
                 else:

@@ -53,7 +53,7 @@ class RDFSyntaxError(ValueError):
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+)
-  | (?P<PUNCT>[;,\[\]()]|\.(?![0-9]))
+  | (?P<PUNCT>[;,\[\](){}]|\.(?![0-9]))
   | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
   | (?P<PREFIX_DECL>@prefix|@base|(?i:PREFIX(?=\s))|(?i:BASE(?=\s)))
   | (?P<BNODE>_:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])
@@ -330,10 +330,45 @@ class TurtleParser:
                         break
                     if self._i < n:
                         nkind, nval = tokens[self._i]
-                        if nkind == "PUNCT" and (nval == "." or nval == "]"):
+                        # '}' closes a TriG graph block (trailing ';' form)
+                        if nkind == "PUNCT" and nval in (".", "]", "}"):
                             return
                     continue
             return
+
+    def _parse_directive(self, val: str) -> None:
+        """@prefix / @base / PREFIX / BASE (shared by Turtle and TriG)."""
+        decl = val.lower()
+        if decl in ("@prefix", "prefix"):
+            pkind, pval = self._next()
+            if pkind != "PNAME" or not pval.endswith(":"):
+                # PNAME token for "p:" — prefix decl has empty local
+                if pkind != "PNAME" or ":" not in pval:
+                    raise RDFSyntaxError(f"bad prefix declaration near {pval!r}")
+            prefix = pval.split(":", 1)[0]
+            ikind, ival = self._next()
+            if ikind != "IRIREF":
+                raise RDFSyntaxError("prefix declaration requires IRIREF")
+            ns = _unescape(ival[1:-1])
+            # legal Turtle may redefine a prefix mid-document: the
+            # term/pred caches are keyed on raw tokens, so entries
+            # resolved under the old namespace must be dropped
+            if self.prefixes.get(prefix, ns) != ns:
+                self._term_cache.clear()
+                self._pred_cache.clear()
+            self.prefixes[prefix] = ns
+        else:  # @base / BASE
+            ikind, ival = self._next()
+            if ikind != "IRIREF":
+                raise RDFSyntaxError("base declaration requires IRIREF")
+            newbase = _unescape(ival[1:-1])
+            # cached relative-IRI resolutions depend on the base
+            if self.base != newbase:
+                self._term_cache.clear()
+                self._pred_cache.clear()
+            self.base = newbase
+        if decl.startswith("@"):
+            self._expect_punct(".")
 
     def parse(self, text: str) -> list[Triple]:
         self._tokens = _tokenize(text)
@@ -346,37 +381,7 @@ class TurtleParser:
             if kind == "EOF":
                 break
             if kind == "PREFIX_DECL":
-                decl = val.lower()
-                if decl in ("@prefix", "prefix"):
-                    pkind, pval = self._next()
-                    if pkind != "PNAME" or not pval.endswith(":"):
-                        # PNAME token for "p:" — prefix decl has empty local
-                        if pkind != "PNAME" or ":" not in pval:
-                            raise RDFSyntaxError(f"bad prefix declaration near {pval!r}")
-                    prefix = pval.split(":", 1)[0]
-                    ikind, ival = self._next()
-                    if ikind != "IRIREF":
-                        raise RDFSyntaxError("prefix declaration requires IRIREF")
-                    ns = _unescape(ival[1:-1])
-                    # legal Turtle may redefine a prefix mid-document: the
-                    # term/pred caches are keyed on raw tokens, so entries
-                    # resolved under the old namespace must be dropped
-                    if self.prefixes.get(prefix, ns) != ns:
-                        self._term_cache.clear()
-                        self._pred_cache.clear()
-                    self.prefixes[prefix] = ns
-                else:  # @base / BASE
-                    ikind, ival = self._next()
-                    if ikind != "IRIREF":
-                        raise RDFSyntaxError("base declaration requires IRIREF")
-                    newbase = _unescape(ival[1:-1])
-                    # cached relative-IRI resolutions depend on the base
-                    if self.base != newbase:
-                        self._term_cache.clear()
-                        self._pred_cache.clear()
-                    self.base = newbase
-                if decl.startswith("@"):
-                    self._expect_punct(".")
+                self._parse_directive(val)
                 continue
             # subject
             skind, slex, _, _ = self._parse_term(kind, val)
@@ -438,6 +443,98 @@ def parse_ntriples(text: str) -> list[Triple]:
                 )
             )
     return triples
+
+
+# ---------------------------------------------------------------------------
+# TriG parser (RDF 1.1: Turtle + named-graph blocks)
+# ---------------------------------------------------------------------------
+
+
+class TriGParser(TurtleParser):
+    """TriG = every Turtle production plus the block grammar
+    ``GRAPH? (iri|bnode) '{' stmts '}'`` / ``'{' stmts '}'`` / plain
+    Turtle statements (default graph).  Reuses the Turtle tokenizer,
+    term productions and directive handling wholesale; only the
+    top-level loop differs.  Emits (graph_label, triple) pairs — ""
+    marks the default graph, matching parse_nquads."""
+
+    def _graph_label(self, kind: str, val: str) -> str:
+        if kind == "IRIREF":
+            return self._resolve_iri(val)
+        if kind == "PNAME":
+            return self._resolve_pname(val)
+        if kind == "BNODE":
+            return "_:" + val[2:]
+        raise RDFSyntaxError(f"bad graph label token {kind} {val!r}")
+
+    def _statement(self, kind: str, val: str) -> None:
+        """One triples-statement starting at the already-consumed subject
+        token; the terminator ('.' or a block's '}') stays unconsumed."""
+        skind, slex, _, _ = self._parse_term(kind, val)
+        if skind == KIND_LITERAL:
+            raise RDFSyntaxError("literal cannot be a subject")
+        nkind, nval = self._peek()
+        if not (nkind == "PUNCT" and nval in (".", "}")):
+            self._parse_predicate_object_list(slex)
+
+    def _parse_block(self, g: str) -> None:
+        while True:
+            kind, val = self._next()
+            if kind == "PUNCT" and val == "}":
+                return
+            if kind == "EOF":
+                raise RDFSyntaxError("unterminated graph block")
+            before = len(self.triples)
+            self._statement(kind, val)
+            self.graphs.extend([g] * (len(self.triples) - before))
+            # TriG makes the final statement's '.' optional before '}'
+            nkind, nval = self._peek()
+            if nkind == "PUNCT" and nval == ".":
+                self._next()
+
+    def parse_quads(self, text: str) -> list[tuple[str, Triple]]:
+        self._tokens = _tokenize(text)
+        self._i = 0
+        self._used_labels = {v[2:] for k, v in self._tokens if k == "BNODE"}
+        self.graphs: list[str] = []
+        while True:
+            kind, val = self._next()
+            if kind == "EOF":
+                break
+            if kind == "PREFIX_DECL":
+                self._parse_directive(val)
+                continue
+            if kind == "PNAME" and val.lower() == "graph":
+                gkind, gval = self._next()
+                g = self._graph_label(gkind, gval)
+                self._expect_punct("{")
+                self._parse_block(g)
+                continue
+            if kind == "PUNCT" and val == "{":
+                self._parse_block("")
+                continue
+            nkind, nval = self._peek()
+            if (
+                kind in ("IRIREF", "PNAME", "BNODE")
+                and nkind == "PUNCT"
+                and nval == "{"
+            ):
+                g = self._graph_label(kind, val)
+                self._next()
+                self._parse_block(g)
+                continue
+            # plain Turtle statement in the default graph
+            before = len(self.triples)
+            self._statement(kind, val)
+            self.graphs.extend([""] * (len(self.triples) - before))
+            self._expect_punct(".")
+        return list(zip(self.graphs, self.triples))
+
+
+def parse_trig(text: str, anon_prefix: str = "a") -> list[tuple[str, Triple]]:
+    p = TriGParser()
+    p._anon_prefix = anon_prefix
+    return p.parse_quads(text)
 
 
 # ---------------------------------------------------------------------------
@@ -813,6 +910,7 @@ _FORMAT_ALIASES = {
     "nquads": "nquads",
     "n-quads": "nquads",
     "nq": "nquads",
+    "trig": "trig",
 }
 
 
@@ -842,6 +940,8 @@ def parse_document(content: str, fmt: str) -> list[Triple]:
         # graph labels dropped: callers that scope by graph (ParseRDF)
         # call parse_nquads directly
         return [t for _, t in parse_nquads(content)]
+    if fmt == "trig":
+        return [t for _, t in parse_trig(content)]
     raise RDFSyntaxError(f"unsupported format {fmt!r}")
 
 

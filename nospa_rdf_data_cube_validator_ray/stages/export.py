@@ -358,6 +358,22 @@ def nquads_document(rows, graph_iri: str | None = None) -> str:
     return "\n".join(lines) + ("\n" if lines else "")
 
 
+def trig_document(rows, graph_iri: str | None = None) -> str:
+    """Parser triple tuples → TriG text: one named-graph block when
+    ``graph_iri`` is given, else default-graph statements (plain
+    Turtle-compatible lines).  The write twin of rdf_parser.parse_trig."""
+    from ..model import term_str
+
+    lines = []
+    for s, p, k, o, dt, lg_ in rows:
+        st = s if s.startswith("_:") else f"<{s}>"
+        lines.append(f"{st} <{p}> {term_str(k, o, dt, lg_)} .")
+    body = "\n".join(lines)
+    if graph_iri is None:
+        return body + ("\n" if lines else "")
+    return f"<{graph_iri}> {{\n{body}\n}}\n"
+
+
 def exact_dedup_triples(triples, num_buckets: int = 64):
     """Exact set-dedup of the triple table: per-batch identity hash →
     bucket shuffle → per-bucket drop_duplicates (the groupby-shuffle dedup

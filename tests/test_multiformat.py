@@ -3,6 +3,7 @@ N-Triples and RDF/XML rows in one corpus must yield per-graph-identical
 findings (format dispatch Main.java:23-43)."""
 
 import pyarrow as pa
+import pytest
 
 import ray.data
 
@@ -85,8 +86,6 @@ def test_nquads_parse_and_graph_scoping():
     assert [g for g, _ in quads] == ["http://x/g1", "", "_:gb", "http://x/g1"]
     assert quads[0][1] == ("http://x/s", "http://x/p", 2, "lit", "", "en")
     assert quads[2][1][0] == "_:b1" and quads[2][1][2] == 0
-    import pytest
-
     with pytest.raises(RDFSyntaxError, match="N-Quads"):
         parse_nquads("<http://x/s> <http://x/p> .")
 
@@ -106,6 +105,73 @@ def test_nquads_parse_and_graph_scoping():
     gs = set(df["graph"])
     assert "http://x/g1" in gs and "_:gb" in gs
     assert sum(g not in ("http://x/g1", "_:gb") for g in df["graph"]) == 1
+
+
+def test_trig_parse_blocks_and_default_graph():
+    from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import (
+        RDFSyntaxError,
+        parse_trig,
+        parse_turtle,
+    )
+
+    doc = """
+    @prefix ex: <http://x/> .
+    ex:top ex:p ex:o .                       # default graph
+    ex:g1 { ex:s ex:p "v"@en ; ex:q 4 . }    # labeled block
+    GRAPH <http://x/g2> { ex:s2 ex:p [ ex:inner ex:o ] }  # GRAPH kw, no final dot
+    { ex:d ex:p ex:o . }                     # anonymous block = default graph
+    _:gb { ex:s3 ex:p ex:o . }               # bnode graph label
+    """
+    quads = parse_trig(doc)
+    by_g = {}
+    for g, t in quads:
+        by_g.setdefault(g, []).append(t)
+    assert len(by_g[""]) == 2  # top-level + anonymous block
+    assert {t[0] for t in by_g[""]} == {"http://x/top", "http://x/d"}
+    assert len(by_g["http://x/g1"]) == 2
+    assert ("http://x/s", "http://x/p", 2, "v", "", "en") in by_g["http://x/g1"]
+    # nested bnode property list inside a block stays in that graph
+    assert len(by_g["http://x/g2"]) == 2
+    assert "_:gb" in by_g and len(by_g["_:gb"]) == 1
+    with pytest.raises(RDFSyntaxError, match="unterminated"):
+        parse_trig("<http://x/g> { <http://x/s> <http://x/p> <http://x/o> .")
+    # plain Turtle is valid TriG: identical triples, all default-graph
+    ttl, _ = wf_cube("IC11")
+    quads2 = parse_trig(ttl)
+    assert all(g == "" for g, _ in quads2)
+    assert sorted(t for _, t in quads2) == sorted(parse_turtle(ttl))
+
+
+def test_trig_corpus_scoping_and_writer():
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+    from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_trig
+    from nospa_rdf_data_cube_validator_ray.stages.export import trig_document
+
+    ttl, _ = wf_cube("IC11")
+    triples = parse_turtle(ttl)
+    doc = trig_document(triples, graph_iri="http://x/g")
+    back = parse_trig(doc)
+    assert all(g == "http://x/g" for g, _ in back)
+    assert sorted(t for _, t in back) == sorted(triples)
+    corpus = pa.table(
+        {
+            "repo": pa.array(["m"]),
+            "path": pa.array(["f.trig"]),
+            "commit": pa.array(["c"]),
+            "lang": pa.array([""]),
+            "content": pa.array(
+                ['<http://x/g> { <http://x/s> <http://x/p> "1" . }\n'
+                 '<http://x/s0> <http://x/p> "0" .']
+            ),
+        }
+    )
+    df = parse_corpus(ray.data.from_arrow(corpus)).to_pandas()
+    assert len(df) == 2
+    assert set(df["graph"]) == {
+        "http://x/g",
+        df[df["subj"] == "http://x/s0"]["graph"].iloc[0],
+    }
+    assert df[df["subj"] == "http://x/s0"]["graph"].iloc[0] != "http://x/g"
 
 
 def test_nquads_roundtrip_writer():
