@@ -2507,6 +2507,89 @@ QUERIES["docs_split_leakage_safe"] = q_docs_split_leakage_safe
 ORACLES["docs_split_leakage_safe"] = _SQL_SPLIT_LEAKAGE_SAFE
 
 
+def q_docs_quality_buckets(sf_dir: str):
+    """CCNet-style corpus bucketing: every document lands in
+    head/middle/tail by GLOBAL terciles of an integer quality score
+    (stop-word permille — higher reads as more natural English; CCNet
+    uses LM perplexity, the bucketing mechanics are identical).  The
+    score domain is bounded (0..1000), so the terciles come from the
+    counting-histogram + integer lower-index rule (no distributed
+    sort), and assignment is one broadcast-threshold map — the 100-TB
+    shape doc_len_quantiles established."""
+    from ..functions.text import quality_scores
+    from ..util import bucket_sum
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_scores(df)
+        tok = np.maximum(q["n_tokens"].to_numpy(dtype=np.int64), 1)
+        s = 1000 * q["n_stopwords"].to_numpy(dtype=np.int64) // tok
+        return pd.DataFrame(
+            {
+                "doc_id": q["doc_id"].astype("int64"),
+                "score": s.astype("int64"),
+            }
+        )
+
+    scored = (
+        _docs(sf_dir).map_batches(score, batch_format="pandas").materialize()
+    )
+    hist = (
+        bucket_sum(
+            scored.map_batches(
+                lambda df: df.groupby("score", as_index=False)
+                .size()
+                .rename(columns={"size": "n"}),
+                batch_format="pandas",
+            ),
+            ["score"],
+            ["n"],
+        )
+        .to_pandas()
+        .sort_values("score")
+    )
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1])
+    vals = hist["score"].to_numpy()
+    t33 = int(vals[np.searchsorted(cum, (n - 1) * 33 // 100 + 1)])
+    t66 = int(vals[np.searchsorted(cum, (n - 1) * 66 // 100 + 1)])
+
+    def assign(df: pd.DataFrame, t33=t33, t66=t66) -> pd.DataFrame:
+        s = df["score"].to_numpy()
+        out = df[["doc_id", "score"]].copy()
+        out["bucket"] = pd.Series(
+            np.where(s > t66, "head", np.where(s > t33, "middle", "tail")),
+            index=df.index,
+        ).astype("string")
+        return out
+
+    return scored.map_batches(assign, batch_format="pandas")
+
+
+_SQL_QUALITY_BUCKETS = r"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_tokens,
+         length(regexp_extract_all(coalesce(text, ''),
+                '\b(?:the|and|of|to|a|in|is|for)\b')) AS n_stop
+  FROM documents
+),
+s AS (SELECT doc_id, (1000 * n_stop) // greatest(n_tokens, 1) AS score FROM t),
+o AS (SELECT score, row_number() OVER (ORDER BY score) AS rn,
+             count(*) OVER () AS n FROM s),
+th AS (SELECT
+   max(CASE WHEN rn = (n - 1) * 33 // 100 + 1 THEN score END) AS t33,
+   max(CASE WHEN rn = (n - 1) * 66 // 100 + 1 THEN score END) AS t66
+ FROM o)
+SELECT doc_id::BIGINT AS doc_id, score::BIGINT AS score,
+       CASE WHEN score > t66 THEN 'head'
+            WHEN score > t33 THEN 'middle' ELSE 'tail' END AS bucket
+FROM s, th
+"""
+
+QUERIES["docs_quality_buckets"] = q_docs_quality_buckets
+ORACLES["docs_quality_buckets"] = _SQL_QUALITY_BUCKETS
+
+
 def q_docs_profile(sf_dir: str):
     """Catalog-style column profile over documents
     (stages/expect.table_profile): per column — rows, nulls, exact
