@@ -1642,6 +1642,174 @@ FROM m
 """
 
 
+def q_kg_property_cardinality(sf_dir: str):
+    """Ontology bootstrapping: per-predicate cardinality profile of the
+    code KG — triple count, distinct subject/object counts, max out/in
+    multiplicities, functional / inverse-functional flags
+    (stages/graph.property_cardinality — per-block partials, one
+    bucketed sum per side, driver combine of |preds|-scale rows)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        property_cardinality,
+    )
+
+    return property_cardinality(_code_triples(sf_dir))
+
+
+_SQL_PROPERTY_CARDINALITY = f"""
+WITH {_CODE_EDGE_BODY},
+trip AS (
+  SELECT src AS s, kind AS pred, dst AS o FROM cedges
+  UNION ALL
+  SELECT '{_CODEN}mod/m' || k, '{_CODE}definesFunction',
+         '{_CODEN}def/m' || k || '.fn_' || k FROM p
+  UNION ALL
+  SELECT '{_CODEN}mod/m' || k, '{_CODE}definesClass',
+         '{_CODEN}def/m' || k || '.C' || k FROM p
+),
+ps AS (SELECT pred, s, count(*) AS c FROM trip GROUP BY 1, 2),
+po AS (SELECT pred, o, count(*) AS c FROM trip GROUP BY 1, 2),
+sagg AS (SELECT pred, count(*) AS n_subjects, max(c) AS mx, sum(c) AS n
+         FROM ps GROUP BY 1),
+oagg AS (SELECT pred, count(*) AS n_objects, max(c) AS mo FROM po GROUP BY 1)
+SELECT s.pred,
+       s.n::BIGINT AS n_triples,
+       s.n_subjects::BIGINT AS n_subjects,
+       o.n_objects::BIGINT AS n_objects,
+       s.mx::BIGINT AS max_out_per_subj,
+       o.mo::BIGINT AS max_in_per_obj,
+       (CASE WHEN s.mx = 1 THEN 1 ELSE 0 END)::BIGINT AS functional,
+       (CASE WHEN o.mo = 1 THEN 1 ELSE 0 END)::BIGINT AS inverse_functional
+FROM sagg s JOIN oagg o ON s.pred = o.pred
+"""
+
+
+def q_kg_degree_incremental(sf_dir: str):
+    """Incremental degree-view maintenance over a keyed change feed:
+    DELETE keys remove every matching (src, dst) edge, INSERT rows
+    append; the maintained view = base degree partials + feed deltas
+    through ONE bucketed sum — the base edge table is scanned once for
+    delete-key matches (broadcast feed membership, map-side) and the
+    degree table is never recomputed.  Must equal a full recompute on
+    the modified edge multiset (the oracle).  Feed (part-derived):
+    delete (m_k → m_(k%97)) for k%5=0, insert (m_k → m_(2k+1 mod 97))
+    for k%7=0."""
+    import pandas as pd
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.stages.graph import degree_table
+    from nospa_rdf_data_cube_validator_ray.util import bucket_sum
+
+    edges = _code_import_edges(sf_dir)
+    base_deg = degree_table(edges)
+
+    keys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey"]
+        )
+        .to_pandas()["p_partkey"]
+        .to_numpy()
+    )
+    rem_k = keys[keys % 5 == 0]
+    add_k = keys[keys % 7 == 0]
+    rem_pairs = set(
+        f"{_CODEN}mod/m{k}\x01{_CODEN}mod/m{k % 97}" for k in rem_k
+    )
+    adds = pd.DataFrame(
+        {
+            "subj": [f"{_CODEN}mod/m{k}" for k in add_k],
+            "obj": [f"{_CODEN}mod/m{(2 * k + 1) % 97}" for k in add_k],
+        }
+    )
+
+    def removal_deltas(df: pd.DataFrame) -> pd.DataFrame:
+        hit = (df["subj"].astype(str) + "\x01" + df["obj"].astype(str)).isin(
+            rem_pairs
+        )
+        d = df[hit]
+        o = d["subj"].value_counts()
+        i = d["obj"].value_counts()
+        nodes = o.index.union(i.index)
+        return pd.DataFrame(
+            {
+                "node": pd.Series(nodes, dtype="string"),
+                "out_deg": -o.reindex(nodes, fill_value=0)
+                .astype("int64")
+                .to_numpy(),
+                "in_deg": -i.reindex(nodes, fill_value=0)
+                .astype("int64")
+                .to_numpy(),
+            }
+        )
+
+    def add_deltas(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["subj"].value_counts()
+        i = df["obj"].value_counts()
+        nodes = o.index.union(i.index)
+        return pd.DataFrame(
+            {
+                "node": pd.Series(nodes, dtype="string"),
+                "out_deg": o.reindex(nodes, fill_value=0)
+                .astype("int64")
+                .to_numpy(),
+                "in_deg": i.reindex(nodes, fill_value=0)
+                .astype("int64")
+                .to_numpy(),
+            }
+        )
+
+    deltas = edges.map_batches(removal_deltas, batch_format="pandas").union(
+        ray.data.from_pandas(add_deltas(adds))
+    )
+    updated = bucket_sum(
+        base_deg.union(deltas), ["node"], ["out_deg", "in_deg"]
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="string"),
+                    "out_deg": pd.Series(dtype="int64"),
+                    "in_deg": pd.Series(dtype="int64"),
+                }
+            )
+        keep = (df["out_deg"] != 0) | (df["in_deg"] != 0)
+        out = df[keep].reset_index(drop=True)
+        return out.astype(
+            {"node": "string", "out_deg": "int64", "in_deg": "int64"}
+        )
+
+    return updated.map_batches(finish, batch_format="pandas")
+
+
+_SQL_DEGREE_INCREMENTAL = f"""
+WITH {_CODE_EDGE_BODY},
+rem AS (
+  SELECT '{_CODEN}mod/m' || k AS src, '{_CODEN}mod/m' || (k % 97) AS dst
+  FROM p WHERE k % 5 = 0
+),
+ins AS (
+  SELECT '{_CODEN}mod/m' || k AS src,
+         '{_CODEN}mod/m' || ((2 * k + 1) % 97) AS dst
+  FROM p WHERE k % 7 = 0
+),
+m AS (
+  SELECT c.src, c.dst FROM cedges c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rem r WHERE r.src = c.src AND r.dst = c.dst
+  )
+  UNION ALL
+  SELECT src, dst FROM ins
+),
+o AS (SELECT src AS node, count(*) AS c FROM m GROUP BY 1),
+i AS (SELECT dst AS node, count(*) AS c FROM m GROUP BY 1)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(o.c, 0)::BIGINT AS out_deg,
+       coalesce(i.c, 0)::BIGINT AS in_deg
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
 _CLOSENESS_SEEDS = [f"{_CODEN}mod/m{k}" for k in (1, 2, 3, 5)]
 
 
@@ -3170,6 +3338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_reachable": q_kg_code_reachable,
         "kg_closeness": q_kg_closeness,
         "kg_triangle_types": q_kg_triangle_types,
+        "kg_property_cardinality": q_kg_property_cardinality,
+        "kg_degree_incremental": q_kg_degree_incremental,
         "kg_code_defs": q_kg_code_defs,
         "kg_module_summary": q_kg_module_summary,
         "kg_commit_import_diff": q_kg_commit_import_diff,
@@ -3264,6 +3434,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_reachable": _SQL_CODE_REACHABLE,
         "kg_closeness": _SQL_KG_CLOSENESS,
         "kg_triangle_types": _SQL_TRIANGLE_TYPES,
+        "kg_property_cardinality": _SQL_PROPERTY_CARDINALITY,
+        "kg_degree_incremental": _SQL_DEGREE_INCREMENTAL,
         "kg_code_defs": _SQL_CODE_DEFS,
         "kg_module_summary": _SQL_MODULE_SUMMARY,
         "kg_commit_import_diff": _SQL_COMMIT_DIFF,

@@ -713,6 +713,78 @@ def triangle_enum(
     return tri.map_batches(canon, batch_format="pandas")
 
 
+def property_cardinality(
+    triples: "ray.data.Dataset", *, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Ontology-bootstrap property profiling: per predicate — triple
+    count, distinct subject/object cardinalities, max out-degree per
+    subject / in-degree per object, and functional / inverse-functional
+    flags (max == 1, the cardinality evidence an ontology constructor
+    uses to propose owl:FunctionalProperty axioms).
+
+    Scale design: per-block (pred, term) partial counts → ONE bucketed
+    sum per side (pairs are globally unique after it) → per-block tiny
+    per-pred partials → driver combine over ~|preds| × blocks rows —
+    predicates are vocabulary-scale, terms are node-scale, and no
+    node-scale key ever reaches a Ray aggregate."""
+    from ..util import bucket_sum
+
+    def per_pred(col: str, n_col: str, mx_col: str) -> pd.DataFrame:
+        def partial(df: pd.DataFrame, c=col) -> pd.DataFrame:
+            g = df.groupby(["pred", c], as_index=False, sort=False).size()
+            return g.rename(columns={"size": "c", c: "term"}).astype(
+                {"pred": "string", "term": "string", "c": "int64"}
+            )
+
+        pairs = bucket_sum(
+            triples.map_batches(partial, batch_format="pandas"),
+            ["pred", "term"],
+            ["c"],
+            num_buckets=num_buckets,
+        )
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("pred", sort=False)["c"].agg(["size", "max", "sum"])
+            return pd.DataFrame(
+                {
+                    "pred": pd.Series(g.index, dtype="string"),
+                    "n_terms": g["size"].to_numpy().astype("int64"),
+                    "mx": g["max"].to_numpy().astype("int64"),
+                    "n": g["sum"].to_numpy().astype("int64"),
+                }
+            )
+
+        parts = pairs.map_batches(fold, batch_format="pandas").to_pandas()
+        if not len(parts):
+            return pd.DataFrame(
+                {"pred": pd.Series(dtype="string"),
+                 n_col: pd.Series(dtype="int64"),
+                 mx_col: pd.Series(dtype="int64"),
+                 "n_triples": pd.Series(dtype="int64")}
+            )
+        out = parts.groupby("pred", as_index=False).agg(
+            **{n_col: ("n_terms", "sum"), mx_col: ("mx", "max"),
+               "n_triples": ("n", "sum")}
+        )
+        return out
+
+    s = per_pred("subj", "n_subjects", "max_out_per_subj")
+    o = per_pred("obj", "n_objects", "max_in_per_obj").drop(
+        columns=["n_triples"]
+    )
+    m = s.merge(o, on="pred", how="outer")
+    m["functional"] = (m["max_out_per_subj"] == 1).astype("int64")
+    m["inverse_functional"] = (m["max_in_per_obj"] == 1).astype("int64")
+    cols = ["pred", "n_triples", "n_subjects", "n_objects",
+            "max_out_per_subj", "max_in_per_obj", "functional",
+            "inverse_functional"]
+    m = m[cols]
+    for c in cols[1:]:
+        m[c] = m[c].astype("int64")
+    m["pred"] = m["pred"].astype("string")
+    return ray.data.from_pandas(m.sort_values("pred", ignore_index=True))
+
+
 # ordered pair per triangle corner → bit weight; cyclic = one full
 # rotation present (a→b→c→a = 1|4|16, or the reverse = 2|8|32)
 _MOTIF_BITS = (

@@ -155,6 +155,32 @@ def test_multi_bfs_regime_parity_and_closeness():
         G.multi_bfs_distances(edges, ["root"], max_rounds=3)
 
 
+def test_property_cardinality_known_graph():
+    rows = [
+        ("a", "p1", 0, "b"), ("a", "p1", 0, "c"),          # max_out 2
+        ("a", "p2", 0, "b"), ("c", "p2", 0, "b"),          # max_in 2
+        ("a", "p3", 0, "b"), ("a", "p3", 0, "b"),          # duplicate triple
+    ]
+    df = (
+        G.property_cardinality(_triples(rows))
+        .to_pandas()
+        .set_index("pred")
+    )
+    assert df.loc["p1", "n_triples"] == 2
+    assert df.loc["p1", "n_subjects"] == 1 and df.loc["p1", "n_objects"] == 2
+    assert df.loc["p1", "max_out_per_subj"] == 2
+    assert df.loc["p1", "functional"] == 0
+    assert df.loc["p1", "inverse_functional"] == 1
+    assert df.loc["p2", "functional"] == 1
+    assert df.loc["p2", "inverse_functional"] == 0
+    # a duplicated (s, p, o) row is multiplicity 2 on both sides
+    assert df.loc["p3", "max_out_per_subj"] == 2
+    assert df.loc["p3", "max_in_per_obj"] == 2
+    # rdf:type rows counted too: _triples emits no type rows here, so
+    # exactly the three predicates appear
+    assert set(df.index) == {"p1", "p2", "p3"}
+
+
 def test_triangle_motifs_known_graph():
     rows = [
         # feed-forward triad on a,b,c: a→b, b→c, a→c
