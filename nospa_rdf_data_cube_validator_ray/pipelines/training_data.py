@@ -2590,6 +2590,155 @@ QUERIES["docs_quality_buckets"] = q_docs_quality_buckets
 ORACLES["docs_quality_buckets"] = _SQL_QUALITY_BUCKETS
 
 
+def q_multimodal_sniff(sf_dir: str):
+    """Header-only media metadata scan — the 100-TB shape for a
+    metadata pass: dimensions / rate / frame counts come from fixed-
+    offset header reads (BMP info header, RIFF chunk walk, NBV index),
+    NO pixel or sample ever decodes.  One stateless map over the union
+    of all three payload types."""
+    import struct
+
+    docs = _docs(sf_dir)
+    parts = [
+        M.attach_payload(docs, media=m) for m in ("bmp", "wav", "nbv")
+    ]
+    ds = parts[0].union(parts[1]).union(parts[2])
+
+    def sniff(df: pd.DataFrame) -> pd.DataFrame:
+        m1, m2 = [], []
+        for p, mt in zip(df["payload"], df["media_type"]):
+            b = bytes(p)
+            if mt == "image/bmp":
+                _, w, h = struct.unpack_from("<Iii", b, 14)
+                m1.append(w)
+                m2.append(abs(h))
+            elif mt == "audio/wav":
+                rate, nsamp, pos = 0, 0, 12
+                while pos + 8 <= len(b):
+                    cid, size = struct.unpack_from("<4sI", b, pos)
+                    pos += 8
+                    if cid == b"fmt ":
+                        rate = struct.unpack_from("<I", b, pos + 4)[0]
+                    elif cid == b"data":
+                        nsamp = size // 2
+                    pos += size + (size & 1)
+                m1.append(rate)
+                m2.append(nsamp)
+            elif mt == "video/x-nbv":
+                (n,) = struct.unpack_from("<I", b, 4)
+                (first,) = struct.unpack_from("<I", b, 8)
+                m1.append(n)
+                m2.append(first)
+            else:
+                raise ValueError(f"unknown media {mt!r}")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "media_type": df["media_type"].astype("string"),
+                "n_bytes": df["n_bytes"].astype("int64"),
+                "meta1": pd.Series(m1, dtype="int64", index=df.index),
+                "meta2": pd.Series(m2, dtype="int64", index=df.index),
+            }
+        )
+
+    return ds.map_batches(sniff, batch_format="pandas")
+
+
+# every header field is pure text-length arithmetic: BMP row stride is
+# padded to 4 bytes; WAV n = max(64, min(4000, 4*len)); the NBV clip is
+# 4 frames of the constant 8x8 BMP (54 + 24*8 = 246 bytes each)
+_SQL_MULTIMODAL_SNIFF = """
+WITH d AS (SELECT doc_id, length(coalesce(text, '')) AS len FROM documents),
+b AS (
+  SELECT doc_id, len,
+         greatest(4, least(32, floor(sqrt(len))::INT)) AS side
+  FROM d
+)
+SELECT doc_id::BIGINT AS doc_id, 'image/bmp' AS media_type,
+       (54 + ((side * 3 + 3) // 4) * 4 * side)::BIGINT AS n_bytes,
+       side::BIGINT AS meta1, side::BIGINT AS meta2
+FROM b
+UNION ALL
+SELECT doc_id::BIGINT, 'audio/wav',
+       (44 + 2 * greatest(64, least(4000, 4 * len)))::BIGINT,
+       8000::BIGINT, greatest(64, least(4000, 4 * len))::BIGINT
+FROM d
+UNION ALL
+SELECT doc_id::BIGINT, 'video/x-nbv', 1008::BIGINT, 4::BIGINT, 246::BIGINT
+FROM d
+"""
+
+QUERIES["multimodal_sniff"] = q_multimodal_sniff
+ORACLES["multimodal_sniff"] = _SQL_MULTIMODAL_SNIFF
+
+
+def q_docs_domain_topk(sf_dir: str):
+    """URL/domain profiling (the domain-filter pass of a web-scale
+    pretraining pipeline) over a derived URL-bearing corpus: every doc
+    gets deterministic URLs appended (pure doc_id arithmetic, the PII-
+    corpus trick), domains regex-extract map-side, count through ONE
+    bucketed sum, and the top 10 (count DESC, domain) resolve on the
+    driver — domain cardinality is bounded, so only (domain, partial
+    count) rows ever shuffle."""
+    import re
+
+    from ..util import bucket_sum
+
+    rx = re.compile(r"https?://([A-Za-z0-9.\-]+)", re.ASCII)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        t = (
+            df["text"].fillna("")
+            + " http://w" + (d % 37).astype(str) + ".example.org/p/"
+            + d.astype(str)
+        )
+        extra = " https://w" + (d % 11).astype(str) + ".example.net/q"
+        t = t + pd.Series(
+            np.where(d % 3 == 0, extra, ""), index=df.index
+        )
+        doms = t.str.findall(rx).explode().dropna()
+        g = doms.value_counts()
+        return pd.DataFrame(
+            {
+                "domain": pd.Series(g.index, dtype="string"),
+                "n": g.to_numpy().astype("int64"),
+            }
+        )
+
+    counts = bucket_sum(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["domain"],
+        ["n"],
+    ).to_pandas()
+    if not len(counts):
+        return pd.DataFrame(
+            {"domain": pd.Series(dtype="string"), "n": pd.Series(dtype="int64")}
+        )
+    out = (
+        counts.sort_values(["n", "domain"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out.astype({"domain": "string", "n": "int64"})
+
+
+_SQL_DOMAIN_TOPK = """
+WITH d AS (SELECT doc_id FROM documents),
+doms AS (
+  SELECT 'w' || (doc_id % 37) || '.example.org' AS domain FROM d
+  UNION ALL
+  SELECT 'w' || (doc_id % 11) || '.example.net' FROM d WHERE doc_id % 3 = 0
+),
+c AS (SELECT domain, count(*)::BIGINT AS n FROM doms GROUP BY 1)
+SELECT domain, n FROM c
+QUALIFY row_number() OVER (ORDER BY n DESC, domain) <= 10
+"""
+
+QUERIES["docs_domain_topk"] = q_docs_domain_topk
+ORACLES["docs_domain_topk"] = _SQL_DOMAIN_TOPK
+
+
 def q_docs_profile(sf_dir: str):
     """Catalog-style column profile over documents
     (stages/expect.table_profile): per column — rows, nulls, exact
