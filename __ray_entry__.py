@@ -1683,6 +1683,45 @@ FROM sagg s JOIN oagg o ON s.pred = o.pred
 """
 
 
+def q_kg_pred_subsumption(sf_dir: str):
+    """Property-hierarchy induction over the code KG: ordered predicate
+    pairs with subject-set overlap and containment flags
+    (stages/graph.pred_subsumption — subject-bucketed dedup with
+    in-bucket pair expansion; the importsFrom ⊑ imports containment is
+    real in this corpus: every k%3==1 module also plain-imports)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import pred_subsumption
+
+    return pred_subsumption(_code_triples(sf_dir))
+
+
+_SQL_PRED_SUBSUMPTION = f"""
+WITH {_CODE_EDGE_BODY},
+trip AS (
+  SELECT src AS s, kind AS pred, dst AS o FROM cedges
+  UNION ALL
+  SELECT '{_CODEN}mod/m' || k, '{_CODE}definesFunction',
+         '{_CODEN}def/m' || k || '.fn_' || k FROM p
+  UNION ALL
+  SELECT '{_CODEN}mod/m' || k, '{_CODE}definesClass',
+         '{_CODEN}def/m' || k || '.C' || k FROM p
+),
+sp AS (SELECT DISTINCT pred, s FROM trip),
+tot AS (SELECT pred, count(*) AS n FROM sp GROUP BY 1),
+ab AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_ab
+  FROM sp a JOIN sp b ON a.s = b.s AND a.pred <> b.pred
+  GROUP BY 1, 2
+)
+SELECT t.pred AS pred_a, t2.pred AS pred_b,
+       t.n::BIGINT AS n_a,
+       coalesce(ab.n_ab, 0)::BIGINT AS n_ab,
+       (CASE WHEN coalesce(ab.n_ab, 0) = t.n THEN 1 ELSE 0 END)::BIGINT
+         AS contained
+FROM tot t JOIN tot t2 ON t.pred <> t2.pred
+LEFT JOIN ab ON ab.pred_a = t.pred AND ab.pred_b = t2.pred
+"""
+
+
 def q_kg_degree_incremental(sf_dir: str):
     """Incremental degree-view maintenance over a keyed change feed:
     DELETE keys remove every matching (src, dst) edge, INSERT rows
@@ -3339,6 +3378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": q_kg_closeness,
         "kg_triangle_types": q_kg_triangle_types,
         "kg_property_cardinality": q_kg_property_cardinality,
+        "kg_pred_subsumption": q_kg_pred_subsumption,
         "kg_degree_incremental": q_kg_degree_incremental,
         "kg_code_defs": q_kg_code_defs,
         "kg_module_summary": q_kg_module_summary,
@@ -3435,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_closeness": _SQL_KG_CLOSENESS,
         "kg_triangle_types": _SQL_TRIANGLE_TYPES,
         "kg_property_cardinality": _SQL_PROPERTY_CARDINALITY,
+        "kg_pred_subsumption": _SQL_PRED_SUBSUMPTION,
         "kg_degree_incremental": _SQL_DEGREE_INCREMENTAL,
         "kg_code_defs": _SQL_CODE_DEFS,
         "kg_module_summary": _SQL_MODULE_SUMMARY,

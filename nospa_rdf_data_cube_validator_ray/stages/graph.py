@@ -785,6 +785,77 @@ def property_cardinality(
     return ray.data.from_pandas(m.sort_values("pred", ignore_index=True))
 
 
+def pred_subsumption(
+    triples: "ray.data.Dataset", *, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Property-hierarchy induction (rdfs:subPropertyOf candidates):
+    for every ORDERED predicate pair (a, b), the subject-set overlap —
+    ``contained`` = 1 when every subject carrying ``a`` also carries
+    ``b`` (the evidence an ontology constructor uses to propose
+    sub-property / domain axioms).
+
+    Scale design: per-block distinct (subj, pred) partials → ONE
+    subject-bucketed dedup whose in-bucket fn does the vectorized pair
+    expansion (a subject's predicate set is vocabulary-sized) →
+    |preds|²-scale driver combine.  Subjects never key a Ray
+    aggregate and the pair space is vocabulary², not node²."""
+    from ..util import bucket_agg
+
+    def distinct_sp(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[["subj", "pred"]]
+            .drop_duplicates()
+            .astype({"subj": "string", "pred": "string"})
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["subj", "pred"]].drop_duplicates()
+        tot = d.groupby("pred", as_index=False).size()
+        t = pd.DataFrame(
+            {"pred_a": tot["pred"], "pred_b": "", "n": tot["size"]}
+        )
+        m = d.merge(d, on="subj")
+        m = m[m["pred_x"] != m["pred_y"]]
+        g = m.groupby(["pred_x", "pred_y"], as_index=False).size()
+        p = pd.DataFrame(
+            {"pred_a": g["pred_x"], "pred_b": g["pred_y"], "n": g["size"]}
+        )
+        out = pd.concat([t, p], ignore_index=True)
+        return out.astype(
+            {"pred_a": "string", "pred_b": "string", "n": "int64"}
+        )
+
+    parts = bucket_agg(
+        triples.map_batches(distinct_sp, batch_format="pandas"),
+        ["subj"],
+        fold,
+        num_buckets=num_buckets,
+    ).to_pandas()
+    cols = {
+        "pred_a": pd.Series(dtype="string"),
+        "pred_b": pd.Series(dtype="string"),
+        "n_a": pd.Series(dtype="int64"),
+        "n_ab": pd.Series(dtype="int64"),
+        "contained": pd.Series(dtype="int64"),
+    }
+    if not len(parts):
+        return ray.data.from_pandas(pd.DataFrame(cols))
+    agg = parts.groupby(["pred_a", "pred_b"], as_index=False)["n"].sum()
+    tot = agg[agg["pred_b"] == ""].set_index("pred_a")["n"]
+    pair = agg[agg["pred_b"] != ""].set_index(["pred_a", "pred_b"])["n"]
+    rows = []
+    for a in sorted(tot.index):
+        for b in sorted(tot.index):
+            if a == b:
+                continue
+            nab = int(pair.get((a, b), 0))
+            rows.append((a, b, int(tot[a]), nab, int(nab == int(tot[a]))))
+    out = pd.DataFrame(
+        rows, columns=["pred_a", "pred_b", "n_a", "n_ab", "contained"]
+    ).astype({c: s.dtype for c, s in cols.items()})
+    return ray.data.from_pandas(out)
+
+
 # ordered pair per triangle corner → bit weight; cyclic = one full
 # rotation present (a→b→c→a = 1|4|16, or the reverse = 2|8|32)
 _MOTIF_BITS = (

@@ -155,6 +155,25 @@ def test_multi_bfs_regime_parity_and_closeness():
         G.multi_bfs_distances(edges, ["root"], max_rounds=3)
 
 
+def test_pred_subsumption_known_graph():
+    rows = [
+        ("a", "p", 0, "x"), ("b", "p", 0, "x"), ("c", "p", 0, "x"),
+        ("a", "q", 0, "x"), ("b", "q", 0, "x"),   # q-subjects ⊆ p-subjects
+        ("c", "r", 0, "x"), ("d", "r", 0, "x"),   # r overlaps p on c only
+    ]
+    df = (
+        G.pred_subsumption(_triples(rows))
+        .to_pandas()
+        .set_index(["pred_a", "pred_b"])
+    )
+    assert len(df) == 6  # 3 preds → 6 ordered pairs
+    assert df.loc[("q", "p"), "contained"] == 1
+    assert df.loc[("q", "p"), "n_a"] == 2 and df.loc[("q", "p"), "n_ab"] == 2
+    assert df.loc[("p", "q"), "contained"] == 0  # 3 subjects vs overlap 2
+    assert df.loc[("r", "p"), "n_ab"] == 1
+    assert df.loc[("r", "q"), "n_ab"] == 0  # zero-overlap pair still a row
+
+
 def test_property_cardinality_known_graph():
     rows = [
         ("a", "p1", 0, "b"), ("a", "p1", 0, "c"),          # max_out 2
