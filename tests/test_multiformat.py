@@ -174,6 +174,51 @@ def test_trig_corpus_scoping_and_writer():
     assert df[df["subj"] == "http://x/s0"]["graph"].iloc[0] != "http://x/g"
 
 
+def test_nquads_corpus_validates_like_turtle():
+    """ONE .nq file holding two cubes under two graph labels must
+    validate (shuffle mode — named graphs span the file/block layout)
+    exactly like the two-file Turtle corpus."""
+    from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_turtle
+    from nospa_rdf_data_cube_validator_ray.stages.export import nquads_document
+
+    ttl_a, _ = wf_cube("IC11")
+    ttl_b, _ = wf_cube("IC1")
+    ttl_corpus = pa.table(
+        {
+            "repo": pa.array(["m", "m"]),
+            "path": pa.array(["a.ttl", "b.ttl"]),
+            "commit": pa.array(["c", "c"]),
+            "lang": pa.array(["turtle", "turtle"]),
+            "content": pa.array([ttl_a, ttl_b]),
+        }
+    )
+    nq = nquads_document(parse_turtle(ttl_a), graph_iri="http://g/a") + \
+        nquads_document(parse_turtle(ttl_b), graph_iri="http://g/b")
+    nq_corpus = pa.table(
+        {
+            "repo": pa.array(["m"]),
+            "path": pa.array(["all.nq"]),
+            "commit": pa.array(["c"]),
+            "lang": pa.array(["nquads"]),
+            "content": pa.array([nq]),
+        }
+    )
+
+    def findings_set(corpus, mode):
+        v = CubeValidator(ray.data.from_arrow(corpus), mode=mode)
+        df = v.findings_df()
+        return {
+            (row["ic"], row["subject"], tuple(row["detail"]))
+            for _, row in df.iterrows()
+        }
+
+    a = findings_set(ttl_corpus, "local")
+    b = findings_set(nq_corpus, "shuffle")
+    assert a == b
+    assert any(ic == "IC11" for ic, _, _ in b)
+    assert any(ic == "IC1" for ic, _, _ in b)
+
+
 def test_nquads_roundtrip_writer():
     from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_nquads
     from nospa_rdf_data_cube_validator_ray.stages.export import nquads_document
