@@ -1849,6 +1849,54 @@ FROM o FULL OUTER JOIN i ON o.node = i.node
 """
 
 
+def q_kg_degree_asof(sf_dir: str):
+    """Time-travel graph analytics: the import-graph degree table AS OF
+    commit 1 — the as-of snapshot read (map-side commit-cutoff
+    pushdown + latest-wins resolution, the kg_snapshot_asof machinery)
+    feeds the code-triple extractor and stages/graph.degree_table;
+    nothing newer than the cutoff is ever parsed."""
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_versioned_corpus
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import (
+        extract_corpus,
+    )
+    from nospa_rdf_data_cube_validator_ray.stages.dedup import latest_snapshot
+    from nospa_rdf_data_cube_validator_ray.stages.graph import degree_table
+
+    cutoff = f"{1:040d}"
+    rows = ray.data.from_arrow(tpch_versioned_corpus(sf_dir)).map_batches(
+        lambda df: df[df["commit"] <= cutoff].reset_index(drop=True),
+        batch_format="pandas",
+    )
+    triples = extract_corpus(latest_snapshot(rows))
+    imp = (f"{_CODE}imports", f"{_CODE}importsFrom")
+    edges = triples.map_batches(
+        lambda df: df[df["pred"].isin(imp)].reset_index(drop=True),
+        batch_format="pandas",
+    )
+    return degree_table(edges)
+
+
+# as-of commit 1: k even → version j=1 (import m_(k+13 mod 97)),
+# k odd → j=0 (import m_(k mod 97)); one import edge per module file
+_SQL_DEGREE_ASOF = f"""
+WITH p AS (SELECT p_partkey AS k FROM part),
+v AS (SELECT k, CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS j FROM p),
+e AS (
+  SELECT '{_CODEN}mod/m' || k AS src,
+         '{_CODEN}mod/m' || ((k + 13 * j) % 97) AS dst
+  FROM v
+),
+o AS (SELECT src AS node, count(*) AS c FROM e GROUP BY 1),
+i AS (SELECT dst AS node, count(*) AS c FROM e GROUP BY 1)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(o.c, 0)::BIGINT AS out_deg,
+       coalesce(i.c, 0)::BIGINT AS in_deg
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
 _CLOSENESS_SEEDS = [f"{_CODEN}mod/m{k}" for k in (1, 2, 3, 5)]
 
 
@@ -3379,6 +3427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangle_types": q_kg_triangle_types,
         "kg_property_cardinality": q_kg_property_cardinality,
         "kg_pred_subsumption": q_kg_pred_subsumption,
+        "kg_degree_asof": q_kg_degree_asof,
         "kg_degree_incremental": q_kg_degree_incremental,
         "kg_code_defs": q_kg_code_defs,
         "kg_module_summary": q_kg_module_summary,
@@ -3476,6 +3525,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangle_types": _SQL_TRIANGLE_TYPES,
         "kg_property_cardinality": _SQL_PROPERTY_CARDINALITY,
         "kg_pred_subsumption": _SQL_PRED_SUBSUMPTION,
+        "kg_degree_asof": _SQL_DEGREE_ASOF,
         "kg_degree_incremental": _SQL_DEGREE_INCREMENTAL,
         "kg_code_defs": _SQL_CODE_DEFS,
         "kg_module_summary": _SQL_MODULE_SUMMARY,

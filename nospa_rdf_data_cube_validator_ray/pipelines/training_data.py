@@ -2739,6 +2739,40 @@ QUERIES["docs_domain_topk"] = q_docs_domain_topk
 ORACLES["docs_domain_topk"] = _SQL_DOMAIN_TOPK
 
 
+def q_multimodal_audio_vad(sf_dir: str):
+    """REAL audio analysis, value-exact: text → PCM16 WAV → actor-pool
+    frame-energy voice-activity detection (stages/multimodal.AudioVAD —
+    |sample| sums per 64-sample frame, integer threshold).  The oracle
+    recomputes every frame energy from the text bytes."""
+    payloads = M.attach_payload(_docs(sf_dir), media="wav")
+    return M.audio_vad(payloads)
+
+
+# sample m = 256*(byte(m % len) - 128); frame f covers m in
+# [64f, 64f+63], full frames only (n // 64 of them, n >= 64 always)
+_SQL_AUDIO_VAD = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len,
+         greatest(64, least(4000, 4 * length(text))) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, u.f AS frame,
+         list_sum(list_transform(generate_series(u.f * 64, u.f * 64 + 63),
+            m -> abs(256 * (ascii(substr(text, m % len + 1, 1)) - 128))))
+           AS energy
+  FROM d, unnest(generate_series(0, n // 64 - 1)) AS u(f)
+)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_frames,
+       (count(*) FILTER (WHERE energy > 800000))::BIGINT AS n_active,
+       sum(energy)::BIGINT AS total_energy
+FROM f GROUP BY doc_id
+"""
+
+QUERIES["multimodal_audio_vad"] = q_multimodal_audio_vad
+ORACLES["multimodal_audio_vad"] = _SQL_AUDIO_VAD
+
+
 def q_docs_profile(sf_dir: str):
     """Catalog-style column profile over documents
     (stages/expect.table_profile): per column — rows, nulls, exact

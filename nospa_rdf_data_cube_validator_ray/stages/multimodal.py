@@ -390,6 +390,64 @@ def resample_audio(
     )
 
 
+class AudioVAD:
+    """Frame-energy voice-activity detection over PCM16 WAV payloads:
+    |sample| sums per ``frame``-sample window (full frames only; the
+    tail is dropped), frames above ``threshold`` count as active —
+    integer arithmetic end-to-end so a SQL oracle reproduces every
+    energy exactly.  The decode runs once per payload in the actor."""
+
+    def __init__(self, frame: int = 64, threshold: int = 800_000):
+        if frame < 1:
+            raise ValueError("frame must be >= 1")
+        self.frame = frame
+        self.threshold = threshold
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        nf, na, te = [], [], []
+        for p, mt in zip(df["payload"], _media_types(df)):
+            if mt != "audio/wav":
+                raise ValueError(f"AudioVAD needs audio/wav rows, got {mt!r}")
+            _, s = C.decode_wav(bytes(p))
+            k = len(s) // self.frame
+            e = (
+                np.abs(s[: k * self.frame].astype(np.int64))
+                .reshape(k, self.frame)
+                .sum(axis=1)
+            )
+            nf.append(k)
+            na.append(int((e > self.threshold).sum()))
+            te.append(int(e.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_frames": pd.Series(nf, dtype="int64", index=df.index),
+                "n_active": pd.Series(na, dtype="int64", index=df.index),
+                "total_energy": pd.Series(te, dtype="int64", index=df.index),
+            }
+        )
+
+
+def audio_vad(
+    ds: "ray.data.Dataset",
+    *,
+    frame: int = 64,
+    threshold: int = 800_000,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Payload table (audio/wav) → (doc_id, n_frames, n_active,
+    total_energy)."""
+    from ..util import auto_concurrency
+
+    return ds.map_batches(
+        AudioVAD,
+        fn_constructor_kwargs={"frame": frame, "threshold": threshold},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=auto_concurrency(concurrency),
+    )
+
+
 class VideoFrameStats:
     """Actor-pool decoded-frame statistics over a SampleFrames output
     (frames = list of BMP-encoded byte strings): integer pixel sums —

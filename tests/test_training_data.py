@@ -436,6 +436,32 @@ def test_resample_audio_decimation():
         M.ResampleAudio(factor=0)
 
 
+def test_audio_vad_kernel():
+    import numpy as np
+
+    from nospa_rdf_data_cube_validator_ray.functions import codecs as C
+
+    # 3 full frames of 4 samples + a dropped 2-sample tail
+    s = np.array([100, -100, 100, -100,    # energy 400
+                  1, -1, 1, -1,            # energy 4
+                  50, 50, 50, 50,          # energy 200
+                  9, 9], dtype=np.int16)
+    df = pd.DataFrame(
+        {
+            "doc_id": [3],
+            "payload": [C.encode_wav(s, rate=8000)],
+            "media_type": ["audio/wav"],
+        }
+    )
+    out = M.AudioVAD(frame=4, threshold=150)(df)
+    assert out.loc[0, "n_frames"] == 3
+    assert out.loc[0, "n_active"] == 2  # 400 and 200 beat 150; tail dropped
+    assert out.loc[0, "total_energy"] == 604
+    with pytest.raises(ValueError, match="audio/wav"):
+        M.AudioVAD()(pd.DataFrame({"payload": [b"x"], "doc_id": [0],
+                                   "media_type": ["image/bmp"]}))
+
+
 def test_resize_real_matches_manual_nn():
     """Real resize through the payload pipeline equals a hand resize."""
     import numpy as np
