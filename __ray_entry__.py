@@ -1144,6 +1144,23 @@ def q_kg_bgp_match(sf_dir: str):
     )
 
 
+def q_kg_bfs_tree(sf_dir: str):
+    """Shortest-path reconstruction: the parent-pointer BFS tree from
+    region 1 over reversed provenance edges — parent = the
+    lexicographically smallest predecessor one hop closer
+    (stages/graph.bfs_tree: size-adaptive BFS + two hash joins + one
+    bucketed min; walking parents from any node yields a shortest
+    path)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        bfs_tree,
+        extract_edges,
+    )
+
+    return bfs_tree(
+        extract_edges(_link_triples(sf_dir)), f"{_KGN}reg/1", reverse=True
+    )
+
+
 def q_kg_bfs_depths(sf_dir: str):
     """Min-hop BFS distances from region 1 along reversed edges (the
     provenance chains point leaf→root) — size-adaptive traversal
@@ -3337,6 +3354,29 @@ SELECT node, min(d)::BIGINT AS dist FROM reach GROUP BY node
 """
 
 
+# parent of s = min obj one hop closer to the seed (reverse walk:
+# r JOIN e ON e.obj = r.node expands e.subj, so s's predecessor is its obj)
+_SQL_KG_BFS_TREE = f"""
+WITH RECURSIVE {_KG_EDGE_BODY},
+reach(node, d) AS (
+  SELECT '{_KGN}reg/1' AS node, 0 AS d
+  UNION
+  SELECT e.subj AS node, r.d + 1 AS d
+  FROM reach r JOIN edges e ON e.obj = r.node
+  WHERE r.d < 100
+),
+dist AS (SELECT node, min(d) AS d FROM reach GROUP BY node)
+SELECT n.node, coalesce(p.parent, '') AS parent, n.d::BIGINT AS dist
+FROM dist n LEFT JOIN (
+  SELECT e.subj AS node, min(e.obj) AS parent
+  FROM edges e
+  JOIN dist ds ON ds.node = e.subj
+  JOIN dist dp ON dp.node = e.obj AND dp.d + 1 = ds.d
+  GROUP BY e.subj
+) p ON p.node = n.node
+"""
+
+
 # per-IC finding counts over the plain cube corpus — the incremental
 # run's combined output must land exactly on the same per-IC SQL the
 # individual IC queries are checked against (only these 9 ICs fire on
@@ -3414,6 +3454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_scores": q_kg_link_scores,
         "kg_bgp_match": q_kg_bgp_match,
         "kg_bfs_depths": q_kg_bfs_depths,
+        "kg_bfs_tree": q_kg_bfs_tree,
         "cube_incremental": q_cube_incremental,
         "cube_report_lines": q_cube_report_lines,
         "kg_code_imports": q_kg_code_imports,
@@ -3510,6 +3551,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_scores": _SQL_KG_LINK_SCORES,
         "kg_bgp_match": _SQL_KG_BGP,
         "kg_bfs_depths": _SQL_KG_BFS,
+        "kg_bfs_tree": _SQL_KG_BFS_TREE,
         "cube_incremental": _SQL_INCREMENTAL,
         "cube_report_lines": (
             "SELECT ic, n FROM (" + _SQL_INCREMENTAL + ") WHERE n > 0 ORDER BY ic"

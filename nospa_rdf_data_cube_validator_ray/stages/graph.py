@@ -529,6 +529,86 @@ def multi_bfs_distances(
     )
 
 
+def bfs_tree(
+    edges: "ray.data.Dataset",
+    seed: str,
+    *,
+    reverse: bool = False,
+    max_rounds: int = 64,
+    max_driver_edges: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Parent-pointer BFS tree from ``seed``: rows (node, parent, dist)
+    for every reachable node — ``parent`` is the LEXICOGRAPHICALLY
+    SMALLEST predecessor one hop closer to the seed (deterministic, so
+    a SQL oracle reproduces the tree exactly; the seed's parent is "").
+    This is the path-reconstruction companion of :func:`bfs_distances`:
+    walking parent pointers from any node yields one shortest path.
+
+    Scale design: distances come from the size-adaptive BFS; parents
+    from TWO hash joins (edge ⋈ dist on each endpoint), a vectorized
+    dist+1 filter, and one bucketed min — never a per-node loop."""
+    from ..util import bucket_agg, join_partitions
+
+    src_col, dst_col = ("obj", "subj") if reverse else ("subj", "obj")
+    dist = bfs_distances(
+        edges,
+        [seed],
+        reverse=reverse,
+        max_rounds=max_rounds,
+        max_driver_edges=max_driver_edges,
+    ).materialize()
+    jp = join_partitions(num_partitions)
+
+    # edge (walk-src → walk-dst): parent of dst is src when
+    # dist(src) + 1 == dist(dst)
+    e = edges.map_batches(
+        lambda d: d[[src_col, dst_col]]
+        .rename(columns={src_col: "parent", dst_col: "node"})
+        .astype({"parent": "string", "node": "string"}),
+        batch_format="pandas",
+    )
+    pdist = _ren(dist, {"node": "parent", "dist": "_pd"})
+    j = (
+        heal_schema(e, jp)
+        .join(heal_schema(pdist, jp), "inner", jp, on=("parent",))
+        .join(heal_schema(dist, jp), "inner", jp, on=("node",))
+        .map_batches(
+            lambda df: df[df["_pd"] + 1 == df["dist"]][
+                ["node", "parent", "dist"]
+            ].reset_index(drop=True),
+            batch_format="pandas",
+        )
+    )
+
+    def min_parent(df: pd.DataFrame) -> pd.DataFrame:
+        # sort + drop_duplicates, NOT groupby.min (pure-Python on
+        # string dtype)
+        out = df.sort_values(["node", "parent"]).drop_duplicates(
+            "node", keep="first"
+        )
+        return out.reset_index(drop=True).astype(
+            {"node": "string", "parent": "string", "dist": "int64"}
+        )
+
+    tree = bucket_agg(j, ["node"], min_parent)
+    root = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "node": pd.Series([seed], dtype="string"),
+                "parent": pd.Series([""], dtype="string"),
+                "dist": pd.Series([0], dtype="int64"),
+            }
+        )
+    )
+    return tree.union(root).map_batches(
+        lambda df: df.astype(
+            {"node": "string", "parent": "string", "dist": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
 def closeness_table(
     edges: "ray.data.Dataset",
     seeds: list[str],

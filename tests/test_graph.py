@@ -121,6 +121,25 @@ def test_bfs_cycle_terminates():
     assert dict(dist) == {"a": 0, "b": 1, "c": 2}
 
 
+def test_bfs_tree_parent_pointers():
+    rows = [
+        ("root", "p", 0, "a"), ("root", "p", 0, "b"),
+        ("a", "p", 0, "c"), ("b", "p", 0, "c"),   # two parents → min wins
+        ("c", "p", 0, "d"),
+    ]
+    t = (
+        G.bfs_tree(G.extract_edges(_triples(rows)), "root")
+        .to_pandas()
+        .set_index("node")
+    )
+    assert t.loc["root", "parent"] == "" and t.loc["root", "dist"] == 0
+    assert t.loc["c", "parent"] == "a" and t.loc["c", "dist"] == 2
+    assert t.loc["d", "parent"] == "c" and t.loc["d", "dist"] == 3
+    # every non-root parent is one hop closer
+    nr = t[t.index != "root"]
+    assert all(t.loc[p, "dist"] == d - 1 for p, d in zip(nr["parent"], nr["dist"]))
+
+
 def test_multi_bfs_driver_regime():
     edges = _chain_edges(6)
     df = G.multi_bfs_distances(edges, ["root", "v3", "root"]).to_pandas()
