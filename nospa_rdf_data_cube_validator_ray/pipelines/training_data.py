@@ -2773,6 +2773,53 @@ QUERIES["multimodal_audio_vad"] = q_multimodal_audio_vad
 ORACLES["multimodal_audio_vad"] = _SQL_AUDIO_VAD
 
 
+def q_multimodal_scene_cuts(sf_dir: str):
+    """REAL video shot-boundary detection, value-exact: NBV clip →
+    stride-1 real frame sampling → per-frame integer pixel sums → a cut
+    when |Δsum| between consecutive frames beats the threshold
+    (stages/multimodal.SceneCuts).  TWO actor pools share the plan —
+    split the budget."""
+    from ..util import stage_concurrency
+
+    c = stage_concurrency(2)
+    payloads = M.attach_payload(_docs(sf_dir), media="nbv")
+    sampled = M.sample_frames(payloads, stride=1, mode="real", concurrency=c)
+    return M.scene_cuts(sampled, concurrency=c)
+
+
+# frame k (k = 0..3) pixels = np.resize(bytes[k:], 192): cycled prefix
+# sums, then window deltas over k
+_SQL_SCENE_CUTS = """
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+f AS (
+  SELECT doc_id, u.k, len - u.k AS lk, text
+  FROM d, unnest([0, 1, 2, 3]) AS u(k)
+),
+s AS (
+  SELECT doc_id, k,
+         (192 // lk) * list_sum(list_transform(
+             generate_series(k + 1, k + lk),
+             i -> ascii(substr(text, i, 1))))
+         + coalesce(list_sum(list_transform(
+             generate_series(k + 1, k + (192 % lk)),
+             i -> ascii(substr(text, i, 1)))), 0) AS fsum
+  FROM f
+),
+dl AS (
+  SELECT doc_id,
+         abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY k)) AS delta
+  FROM s
+)
+SELECT doc_id::BIGINT AS doc_id,
+       (count(*) FILTER (WHERE delta > 150))::BIGINT AS n_cuts,
+       max(delta)::BIGINT AS max_delta
+FROM dl WHERE delta IS NOT NULL GROUP BY doc_id
+"""
+
+QUERIES["multimodal_scene_cuts"] = q_multimodal_scene_cuts
+ORACLES["multimodal_scene_cuts"] = _SQL_SCENE_CUTS
+
+
 def q_docs_profile(sf_dir: str):
     """Catalog-style column profile over documents
     (stages/expect.table_profile): per column — rows, nulls, exact

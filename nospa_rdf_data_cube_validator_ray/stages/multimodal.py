@@ -483,6 +483,55 @@ def video_frame_stats(
     )
 
 
+class SceneCuts:
+    """Shot-boundary detection over a SampleFrames output: per-frame
+    integer pixel sums, a cut = |Δsum| above ``threshold`` between
+    consecutive frames — integer end-to-end so a SQL oracle reproduces
+    every delta.  Clips need ≥ 2 frames (stride-1 sampling upstream)."""
+
+    def __init__(self, threshold: int = 150):
+        self.threshold = threshold
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        nc, mx = [], []
+        for frames in df["frames"]:
+            sums = [
+                int(C.decode_bmp(bytes(fb)).astype(np.int64).sum())
+                for fb in frames
+            ]
+            deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+            if not deltas:
+                raise ValueError("SceneCuts needs clips with >= 2 frames")
+            nc.append(sum(d > self.threshold for d in deltas))
+            mx.append(max(deltas))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_cuts": pd.Series(nc, dtype="int64", index=df.index),
+                "max_delta": pd.Series(mx, dtype="int64", index=df.index),
+            }
+        )
+
+
+def scene_cuts(
+    ds: "ray.data.Dataset",
+    *,
+    threshold: int = 150,
+    batch_size: int = 64,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """SampleFrames output → (doc_id, n_cuts, max_delta)."""
+    from ..util import auto_concurrency
+
+    return ds.map_batches(
+        SceneCuts,
+        fn_constructor_kwargs={"threshold": threshold},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=auto_concurrency(concurrency),
+    )
+
+
 class PHash:
     """Perceptual block hash over REAL decoded pixels — the image
     analogue of SimHash for near-duplicate detection: the flattened
