@@ -3007,6 +3007,37 @@ QUERIES["multimodal_phash_pairs"] = q_multimodal_phash_pairs
 ORACLES["multimodal_phash_pairs"] = _SQL_PHASH_PAIRS
 
 
+def q_multimodal_phash_clusters(sf_dir: str):
+    """Near-duplicate IMAGE clusters: the phash pair graph fed through
+    the shared size-adaptive connected-components tail
+    (stages/dedup.cluster_from_pairs) — every document labeled with its
+    image-similarity cluster, singletons included; the multimodal twin
+    of dedup_clusters / embedding_clusters."""
+    from ..stages.multimodal import phash_pairs
+
+    payloads = M.attach_payload(_docs(sf_dir), media="bmp")
+    return D.cluster_from_pairs(_docs(sf_dir), phash_pairs(payloads))
+
+
+# the phash CTE body defines its own `p`, so it nests inside a derived
+# table (the inner WITH shadows the outer pair CTE's name)
+ORACLES["multimodal_phash_clusters"] = _cc_sql(
+    pairs_ctes=(
+        "p AS (\n"
+        "  SELECT a, b FROM (\n"
+        f"    WITH {_SQL_PHASH_CTE}\n"
+        "    SELECT x.doc_id AS a, y.doc_id AS b\n"
+        "    FROM ph x JOIN ph y ON x.doc_id < y.doc_id\n"
+        "    WHERE bit_count(xor(x.u::UBIGINT, y.u::UBIGINT)) <= 7\n"
+        "  )\n"
+        ")"
+    ),
+    base_table="documents",
+    id_col="doc_id",
+)
+QUERIES["multimodal_phash_clusters"] = q_multimodal_phash_clusters
+
+
 def q_docs_lm_oov(sf_dir: str, k: int = 1000):
     """LM-familiarity proxy without a model: fraction of each document's
     token bigrams (with multiplicity) that fall OUTSIDE the corpus-wide
