@@ -652,6 +652,60 @@ FROM ev JOIN sess s
 """
 
 
+def q_events_changelog(sf_dir: str):
+    """Changelog derivation — the INVERSE of CDC MERGE compaction: per
+    user in event order, emit 'I' for the first event and 'U' whenever
+    event_type changes; consecutive same-type rows are no-ops and
+    drop.  User-bucketed fold (one user's history lands whole in one
+    bucket frame, sorted vectorized) — no global sort, no per-user
+    pandas groups."""
+    from ..util import bucket_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": (
+                    (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+                ).astype("int64"),
+                "event_type": df["event_type"].astype("string"),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        first = df["user_id"].shift() != df["user_id"]
+        changed = first | (df["event_type"].shift() != df["event_type"])
+        out = df.loc[changed, ["user_id", "event_id"]].reset_index(drop=True)
+        out["op"] = pd.Series(
+            np.where(first[changed].to_numpy(), "I", "U"), index=out.index
+        ).astype("string")
+        return out.astype({"user_id": "int64", "event_id": "int64"})
+
+    return bucket_agg(
+        ds.map_batches(to_us, batch_format="pandas"), ["user_id"], fold
+    )
+
+
+_SQL_CHANGELOG = """
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS pt
+  FROM events
+)
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+       CASE WHEN pt IS NULL THEN 'I' ELSE 'U' END AS op
+FROM o WHERE pt IS NULL OR pt <> event_type
+"""
+
 def q_events_rollup(sf_dir: str):
     """OLAP ROLLUP over (event_type, hour): leaf cells plus per-type and
     grand-total margins (sentinels hour_id = -1 / event_type = '*'),
@@ -1733,3 +1787,6 @@ FROM events GROUP BY 1
 
 QUERIES["events_zonemap"] = q_events_zonemap
 ORACLES["events_zonemap"] = _SQL_ZONEMAP
+
+QUERIES["events_changelog"] = q_events_changelog
+ORACLES["events_changelog"] = _SQL_CHANGELOG

@@ -2992,7 +2992,20 @@ def q_multimodal_phash_pairs(sf_dir: str):
     payloads = M.attach_payload(_docs(sf_dir), media="bmp")
     from ..stages.multimodal import phash_pairs
 
-    return phash_pairs(payloads)
+    ds = phash_pairs(payloads).materialize()
+    if ds.count() == 0:
+        # zero near-dup pairs is a legal outcome at some corpus scales
+        # (sf0.01's min pairwise Hamming is > 7): a fully-empty Dataset
+        # is schema-less in Ray 2.49 (column-less to_pandas), so the
+        # driver-facing result must be a TYPED empty frame
+        return pd.DataFrame(
+            {
+                "doc_id_a": pd.Series(dtype="int64"),
+                "doc_id_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+    return ds
 
 
 _SQL_PHASH_PAIRS = f"""
