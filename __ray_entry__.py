@@ -417,25 +417,25 @@ def q_cube_triples_by_pred(sf_dir: str):
     return state["raw_by_pred"]
 
 
-def q_cube_xml_by_pred(sf_dir: str):
-    """RDF/XML parser oracle-checked at TPC-H scale: every Turtle corpus
-    file is parsed, re-serialized as RDF/XML (stages/export.rdfxml_document)
-    and re-parsed by the RDF/XML reader; the per-predicate counts must
-    equal the Turtle corpus's (same oracle as cube_triples_by_pred) —
-    round-trip fidelity of both serializers/parsers on the full corpus."""
+def _reserialized_by_pred(sf_dir: str, *, cache_key, ext, lang, render):
+    """Shared round-trip harness for every non-Turtle serialization:
+    parse each Turtle corpus file, re-serialize it with ``render
+    (triples, path) -> text``, re-parse via the normal format-dispatch
+    front end, and count triples per predicate — the per-pred counts
+    must equal the Turtle corpus's (oracle: cube_triples_by_pred's
+    SQL), proving writer+reader fidelity at corpus scale."""
     state = _CACHE.setdefault(sf_dir, {})
-    if "xml_by_pred" not in state:
+    if cache_key not in state:
         import pyarrow as pa
         import ray.data
 
         from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
         from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
         from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_turtle
-        from nospa_rdf_data_cube_validator_ray.stages.export import rdfxml_document
 
         corpus = ray.data.from_arrow(tpch_cube_corpus(sf_dir))
 
-        def to_xml(batch: pa.Table) -> pa.Table:
+        def reserialize(batch: pa.Table) -> pa.Table:
             cols = {c: batch.column(c).to_pylist()
                     for c in ("repo", "path", "commit", "lang", "content")}
             out = {k: [] for k in cols}
@@ -444,21 +444,40 @@ def q_cube_xml_by_pred(sf_dir: str):
                 cols["lang"], cols["content"],
             ):
                 out["repo"].append(repo)
-                out["path"].append(path.rsplit(".", 1)[0] + ".rdf")
+                out["path"].append(path.rsplit(".", 1)[0] + "." + ext)
                 out["commit"].append(commit)
-                out["lang"].append("rdfxml")
-                out["content"].append(rdfxml_document(parse_turtle(content)))
+                out["lang"].append(lang)
+                out["content"].append(render(parse_turtle(content), path))
             return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
 
-        xml_corpus = corpus.map_batches(to_xml, batch_format="pyarrow", batch_size=1)
+        re_corpus = corpus.map_batches(
+            reserialize, batch_format="pyarrow", batch_size=1
+        )
         ds = (
-            parse_corpus(xml_corpus)
+            parse_corpus(re_corpus)
             .groupby("pred")
             .count()
             .rename_columns({"count()": "n"})
         )
-        state["xml_by_pred"] = ds.to_pandas()
-    return state["xml_by_pred"]
+        state[cache_key] = ds.to_pandas()
+    return state[cache_key]
+
+
+def q_cube_xml_by_pred(sf_dir: str):
+    """RDF/XML parser oracle-checked at TPC-H scale: every Turtle corpus
+    file is parsed, re-serialized as RDF/XML (stages/export.rdfxml_document)
+    and re-parsed by the RDF/XML reader; the per-predicate counts must
+    equal the Turtle corpus's (same oracle as cube_triples_by_pred) —
+    round-trip fidelity of both serializers/parsers on the full corpus."""
+    from nospa_rdf_data_cube_validator_ray.stages.export import rdfxml_document
+
+    return _reserialized_by_pred(
+        sf_dir,
+        cache_key="xml_by_pred",
+        ext="rdf",
+        lang="rdfxml",
+        render=lambda triples, _path: rdfxml_document(triples),
+    )
 
 
 def q_cube_nquads_by_pred(sf_dir: str):
@@ -468,48 +487,19 @@ def q_cube_nquads_by_pred(sf_dir: str):
     (rdf_parser.parse_nquads — graph label scopes each row); the
     per-predicate counts must equal the Turtle corpus's (same oracle as
     cube_triples_by_pred).  Graph-label semantics (named vs default
-    graph) are unit-tested in tests/test_multiformat.py."""
-    state = _CACHE.setdefault(sf_dir, {})
-    if "nquads_by_pred" not in state:
-        import pyarrow as pa
-        import ray.data
+    graph, per-file bnode standardize-apart) are unit-tested in
+    tests/test_multiformat.py."""
+    from nospa_rdf_data_cube_validator_ray.stages.export import nquads_document
 
-        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
-        from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
-        from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_turtle
-        from nospa_rdf_data_cube_validator_ray.stages.export import nquads_document
-
-        corpus = ray.data.from_arrow(tpch_cube_corpus(sf_dir))
-
-        def to_nq(batch: pa.Table) -> pa.Table:
-            cols = {c: batch.column(c).to_pylist()
-                    for c in ("repo", "path", "commit", "lang", "content")}
-            out = {k: [] for k in cols}
-            for repo, path, commit, _lang, content in zip(
-                cols["repo"], cols["path"], cols["commit"],
-                cols["lang"], cols["content"],
-            ):
-                out["repo"].append(repo)
-                out["path"].append(path.rsplit(".", 1)[0] + ".nq")
-                out["commit"].append(commit)
-                out["lang"].append("nquads")
-                out["content"].append(
-                    nquads_document(
-                        parse_turtle(content),
-                        graph_iri=f"http://example.org/g/{path}",
-                    )
-                )
-            return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
-
-        nq_corpus = corpus.map_batches(to_nq, batch_format="pyarrow", batch_size=1)
-        ds = (
-            parse_corpus(nq_corpus)
-            .groupby("pred")
-            .count()
-            .rename_columns({"count()": "n"})
-        )
-        state["nquads_by_pred"] = ds.to_pandas()
-    return state["nquads_by_pred"]
+    return _reserialized_by_pred(
+        sf_dir,
+        cache_key="nquads_by_pred",
+        ext="nq",
+        lang="nquads",
+        render=lambda triples, path: nquads_document(
+            triples, graph_iri=f"http://example.org/g/{path}"
+        ),
+    )
 
 
 def q_cube_trig_by_pred(sf_dir: str):
@@ -518,47 +508,17 @@ def q_cube_trig_by_pred(sf_dir: str):
     (stages/export.trig_document) and re-parsed by the TriG reader
     (rdf_parser.parse_trig — the Turtle grammar plus graph blocks);
     per-predicate counts must equal the Turtle corpus's."""
-    state = _CACHE.setdefault(sf_dir, {})
-    if "trig_by_pred" not in state:
-        import pyarrow as pa
-        import ray.data
+    from nospa_rdf_data_cube_validator_ray.stages.export import trig_document
 
-        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
-        from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
-        from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import parse_turtle
-        from nospa_rdf_data_cube_validator_ray.stages.export import trig_document
-
-        corpus = ray.data.from_arrow(tpch_cube_corpus(sf_dir))
-
-        def to_trig(batch: pa.Table) -> pa.Table:
-            cols = {c: batch.column(c).to_pylist()
-                    for c in ("repo", "path", "commit", "lang", "content")}
-            out = {k: [] for k in cols}
-            for repo, path, commit, _lang, content in zip(
-                cols["repo"], cols["path"], cols["commit"],
-                cols["lang"], cols["content"],
-            ):
-                out["repo"].append(repo)
-                out["path"].append(path.rsplit(".", 1)[0] + ".trig")
-                out["commit"].append(commit)
-                out["lang"].append("trig")
-                out["content"].append(
-                    trig_document(
-                        parse_turtle(content),
-                        graph_iri=f"http://example.org/g/{path}",
-                    )
-                )
-            return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
-
-        trig_corpus = corpus.map_batches(to_trig, batch_format="pyarrow", batch_size=1)
-        ds = (
-            parse_corpus(trig_corpus)
-            .groupby("pred")
-            .count()
-            .rename_columns({"count()": "n"})
-        )
-        state["trig_by_pred"] = ds.to_pandas()
-    return state["trig_by_pred"]
+    return _reserialized_by_pred(
+        sf_dir,
+        cache_key="trig_by_pred",
+        ext="trig",
+        lang="trig",
+        render=lambda triples, path: trig_document(
+            triples, graph_iri=f"http://example.org/g/{path}"
+        ),
+    )
 
 
 def q_cube_phase2_by_pred(sf_dir: str):
@@ -1767,8 +1727,13 @@ def q_kg_degree_incremental(sf_dir: str):
     )
     rem_k = keys[keys % 5 == 0]
     add_k = keys[keys % 7 == 0]
-    rem_pairs = set(
-        f"{_CODEN}mod/m{k}\x01{_CODEN}mod/m{k % 97}" for k in rem_k
+    # the delete-key set is feed-scale: broadcast it ONCE via ray.put
+    # (per-worker cached ray.get) instead of pickling it into every
+    # map task's closure — the cluster_from_pairs broadcast pattern
+    import ray as _ray
+
+    rem_ref = _ray.put(
+        set(f"{_CODEN}mod/m{k}\x01{_CODEN}mod/m{k % 97}" for k in rem_k)
     )
     adds = pd.DataFrame(
         {
@@ -1778,6 +1743,9 @@ def q_kg_degree_incremental(sf_dir: str):
     )
 
     def removal_deltas(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        rem_pairs = _r.get(rem_ref)
         hit = (df["subj"].astype(str) + "\x01" + df["obj"].astype(str)).isin(
             rem_pairs
         )

@@ -140,6 +140,7 @@ class ParseRDF:
             fmt = format_for(lang, path)
             if fmt is None or content is None:
                 continue
+            sha = fsha or hashlib.sha256(content.encode("utf-8")).hexdigest()
             glabels = None
             try:
                 if fmt == "turtle" and cid:
@@ -148,20 +149,41 @@ class ParseRDF:
                     triples = parse_turtle(content, anon_prefix=f"c{cid}_a")
                 elif fmt in ("nquads", "trig"):
                     # the quad's graph label scopes the row; default-graph
-                    # rows fall back to the file's graph id below.  A named
-                    # graph can span FILES, which breaks the one-graph-one-
-                    # block invariant of the zero-shuffle local path —
-                    # validate .nq/.trig corpora with
-                    # CubeValidator(mode="shuffle")
-                    from .rdf_parser import parse_nquads, parse_trig
+                    # rows fall back to the file's graph id below
+                    from .rdf_parser import KIND_BNODE, parse_nquads, parse_trig
 
                     quads = (
                         parse_nquads(content)
                         if fmt == "nquads"
                         else parse_trig(content)
                     )
-                    triples = [t for _, t in quads]
-                    glabels = [g for g, _ in quads]
+                    # RDF 1.1 scopes blank-node labels to the DOCUMENT:
+                    # a named graph can span files, so every bnode
+                    # (subject, object, bnode graph label) is
+                    # standardized apart with a per-file tag — two
+                    # files writing _:b1 into the same named graph must
+                    # NOT merge into one node.  (The 3-term formats
+                    # never needed this: there, graph scope == file
+                    # scope by construction.)
+                    tag = f"_:d{sha[:12]}_"
+
+                    def _bn(term: str, tag=tag) -> str:
+                        return tag + term[2:]
+
+                    triples = []
+                    glabels = []
+                    for g, (s, p, k, o, dt, lg) in quads:
+                        glabels.append(_bn(g) if g.startswith("_:") else g)
+                        triples.append(
+                            (
+                                _bn(s) if s.startswith("_:") else s,
+                                p,
+                                k,
+                                _bn(o) if k == KIND_BNODE else o,
+                                dt,
+                                lg,
+                            )
+                        )
                 else:
                     triples = parse_document(content, fmt)
             except RDFSyntaxError as e:
@@ -178,7 +200,25 @@ class ParseRDF:
                     ) from e
                 continue
             gid = make_graph_id(repo, path, commit)
-            sha = fsha or hashlib.sha256(content.encode("utf-8")).hexdigest()
+            if (
+                glabels is not None
+                and any(glabels)
+                and (
+                    self.max_triples_per_file is not None
+                    or self.max_bytes_per_file is not None
+                )
+            ):
+                # the size caps mark the zero-shuffle LOCAL path, which
+                # assumes one graph == one file == one block; a named
+                # graph can span files, so quad corpora with graph
+                # labels must take the bucketed shuffle path (same
+                # remedy as the size guards below)
+                raise RuntimeError(
+                    f"file {path!r} carries named graph labels, which "
+                    "break the local path's one-graph-one-block "
+                    "invariant: validate this corpus with "
+                    "CubeValidator(mode='shuffle')"
+                )
             n = len(triples)
             if self.max_triples_per_file is not None and n > self.max_triples_per_file:
                 # the zero-shuffle local path requires a graph to fit one

@@ -208,149 +208,35 @@ def bfs_distances(
     object→subject (the natural direction for root-to-leaf queries over
     provenance chains, whose triples point leaf-to-root).
 
-    Size-adaptive (parity-tested):
+    The single frontier engine lives in :func:`multi_bfs_distances`
+    (size-adaptive driver walk / distributed rounds, parity-tested);
+    this is its (node, dist) projection — for one seed a pure column
+    drop, for several a bucketed min over the per-seed distances.
+    Multi-seed callers that only need the min should prefer one seed
+    set per call anyway: the multi-source state is per (seed, node),
+    so K seeds cost K frontiers."""
+    pairs = multi_bfs_distances(
+        edges,
+        seeds,
+        reverse=reverse,
+        max_rounds=max_rounds,
+        max_driver_edges=max_driver_edges,
+    )
+    proj = pairs.map_batches(
+        lambda df: df[["node", "dist"]], batch_format="pandas"
+    )
+    if len(dict.fromkeys(seeds)) > 1:
+        from ..util import bucket_agg
 
-    * edge count ≤ ``max_driver_edges``: the (src, dst) pairs are
-      collected ONCE and BFS runs exactly on the driver — the same
-      regime the alias table / cluster_from_pairs use below their
-      thresholds.
-    * larger: fully distributed frontier rounds.  ``dist`` (node, dist)
-      and the frontier are DATASETS throughout; each round is one hash
-      join expanding the frontier through the materialized edge table
-      plus one left-outer anti-join against ``dist`` (the cc_labels
-      round machinery) — the driver holds only the round counter and the
-      frontier COUNT, never a node-scale container.  Cost is rounds ×
-      two shuffles, so this is the shallow-diameter regime (depth ≫
-      ``max_rounds`` ⇒ RuntimeError — use cc_labels-style pointer
-      jumping for component questions on deep chains)."""
-    src_col, dst_col = ("obj", "subj") if reverse else ("subj", "obj")
-    n_edges = edges.count()
-
-    if n_edges <= max_driver_edges:
-        adj: dict[str, list[str]] = {}
-        for df in edges.map_batches(
-            lambda d: d[[src_col, dst_col]], batch_format="pandas"
-        ).iter_batches(batch_format="pandas", batch_size=65536):
-            for s, t in zip(df[src_col], df[dst_col]):
-                adj.setdefault(s, []).append(t)
-        dist: dict[str, int] = {s: 0 for s in seeds}
-        frontier = list(dict.fromkeys(seeds))
-        d = 0
-        while frontier:
-            if d >= max_rounds:
-                raise RuntimeError(
-                    f"bfs_distances exceeded max_rounds={max_rounds}"
-                )
-            d += 1
-            nxt: list[str] = []
-            for u in frontier:
-                for v in adj.get(u, ()):
-                    if v not in dist:
-                        dist[v] = d
-                        nxt.append(v)
-            frontier = nxt
-        out = pd.DataFrame(
-            {
-                "node": pd.Series(list(dist.keys()), dtype="string"),
-                "dist": pd.Series(list(dist.values()), dtype="int64"),
-            }
-        )
-        return ray.data.from_pandas(
-            out.sort_values(["dist", "node"], ignore_index=True)
-        )
-
-    from ..util import bucket_agg, heal_schema
-
-    np_ = _nparts(None)
-    mat = edges.map_batches(
-        lambda d: d[[src_col, dst_col]], batch_format="pandas"
-    ).materialize()
-
-    def _typed_nodes(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df) or "node" not in df.columns:
-            return pd.DataFrame({"node": pd.Series(dtype="string")})
-        return pd.DataFrame({"node": df["node"].astype("string")})
-
-    seeds_u = list(dict.fromkeys(seeds))
-    dist_ds = ray.data.from_pandas(
-        pd.DataFrame(
-            {
-                "node": pd.Series(seeds_u, dtype="string"),
-                "dist": pd.Series([0] * len(seeds_u), dtype="int64"),
-            }
-        )
-    ).materialize()
-    frontier_ds = dist_ds
-    d = 0
-    while frontier_ds.count() > 0:
-        if d >= max_rounds:
-            raise RuntimeError(
-                f"bfs_distances exceeded max_rounds={max_rounds} "
-                "(graph deeper than the frontier-round regime supports)"
+        def min_d(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.sort_values(["node", "dist"])
+                .drop_duplicates("node", keep="first")
+                .reset_index(drop=True)
             )
-        d += 1
-        # expand: edges ⋈ frontier on src → candidate targets, deduped
-        # per batch then globally (bucketed — never one group per node)
-        cand = (
-            mat.join(
-                heal_schema(
-                    _ren(
-                        frontier_ds.map_batches(
-                            _typed_nodes, batch_format="pandas"
-                        ),
-                        {"node": src_col},
-                    ),
-                    np_,
-                ),
-                "inner",
-                np_,
-                on=(src_col,),
-            )
-            .map_batches(
-                lambda df: _typed_nodes(
-                    df.rename(columns={dst_col: "node"})
-                ).drop_duplicates(),
-                batch_format="pandas",
-            )
-            .materialize()
-        )
-        if cand.count() == 0:
-            # frontier had no outgoing edges — a fully-empty Dataset is
-            # schema-less (heal_schema can't conjure a schema) and the
-            # anti-join below would fail on it; the walk is done anyway
-            break
-        cand = bucket_agg(
-            cand, ["node"],
-            lambda df: df.drop_duplicates("node"),
-            num_buckets=np_,
-        ).map_batches(_typed_nodes, batch_format="pandas")
 
-        # anti-join against dist: left_outer + null filter keeps only
-        # nodes reached for the first time this round
-        def first_reached(df: pd.DataFrame, d=d) -> pd.DataFrame:
-            if len(df) and "_seen" in df.columns:
-                df = df[df["_seen"].isna()]
-            nodes = _typed_nodes(df)
-            nodes["dist"] = pd.Series(
-                [d] * len(nodes), dtype="int64", index=nodes.index
-            )
-            return nodes
-
-        new = (
-            heal_schema(cand, np_)
-            .join(
-                heal_schema(_ren(dist_ds, {"dist": "_seen"}), np_),
-                "left_outer",
-                np_,
-                on=("node",),
-            )
-            .map_batches(first_reached, batch_format="pandas")
-            .materialize()
-        )
-        dist_ds = dist_ds.union(new).materialize()
-        frontier_ds = new
-
-    return dist_ds.sort(["dist", "node"]).map_batches(
+        proj = bucket_agg(proj, ["node"], min_d)
+    return proj.sort(["dist", "node"]).map_batches(
         lambda df: df.astype({"node": "string", "dist": "int64"}),
         batch_format="pandas",
     )

@@ -103,8 +103,15 @@ def test_nquads_parse_and_graph_scoping():
     df = parse_corpus(ray.data.from_arrow(corpus)).to_pandas()
     assert len(df) == 4
     gs = set(df["graph"])
-    assert "http://x/g1" in gs and "_:gb" in gs
-    assert sum(g not in ("http://x/g1", "_:gb") for g in df["graph"]) == 1
+    assert "http://x/g1" in gs
+    # a bnode graph label is document-scoped: the corpus path renames
+    # it with the per-file tag (RDF 1.1 standardize-apart)
+    bn = [g for g in gs if g.startswith("_:")]
+    assert len(bn) == 1 and bn[0].endswith("_gb")
+    assert sum(not g.startswith(("http://x/g1", "_:")) for g in df["graph"]) == 1
+    # labeled subject bnodes get the same per-file tag
+    bsubs = [s for s in df["subj"] if s.startswith("_:")]
+    assert len(bsubs) == 1 and bsubs[0].endswith("_b1")
 
 
 def test_trig_parse_blocks_and_default_graph():
@@ -172,6 +179,66 @@ def test_trig_corpus_scoping_and_writer():
         df[df["subj"] == "http://x/s0"]["graph"].iloc[0],
     }
     assert df[df["subj"] == "http://x/s0"]["graph"].iloc[0] != "http://x/g"
+
+
+def test_quad_bnodes_standardized_apart_across_files():
+    """Two files writing _:b1 into the SAME named graph must yield two
+    distinct blank nodes (RDF 1.1 document scope), and anonymous TriG
+    bnodes from different files must not collide either."""
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import parse_corpus
+
+    trig = '<http://g> {{ <http://s{n}> <http://p> [ <http://q> "v{n}" ] . }}\n' \
+           '<http://g> {{ _:b1 <http://p> "w{n}" . }}'
+    corpus = pa.table(
+        {
+            "repo": pa.array(["m", "m"]),
+            "path": pa.array(["f1.trig", "f2.trig"]),
+            "commit": pa.array(["c", "c"]),
+            "lang": pa.array(["", ""]),
+            "content": pa.array([trig.format(n=1), trig.format(n=2)]),
+        }
+    )
+    df = parse_corpus(ray.data.from_arrow(corpus)).to_pandas()
+    # anonymous bnodes: one object bnode per file, distinct labels
+    anon = df[df["obj_kind"] == 1]["obj"]
+    assert len(anon) == 2 and anon.nunique() == 2
+    # labeled bnodes: _:b1 from the two files are two subjects
+    labeled = df[df["subj"].str.endswith("_b1")]["subj"]
+    assert len(labeled) == 2 and labeled.nunique() == 2
+
+
+def test_named_graph_rejected_on_local_path():
+    """The zero-shuffle local validator must refuse quad corpora whose
+    rows carry named graph labels (one-graph-one-block invariant)."""
+    import pytest as _p
+
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import ParseRDF
+
+    corpus = pa.table(
+        {
+            "repo": pa.array(["m"]),
+            "path": pa.array(["f.nq"]),
+            "commit": pa.array(["c"]),
+            "lang": pa.array([""]),
+            "content": pa.array(
+                ["<http://s> <http://p> <http://o> <http://g> ."]
+            ),
+        }
+    )
+    with _p.raises(RuntimeError, match="shuffle"):
+        ParseRDF(strict=True, max_triples_per_file=10_000)(corpus)
+    # default-graph-only quad files stay valid on the local path
+    ok = pa.table(
+        {
+            "repo": pa.array(["m"]),
+            "path": pa.array(["f.nq"]),
+            "commit": pa.array(["c"]),
+            "lang": pa.array([""]),
+            "content": pa.array(["<http://s> <http://p> <http://o> ."]),
+        }
+    )
+    out = ParseRDF(strict=True, max_triples_per_file=10_000)(ok)
+    assert out.num_rows == 1
 
 
 def test_nquads_corpus_validates_like_turtle():
