@@ -2706,17 +2706,26 @@ def q_docs_domain_topk(sf_dir: str):
             }
         )
 
-    counts = bucket_sum(
+    agg = bucket_sum(
         _docs(sf_dir).map_batches(partial, batch_format="pandas"),
         ["domain"],
         ["n"],
-    ).to_pandas()
-    if not len(counts):
+    )
+
+    # counts are final after the bucketed sum, so the global top-10 ⊆
+    # union of per-block top-10s — only buckets × 10 candidate rows
+    # ever reach the driver (vocab_topk's pattern), never the
+    # domain-cardinality table
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "domain"], ascending=[False, True]).head(10)
+
+    cands = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    if not len(cands):
         return pd.DataFrame(
             {"domain": pd.Series(dtype="string"), "n": pd.Series(dtype="int64")}
         )
     out = (
-        counts.sort_values(["n", "domain"], ascending=[False, True])
+        cands.sort_values(["n", "domain"], ascending=[False, True])
         .head(10)
         .reset_index(drop=True)
     )
