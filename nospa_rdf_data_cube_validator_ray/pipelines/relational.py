@@ -1790,3 +1790,94 @@ ORACLES["events_zonemap"] = _SQL_ZONEMAP
 
 QUERIES["events_changelog"] = q_events_changelog
 ORACLES["events_changelog"] = _SQL_CHANGELOG
+
+
+def q_events_pruned_scan(sf_dir: str, page: int = 256):
+    """Zone-map predicate pruning, end to end: build the per-page
+    [ts_min, ts_max] zones (q_events_zonemap's metadata), select ONLY
+    the pages whose zone intersects the time filter, scan just those
+    pages with the real predicate, and prove the pruned scan is
+    LOSSLESS — the oracle computes row count and uid_sum over the FULL
+    table, so a zone map that skipped a qualifying row would
+    hash-mismatch.  The zone table is metadata-scale (rows / page
+    size), so the planner-side to_pandas is bounded; the qualifying
+    page set broadcasts via ray.put."""
+    import ray
+    import ray.data
+
+    from ..util import bucket_sum
+
+    t1 = (
+        pd.Timestamp("2024-01-01 12:00:00") - pd.Timestamp(0)
+    ) // pd.Timedelta(microseconds=1)
+    t2 = (
+        pd.Timestamp("2024-01-02 00:00:00") - pd.Timestamp(0)
+    ) // pd.Timedelta(microseconds=1)
+
+    zones = q_events_zonemap(sf_dir, page=page).to_pandas()
+    qual = zones[(zones["ts_max"] >= t1) & (zones["ts_min"] < t2)]["page"]
+    n_pages_total = len(zones)
+    n_pages_scanned = len(qual)
+    pages_ref = ray.put(set(int(p) for p in qual))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        pages = ray.get(pages_ref)
+        keep = (df["event_id"].astype("int64") // page).isin(pages)
+        d = df[keep]
+        ts_us = (
+            (d["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ).astype("int64")
+        hit = (ts_us >= t1) & (ts_us < t2)
+        return pd.DataFrame(
+            {
+                "k": pd.Series([0], dtype="int64"),
+                "n_rows": pd.Series([int(hit.sum())], dtype="int64"),
+                "uid_sum": pd.Series(
+                    [int(d.loc[hit, "user_id"].astype("int64").sum())],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    agg = bucket_sum(
+        ds.map_batches(scan, batch_format="pandas"),
+        ["k"],
+        ["n_rows", "uid_sum"],
+        num_buckets=1,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_pages_scanned": pd.Series([n_pages_scanned], dtype="int64"),
+            "n_pages_total": pd.Series([n_pages_total], dtype="int64"),
+            "n_rows": agg["n_rows"].astype("int64"),
+            "uid_sum": agg["uid_sum"].astype("int64"),
+        }
+    )
+
+
+_SQL_PRUNED_SCAN = """
+WITH z AS (
+  SELECT event_id // 256 AS page,
+         min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT epoch_us(TIMESTAMP '2024-01-01 12:00:00') AS t1,
+         epoch_us(TIMESTAMP '2024-01-02 00:00:00') AS t2
+)
+SELECT
+  (SELECT count(*) FROM z, b WHERE ts_max >= t1 AND ts_min < t2)::BIGINT
+    AS n_pages_scanned,
+  (SELECT count(*) FROM z)::BIGINT AS n_pages_total,
+  (SELECT count(*) FROM events, b
+    WHERE epoch_us(ts) >= t1 AND epoch_us(ts) < t2)::BIGINT AS n_rows,
+  (SELECT coalesce(sum(user_id), 0) FROM events, b
+    WHERE epoch_us(ts) >= t1 AND epoch_us(ts) < t2)::BIGINT AS uid_sum
+"""
+
+QUERIES["events_pruned_scan"] = q_events_pruned_scan
+ORACLES["events_pruned_scan"] = _SQL_PRUNED_SCAN
