@@ -2829,6 +2829,63 @@ QUERIES["multimodal_scene_cuts"] = q_multimodal_scene_cuts
 ORACLES["multimodal_scene_cuts"] = _SQL_SCENE_CUTS
 
 
+def q_dedup_lsh_recall(sf_dir: str):
+    """Approximation audit: the MinHash-LSH pair set measured against
+    the EXACT global Jaccard join (PPJoin) on the SAME shingle space
+    and threshold (3-shingles, J ≥ 0.7) — (n_true, n_lsh, n_common,
+    recall_pct), the audit a dedup-pipeline owner runs before trusting
+    LSH at corpus scale.  Both mechanisms and their intersection are
+    deterministic, so the whole measurement is exact-oracled through
+    the two SQL twins."""
+    from ..util import heal_schema, join_partitions
+
+    truth = D.ppjoin_pairs(
+        _docs(sf_dir), threshold_num=7, threshold_den=10, shingle_k=3
+    ).materialize()
+    est = D.minhash_lsh_pairs(_docs(sf_dir), threshold=0.7).materialize()
+    n_true = truth.count()
+    n_lsh = est.count()
+    if n_true and n_lsh:
+        jp = join_partitions(None)
+        est2 = est.map_batches(
+            lambda df: df[["doc_id_a", "doc_id_b"]], batch_format="pandas"
+        )
+        n_common = (
+            heal_schema(truth, jp)
+            .join(heal_schema(est2, jp), "inner", jp,
+                  on=("doc_id_a", "doc_id_b"))
+            .count()
+        )
+    else:
+        n_common = 0
+    recall = 100 if n_true == 0 else 100 * n_common // n_true
+    return pd.DataFrame(
+        {
+            "n_true": [n_true],
+            "n_lsh": [n_lsh],
+            "n_common": [n_common],
+            "recall_pct": [recall],
+        }
+    ).astype("int64")
+
+
+_SQL_LSH_RECALL = f"""
+WITH t AS (SELECT doc_id_a, doc_id_b FROM ({_SQL_PPJOIN})),
+e AS (SELECT doc_id_a, doc_id_b FROM ({_SQL_MINHASH_PAIRS})),
+c AS (SELECT count(*) AS n FROM t JOIN e USING (doc_id_a, doc_id_b)),
+nt AS (SELECT count(*) AS n FROM t),
+ne AS (SELECT count(*) AS n FROM e)
+SELECT nt.n::BIGINT AS n_true, ne.n::BIGINT AS n_lsh,
+       c.n::BIGINT AS n_common,
+       (CASE WHEN nt.n = 0 THEN 100
+             ELSE 100 * c.n // nt.n END)::BIGINT AS recall_pct
+FROM nt, ne, c
+"""
+
+QUERIES["dedup_lsh_recall"] = q_dedup_lsh_recall
+ORACLES["dedup_lsh_recall"] = _SQL_LSH_RECALL
+
+
 def q_docs_profile(sf_dir: str):
     """Catalog-style column profile over documents
     (stages/expect.table_profile): per column — rows, nulls, exact
