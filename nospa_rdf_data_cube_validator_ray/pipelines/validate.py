@@ -312,7 +312,8 @@ class CubeValidator:
     def export_model(self, out_dir: str, fmt: str = "parquet"):
         """exportModel parity (NospaValidator.java:56-67): serialize the
         fully-normalized model.  ``fmt`` ∈ parquet (canonical) | ntriples
-        | turtle | rdfxml, mirroring the reference's Jena format choice."""
+        | turtle | rdfxml | nquads (graph column as the 4th term),
+        mirroring the reference's Jena format choice."""
         t = self.normalized_triples()
         if fmt == "parquet":
             t.write_parquet(out_dir)
@@ -325,6 +326,8 @@ class CubeValidator:
             X.write_turtle(t, out_dir)
         elif fmt in ("rdfxml", "rdf", "xml"):
             X.write_rdfxml(t, out_dir)
+        elif fmt in ("nquads", "nq"):
+            X.write_nquads(t, out_dir)
         else:
             raise ValueError(f"unknown export format {fmt!r}")
         return out_dir

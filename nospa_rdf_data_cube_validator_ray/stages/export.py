@@ -344,6 +344,54 @@ def write_rdfxml(triples, out_dir: str) -> list[str]:
     return sorted(manifest["path"]) if len(manifest) else []
 
 
+def _graph_term(g: str) -> str:
+    """Graph-column value → N-Quads graph label.  Values that are
+    already IRIs or bnode labels pass through; file-scoped graph ids
+    (repo|path|commit — not IRIs) map to a deterministic reversible
+    urn:graph: IRI."""
+    if g.startswith("_:"):
+        return g
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", g) and " " not in g and "|" not in g:
+        return f"<{g}>"
+    from urllib.parse import quote
+
+    return f"<urn:graph:{quote(g, safe='')}>"
+
+
+def write_nquads(triples, out_dir: str) -> list[str]:
+    """Serialize the triple Dataset as N-Quads, the graph column as the
+    4th term (its native quad serialization) — one ``part-*.nq`` per
+    block, task-unique names, same sink shape as write_ntriples."""
+    import os
+    import uuid
+
+    from ..model import term_str
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        cols = [
+            batch.column(c).to_pylist()
+            for c in ("graph", "subj", "pred", "obj_kind", "obj",
+                      "obj_dt", "obj_lang")
+        ]
+        lines = []
+        for g, s, p, k, o, dt, lg_ in zip(*cols):
+            st = s if s.startswith("_:") else f"<{s}>"
+            lines.append(
+                f"{st} <{p}> {term_str(k, o, dt, lg_)} {_graph_term(g)} ."
+            )
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nq")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        return pa.table({"path": pa.array([path]), "rows": pa.array([len(lines)])})
+
+    manifest = triples.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return sorted(manifest["path"]) if len(manifest) else []
+
+
 def nquads_document(rows, graph_iri: str | None = None) -> str:
     """Parser triple tuples (s, p, kind, obj, dt, lang) → N-Quads text,
     every line labeled with ``graph_iri`` (None → default-graph lines,

@@ -62,6 +62,47 @@ def test_normalized_triple_export(corpus, tmp_path):
     assert back == len(out)
 
 
+def test_export_nquads_roundtrip(corpus, tmp_path):
+    """fmt='nquads' writes the graph column as the 4th term; re-parsing
+    the part files through the normal front end recovers the same
+    per-predicate triple counts and one graph label per source graph."""
+    from nospa_rdf_data_cube_validator_ray.sources.parse_stage import (
+        parse_corpus,
+    )
+
+    import pyarrow as pa
+
+    v = CubeValidator(ray.data.from_arrow(corpus))
+    out = v.normalized_triples().to_pandas()
+    v.export_model(str(tmp_path / "nq"), fmt="nquads")
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "nq" / "*.nq")))
+    assert files
+    rows = {
+        "repo": [], "path": [], "commit": [], "lang": [], "content": [],
+    }
+    for i, f in enumerate(files):
+        rows["repo"].append("m")
+        rows["path"].append(f"p{i}.nq")
+        rows["commit"].append("c")
+        rows["lang"].append("nquads")
+        rows["content"].append(open(f).read())
+    back = parse_corpus(
+        ray.data.from_arrow(
+            pa.table({k: pa.array(v_, pa.string()) for k, v_ in rows.items()})
+        )
+    ).to_pandas()
+    assert len(back) == len(out)
+    assert (
+        back["pred"].value_counts().sort_index()
+        == out["pred"].value_counts().sort_index()
+    ).all()
+    # every graph label is the urn-mapped original graph id
+    assert all(g.startswith("urn:graph:") for g in back["graph"].unique())
+    assert back["graph"].nunique() == out["graph"].nunique()
+
+
 def test_selective_validation(corpus):
     v = CubeValidator(ray.data.from_arrow(corpus))
     only12 = v.validate(["IC12"]).to_pandas()
