@@ -1834,6 +1834,55 @@ FROM o FULL OUTER JOIN i ON o.node = i.node
 """
 
 
+def q_kg_degree_hist(sf_dir: str):
+    """Degree-distribution health check: log2-bucket histogram of total
+    degree over the import graph — the skew diagnostic a planner reads
+    before picking shuffle partitioning.  Rides degree_table; the
+    bucket domain is ≤64, so the final aggregate is trivially small.
+    Buckets via the exact float exponent (frexp), not log2 rounding."""
+    import numpy as np
+    import pandas as pd
+
+    from nospa_rdf_data_cube_validator_ray.stages.graph import degree_table
+    from nospa_rdf_data_cube_validator_ray.util import bucket_sum
+
+    deg = degree_table(_code_import_edges(sf_dir))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            df["out_deg"].astype("int64") + df["in_deg"].astype("int64")
+        ).to_numpy()
+        b = np.frexp(tot.astype("float64"))[1] - 1  # floor(log2), exact
+        g = (
+            pd.DataFrame({"bucket": b.astype("int64")})
+            .groupby("bucket", as_index=False)
+            .size()
+            .rename(columns={"size": "n_nodes"})
+        )
+        return g.astype("int64")
+
+    return bucket_sum(
+        deg.map_batches(partial, batch_format="pandas"),
+        ["bucket"],
+        ["n_nodes"],
+    )
+
+
+# floor(log2(tot)) via binary-string length — exact, no float log
+_SQL_DEGREE_HIST = f"""
+WITH {_CODE_EDGE_BODY},
+o AS (SELECT src AS node, count(*) AS c FROM cedges GROUP BY 1),
+i AS (SELECT dst AS node, count(*) AS c FROM cedges GROUP BY 1),
+d AS (
+  SELECT coalesce(o.c, 0) + coalesce(i.c, 0) AS tot
+  FROM o FULL OUTER JOIN i ON o.node = i.node
+)
+SELECT (length(format('{{:b}}', tot)) - 1)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_nodes
+FROM d GROUP BY 1
+"""
+
+
 def q_kg_degree_asof(sf_dir: str):
     """Time-travel graph analytics: the import-graph degree table AS OF
     commit 1 — the as-of snapshot read (map-side commit-cutoff
@@ -3437,6 +3486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_cardinality": q_kg_property_cardinality,
         "kg_pred_subsumption": q_kg_pred_subsumption,
         "kg_degree_asof": q_kg_degree_asof,
+        "kg_degree_hist": q_kg_degree_hist,
         "kg_degree_incremental": q_kg_degree_incremental,
         "kg_code_defs": q_kg_code_defs,
         "kg_module_summary": q_kg_module_summary,
@@ -3536,6 +3586,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_property_cardinality": _SQL_PROPERTY_CARDINALITY,
         "kg_pred_subsumption": _SQL_PRED_SUBSUMPTION,
         "kg_degree_asof": _SQL_DEGREE_ASOF,
+        "kg_degree_hist": _SQL_DEGREE_HIST,
         "kg_degree_incremental": _SQL_DEGREE_INCREMENTAL,
         "kg_code_defs": _SQL_CODE_DEFS,
         "kg_module_summary": _SQL_MODULE_SUMMARY,

@@ -2886,6 +2886,93 @@ QUERIES["dedup_lsh_recall"] = q_dedup_lsh_recall
 ORACLES["dedup_lsh_recall"] = _SQL_LSH_RECALL
 
 
+def q_docs_lang_mix(sf_dir: str):
+    """Language-mix curation report: per (source, predicted language)
+    document counts — the lang-id kernel composed with a map-side
+    combine; the per-language sampling-budget table a multilingual
+    pipeline balances against."""
+    from ..functions.text import lang_id
+    from ..util import bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lp = lang_id(df)["lang_pred"]
+        g = (
+            pd.DataFrame(
+                {
+                    "source": df["source"].astype("string"),
+                    "lang": lp.astype("string").to_numpy(),
+                }
+            )
+            .groupby(["source", "lang"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g.astype({"n": "int64"})
+
+    return bucket_sum(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["source", "lang"],
+        ["n"],
+    )
+
+
+_SQL_LANG_MIX = f"""
+WITH lid AS ({_SQL_LANG_ID})
+SELECT d.source, lid.lang_pred AS lang, count(*)::BIGINT AS n
+FROM lid JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+QUERIES["docs_lang_mix"] = q_docs_lang_mix
+ORACLES["docs_lang_mix"] = _SQL_LANG_MIX
+
+
+def q_docs_rendezvous_shards(sf_dir: str, n_shards: int = 8):
+    """Rendezvous (highest-random-weight) shard assignment: doc →
+    argmax over shards of md5(doc:shard).  Adding or removing a shard
+    moves ONLY the docs whose argmax changes (1/n in expectation),
+    unlike mod-N hashing which reshuffles everything — the
+    resharding-stable placement rule a growing corpus store wants.
+    Pure per-row hashing, map-only; ties break to the smaller shard id
+    on both sides."""
+    from ..stages.dedup import _md5_u64
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        hs = np.stack(
+            [
+                np.array(
+                    [_md5_u64(f"{int(d)}:{s}") for d in ids],
+                    dtype=np.uint64,
+                )
+                for s in range(n_shards)
+            ],
+            axis=1,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "shard": hs.argmax(axis=1).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(assign, batch_format="pandas")
+
+
+_SQL_RENDEZVOUS = """
+WITH e AS (
+  SELECT doc_id, s,
+         md5_number_lower(doc_id::VARCHAR || ':' || s) AS h
+  FROM documents, unnest(generate_series(0, 7)) t(s)
+)
+SELECT doc_id::BIGINT AS doc_id, s::BIGINT AS shard
+FROM e QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) = 1
+"""
+
+QUERIES["docs_rendezvous_shards"] = q_docs_rendezvous_shards
+ORACLES["docs_rendezvous_shards"] = _SQL_RENDEZVOUS
+
+
 def q_docs_profile(sf_dir: str):
     """Catalog-style column profile over documents
     (stages/expect.table_profile): per column — rows, nulls, exact
