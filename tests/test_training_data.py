@@ -436,6 +436,28 @@ def test_resample_audio_decimation():
         M.ResampleAudio(factor=0)
 
 
+def test_scene_cuts_kernel():
+    import numpy as np
+
+    from nospa_rdf_data_cube_validator_ray.functions import codecs as C
+
+    lo = np.zeros((4, 4, 3), dtype=np.uint8)
+    hi = np.full((4, 4, 3), 200, dtype=np.uint8)
+    clip = [lo, hi, hi, lo]  # two hard cuts, one still segment
+    df = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "frames": [[C.encode_bmp(f) for f in clip]],
+        }
+    )
+    out = M.SceneCuts(threshold=1000)(df)
+    assert out.loc[0, "n_cuts"] == 2
+    assert out.loc[0, "max_delta"] == 200 * 48
+    with pytest.raises(ValueError, match=">= 2 frames"):
+        M.SceneCuts()(pd.DataFrame({"doc_id": [0],
+                                    "frames": [[C.encode_bmp(lo)]]}))
+
+
 def test_audio_vad_kernel():
     import numpy as np
 
