@@ -1104,6 +1104,22 @@ def q_kg_bgp_match(sf_dir: str):
     )
 
 
+def q_kg_bgp_optional(sf_dir: str):
+    """SPARQL OPTIONAL execution (stages/graph.bgp_match_optional —
+    §18.5 LeftJoin as one extra hash join): every follows-edge order
+    with its OPTIONAL successor; each customer's LAST chained order has
+    none, so unbound rows ('' per SPARQL unbound) genuinely occur."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        bgp_match_optional,
+    )
+
+    return bgp_match_optional(
+        _link_triples(sf_dir),
+        [("?o", f"{_KGP}follows", "?prev")],
+        [("?o2", f"{_KGP}follows", "?o")],
+    )
+
+
 def q_kg_bfs_tree(sf_dir: str):
     """Shortest-path reconstruction: the parent-pointer BFS tree from
     region 1 over reversed provenance edges — parent = the
@@ -3394,6 +3410,17 @@ FROM dist n LEFT JOIN (
 """
 
 
+_SQL_BGP_OPTIONAL = f"""
+WITH {_KG_EDGE_BODY},
+f AS (SELECT subj AS o, obj AS prev FROM edges
+      WHERE pred = '{_KGP}follows'),
+g AS (SELECT subj AS o2, obj AS o FROM edges
+      WHERE pred = '{_KGP}follows')
+SELECT f.o, f.prev, coalesce(g.o2, '') AS o2
+FROM f LEFT JOIN g ON g.o = f.o
+"""
+
+
 # per-IC finding counts over the plain cube corpus — the incremental
 # run's combined output must land exactly on the same per-IC SQL the
 # individual IC queries are checked against (only these 9 ICs fire on
@@ -3472,6 +3499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_match": q_kg_bgp_match,
         "kg_bfs_depths": q_kg_bfs_depths,
         "kg_bfs_tree": q_kg_bfs_tree,
+        "kg_bgp_optional": q_kg_bgp_optional,
         "cube_incremental": q_cube_incremental,
         "cube_report_lines": q_cube_report_lines,
         "kg_code_imports": q_kg_code_imports,
@@ -3570,6 +3598,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_match": _SQL_KG_BGP,
         "kg_bfs_depths": _SQL_KG_BFS,
         "kg_bfs_tree": _SQL_KG_BFS_TREE,
+        "kg_bgp_optional": _SQL_BGP_OPTIONAL,
         "cube_incremental": _SQL_INCREMENTAL,
         "cube_report_lines": (
             "SELECT ic, n FROM (" + _SQL_INCREMENTAL + ") WHERE n > 0 ORDER BY ic"

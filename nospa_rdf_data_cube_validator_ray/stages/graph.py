@@ -1812,6 +1812,63 @@ def bgp_match(
     return acc.map_batches(order_cols, batch_format="pandas")
 
 
+def _bgp_vars(patterns: list[tuple[str, str, str]]) -> list[str]:
+    out: list[str] = []
+    for s, p, o in patterns:
+        for t in (s, p, o):
+            if t.startswith("?") and t[1:] not in out:
+                out.append(t[1:])
+    return out
+
+
+def bgp_match_optional(
+    triples: "ray.data.Dataset",
+    patterns: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]],
+    *,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """SPARQL OPTIONAL (SPARQL 1.1 §18.5 LeftJoin): the required BGP's
+    solutions left-joined with the optional BGP's solutions on their
+    shared variables — rows with no optional match keep the required
+    bindings and surface the optional-only variables as "" (the
+    hash-stable rendering of SPARQL's unbound).  Both sides evaluate
+    through :func:`bgp_match` (distinct scans, left-deep hash joins);
+    the LeftJoin itself is ONE more hash join."""
+    from ..util import heal_schema, join_partitions
+
+    rv = _bgp_vars(patterns)
+    ov = _bgp_vars(optional)
+    shared = [v for v in ov if v in rv]
+    if not shared:
+        raise ValueError(
+            "optional clause shares no variable with the required BGP "
+            "(would be a cartesian product)"
+        )
+    new = [v for v in ov if v not in rv]
+    req = bgp_match(triples, patterns, num_partitions=num_partitions)
+    opt = bgp_match(triples, optional, num_partitions=num_partitions)
+    jp = join_partitions(num_partitions)
+    joined = heal_schema(req, jp).join(
+        heal_schema(opt, jp), "left_outer", jp, on=tuple(shared)
+    )
+    cols = rv + new
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype="string") for c in cols}
+            )
+        out = pd.DataFrame(index=df.index)
+        for c in cols:
+            out[c] = (
+                df[c].fillna("") if c in df.columns else ""
+            )
+        return out.astype({c: "string" for c in cols})
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
 def kcore(
     edges: "ray.data.Dataset",
     *,
