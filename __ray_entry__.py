@@ -3412,9 +3412,9 @@ FROM dist n LEFT JOIN (
 
 _SQL_BGP_OPTIONAL = f"""
 WITH {_KG_EDGE_BODY},
-f AS (SELECT subj AS o, obj AS prev FROM edges
+f AS (SELECT DISTINCT subj AS o, obj AS prev FROM edges
       WHERE pred = '{_KGP}follows'),
-g AS (SELECT subj AS o2, obj AS o FROM edges
+g AS (SELECT DISTINCT subj AS o2, obj AS o FROM edges
       WHERE pred = '{_KGP}follows')
 SELECT f.o, f.prev, coalesce(g.o2, '') AS o2
 FROM f LEFT JOIN g ON g.o = f.o

@@ -2938,21 +2938,26 @@ def q_docs_rendezvous_shards(sf_dir: str, n_shards: int = 8):
     from ..stages.dedup import _md5_u64
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].astype("int64")
+        ids = df["doc_id"].astype("int64").to_numpy()
+        # build each doc's "doc:" prefix ONCE, not once per shard
+        prefixes = [f"{d}:" for d in ids]
         hs = np.stack(
             [
-                np.array(
-                    [_md5_u64(f"{int(d)}:{s}") for d in ids],
+                np.fromiter(
+                    (_md5_u64(p + ss) for p in prefixes),
                     dtype=np.uint64,
+                    count=len(prefixes),
                 )
-                for s in range(n_shards)
+                for ss in (str(s) for s in range(n_shards))
             ],
             axis=1,
         )
         return pd.DataFrame(
             {
-                "doc_id": ids,
-                "shard": hs.argmax(axis=1).astype("int64"),
+                "doc_id": pd.Series(ids, dtype="int64", index=df.index),
+                "shard": pd.Series(
+                    hs.argmax(axis=1).astype("int64"), index=df.index
+                ),
             }
         )
 

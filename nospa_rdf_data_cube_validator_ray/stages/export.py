@@ -134,29 +134,19 @@ def _dedup_group(df: pd.DataFrame) -> pd.DataFrame:
     ).drop(columns=["bucket"])
 
 
-def write_ntriples(triples, out_dir: str) -> list[str]:
-    """Serialize the triple Dataset as N-Triples text, one ``part-*.nt``
-    per block (exportModel's RDF text output, NospaValidator.java:56-67;
-    our canonical sink stays Parquet — this is the interchange format).
-    Each task writes its own part file (side-effect sink with task-unique
-    names); returns the file list."""
+def _write_rdf_parts(triples, out_dir: str, ext: str, cols, line_fn) -> list[str]:
+    """Shared line-oriented RDF sink: one ``part-*.{ext}`` per block
+    (side-effect sink with task-unique names), ``line_fn(*row) -> str``
+    renders each statement.  Returns the sorted file list."""
     import os
     import uuid
-
-    from ..model import term_str
 
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
-        cols = [
-            batch.column(c).to_pylist()
-            for c in ("subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang")
-        ]
-        lines = []
-        for s, p, k, o, dt, lg_ in zip(*cols):
-            st = s if s.startswith("_:") else f"<{s}>"
-            lines.append(f"{st} <{p}> {term_str(k, o, dt, lg_)} .")
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nt")
+        col_lists = [batch.column(c).to_pylist() for c in cols]
+        lines = [line_fn(*row) for row in zip(*col_lists)]
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.{ext}")
         with open(path, "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
         return pa.table({"path": pa.array([path]), "rows": pa.array([len(lines)])})
@@ -165,6 +155,22 @@ def write_ntriples(triples, out_dir: str) -> list[str]:
         write_block, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     return sorted(manifest["path"]) if len(manifest) else []
+
+
+def write_ntriples(triples, out_dir: str) -> list[str]:
+    """Serialize the triple Dataset as N-Triples text, one ``part-*.nt``
+    per block (exportModel's RDF text output, NospaValidator.java:56-67;
+    our canonical sink stays Parquet — this is the interchange format)."""
+    from ..model import term_str
+
+    def line(s, p, k, o, dt, lg_):
+        st = s if s.startswith("_:") else f"<{s}>"
+        return f"{st} <{p}> {term_str(k, o, dt, lg_)} ."
+
+    return _write_rdf_parts(
+        triples, out_dir, "nt",
+        ("subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang"), line,
+    )
 
 
 _TTL_PREFIXES = [
@@ -344,14 +350,20 @@ def write_rdfxml(triples, out_dir: str) -> list[str]:
     return sorted(manifest["path"]) if len(manifest) else []
 
 
+# IRIREF-illegal characters (N-Quads grammar): controls, space, and
+# <>"{}|^`\ — a pass-through graph value containing any of these would
+# serialize as a line our own parser rejects
+_IRI_ILLEGAL_RE = _re.compile(r'[\x00-\x20<>"{}|^`\\]')
+
+
 def _graph_term(g: str) -> str:
     """Graph-column value → N-Quads graph label.  Values that are
-    already IRIs or bnode labels pass through; file-scoped graph ids
-    (repo|path|commit — not IRIs) map to a deterministic reversible
-    urn:graph: IRI."""
+    already clean IRIs or bnode labels pass through; anything else
+    (file-scoped repo|path|commit ids, IRI-illegal characters) maps to
+    a deterministic reversible urn:graph: percent-encoded IRI."""
     if g.startswith("_:"):
         return g
-    if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", g) and " " not in g and "|" not in g:
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", g) and not _IRI_ILLEGAL_RE.search(g):
         return f"<{g}>"
     from urllib.parse import quote
 
@@ -360,36 +372,19 @@ def _graph_term(g: str) -> str:
 
 def write_nquads(triples, out_dir: str) -> list[str]:
     """Serialize the triple Dataset as N-Quads, the graph column as the
-    4th term (its native quad serialization) — one ``part-*.nq`` per
-    block, task-unique names, same sink shape as write_ntriples."""
-    import os
-    import uuid
-
+    4th term (its native quad serialization) — same sink shape as
+    write_ntriples."""
     from ..model import term_str
 
-    os.makedirs(out_dir, exist_ok=True)
+    def line(g, s, p, k, o, dt, lg_):
+        st = s if s.startswith("_:") else f"<{s}>"
+        return f"{st} <{p}> {term_str(k, o, dt, lg_)} {_graph_term(g)} ."
 
-    def write_block(batch: pa.Table) -> pa.Table:
-        cols = [
-            batch.column(c).to_pylist()
-            for c in ("graph", "subj", "pred", "obj_kind", "obj",
-                      "obj_dt", "obj_lang")
-        ]
-        lines = []
-        for g, s, p, k, o, dt, lg_ in zip(*cols):
-            st = s if s.startswith("_:") else f"<{s}>"
-            lines.append(
-                f"{st} <{p}> {term_str(k, o, dt, lg_)} {_graph_term(g)} ."
-            )
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nq")
-        with open(path, "w") as f:
-            f.write("\n".join(lines) + ("\n" if lines else ""))
-        return pa.table({"path": pa.array([path]), "rows": pa.array([len(lines)])})
-
-    manifest = triples.map_batches(
-        write_block, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
-    return sorted(manifest["path"]) if len(manifest) else []
+    return _write_rdf_parts(
+        triples, out_dir, "nq",
+        ("graph", "subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang"),
+        line,
+    )
 
 
 def nquads_document(rows, graph_iri: str | None = None) -> str:

@@ -1846,12 +1846,12 @@ def bgp_match_optional(
             "(would be a cartesian product)"
         )
     new = [v for v in ov if v not in rv]
-    req = bgp_match(triples, patterns, num_partitions=num_partitions)
-    opt = bgp_match(triples, optional, num_partitions=num_partitions)
-    jp = join_partitions(num_partitions)
-    joined = heal_schema(req, jp).join(
-        heal_schema(opt, jp), "left_outer", jp, on=tuple(shared)
-    )
+    req = bgp_match(
+        triples, patterns, num_partitions=num_partitions
+    ).materialize()
+    opt = bgp_match(
+        triples, optional, num_partitions=num_partitions
+    ).materialize()
     cols = rv + new
 
     def fill(df: pd.DataFrame) -> pd.DataFrame:
@@ -1866,6 +1866,20 @@ def bgp_match_optional(
             )
         return out.astype({c: "string" for c in cols})
 
+    # a fully-empty side is schema-less in Ray 2.49 (heal_schema cannot
+    # conjure a schema — util.py contract), and "optional never
+    # matches" is the NORMAL LeftJoin case: short-circuit both empties
+    # instead of letting the hash join see a schema-less operand
+    if req.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype="string") for c in cols})
+        )
+    if opt.count() == 0:
+        return req.map_batches(fill, batch_format="pandas")
+    jp = join_partitions(num_partitions)
+    joined = heal_schema(req, jp).join(
+        heal_schema(opt, jp), "left_outer", jp, on=tuple(shared)
+    )
     return joined.map_batches(fill, batch_format="pandas")
 
 

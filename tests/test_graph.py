@@ -121,6 +121,33 @@ def test_bfs_cycle_terminates():
     assert dict(dist) == {"a": 0, "b": 1, "c": 2}
 
 
+def test_bgp_optional_unbound_and_empty():
+    rows = [
+        ("a", "p", 0, "b"), ("b", "p", 0, "c"),  # chain: c has no successor
+    ]
+    t = _triples(rows)
+    out = (
+        G.bgp_match_optional(
+            t, [("?x", "p", "?y")], [("?y", "p", "?z")]
+        )
+        .to_pandas()
+        .set_index(["x", "y"])
+    )
+    assert out.loc[("a", "b"), "z"] == "c"
+    assert out.loc[("b", "c"), "z"] == ""  # unbound → ''
+    # optional that matches NOTHING: required rows survive, all unbound
+    none = (
+        G.bgp_match_optional(
+            t, [("?x", "p", "?y")], [("?y", "qqq", "?z")]
+        )
+        .to_pandas()
+    )
+    assert len(none) == 2 and (none["z"] == "").all()
+    # no shared variable → explicit error, not a cartesian product
+    with pytest.raises(ValueError, match="shares no variable"):
+        G.bgp_match_optional(t, [("?x", "p", "?y")], [("?u", "p", "?v")])
+
+
 def test_bfs_tree_parent_pointers():
     rows = [
         ("root", "p", 0, "a"), ("root", "p", 0, "b"),
