@@ -2782,6 +2782,43 @@ QUERIES["multimodal_audio_vad"] = q_multimodal_audio_vad
 ORACLES["multimodal_audio_vad"] = _SQL_AUDIO_VAD
 
 
+def q_multimodal_image_tiles(sf_dir: str):
+    """REAL 2×2 spatial pooling, value-exact: text → BMP → actor-pool
+    decode → integer quadrant pixel sums (stages/multimodal.ImageTiles)
+    — the pooling pass of a vision feature extractor; the oracle
+    re-derives every quadrant sum from the cycled text bytes."""
+    payloads = M.attach_payload(_docs(sf_dir), media="bmp")
+    return M.image_tiles(payloads)
+
+
+# byte j of the side²·3 pixel buffer: pixel p = j//3 at (r, c) =
+# (p//side, p%side), quadrant (r·2//side)·2 + (c·2//side)
+_SQL_IMAGE_TILES = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         length(coalesce(text, '')) AS n,
+         greatest(4, least(32, floor(sqrt(length(coalesce(text, ''))))::INT))
+           AS side
+  FROM documents
+),
+p2 AS (SELECT doc_id, text, n, side, side * side * 3 AS total FROM d),
+b AS (
+  SELECT doc_id,
+         (((j // 3) // side) * 2 // side) * 2
+           + (((j // 3) % side) * 2 // side) AS tile,
+         CASE WHEN n = 0 THEN 0
+              ELSE ascii(substr(text, ((j % n) + 1)::INT, 1)) END AS v
+  FROM p2, unnest(generate_series(0, total - 1)) AS t(j)
+)
+SELECT doc_id::BIGINT AS doc_id, tile::BIGINT AS tile,
+       sum(v)::BIGINT AS px_sum
+FROM b GROUP BY 1, 2
+"""
+
+QUERIES["multimodal_image_tiles"] = q_multimodal_image_tiles
+ORACLES["multimodal_image_tiles"] = _SQL_IMAGE_TILES
+
+
 def q_multimodal_scene_cuts(sf_dir: str):
     """REAL video shot-boundary detection, value-exact: NBV clip →
     stride-1 real frame sampling → per-frame integer pixel sums → a cut

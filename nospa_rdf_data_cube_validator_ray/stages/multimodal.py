@@ -390,6 +390,50 @@ def resample_audio(
     )
 
 
+class ImageTiles:
+    """2×2 spatial pooling over REAL decoded pixels: integer quadrant
+    sums (the pooling layer of a vision feature extractor) — one row
+    per (doc, tile), tile = (r·2//side)·2 + (c·2//side), floor
+    boundaries so a SQL oracle reproduces every sum exactly."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, tiles, sums = [], [], []
+        for doc_id, p, mt in zip(df["doc_id"], df["payload"], _media_types(df)):
+            if mt != "image/bmp":
+                raise ValueError(f"ImageTiles needs image/bmp rows, got {mt!r}")
+            px = C.decode_bmp(bytes(p)).astype(np.int64)
+            h, w = px.shape[:2]
+            pix = px.sum(axis=2)
+            ti = np.arange(h) * 2 // h
+            tj = np.arange(w) * 2 // w
+            idx = (ti[:, None] * 2 + tj[None, :]).ravel()
+            s = np.bincount(idx, weights=pix.ravel(), minlength=4)
+            ids.extend([int(doc_id)] * 4)
+            tiles.extend(range(4))
+            sums.extend(int(x) for x in s)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "tile": pd.Series(tiles, dtype="int64"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+def image_tiles(
+    ds: "ray.data.Dataset", *, batch_size: int = 64, concurrency=None
+) -> "ray.data.Dataset":
+    """Payload table (image/bmp) → (doc_id, tile, px_sum) quadrant sums."""
+    from ..util import auto_concurrency
+
+    return ds.map_batches(
+        ImageTiles,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=auto_concurrency(concurrency),
+    )
+
+
 class AudioVAD:
     """Frame-energy voice-activity detection over PCM16 WAV payloads:
     |sample| sums per ``frame``-sample window (full frames only; the
