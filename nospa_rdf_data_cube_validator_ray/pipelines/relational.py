@@ -1881,3 +1881,61 @@ SELECT
 
 QUERIES["events_pruned_scan"] = q_events_pruned_scan
 ORACLES["events_pruned_scan"] = _SQL_PRUNED_SCAN
+
+
+def q_events_top_sessions(sf_dir: str, k: int = 20):
+    """Top-k engagement sessions: the sessionize output ranked by
+    (duration DESC, n_events DESC, user, session) — duration is an
+    integer µs span, so the order is total and the oracle reproduces
+    the exact k rows.  Sessions are session-scale, but the top-k still
+    resolves via per-block candidates (never a global sort)."""
+    ds = sessionize_ds(sf_dir)
+
+    def with_dur(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["duration_us"] = (
+            out["end_us"].astype("int64") - out["start_us"].astype("int64")
+        )
+        return out
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["duration_us", "n_events", "user_id", "session_id"],
+            ascending=[False, False, True, True],
+        ).head(k)
+
+    cands = (
+        ds.map_batches(with_dur, batch_format="pandas")
+        .map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(cands):
+        return pd.DataFrame(
+            {
+                c: pd.Series(dtype="int64")
+                for c in ("user_id", "session_id", "n_events", "duration_us")
+            }
+        )
+    out = (
+        cands.sort_values(
+            ["duration_us", "n_events", "user_id", "session_id"],
+            ascending=[False, False, True, True],
+        )
+        .head(k)[["user_id", "session_id", "n_events", "duration_us"]]
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+_SQL_TOP_SESSIONS = f"""
+WITH sess AS ({_SQL_SESSIONIZE})
+SELECT user_id, session_id, n_events,
+       (end_us - start_us)::BIGINT AS duration_us
+FROM sess
+QUALIFY row_number() OVER (
+  ORDER BY end_us - start_us DESC, n_events DESC, user_id, session_id
+) <= 20
+"""
+
+QUERIES["events_top_sessions"] = q_events_top_sessions
+ORACLES["events_top_sessions"] = _SQL_TOP_SESSIONS
