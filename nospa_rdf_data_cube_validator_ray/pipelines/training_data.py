@@ -3015,6 +3015,139 @@ QUERIES["docs_rendezvous_shards"] = q_docs_rendezvous_shards
 ORACLES["docs_rendezvous_shards"] = _SQL_RENDEZVOUS
 
 
+def q_docs_ngram_novelty(sf_dir: str):
+    """First-occurrence novelty scoring: each doc's DISTINCT 8-gram
+    shingles split into NOVEL (this doc is the corpus-min doc_id owner
+    of the shingle) vs seen-before; novelty = permille of novel
+    shingles — the freshness signal a curation pipeline uses to
+    down-weight recycled text (docs shorter than one shingle are
+    vacuously novel).  Distinct (doc, shingle) pairs map-side → ONE
+    bucketed min per shingle → hash join back → per-doc counts;
+    shingle-scale keys never reach a Ray aggregate."""
+    from ..stages.dedup import _md5_u64_cached, tokens
+    from ..util import bucket_agg, bucket_sum, heal_schema, join_partitions
+
+    B61 = 1 << 61
+    docs = _docs(sf_dir)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_id: list[int] = []
+        out_h: list[int] = []
+        for i, t in zip(df["doc_id"].astype("int64"), df["text"].fillna("")):
+            toks = tokens(t)
+            hs = {
+                _md5_u64_cached(" ".join(toks[p : p + 8])) % B61
+                for p in range(len(toks) - 7)
+            }
+            out_id.extend([int(i)] * len(hs))
+            out_h.extend(hs)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "h": pd.Series(out_h, dtype="int64"),
+            }
+        )
+
+    prs = docs.map_batches(pairs, batch_format="pandas").materialize()
+    owner = bucket_agg(
+        prs,
+        ["h"],
+        lambda df: df.groupby("h", as_index=False)["doc_id"]
+        .min()
+        .rename(columns={"doc_id": "owner"}),
+    )
+    jp = join_partitions(None)
+    joined = heal_schema(prs, jp).join(
+        heal_schema(owner, jp), "inner", jp, on=("h",)
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_shingles": np.ones(len(df), dtype="int64"),
+                "n_novel": (df["doc_id"] == df["owner"]).to_numpy()
+                .astype("int64"),
+            }
+        ).groupby("doc_id", as_index=False).sum()
+        return g.astype("int64")
+
+    counts = bucket_sum(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["doc_id"],
+        ["n_shingles", "n_novel"],
+    )
+    ids = docs.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64")}),
+        batch_format="pandas",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("n_shingles", "n_novel")
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_shingles": pd.Series(dtype="int64"),
+                    "n_novel": pd.Series(dtype="int64"),
+                    "novelty_permille": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        for c in cols:
+            out[c] = (
+                df[c].fillna(0).astype("int64")
+                if c in df.columns
+                else np.int64(0)
+            )
+        n = out["n_shingles"].to_numpy()
+        nov = out["n_novel"].to_numpy()
+        out["novelty_permille"] = np.where(
+            n == 0, 1000, 1000 * nov // np.maximum(n, 1)
+        ).astype("int64")
+        return out
+
+    return (
+        heal_schema(ids, jp)
+        .join(heal_schema(counts, jp), "left_outer", jp, on=("doc_id",))
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+_SQL_NGRAM_NOVELTY = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         (md5_number_lower(array_to_string(w[i:i + 7], ' '))
+            % {_B61})::BIGINT AS h
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, length(w) - 7)) AS i
+    FROM toks
+  )
+),
+own AS (SELECT h, min(doc_id) AS owner FROM sh GROUP BY h),
+cnt AS (
+  SELECT sh.doc_id,
+         count(*) AS n_shingles,
+         (count(*) FILTER (WHERE own.owner = sh.doc_id)) AS n_novel
+  FROM sh JOIN own USING (h) GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(cnt.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(cnt.n_novel, 0)::BIGINT AS n_novel,
+       (CASE WHEN coalesce(cnt.n_shingles, 0) = 0 THEN 1000
+             ELSE 1000 * cnt.n_novel // cnt.n_shingles END)::BIGINT
+         AS novelty_permille
+FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+"""
+
+QUERIES["docs_ngram_novelty"] = q_docs_ngram_novelty
+ORACLES["docs_ngram_novelty"] = _SQL_NGRAM_NOVELTY
+
+
 def q_docs_profile(sf_dir: str):
     """Catalog-style column profile over documents
     (stages/expect.table_profile): per column — rows, nulls, exact
