@@ -230,22 +230,27 @@ def reachable(
     *,
     max_hops: int = 64,
     direction: str = "forward",
+    max_driver_nodes: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """1+-hop fixpoint closure: all (graph, node) reachable from ``roots``
     (columns graph, node) via one or more ``pred`` edges — a root appears
     in the result only if some edge REACHES it (connectedByRepeatedProp
     accumulates hop objects and never the start node,
     ValidatorBase.java:234-293; matching graphstore.reachable_from).
-    Broadcast-frontier BFS with a visited set — cycle-safe, unlike the
-    reference (no visited set there).  Raises if ``max_hops`` is exhausted
-    with a live frontier rather than returning a silently truncated
-    closure.
+    Cycle-safe BFS with a visited set, unlike the reference (no visited
+    set there).  Raises if ``max_hops`` is exhausted with a live frontier
+    rather than returning a silently truncated closure.
 
-    The edge stream scans distributed once per hop; the frontier / visited
-    sets are broadcast (``ray.put``) — code-list closures are schema-scale
-    (bounded per file), the same assumption the broadcast GraphIndex makes.
-    A closure too big to broadcast would switch to the join formulation
-    with hash-partitioned visited state.
+    Size-adaptive (parity-tested): while the closure fits the driver
+    (≤ ``max_driver_nodes`` visited/reached nodes) the frontier / visited
+    sets are broadcast (``ray.put``) and the edge stream scans distributed
+    once per hop — code-list closures are schema-scale (bounded per file),
+    the same assumption the broadcast GraphIndex makes.  The moment the
+    driver state would exceed the cap — a pathological corpus-wide
+    hierarchy — the whole closure RERUNS in the join formulation
+    (``_reachable_join``): frontier, visited and reached stay Datasets,
+    each hop is one hash join on (graph, node) plus one anti-join, the
+    same round machinery as ``stages.graph.multi_bfs_distances``.
 
     ``direction="inverse"`` follows edges object→subject — the reference's
     inverse overload (ValidatorBase.java:264-268, IC-21's ^p paths)."""
@@ -258,6 +263,8 @@ def reachable(
     else:
         raise ValueError(direction)
     e = edges(triples, pred).rename_columns(cols).materialize()
+    if roots.count() > max_driver_nodes:
+        return _reachable_join(e, roots, max_hops)
     rdf_ = roots.to_pandas()  # not take_all: ~0.5 ms/row
     root_set: set[tuple[str, str]] = (
         set(zip(rdf_["graph"], rdf_["node"])) if len(rdf_) else set()
@@ -268,6 +275,8 @@ def reachable(
     for _ in range(max_hops):
         if not frontier:
             break
+        if len(expanded) + len(reached) + len(frontier) > max_driver_nodes:
+            return _reachable_join(e, roots, max_hops)
         expanded |= frontier
         fref = ray.put(frontier)
 
@@ -294,3 +303,84 @@ def reachable(
                 "frontier — raise max_hops for this hierarchy depth"
             )
     return _nodes_table(reached)
+
+
+def _reachable_join(
+    e: "ray.data.Dataset", roots: "ray.data.Dataset", max_hops: int
+) -> "ray.data.Dataset":
+    """Join-formulation closure for hierarchies too big for driver sets:
+    per hop, ONE inner hash join (frontier ⋈ edges on (graph, node)) plus
+    one left-outer anti-join against the visited set — frontier / visited
+    / reached never leave the object store.  Output sorted (graph, node)
+    like :func:`_nodes_table` so both regimes are interchangeable."""
+    from ..util import heal_schema, join_partitions
+
+    np_ = join_partitions(None)
+    empty = ray.data.from_arrow(
+        pa.table({"graph": pa.array([], pa.string()),
+                  "node": pa.array([], pa.string())})
+    )
+    if e.count() == 0 or roots.count() == 0:
+        return empty
+
+    def _proj(ds, src_col: str):
+        return ds.map_batches(
+            lambda df, c=src_col: pd.DataFrame(
+                {
+                    "graph": df["graph"].astype("string"),
+                    "node": df[c].astype("string"),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    frontier = distinct(_proj(roots, "node"), ["graph", "node"]).materialize()
+    expanded = frontier
+    reached = None
+    for _ in range(max_hops):
+        if frontier.count() == 0:
+            break
+        step = distinct(
+            _proj(
+                heal_schema(frontier, np_).join(
+                    heal_schema(e, np_), "inner", np_, on=("graph", "node")
+                ),
+                "nxt",
+            ),
+            ["graph", "node"],
+        ).materialize()
+        if step.count() == 0:
+            frontier = step
+            break
+        reached = (
+            step
+            if reached is None
+            else distinct(reached.union(step), ["graph", "node"]).materialize()
+        )
+        mark = expanded.map_batches(
+            lambda df: df.assign(_v=np.int64(1)), batch_format="pandas"
+        )
+        frontier = (
+            heal_schema(step, np_)
+            .join(heal_schema(mark, np_), "left_outer", np_,
+                  on=("graph", "node"))
+            .map_batches(
+                lambda df: df[df["_v"].isna()][["graph", "node"]]
+                if "_v" in df.columns
+                else df[["graph", "node"]],
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        expanded = distinct(
+            expanded.union(frontier), ["graph", "node"]
+        ).materialize()
+    else:
+        if frontier.count():
+            raise RuntimeError(
+                f"reachable() exhausted max_hops={max_hops} with a live "
+                "frontier — raise max_hops for this hierarchy depth"
+            )
+    if reached is None:
+        return empty
+    return reached.sort(["graph", "node"])

