@@ -34,6 +34,50 @@ IC_TITLES = {
 }
 
 
+def _section_blocks(
+    findings_df: pd.DataFrame,
+    *,
+    title: str = "Validation results",
+    ics: list[str] | None = None,
+):
+    """Yield the report as per-section strings (header first, one block
+    per IC) so the sink can STREAM a pathological observation-scale
+    findings table instead of holding the whole document.  Line assembly
+    is vectorized pandas string concat — no ``iterrows`` (round-3 review
+    finding #4); joined, the blocks are byte-identical to the old
+    whole-document renderer (asserted in tests)."""
+    scope = set(ics) if ics is not None else set(IC_TITLES)
+    n = len(findings_df)
+    n_graphs = findings_df["graph"].nunique() if n else 0
+    yield f"# {title}\n\n{n} violation(s) across {n_graphs} graph(s).\n\n"
+    for ic in sorted(IC_TITLES, key=lambda x: int(x[2:])):
+        head = f"## {ic} — {IC_TITLES[ic]}\n"
+        if ic not in scope:
+            yield head + "Not checked.\n\n"
+            continue
+        sub = findings_df[findings_df["ic"] == ic] if n else findings_df
+        if not len(sub):
+            yield head + "Pass.\n\n"
+            continue
+        sub = sub.sort_values(["graph", "subject"])
+        det = sub["detail"]
+        # details are strings except the rare list-valued finding kinds
+        det = pd.Series(
+            [d if isinstance(d, str) else ", ".join(d) for d in det],
+            index=sub.index,
+            dtype="string",
+        ).fillna("")
+        suffix = (" — " + det).where(det != "", "")
+        bullets = (
+            "- `"
+            + sub["graph"].astype("string")
+            + "` "
+            + sub["subject"].astype("string")
+            + suffix
+        )
+        yield head + bullets.str.cat(sep="\n") + "\n\n"
+
+
 def render_markdown(
     findings_df: pd.DataFrame,
     *,
@@ -44,33 +88,17 @@ def render_markdown(
     outside the scope renders "Not checked." — "Pass." is an affirmative
     clean verdict and must never appear for a filtered-out check (the
     reference's result appender only logs checks it executed)."""
-    scope = set(ics) if ics is not None else set(IC_TITLES)
-    lines = [f"# {title}", ""]
-    n = len(findings_df)
-    lines.append(f"{n} violation(s) across {findings_df['graph'].nunique() if n else 0} graph(s).")
-    lines.append("")
-    for ic in sorted(IC_TITLES, key=lambda x: int(x[2:])):
-        sub = findings_df[findings_df["ic"] == ic] if n else findings_df
-        lines.append(f"## {ic} — {IC_TITLES[ic]}")
-        if ic not in scope:
-            lines.append("Not checked.")
-            lines.append("")
-            continue
-        if not len(sub):
-            lines.append("Pass.")
-            lines.append("")
-            continue
-        for _, row in sub.sort_values(["graph", "subject"]).iterrows():
-            detail = row["detail"]
-            if not isinstance(detail, str):
-                detail = ", ".join(detail)
-            suffix = f" — {detail}" if detail else ""
-            lines.append(f"- `{row['graph']}` {row['subject']}{suffix}")
-        lines.append("")
-    return "\n".join(lines)
+    return "".join(_section_blocks(findings_df, title=title, ics=ics))[:-1]
 
 
 def write_report(findings_df: pd.DataFrame, path: str, **kw) -> str:
+    """Stream the report to ``path`` section by section — the driver never
+    holds more than one IC's findings as rendered text."""
     with open(path, "w") as f:
-        f.write(render_markdown(findings_df, **kw))
+        prev = None
+        for block in _section_blocks(findings_df, **kw):
+            if prev is not None:
+                f.write(prev)
+            prev = block
+        f.write(prev[:-1])
     return path
