@@ -1616,8 +1616,12 @@ ORACLES["events_jsonl_roundtrip"] = _SQL_JSONL_RT
 
 # -- trailing-window spike (anomaly) detection ------------------------------
 
+# tuning defaults shared by the Ray side and the oracle SQL: the oracle is
+# generated from the SAME constant, so the two sides cannot drift
+_SPIKE_WIN = 8
 
-def q_events_spike(sf_dir: str, win: int = 8):
+
+def q_events_spike(sf_dir: str, win: int = _SPIKE_WIN):
     """Streaming anomaly rule over the event stream: for every
     (event_type, hour) cell — hours taken densely over the corpus'
     global [min, max] hour range, zero-filled — flag a spike when
@@ -1686,7 +1690,7 @@ def q_events_spike(sf_dir: str, win: int = 8):
     )
 
 
-_SQL_EVENTS_SPIKE = """
+_SQL_EVENTS_SPIKE = f"""
 WITH c AS (
   SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour_id,
          count(*)::BIGINT AS n
@@ -1707,12 +1711,12 @@ w AS (
   SELECT event_type, hour_id, n, idx,
          coalesce(sum(n) OVER (
            PARTITION BY event_type ORDER BY hour_id
-           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev_sum
+           ROWS BETWEEN {_SPIKE_WIN} PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev_sum
   FROM dense
 )
 SELECT event_type, hour_id, n,
-       CASE WHEN idx >= 8 THEN prev_sum ELSE 0 END AS prev_sum,
-       CASE WHEN idx >= 8 AND n * 8 > 3 * prev_sum
+       CASE WHEN idx >= {_SPIKE_WIN} THEN prev_sum ELSE 0 END AS prev_sum,
+       CASE WHEN idx >= {_SPIKE_WIN} AND n * {_SPIKE_WIN} > 3 * prev_sum
             THEN 1 ELSE 0 END::BIGINT AS spike
 FROM w
 """
@@ -1723,8 +1727,10 @@ ORACLES["events_spike"] = _SQL_EVENTS_SPIKE
 
 # -- zone-map (page min/max) metadata build ---------------------------------
 
+_ZONE_PAGE = 256  # shared by the Ray side and the oracle SQL (see _SPIKE_WIN)
 
-def q_events_zonemap(sf_dir: str, page: int = 256):
+
+def q_events_zonemap(sf_dir: str, page: int = _ZONE_PAGE):
     """Storage-layout metadata: per-page zone maps (min/max/count over
     fixed ``event_id // page`` pages) for the scan planner's predicate
     pruning — the statistics a writer emits next to each page so a
@@ -1775,8 +1781,8 @@ def q_events_zonemap(sf_dir: str, page: int = 256):
     )
 
 
-_SQL_ZONEMAP = """
-SELECT (event_id // 256)::BIGINT AS page,
+_SQL_ZONEMAP = f"""
+SELECT (event_id // {_ZONE_PAGE})::BIGINT AS page,
        count(*)::BIGINT AS n,
        min(epoch_us(ts))::BIGINT AS ts_min,
        max(epoch_us(ts))::BIGINT AS ts_max,
@@ -1792,7 +1798,7 @@ QUERIES["events_changelog"] = q_events_changelog
 ORACLES["events_changelog"] = _SQL_CHANGELOG
 
 
-def q_events_pruned_scan(sf_dir: str, page: int = 256):
+def q_events_pruned_scan(sf_dir: str, page: int = _ZONE_PAGE):
     """Zone-map predicate pruning, end to end: build the per-page
     [ts_min, ts_max] zones (q_events_zonemap's metadata), select ONLY
     the pages whose zone intersects the time filter, scan just those
@@ -1859,9 +1865,9 @@ def q_events_pruned_scan(sf_dir: str, page: int = 256):
     )
 
 
-_SQL_PRUNED_SCAN = """
+_SQL_PRUNED_SCAN = f"""
 WITH z AS (
-  SELECT event_id // 256 AS page,
+  SELECT event_id // {_ZONE_PAGE} AS page,
          min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max
   FROM events GROUP BY 1
 ),
@@ -1883,7 +1889,10 @@ QUERIES["events_pruned_scan"] = q_events_pruned_scan
 ORACLES["events_pruned_scan"] = _SQL_PRUNED_SCAN
 
 
-def q_events_top_sessions(sf_dir: str, k: int = 20):
+_TOPK_SESSIONS = 20  # shared by the Ray side and the oracle SQL
+
+
+def q_events_top_sessions(sf_dir: str, k: int = _TOPK_SESSIONS):
     """Top-k engagement sessions: the sessionize output ranked by
     (duration DESC, n_events DESC, user, session) — duration is an
     integer µs span, so the order is total and the oracle reproduces
@@ -1934,7 +1943,7 @@ SELECT user_id, session_id, n_events,
 FROM sess
 QUALIFY row_number() OVER (
   ORDER BY end_us - start_us DESC, n_events DESC, user_id, session_id
-) <= 20
+) <= {_TOPK_SESSIONS}
 """
 
 QUERIES["events_top_sessions"] = q_events_top_sessions

@@ -40,8 +40,10 @@ Execution shape: graphs are file-local, so the local path is ONE
 map_batches over file-aligned blocks (zero shuffle, zero broadcast —
 the LocalCheck architecture).  The shuffle path buckets whole graphs by
 hash so IC-12/17's intra-graph pairwise semantics stay co-located; a
-single graph larger than worker heap is out of scope for this engine
-(use the NOSPA backend's bucketed pivot for that).
+single graph larger than worker heap (e.g. a chunk-split giant file
+whose chunks re-assemble in the shuffle) raises a loud, typed
+:class:`SpecGraphTooLargeError` pointing at the NOSPA backend's
+bucketed pivot — never a silent OOM.
 """
 
 from __future__ import annotations
@@ -61,6 +63,22 @@ _DETAIL_SEP = "\x1e"
 # guards, not scale limits: regular cubes take the hash-group path
 _PAIR_CAP = 2_000_000
 _ODD_OPS_CAP = 5_000_000
+
+# one graph must fit one worker's heap on the spec engine's shuffle path
+# (the per-graph evaluator is a single pandas frame); a chunk-split giant
+# file re-assembles into ONE group there, so it must fail loudly with a
+# pointer at the NOSPA engine instead of silently OOMing the worker
+_SPEC_GRAPH_ROWS_CAP = 4_000_000
+
+
+class SpecGraphTooLargeError(RuntimeError):
+    """A single graph exceeds the spec engine's per-worker frame budget.
+
+    The spec translations evaluate each graph as one pandas frame
+    (intra-graph pairwise IC-12/17 semantics); a graph beyond
+    ``_SPEC_GRAPH_ROWS_CAP`` rows — e.g. a chunk-split giant Turtle file
+    whose chunks re-co-locate in the shuffle — needs the NOSPA backend's
+    bucketed pivot (``create_validator("NOSPA", mode="shuffle")``)."""
 
 
 def _sterm(s: pd.Series) -> pd.Series:
@@ -877,12 +895,15 @@ class SpecLocalCheck:
         return _findings_arrow(_check_frame(batch.to_pandas()))
 
 
-def spec_findings_shuffle(triples, num_buckets: int = 64):
+def spec_findings_shuffle(
+    triples, num_buckets: int = 64, max_graph_rows: int = _SPEC_GRAPH_ROWS_CAP
+):
     """Non-file-aligned inputs: ONE shuffle co-locating whole graphs by
     hash(graph), then the per-graph evaluator per bucket.  Partitioning
     assumption: one graph fits one worker's heap (the spec's pairwise
-    IC-12/17 are intra-graph; a beyond-heap single graph needs the NOSPA
-    engine's bucketed pivot)."""
+    IC-12/17 are intra-graph); a graph larger than ``max_graph_rows``
+    raises :class:`SpecGraphTooLargeError` loudly instead of OOMing —
+    use the NOSPA engine's bucketed pivot for such inputs."""
 
     def add_kb(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -894,6 +915,15 @@ def spec_findings_shuffle(triples, num_buckets: int = 64):
         return df
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("graph", sort=False).size()
+        big = sizes[sizes > max_graph_rows]
+        if len(big):
+            raise SpecGraphTooLargeError(
+                f"graph {big.index[0]!r} has {int(big.iloc[0])} triples "
+                f"(> {max_graph_rows}); the SPARQL spec engine evaluates "
+                "one graph per worker frame — validate this corpus with "
+                'create_validator("NOSPA", mode="shuffle") instead'
+            )
         return _check_frame(df.drop(columns=["kb"]))
 
     out = (
@@ -912,12 +942,13 @@ class SparqlCubeValidator:
     SparqlValidator).  Shares the corpus/normalize/export plumbing with
     the NOSPA engine via composition; only validate_all differs."""
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, spec_max_graph_rows: int | None = None, **kwargs):
         from .validate import CubeValidator
 
         self._inner = CubeValidator(*args, **kwargs)
         self.mode = self._inner.mode
         self.num_buckets = self._inner.num_buckets
+        self._max_graph_rows = spec_max_graph_rows or _SPEC_GRAPH_ROWS_CAP
         self._findings = None
 
     # shared surface --------------------------------------------------------
@@ -942,7 +973,10 @@ class SparqlCubeValidator:
                 SpecLocalCheck(), batch_format="pyarrow", batch_size=None
             )
         else:
-            findings = spec_findings_shuffle(triples, self._inner._buckets())
+            findings = spec_findings_shuffle(
+                triples, self._inner._buckets(),
+                max_graph_rows=self._max_graph_rows,
+            )
         self._findings = findings.materialize()
         return self._findings
 

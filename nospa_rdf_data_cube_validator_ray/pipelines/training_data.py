@@ -2688,9 +2688,12 @@ def q_docs_domain_topk(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df["doc_id"].astype("int64")
+        # regex-scan ONLY the synthesized URL string: the oracle derives
+        # domains from doc_id arithmetic and cannot see free text, so a
+        # corpus whose text happens to contain URLs must not leak extra
+        # domains into the Ray side
         t = (
-            df["text"].fillna("")
-            + " http://w" + (d % 37).astype(str) + ".example.org/p/"
+            " http://w" + (d % 37).astype(str) + ".example.org/p/"
             + d.astype(str)
         )
         extra = " https://w" + (d % 11).astype(str) + ".example.net/q"
@@ -2707,7 +2710,9 @@ def q_docs_domain_topk(sf_dir: str):
         )
 
     agg = bucket_sum(
-        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        _docs(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(partial, batch_format="pandas"),
         ["domain"],
         ["n"],
     )
@@ -2964,7 +2969,10 @@ QUERIES["docs_lang_mix"] = q_docs_lang_mix
 ORACLES["docs_lang_mix"] = _SQL_LANG_MIX
 
 
-def q_docs_rendezvous_shards(sf_dir: str, n_shards: int = 8):
+_RV_SHARDS = 8  # shared by the Ray side and the oracle SQL — no drift
+
+
+def q_docs_rendezvous_shards(sf_dir: str, n_shards: int = _RV_SHARDS):
     """Rendezvous (highest-random-weight) shard assignment: doc →
     argmax over shards of md5(doc:shard).  Adding or removing a shard
     moves ONLY the docs whose argmax changes (1/n in expectation),
@@ -3001,11 +3009,11 @@ def q_docs_rendezvous_shards(sf_dir: str, n_shards: int = 8):
     return _docs(sf_dir).map_batches(assign, batch_format="pandas")
 
 
-_SQL_RENDEZVOUS = """
+_SQL_RENDEZVOUS = f"""
 WITH e AS (
   SELECT doc_id, s,
          md5_number_lower(doc_id::VARCHAR || ':' || s) AS h
-  FROM documents, unnest(generate_series(0, 7)) t(s)
+  FROM documents, unnest(generate_series(0, {_RV_SHARDS - 1})) t(s)
 )
 SELECT doc_id::BIGINT AS doc_id, s::BIGINT AS shard
 FROM e QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) = 1

@@ -383,12 +383,19 @@ class TurtleParser:
             if kind == "PREFIX_DECL":
                 self._parse_directive(val)
                 continue
-            # subject
+            # subject; only a standalone '[...]' property list may omit
+            # the predicate-object list (Turtle: triples ::= subject
+            # predicateObjectList | blankNodePropertyList p-o-list?)
             skind, slex, _, _ = self._parse_term(kind, val)
             if skind == KIND_LITERAL:
                 raise RDFSyntaxError("literal cannot be a subject")
             nkind, nval = self._peek()
-            if not (nkind == "PUNCT" and nval == "."):
+            if nkind == "PUNCT" and nval == ".":
+                if not (kind == "PUNCT" and val == "["):
+                    raise RDFSyntaxError(
+                        f"subject {slex!r} has no predicate-object list"
+                    )
+            else:
                 self._parse_predicate_object_list(slex)
             self._expect_punct(".")
         return self.triples
@@ -398,14 +405,20 @@ class TurtleParser:
 # N-Triples parser (fast line-based path)
 # ---------------------------------------------------------------------------
 
+# IRIREF body (same character class as the Turtle tokenizer's IRIREF token)
+# and BCP-47-shaped language tag — the line formats must not be laxer than
+# the tokenizer, or grammar-invalid input "parses" here and round-trips fail
+_IRI_BODY = r'[^<>"{}|^`\\\x00-\x20]*'
+_LANG_TAG = r"[a-zA-Z]+(?:-[a-zA-Z0-9]+)*"
+
 _NT_LINE_RE = re.compile(
-    r"""^[ \t]*
-    (?:(?P<s_iri><[^>]*>)|(?P<s_bn>_:\S+))
-    [ \t]+<(?P<p>[^>]*)>[ \t]+
-    (?:(?P<o_iri><[^>]*>)
+    rf"""^[ \t]*
+    (?:(?P<s_iri><{_IRI_BODY}>)|(?P<s_bn>_:\S+))
+    [ \t]+<(?P<p>{_IRI_BODY})>[ \t]+
+    (?:(?P<o_iri><{_IRI_BODY}>)
       |(?P<o_bn>_:[^ \t]+)
       |"(?P<o_lit>(?:[^"\\]|\\.)*)"
-        (?:\^\^<(?P<o_dt>[^>]*)>|@(?P<o_lang>[a-zA-Z0-9\-]+))?
+        (?:\^\^<(?P<o_dt>{_IRI_BODY})>|@(?P<o_lang>{_LANG_TAG}))?
     )
     [ \t]*\.[ \t]*(?:\#.*)?$""",
     re.VERBOSE,
@@ -469,12 +482,20 @@ class TriGParser(TurtleParser):
 
     def _statement(self, kind: str, val: str) -> None:
         """One triples-statement starting at the already-consumed subject
-        token; the terminator ('.' or a block's '}') stays unconsumed."""
+        token; the terminator ('.' or a block's '}') stays unconsumed.
+        Only a standalone ``[...]`` blank-node property list may omit the
+        predicate-object list (it already emitted its triples) — a bare
+        IRI/PNAME/BNODE subject followed by '.' or '}' is a syntax error."""
         skind, slex, _, _ = self._parse_term(kind, val)
         if skind == KIND_LITERAL:
             raise RDFSyntaxError("literal cannot be a subject")
         nkind, nval = self._peek()
-        if not (nkind == "PUNCT" and nval in (".", "}")):
+        if nkind == "PUNCT" and nval in (".", "}"):
+            if not (kind == "PUNCT" and val == "["):
+                raise RDFSyntaxError(
+                    f"subject {slex!r} has no predicate-object list"
+                )
+        else:
             self._parse_predicate_object_list(slex)
 
     def _parse_block(self, g: str) -> None:
@@ -542,15 +563,15 @@ def parse_trig(text: str, anon_prefix: str = "a") -> list[tuple[str, Triple]]:
 # ---------------------------------------------------------------------------
 
 _NQ_LINE_RE = re.compile(
-    r"""^[ \t]*
-    (?:(?P<s_iri><[^>]*>)|(?P<s_bn>_:\S+))
-    [ \t]+<(?P<p>[^>]*)>[ \t]+
-    (?:(?P<o_iri><[^>]*>)
+    rf"""^[ \t]*
+    (?:(?P<s_iri><{_IRI_BODY}>)|(?P<s_bn>_:\S+))
+    [ \t]+<(?P<p>{_IRI_BODY})>[ \t]+
+    (?:(?P<o_iri><{_IRI_BODY}>)
       |(?P<o_bn>_:[^ \t]+)
       |"(?P<o_lit>(?:[^"\\]|\\.)*)"
-        (?:\^\^<(?P<o_dt>[^>]*)>|@(?P<o_lang>[a-zA-Z0-9\-]+))?
+        (?:\^\^<(?P<o_dt>{_IRI_BODY})>|@(?P<o_lang>{_LANG_TAG}))?
     )
-    (?:[ \t]+(?:(?P<g_iri><[^>]*>)|(?P<g_bn>_:[^ \t]+)))?
+    (?:[ \t]+(?:(?P<g_iri><{_IRI_BODY}>)|(?P<g_bn>_:[^ \t]+)))?
     [ \t]*\.[ \t]*(?:\#.*)?$""",
     re.VERBOSE,
 )

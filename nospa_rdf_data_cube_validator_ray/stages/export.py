@@ -134,21 +134,21 @@ def _dedup_group(df: pd.DataFrame) -> pd.DataFrame:
     ).drop(columns=["bucket"])
 
 
-def _write_rdf_parts(triples, out_dir: str, ext: str, cols, line_fn) -> list[str]:
+def _write_rdf_parts(triples, out_dir: str, ext: str, lines_fn) -> list[str]:
     """Shared line-oriented RDF sink: one ``part-*.{ext}`` per block
-    (side-effect sink with task-unique names), ``line_fn(*row) -> str``
-    renders each statement.  Returns the sorted file list."""
+    (side-effect sink with task-unique names), ``lines_fn(df) -> Series``
+    renders the block's statements vectorized.  Returns the sorted list."""
     import os
     import uuid
 
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
-        col_lists = [batch.column(c).to_pylist() for c in cols]
-        lines = [line_fn(*row) for row in zip(*col_lists)]
+        df = batch.to_pandas()
+        lines = lines_fn(df)
         path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.{ext}")
         with open(path, "w") as f:
-            f.write("\n".join(lines) + ("\n" if lines else ""))
+            f.write("\n".join(lines) + ("\n" if len(lines) else ""))
         return pa.table({"path": pa.array([path]), "rows": pa.array([len(lines)])})
 
     manifest = triples.map_batches(
@@ -157,19 +157,28 @@ def _write_rdf_parts(triples, out_dir: str, ext: str, cols, line_fn) -> list[str
     return sorted(manifest["path"]) if len(manifest) else []
 
 
+def _stmt_lines(df: pd.DataFrame) -> pd.Series:
+    """Vectorized ``<s> <p> term`` statement bodies (no terminator)."""
+    import numpy as np
+
+    from .pivot import _obj_term_vec
+
+    subj = df["subj"].astype(str)
+    st = pd.Series(
+        np.where(subj.str.startswith("_:"), subj, "<" + subj + ">"),
+        index=df.index,
+    )
+    objt = pd.Series(_obj_term_vec(df), index=df.index).astype(str)
+    return st + " <" + df["pred"].astype(str) + "> " + objt
+
+
 def write_ntriples(triples, out_dir: str) -> list[str]:
     """Serialize the triple Dataset as N-Triples text, one ``part-*.nt``
     per block (exportModel's RDF text output, NospaValidator.java:56-67;
-    our canonical sink stays Parquet — this is the interchange format)."""
-    from ..model import term_str
-
-    def line(s, p, k, o, dt, lg_):
-        st = s if s.startswith("_:") else f"<{s}>"
-        return f"{st} <{p}> {term_str(k, o, dt, lg_)} ."
-
+    our canonical sink stays Parquet — this is the interchange format).
+    Line assembly is vectorized pandas string concat."""
     return _write_rdf_parts(
-        triples, out_dir, "nt",
-        ("subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang"), line,
+        triples, out_dir, "nt", lambda df: _stmt_lines(df) + " ."
     )
 
 
@@ -193,6 +202,27 @@ def _ttl_iri(iri: str) -> str:
     return f"<{iri}>"
 
 
+def _ttl_iri_vec(s: pd.Series) -> pd.Series:
+    """Vectorized :func:`_ttl_iri`: prefixed-name abbreviation over an IRI
+    Series — one startswith + anchored match per vocabulary prefix."""
+    s = s.astype(str)
+    out = "<" + s + ">"
+    done = pd.Series(False, index=s.index)
+    for p, ns in _TTL_PREFIXES:
+        m = ~done & s.str.startswith(ns)
+        if not m.any():
+            continue
+        local = s[m].str[len(ns):]
+        ok = local.str.match(_PN_LOCAL_RE)
+        if not ok.any():
+            continue
+        hit = m.copy()
+        hit[m] = ok.to_numpy()
+        out[hit] = p + ":" + local[ok.to_numpy()]
+        done |= hit
+    return out
+
+
 def write_turtle(triples, out_dir: str) -> list[str]:
     """Serialize the triple Dataset as Turtle (the reference's dominant
     interchange format; exportModel accepts any Jena serialization,
@@ -200,38 +230,60 @@ def write_turtle(triples, out_dir: str) -> list[str]:
     grouped with ``;`` predicate lists, vocabulary terms abbreviated with
     the standard qb:/rdf:/rdfs:/skos:/owl:/xsd: prefixes, ``rdf:type``
     as ``a``.  Round-trips through our own parser:
-    ``parse_turtle(written) == input`` term-for-term (bnode labels kept)."""
+    ``parse_turtle(written) == input`` term-for-term (bnode labels kept).
+    Fully vectorized: prefixed names, object terms and the ``;``-grouped
+    subject paragraphs are all pandas/numpy string ops — the paragraph
+    structure comes from first/last-of-group masks on the sorted block,
+    no per-row Python."""
     import os
     import uuid
 
-    from ..model import KIND_BNODE, KIND_IRI, term_str
+    import numpy as np
+
+    from ..model import KIND_IRI
+    from .pivot import _obj_term_vec
 
     header = "".join(f"@prefix {p}: <{ns}> .\n" for p, ns in _TTL_PREFIXES)
 
     def write_block(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        lines = []
-        # stable statement grouping: one subject paragraph per (graph, subj)
-        for (_, subj), g in df.groupby(["graph", "subj"], sort=True):
-            st = subj if subj.startswith("_:") else _ttl_iri(subj)
-            po = []
-            for r in g.itertuples():
-                pred = "a" if r.pred == V.RDF_type else _ttl_iri(r.pred)
-                if r.obj_kind == KIND_IRI:
-                    obj = _ttl_iri(r.obj)
-                elif r.obj_kind == KIND_BNODE:
-                    obj = r.obj
-                else:
-                    obj = term_str(r.obj_kind, r.obj, r.obj_dt, r.obj_lang)
-                    if obj.endswith(">") and '"^^<' in obj:
-                        lex, dt = obj[:-1].rsplit("^^<", 1)
-                        obj = f"{lex}^^{_ttl_iri(dt)}"
-                po.append(f"{pred} {obj}")
-            lines.append(f"{st} " + " ;\n    ".join(po) + " .")
+        # group sort == the old groupby(sort=True): paragraphs in key order,
+        # statements in original order within each (graph, subj) paragraph
+        df = batch.to_pandas().sort_values(["graph", "subj"], kind="stable")
+        n = len(df)
+        subj = df["subj"].astype(str)
+        subj_t = pd.Series(
+            np.where(subj.str.startswith("_:"), subj, _ttl_iri_vec(subj)),
+            index=df.index,
+        )
+        pred = df["pred"].astype(str)
+        pred_t = pd.Series(
+            np.where(pred == V.RDF_type, "a", _ttl_iri_vec(pred)),
+            index=df.index,
+        )
+        obj_t = pd.Series(
+            _obj_term_vec(df, dt_render=_ttl_iri_vec), index=df.index
+        ).astype(str)
+        m_iri = (df["obj_kind"] == KIND_IRI).to_numpy()
+        if m_iri.any():
+            obj_t[m_iri] = _ttl_iri_vec(df["obj"][m_iri])
+        po = pred_t + " " + obj_t
+        key = df["graph"].astype(str) + "\x00" + subj
+        first = key.ne(key.shift()).to_numpy()
+        last = key.ne(key.shift(-1)).to_numpy()
+        lead = np.where(first, "\n\n", "")
+        if n:
+            lead[0] = ""
+        parts = (
+            pd.Series(lead, index=df.index)
+            + np.where(first, subj_t + " ", " ;\n    ")
+            + po
+            + np.where(last, " .", "")
+        )
+        body = "".join(parts.to_list())
         path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.ttl")
         with open(path, "w") as f:
-            f.write(header + "\n" + "\n\n".join(lines) + ("\n" if lines else ""))
-        return pa.table({"path": pa.array([path]), "rows": pa.array([len(df)])})
+            f.write(header + "\n" + body + ("\n" if n else ""))
+        return pa.table({"path": pa.array([path]), "rows": pa.array([n])})
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = triples.map_batches(
@@ -373,26 +425,29 @@ def _graph_term(g: str) -> str:
 def write_nquads(triples, out_dir: str) -> list[str]:
     """Serialize the triple Dataset as N-Quads, the graph column as the
     4th term (its native quad serialization) — same sink shape as
-    write_ntriples."""
-    from ..model import term_str
+    write_ntriples.  Graph labels repeat block-wide, so ``_graph_term``
+    runs once per distinct graph and broadcasts via ``Series.map``."""
 
-    def line(g, s, p, k, o, dt, lg_):
-        st = s if s.startswith("_:") else f"<{s}>"
-        return f"{st} <{p}> {term_str(k, o, dt, lg_)} {_graph_term(g)} ."
+    def lines(df: pd.DataFrame) -> pd.Series:
+        g = df["graph"].astype(str)
+        gterm = g.map({u: _graph_term(u) for u in g.unique()})
+        return _stmt_lines(df) + " " + gterm + " ."
 
-    return _write_rdf_parts(
-        triples, out_dir, "nq",
-        ("graph", "subj", "pred", "obj_kind", "obj", "obj_dt", "obj_lang"),
-        line,
-    )
+    return _write_rdf_parts(triples, out_dir, "nq", lines)
 
 
 def nquads_document(rows, graph_iri: str | None = None) -> str:
     """Parser triple tuples (s, p, kind, obj, dt, lang) → N-Quads text,
     every line labeled with ``graph_iri`` (None → default-graph lines,
-    i.e. plain N-Triples).  The write twin of rdf_parser.parse_nquads."""
+    i.e. plain N-Triples).  The write twin of rdf_parser.parse_nquads.
+    ``graph_iri`` must be IRIREF-legal — a label with spaces/braces/controls
+    would serialize a line our own parser rejects, so it raises here
+    (the Dataset-level ``write_nquads`` percent-encodes instead because its
+    graph column carries arbitrary file ids)."""
     from ..model import term_str
 
+    if graph_iri and _IRI_ILLEGAL_RE.search(graph_iri):
+        raise ValueError(f"graph label is not a legal IRIREF: {graph_iri!r}")
     g = f" <{graph_iri}>" if graph_iri else ""
     lines = []
     for s, p, k, o, dt, lg_ in rows:
@@ -404,9 +459,12 @@ def nquads_document(rows, graph_iri: str | None = None) -> str:
 def trig_document(rows, graph_iri: str | None = None) -> str:
     """Parser triple tuples → TriG text: one named-graph block when
     ``graph_iri`` is given, else default-graph statements (plain
-    Turtle-compatible lines).  The write twin of rdf_parser.parse_trig."""
+    Turtle-compatible lines).  The write twin of rdf_parser.parse_trig.
+    Raises on IRIREF-illegal ``graph_iri`` (see nquads_document)."""
     from ..model import term_str
 
+    if graph_iri and _IRI_ILLEGAL_RE.search(graph_iri):
+        raise ValueError(f"graph label is not a legal IRIREF: {graph_iri!r}")
     lines = []
     for s, p, k, o, dt, lg_ in rows:
         st = s if s.startswith("_:") else f"<{s}>"

@@ -77,8 +77,13 @@ class _IndexCache:
         return cls._cached[key]
 
 
-def _obj_term_vec(df: pd.DataFrame) -> np.ndarray:
-    """Vectorized term_str over (obj_kind, obj, obj_dt, obj_lang)."""
+def _obj_term_vec(df: pd.DataFrame, dt_render=None) -> np.ndarray:
+    """Vectorized term_str over (obj_kind, obj, obj_dt, obj_lang).
+
+    ``dt_render`` (Series -> Series) optionally renders the datatype IRI of
+    ``"lex"^^<dt>`` literals (the Turtle writer abbreviates it to a prefixed
+    name); default is the canonical ``<dt>`` form — everything else stays
+    bit-identical to :func:`model.term_str`."""
     kind = df["obj_kind"].to_numpy()
     o = df["obj"].astype(str)
     out = np.empty(len(df), dtype=object)
@@ -115,9 +120,10 @@ def _obj_term_vec(df: pd.DataFrame) -> np.ndarray:
         dt = df["obj_dt"][lit].astype(str)
         lg = df["obj_lang"][lit].astype(str)
         base = '"' + ol + '"'
+        dtt = ("<" + dt + ">") if dt_render is None else dt_render(dt)
         out[lit] = np.select(
             [lg.ne("").to_numpy(), dt.ne("").to_numpy()],
-            [(base + "@" + lg).to_numpy(), (base + "^^<" + dt + ">").to_numpy()],
+            [(base + "@" + lg).to_numpy(), (base + "^^" + dtt).to_numpy()],
             base.to_numpy(),
         )
     return out

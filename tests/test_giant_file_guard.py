@@ -32,3 +32,30 @@ def test_guard_triggers():
 def test_shuffle_mode_has_no_guard():
     v = CubeValidator(ray.data.from_arrow(tiny_corpus()), mode="shuffle")
     assert v.normalize().count() == 50
+
+
+def test_spec_engine_raises_loud_on_oversize_graph():
+    """VERDICT r3 #8: the SPARQL spec engine's shuffle path re-assembles a
+    chunk-split graph into ONE worker frame; a graph beyond the per-worker
+    row budget must raise the typed SpecGraphTooLargeError (pointing at the
+    NOSPA bucketed pivot), never silently evaluate or OOM."""
+    from nospa_rdf_data_cube_validator_ray import create_validator
+    from nospa_rdf_data_cube_validator_ray.pipelines.sparql_validate import (
+        SpecGraphTooLargeError,
+    )
+
+    v = create_validator(
+        "SPARQL",
+        corpus=ray.data.from_arrow(tiny_corpus()),
+        mode="shuffle",
+        spec_max_graph_rows=10,
+    )
+    with pytest.raises(Exception, match="SpecGraphTooLarge|NOSPA"):
+        v.validate_all()
+
+    # same corpus under the default budget validates fine
+    v2 = create_validator(
+        "SPARQL", corpus=ray.data.from_arrow(tiny_corpus()), mode="shuffle"
+    )
+    v2.validate_all()  # no raise; 50-triple graph is far under the cap
+    assert SpecGraphTooLargeError.__doc__  # typed error is part of the API

@@ -323,3 +323,56 @@ def test_mixed_formats_same_findings():
         )
     assert by_path["cube.ttl"] == by_path["cube.nt"] == by_path["cube.rdf"]
     assert any(ic == "IC11" for ic, _, _ in by_path["cube.ttl"])
+
+
+def test_grammar_strictness_round4():
+    """ADVICE round-3 lows: the line formats must reject IRI-illegal
+    characters and digit-leading language tags; Turtle/TriG must reject a
+    bare IRI/PNAME/BNODE subject with no predicate-object list; the
+    document helpers must reject IRIREF-illegal graph labels."""
+    from nospa_rdf_data_cube_validator_ray.sources.rdf_parser import (
+        RDFSyntaxError,
+        parse_nquads,
+        parse_ntriples,
+        parse_trig,
+    )
+    from nospa_rdf_data_cube_validator_ray.stages.export import (
+        nquads_document,
+        trig_document,
+    )
+
+    # IRI with a space / brace is IRIREF-illegal in N-Quads and N-Triples
+    for bad in (
+        '<http://e/a b> <http://e/p> <http://e/o> .',
+        '<http://e/s> <http://e/p> <http://e/{o}> .',
+        '<http://e/s> <http://e/p> "x"@1en .',      # digit-leading lang tag
+    ):
+        with pytest.raises(RDFSyntaxError):
+            parse_nquads(bad)
+        with pytest.raises(RDFSyntaxError):
+            parse_ntriples(bad)
+    # legal lines still parse, including a hyphenated language tag
+    assert len(parse_ntriples('<http://e/s> <http://e/p> "x"@en-GB .')) == 1
+    assert parse_nquads(
+        '<http://e/s> <http://e/p> "x" <http://e/g> .'
+    )[0][0] == "http://e/g"
+
+    # bare subject with no predicate-object list: Turtle and TriG raise
+    with pytest.raises(RDFSyntaxError):
+        parse_turtle("@prefix ex: <http://e/> . ex:s .")
+    with pytest.raises(RDFSyntaxError):
+        parse_trig("@prefix ex: <http://e/> . <http://e/g> { ex:s }")
+    with pytest.raises(RDFSyntaxError):
+        parse_trig("@prefix ex: <http://e/> . <http://e/g> { ex:s . }")
+    # ...but a standalone blank-node property list stays legal Turtle
+    got = parse_turtle('[ <http://e/p> "v" ] .')
+    assert len(got) == 1 and got[0][2:] == (2, "v", "", "")
+    got = parse_trig('<http://e/g> { [ <http://e/p> "v" ] }')
+    assert len(got) == 1 and got[0][0] == "http://e/g"
+
+    # document helpers raise on IRIREF-illegal graph labels
+    rows = [("http://e/s", "http://e/p", 0, "http://e/o", "", "")]
+    for helper in (nquads_document, trig_document):
+        with pytest.raises(ValueError):
+            helper(rows, graph_iri="http://e/bad label")
+        assert "http://e/g" in helper(rows, graph_iri="http://e/g")
