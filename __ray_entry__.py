@@ -2766,6 +2766,67 @@ GROUP BY node
 _SQL_KG_KCORE = _kcore_sql(2, _KCORE_ROUNDS)
 
 
+_KTRUSS_ROUNDS = 8
+
+
+def q_kg_ktruss(sf_dir: str):
+    """k-truss (k=3) of the undirected import graph — every surviving
+    edge sits in >= k-2 triangles INSIDE the truss (stages/graph.ktruss:
+    size-adaptive bounded peel; driver regime = degree-oriented wedge
+    merges, distributed regime = per-round triangle_enum + bucketed
+    support count + hash semi-join; RAISES past the round bound because
+    the SQL twin unrolls exactly that many peels).  One notch stronger
+    than kg_kcore as a KG cohesion filter.  Rows: (x, y, support)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import ktruss
+
+    return ktruss(_code_import_edges(sf_dir), k=3, max_rounds=_KTRUSS_ROUNDS)
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """``rounds`` chained peel CTEs mirroring stages/graph.ktruss: each
+    round enumerates triangles over the surviving edge set (a < b < c id
+    order — enumeration order differs from the engine's degree
+    orientation, but per-edge support counts are identical), counts each
+    triangle into its three canonical edges, and keeps edges with
+    support >= k-2.  Post-convergence rounds are no-ops, so the
+    unrolled form equals the fixpoint whenever the engine (which
+    verifies convergence and raises otherwise) returns.  MATERIALIZED
+    everywhere: plain chained CTEs inline exponentially in DuckDB."""
+    parts = [
+        "und AS (SELECT DISTINCT least(src, dst) AS x,"
+        " greatest(src, dst) AS y FROM cedges WHERE src <> dst)",
+        "e0 AS MATERIALIZED (SELECT x, y FROM und)",
+    ]
+    for i in range(rounds + 1):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c "
+            f"FROM e{i} e1 JOIN e{i} e2 ON e2.x = e1.x AND e2.y > e1.y "
+            f"JOIN e{i} e3 ON e3.x = e1.y AND e3.y = e2.y)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT x, y, count(*)::BIGINT AS sup "
+            f"FROM (SELECT a AS x, b AS y FROM t{i} "
+            f"UNION ALL SELECT a, c FROM t{i} "
+            f"UNION ALL SELECT b, c FROM t{i}) GROUP BY 1, 2)"
+        )
+        if i < rounds:
+            parts.append(
+                f"e{i + 1} AS MATERIALIZED (SELECT e.x, e.y FROM e{i} e "
+                f"LEFT JOIN s{i} s ON s.x = e.x AND s.y = e.y "
+                f"WHERE coalesce(s.sup, 0) >= {k - 2})"
+            )
+    body = ",\n".join(parts)
+    return f"""
+WITH {_CODE_EDGE_BODY},
+{body}
+SELECT e.x, e.y, coalesce(s.sup, 0)::BIGINT AS support
+FROM e{rounds} e LEFT JOIN s{rounds} s ON s.x = e.x AND s.y = e.y
+"""
+
+
+_SQL_KG_KTRUSS = _ktruss_sql(3, _KTRUSS_ROUNDS)
+
+
 def q_kg_triple_ids(sf_dir: str):
     """KG-embedding input encoding: the link KG dictionary-encoded to
     dense 0-based integer (h, r, t) triples — entity ids are the global
@@ -3538,6 +3599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ra_scores": q_kg_ra_scores,
         "kg_communities": q_kg_communities,
         "kg_kcore": q_kg_kcore,
+        "kg_ktruss": q_kg_ktruss,
         "kg_triple_ids": q_kg_triple_ids,
         "kg_shape_check": q_kg_shape_check,
         "kg_hits": q_kg_hits,
@@ -3639,6 +3701,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ra_scores": _SQL_KG_RA_SCORES,
         "kg_communities": _SQL_KG_COMMUNITIES,
         "kg_kcore": _SQL_KG_KCORE,
+        "kg_ktruss": _SQL_KG_KTRUSS,
         "kg_triple_ids": _SQL_TRIPLE_IDS,
         "kg_shape_check": _SQL_SHAPE_CHECK,
         "kg_hits": _SQL_CODE_HITS,

@@ -1948,3 +1948,110 @@ QUALIFY row_number() OVER (
 
 QUERIES["events_top_sessions"] = q_events_top_sessions
 ORACLES["events_top_sessions"] = _SQL_TOP_SESSIONS
+
+
+# -- OHLC bars (time-series candle aggregation) ------------------------------
+
+
+def q_events_ohlc(sf_dir: str):
+    """Hourly OHLC bars per event type: open = value at the earliest
+    (ts, event_id), close = at the latest, high/low = max/min value,
+    n = count — the candle aggregation a metrics/market feed compacts
+    into.  Open/close are NOT algebraic aggregates, so each map-side
+    partial carries its candidate row's (ts_us, event_id) key and the
+    bucketed merge re-arg-min/maxes over partials — still one coarse
+    shuffle, never a per-key Ray aggregate or a global sort."""
+    import ray.data
+
+    from ..util import bucket_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_id", "event_type", "value"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = (
+            (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ).astype("int64")
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype("string"),
+                "hour_id": ts_us // 3_600_000_000,
+                "ts_us": ts_us,
+                "event_id": df["event_id"].astype("int64"),
+                "value": df["value"].astype("float64"),
+            }
+        ).sort_values(["event_type", "hour_id", "ts_us", "event_id"])
+        g = d.groupby(["event_type", "hour_id"], sort=False)
+        out = g.agg(
+            n=("value", "size"),
+            high_value=("value", "max"),
+            low_value=("value", "min"),
+            open_value=("value", "first"),
+            open_ts=("ts_us", "first"),
+            open_id=("event_id", "first"),
+            close_value=("value", "last"),
+            close_ts=("ts_us", "last"),
+            close_id=("event_id", "last"),
+        ).reset_index()
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["event_type", "hour_id"]
+        d = df.sort_values(keys + ["open_ts", "open_id"])
+        g = d.groupby(keys, sort=False)
+        out = g.agg(
+            n=("n", "sum"),
+            high_value=("high_value", "max"),
+            low_value=("low_value", "min"),
+            open_value=("open_value", "first"),
+        ).reset_index()
+        dc = df.sort_values(keys + ["close_ts", "close_id"])
+        cl = (
+            dc.groupby(keys, sort=False)
+            .agg(close_value=("close_value", "last"))
+            .reset_index()
+        )
+        out = out.merge(cl, on=keys)
+        return out.astype({"n": "int64", "hour_id": "int64"})[
+            keys + ["n", "open_value", "high_value", "low_value", "close_value"]
+        ]
+
+    return bucket_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour_id"],
+        merge,
+    )
+
+
+_SQL_EVENTS_OHLC = """
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour_id,
+         epoch_us(ts)::BIGINT AS ts_us, event_id, value
+  FROM events
+),
+agg AS (
+  SELECT event_type, hour_id, count(*)::BIGINT AS n,
+         max(value) AS high_value, min(value) AS low_value
+  FROM e GROUP BY 1, 2
+),
+o AS (
+  SELECT event_type, hour_id, value AS open_value FROM e
+  QUALIFY row_number() OVER (
+    PARTITION BY event_type, hour_id ORDER BY ts_us, event_id) = 1
+),
+c AS (
+  SELECT event_type, hour_id, value AS close_value FROM e
+  QUALIFY row_number() OVER (
+    PARTITION BY event_type, hour_id ORDER BY ts_us DESC, event_id DESC) = 1
+)
+SELECT a.event_type, a.hour_id, a.n,
+       o.open_value, a.high_value, a.low_value, c.close_value
+FROM agg a
+JOIN o USING (event_type, hour_id)
+JOIN c USING (event_type, hour_id)
+"""
+
+QUERIES["events_ohlc"] = q_events_ohlc
+ORACLES["events_ohlc"] = _SQL_EVENTS_OHLC

@@ -664,9 +664,20 @@ def triangle_enum(
         oriented.map_batches(lambda df: df[["s", "t"]], batch_format="pandas"),
         {"s": "b", "t": "c"},
     )
-    tri = heal_schema(
+    wkept = heal_schema(
         wedges.map_batches(keep_ordered, batch_format="pandas"), np_
-    ).join(heal_schema(closing, np_), "inner", np_, on=("b", "c"))
+    ).materialize()
+    if wkept.count() == 0:
+        # a wedge-free graph (e.g. a star) has no triangles; the join
+        # below would crash on an all-empty schema-less left side
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.schema(
+                [("a", pa.string()), ("b", pa.string()), ("c", pa.string())]
+            ).empty_table()
+        )
+    tri = wkept.join(heal_schema(closing, np_), "inner", np_, on=("b", "c"))
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -2984,4 +2995,171 @@ def dag_path_counts(
         cur = new
     return p_ds.map_batches(
         lambda df: df.rename(columns={"c": "n_paths"}), batch_format="pandas"
+    )
+
+
+def _edge_support_driver(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-edge triangle support of a canonical (x < y) undirected edge
+    frame, fully vectorized on the driver: degree-orient every edge from
+    its lower-(degree, id) endpoint (out-degree stays O(√m), hub-proof),
+    wedge-join the oriented adjacency on the source, close each wedge
+    against the canonical edge set with one merge, then count each
+    triangle into its three edges.  Returns (x, y, support) covering
+    EVERY input edge (support 0 when triangle-free)."""
+    x = df["x"].astype(str)
+    y = df["y"].astype(str)
+    nodes, _ = None, None
+    codes, uniq = pd.factorize(pd.concat([x, y], ignore_index=True))
+    ex = codes[: len(df)]
+    ey = codes[len(df):]
+    n = len(uniq)
+    deg = np.bincount(ex, minlength=n) + np.bincount(ey, minlength=n)
+    # orientation rank: (deg, id-code) lexicographic, collision-free
+    rank = deg.astype(np.int64) * n + np.arange(n, dtype=np.int64)
+    fwd = rank[ex] < rank[ey]
+    s = np.where(fwd, ex, ey)
+    t = np.where(fwd, ey, ex)
+    o = pd.DataFrame({"s": s, "t": t})
+    w = o.merge(o, on="s")
+    w = w[rank[w["t_x"].to_numpy()] < rank[w["t_y"].to_numpy()]]
+    # close wedges against the canonical edge set (id order, not rank)
+    b = np.minimum(w["t_x"].to_numpy(), w["t_y"].to_numpy())
+    c = np.maximum(w["t_x"].to_numpy(), w["t_y"].to_numpy())
+    ekey = pd.DataFrame(
+        {"lo": np.minimum(ex, ey), "hi": np.maximum(ex, ey)}
+    )
+    tri = pd.DataFrame({"a": w["s"].to_numpy(), "lo": b, "hi": c}).merge(
+        ekey, on=["lo", "hi"]
+    )
+    # one (lo*n + hi) int key per triangle edge → bincount-free value_counts
+    a = tri["a"].to_numpy()
+    b = tri["lo"].to_numpy()
+    c = tri["hi"].to_numpy()
+    e1 = np.minimum(a, b).astype(np.int64) * n + np.maximum(a, b)
+    e2 = np.minimum(a, c).astype(np.int64) * n + np.maximum(a, c)
+    e3 = b.astype(np.int64) * n + c
+    keys, counts = np.unique(
+        np.concatenate([e1, e2, e3]), return_counts=True
+    )
+    sup = pd.Series(counts, index=keys)
+    ek = np.minimum(ex, ey).astype(np.int64) * n + np.maximum(ex, ey)
+    out = pd.DataFrame(
+        {
+            "x": x.to_numpy(),
+            "y": y.to_numpy(),
+            "support": pd.Series(ek).map(sup).fillna(0).astype("int64").to_numpy(),
+        }
+    )
+    return out
+
+
+def ktruss(
+    edges: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    max_rounds: int = 8,
+    max_driver_edges: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """The k-truss of the UNDIRECTED closure of a (subj, obj) edge
+    Dataset: iteratively drop every edge whose triangle support inside
+    the surviving subgraph is below ``k − 2`` until a pass drops
+    nothing.  Returns (x, y, support) — the truss edges with their
+    final in-truss support.  The cohesion filter one notch stronger
+    than k-core (every truss edge sits in ≥ k−2 triangles), the usual
+    pre-filter before community mining on a noisy KG.
+
+    Same convergence contract as :func:`kcore`: rounds are bounded and
+    a graph still peeling after ``max_rounds`` raises loudly, because
+    the SQL oracle twin unrolls exactly that many peels.
+
+    Size-adaptive: at or under ``max_driver_edges`` distinct undirected
+    edges the peel runs as vectorized pandas/numpy merges on the driver
+    (:func:`_edge_support_driver` — degree-oriented wedge join, O(m^1.5)
+    work bound); above it each round is one distributed
+    :func:`triangle_enum` (degree-oriented, hub-proof), a 3-way edge
+    explode, one bucketed support count and one hash semi-join — edge-
+    linear shuffle volume per round, no corpus-scale driver state."""
+    import pyarrow as pa
+
+    from ..util import bucket_sum, join_partitions
+
+    empty = pa.schema(
+        [("x", pa.string()), ("y", pa.string()), ("support", pa.int64())]
+    ).empty_table()
+    und = _undirected(edges).materialize()
+    m = und.count()
+    if m == 0:
+        return ray.data.from_arrow(empty)
+
+    if m <= max_driver_edges:
+        cur = und.to_pandas()
+        for _ in range(max_rounds):
+            sup = _edge_support_driver(cur)
+            keep = sup["support"] >= k - 2
+            if keep.all():
+                out = sup.astype(
+                    {"x": "string", "y": "string", "support": "int64"}
+                )
+                return (
+                    ray.data.from_pandas(out)
+                    if len(out)
+                    else ray.data.from_arrow(empty)
+                )
+            cur = sup.loc[keep, ["x", "y"]].reset_index(drop=True)
+            if not len(cur):
+                return ray.data.from_arrow(empty)
+        raise RuntimeError(
+            f"ktruss: still peeling after {max_rounds} rounds — raise "
+            "max_rounds (and regenerate the oracle) for this graph"
+        )
+
+    np_ = join_partitions(num_partitions)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        # triangle (a, b, c) is degree-orientation-ordered; re-canonicalize
+        # each of its 3 edges to id order for the support key
+        parts = []
+        for u, v in (("a", "b"), ("a", "c"), ("b", "c")):
+            lo = df[u].where(df[u] < df[v], df[v])
+            hi = df[v].where(df[u] < df[v], df[u])
+            parts.append(pd.DataFrame({"x": lo, "y": hi}))
+        out = pd.concat(parts, ignore_index=True).astype("string")
+        out["support"] = np.int64(1)
+        return out
+
+    cur = und
+    prev_m = m
+    for _ in range(max_rounds):
+        tri = triangle_enum(cur, undirected=cur, num_partitions=np_)
+        sup = bucket_sum(
+            tri.map_batches(explode, batch_format="pandas"),
+            ["x", "y"],
+            ["support"],
+        )
+        strong = sup.filter(expr=f"support >= {k - 2}").materialize()
+        if strong.count() == 0:
+            return ray.data.from_arrow(empty)
+        # semi-join: keep current edges present in the strong-support set
+        kept = heal_schema(cur, np_).join(
+            heal_schema(strong, np_), "inner", np_, on=("x", "y"),
+        ).materialize()
+        cur_m = kept.count()
+        if cur_m == prev_m:
+            return kept.map_batches(
+                lambda df: df[["x", "y", "support"]].astype(
+                    {"x": "string", "y": "string", "support": "int64"}
+                ),
+                batch_format="pandas",
+            )
+        if cur_m == 0:
+            return ray.data.from_arrow(empty)
+        cur = kept.map_batches(
+            lambda df: df[["x", "y"]] if len(df) else df,
+            batch_format="pandas",
+        ).materialize()
+        prev_m = cur_m
+    raise RuntimeError(
+        f"ktruss: still peeling after {max_rounds} rounds — raise "
+        "max_rounds (and regenerate the oracle) for this graph"
     )

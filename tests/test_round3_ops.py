@@ -896,3 +896,68 @@ def test_dag_path_counts_hand_and_parity_and_cycle():
     # a cycle REACHABLE from a root grows forever -> must raise
     with pytest.raises(RuntimeError, match="converge"):
         dag_path_counts(_edges([("r", "a"), ("a", "b"), ("b", "a")]))
+
+
+# ---------------------------------------------------------------------------
+# ktruss
+# ---------------------------------------------------------------------------
+
+
+def test_ktruss_drops_bridges_and_keeps_triangle_mesh():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import ktruss
+
+    # two triangles sharing edge (b, c) — every edge of the mesh is in
+    # >=1 triangle; the pendant chain and the bridge peel away at k=3
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),
+    ]
+    out = ktruss(_edges(pairs), k=3).to_pandas()
+    got = {(x, y): s for x, y, s in zip(out["x"], out["y"], out["support"])}
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 2,
+        ("b", "d"): 1, ("c", "d"): 1,
+    }
+
+
+def test_ktruss_regime_parity_and_cascade():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import ktruss
+
+    # k=4 (support >= 2): the 4-clique survives; the extra triangle
+    # hanging off it cascades away only on the SECOND peel round
+    clique = [("a", "b"), ("a", "c"), ("a", "d"),
+              ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("d", "e"), ("d", "f"), ("e", "f")]
+    drv = ktruss(_edges(clique + tail), k=4).to_pandas()
+    dist = ktruss(
+        _edges(clique + tail), k=4, max_driver_edges=0
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["x"], df["y"], df["support"]))
+    assert key(drv) == key(dist)
+    assert set(zip(drv["x"], drv["y"])) == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+    assert set(drv["support"]) == {2}
+    # triangle-free graph: no 3-truss at all, both regimes
+    star = [("hub", f"leaf{i}") for i in range(4)]
+    assert ktruss(_edges(star), k=3).count() == 0
+    assert ktruss(_edges(star), k=3, max_driver_edges=0).count() == 0
+
+
+def test_ktruss_raises_when_peel_outruns_the_bound():
+    import pytest
+
+    from nospa_rdf_data_cube_validator_ray.stages.graph import ktruss
+
+    # triangle mesh + pendant chain needs TWO rounds (drop chain, then
+    # verify the mesh is stable); a 1-round bound must raise, not
+    # silently return the unverified superset
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),
+    ]
+    with pytest.raises(RuntimeError, match="still peeling"):
+        ktruss(_edges(pairs), k=3, max_rounds=1)
