@@ -1592,6 +1592,41 @@ def q_kg_code_reachable(sf_dir: str):
     )
 
 
+def q_kg_weighted_sssp(sf_dir: str):
+    """Weighted shortest paths from mod/m1 along reversed import edges:
+    deterministic integer edge weights md5_u64(src|dst) % 9 + 1 (the md5
+    oracle bridge), synchronous Bellman-Ford with a convergence raise
+    (stages/graph.sssp — size-adaptive driver numpy relaxation /
+    per-round hash join + bucketed min with a (count, sum) fixpoint
+    test).  The cost-aware upgrade of kg_code_reachable."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import sssp
+
+    return sssp(
+        _code_import_edges(sf_dir), [f"{_CODEN}mod/m1"], reverse=True
+    )
+
+
+# recursive (node, cumdist) enumeration: every prefix of a shortest path
+# has cumdist < 9 * min-hop-eccentricity (~20 on this graph) << 512, so
+# the guard never cuts a shortest path; min() collapses the rest
+_SQL_KG_SSSP = f"""
+WITH RECURSIVE {_CODE_EDGE_BODY},
+re AS (SELECT DISTINCT obj AS src, subj AS dst FROM (
+  SELECT src AS subj, dst AS obj FROM cedges WHERE src <> dst)),
+w AS (SELECT src, dst,
+        (md5_number_lower(src || '|' || dst) % 9 + 1)::BIGINT AS w
+      FROM re),
+reach(node, d) AS (
+  SELECT '{_CODEN}mod/m1' AS node, 0::BIGINT AS d
+  UNION
+  SELECT w.dst AS node, r.d + w.w AS d
+  FROM reach r JOIN w ON w.src = r.node
+  WHERE r.d < 512
+)
+SELECT node, min(d)::BIGINT AS dist FROM reach GROUP BY node
+"""
+
+
 def q_kg_triangle_types(sf_dir: str):
     """Directed-motif census of the import graph's triangles: which of
     the 6 ordered pairs exist (bit mask) and the cyclic/transitive
@@ -3600,6 +3635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": q_kg_communities,
         "kg_kcore": q_kg_kcore,
         "kg_ktruss": q_kg_ktruss,
+        "kg_weighted_sssp": q_kg_weighted_sssp,
         "kg_triple_ids": q_kg_triple_ids,
         "kg_shape_check": q_kg_shape_check,
         "kg_hits": q_kg_hits,
@@ -3702,6 +3738,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _SQL_KG_COMMUNITIES,
         "kg_kcore": _SQL_KG_KCORE,
         "kg_ktruss": _SQL_KG_KTRUSS,
+        "kg_weighted_sssp": _SQL_KG_SSSP,
         "kg_triple_ids": _SQL_TRIPLE_IDS,
         "kg_shape_check": _SQL_SHAPE_CHECK,
         "kg_hits": _SQL_CODE_HITS,

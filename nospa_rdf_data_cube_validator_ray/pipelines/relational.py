@@ -2055,3 +2055,84 @@ JOIN c USING (event_type, hour_id)
 
 QUERIES["events_ohlc"] = q_events_ohlc
 ORACLES["events_ohlc"] = _SQL_EVENTS_OHLC
+
+
+# -- CUBE grouping sets -------------------------------------------------------
+
+
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, dow): all four grouping sets — (type,
+    dow), (type), (dow), () — computed in ONE pass: each map-side batch
+    emits its partial rows for every set (rolled-up levels use the
+    '(all)' / -1 sentinels, exactly the labels the SQL twin emits), and
+    one coarse bucketed sum merges them.  A warehouse-style rollup
+    without running four separate aggregations or shuffling the fact
+    table four times.  Integer aggregates only (count + user_id sum) so
+    the hashes match bit-for-bit."""
+    import ray.data
+
+    from ..util import bucket_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # epoch-day-of-week, 0 = Thursday (1970-01-01); pure integer
+        # arithmetic mirrored by the oracle, no calendar dependency
+        dow = (
+            ((df["ts"] - pd.Timestamp(0)) // pd.Timedelta(days=1)) % 7
+        ).astype("int64")
+        base = pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype("string"),
+                "dow": dow,
+                "n": np.int64(1),
+                "uid_sum": df["user_id"].astype("int64"),
+            }
+        )
+        outs = []
+        for roll_type, roll_dow in (
+            (False, False), (False, True), (True, False), (True, True)
+        ):
+            g = base.copy()
+            if roll_type:
+                g["event_type"] = pd.Series(
+                    ["(all)"] * len(g), dtype="string", index=g.index
+                )
+            if roll_dow:
+                g["dow"] = np.int64(-1)
+            outs.append(
+                g.groupby(["event_type", "dow"], as_index=False, sort=False)
+                .agg(n=("n", "sum"), uid_sum=("uid_sum", "sum"))
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype(
+            {"event_type": "string", "dow": "int64",
+             "n": "int64", "uid_sum": "int64"}
+        )
+
+    return bucket_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "dow"],
+        ["n", "uid_sum"],
+    )
+
+
+_SQL_EVENTS_CUBE = """
+WITH e AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 86400000000) % 7)::BIGINT AS dow,
+         user_id
+  FROM events
+)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(dow, -1)::BIGINT AS dow,
+       count(*)::BIGINT AS n,
+       sum(user_id)::BIGINT AS uid_sum
+FROM e
+GROUP BY CUBE (event_type, dow)
+"""
+
+QUERIES["events_cube"] = q_events_cube
+ORACLES["events_cube"] = _SQL_EVENTS_CUBE

@@ -3163,3 +3163,149 @@ def ktruss(
         f"ktruss: still peeling after {max_rounds} rounds — raise "
         "max_rounds (and regenerate the oracle) for this graph"
     )
+
+
+def _md5_edge_w(src, dst, mod: int) -> np.ndarray:
+    """Deterministic integer edge weights 1..mod from the md5 oracle
+    bridge: ``md5_u64(f"{src}|{dst}") % mod + 1`` — bulk digest buffer,
+    same bits as DuckDB ``md5_number_lower(src || '|' || dst)``."""
+    import hashlib
+
+    md5 = hashlib.md5
+    joined = (
+        pd.Series(src).astype(str) + "|" + pd.Series(dst).astype(str)
+    ).to_numpy()
+    digs = b"".join([md5(s.encode("utf-8")).digest() for s in joined])
+    h = np.frombuffer(digs, "<u8")[1::2]
+    return (h % np.uint64(mod)).astype(np.int64) + 1
+
+
+def sssp(
+    edges: "ray.data.Dataset",
+    seeds: list[str],
+    *,
+    reverse: bool = False,
+    weight_mod: int = 9,
+    max_rounds: int = 256,
+    max_driver_edges: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Weighted single-source shortest paths (seed set at distance 0)
+    with deterministic integer edge weights w = md5_u64(src|dst) %
+    ``weight_mod`` + 1 — the weighted upgrade of :func:`bfs_distances`
+    (cost-aware provenance/routing queries over a KG where hops are not
+    equal).  Synchronous Bellman-Ford rounds (Jacobi relaxation), so a
+    recursive SQL twin enumerating (node, cumdist) pairs reaches the
+    same fixpoint; rounds are bounded and non-convergence RAISES (the
+    weights are strictly positive, so the fixpoint always exists — the
+    bound only guards adversarial path-length blowups).
+
+    Size-adaptive: at or under ``max_driver_edges`` the relaxation is a
+    driver numpy loop (np.minimum.at per round over int-coded edges);
+    above it each round is ONE hash join (dist ⋈ edges on the source)
+    plus one bucketed min, with a (count, sum) metadata fixpoint test —
+    distances never increase, so an unchanged (rows, sum) pair means
+    converged.  Returns (node, dist) for every reachable node."""
+    import pyarrow as pa
+
+    from ..util import bucket_agg, heal_schema, join_partitions
+
+    empty = pa.schema(
+        [("node", pa.string()), ("dist", pa.int64())]
+    ).empty_table()
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        s, d = ("obj", "subj") if reverse else ("subj", "obj")
+        out = pd.DataFrame({"src": df[s], "dst": df[d]})
+        return out.drop_duplicates().astype("string")
+
+    e = edges.map_batches(proj, batch_format="pandas").materialize()
+    m = e.count()
+    seeds = list(dict.fromkeys(seeds))
+
+    if m <= max_driver_edges:
+        df = e.to_pandas().drop_duplicates()
+        codes, uniq = pd.factorize(
+            pd.concat(
+                [df["src"], df["dst"], pd.Series(seeds, dtype="string")],
+                ignore_index=True,
+            )
+        )
+        n = len(uniq)
+        es = codes[: len(df)]
+        ed = codes[len(df): 2 * len(df)]
+        seed_codes = codes[2 * len(df):]
+        w = _md5_edge_w(df["src"], df["dst"], weight_mod) if len(df) else (
+            np.zeros(0, dtype=np.int64)
+        )
+        INF = np.int64(1 << 62)
+        dist = np.full(n, INF, dtype=np.int64)
+        dist[seed_codes] = 0
+        for _ in range(max_rounds):
+            cand = dist[es] + w            # old-dist candidates: synchronous
+            cand[dist[es] == INF] = INF
+            new = dist.copy()
+            np.minimum.at(new, ed, cand)
+            if (new == dist).all():
+                reach = dist < INF
+                out = pd.DataFrame(
+                    {
+                        "node": pd.array(
+                            np.asarray(uniq)[reach], dtype="string"
+                        ),
+                        "dist": dist[reach],
+                    }
+                )
+                return (
+                    ray.data.from_pandas(out)
+                    if len(out)
+                    else ray.data.from_arrow(empty)
+                )
+            dist = new
+        raise RuntimeError(
+            f"sssp: still relaxing after {max_rounds} rounds — raise "
+            "max_rounds for this graph"
+        )
+
+    np_ = join_partitions(num_partitions)
+    dist = ray.data.from_pandas(
+        pd.DataFrame(
+            {"node": pd.array(seeds, dtype="string"),
+             "dist": np.zeros(len(seeds), dtype=np.int64)}
+        )
+    ).materialize()
+    prev = (len(seeds), 0)
+    e_src = e.map_batches(
+        lambda df: df.rename(columns={"src": "node"}), batch_format="pandas"
+    ).materialize()
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        w = _md5_edge_w(df["node"], df["dst"], weight_mod)
+        return pd.DataFrame(
+            {
+                "node": df["dst"].astype("string"),
+                "dist": df["dist"].astype("int64") + w,
+            }
+        )
+
+    def gmin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False, sort=False)["dist"].min()
+        return g.astype({"node": "string", "dist": "int64"})
+
+    for _ in range(max_rounds):
+        cand = heal_schema(dist, np_).join(
+            heal_schema(e_src, np_), "inner", np_, on=("node",),
+        ).map_batches(relax, batch_format="pandas")
+        new = bucket_agg(
+            dist.union(cand), ["node"], gmin
+        ).materialize()
+        from ray.data.aggregate import Sum
+
+        cur = (new.count(), int(new.aggregate(Sum("dist"))["sum(dist)"] or 0))
+        if cur == prev:
+            return new
+        dist, prev = new, cur
+    raise RuntimeError(
+        f"sssp: still relaxing after {max_rounds} rounds — raise "
+        "max_rounds for this graph"
+    )

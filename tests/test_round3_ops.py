@@ -961,3 +961,36 @@ def test_ktruss_raises_when_peel_outruns_the_bound():
     ]
     with pytest.raises(RuntimeError, match="still peeling"):
         ktruss(_edges(pairs), k=3, max_rounds=1)
+
+
+def test_sssp_weighted_paths_and_regime_parity():
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        _md5_edge_w,
+        sssp,
+    )
+
+    # diamond with a detour: s->a->t and the direct s->t edge compete on
+    # md5-derived weights; compute the expected answer from the same kernel
+    pairs = [("s", "a"), ("a", "t"), ("s", "t"), ("t", "u"), ("x", "y")]
+    w = {
+        (a, b): int(_md5_edge_w([a], [b], 9)[0]) for a, b in pairs
+    }
+    exp_t = min(w[("s", "t")], w[("s", "a")] + w[("a", "t")])
+    drv = sssp(_edges(pairs), ["s"]).to_pandas()
+    got = dict(zip(drv["node"], drv["dist"]))
+    assert got["s"] == 0 and got["a"] == w[("s", "a")]
+    assert got["t"] == exp_t and got["u"] == exp_t + w[("t", "u")]
+    assert "x" not in got and "y" not in got  # disconnected component
+    dist = sssp(_edges(pairs), ["s"], max_driver_edges=0).to_pandas()
+    key = lambda df: sorted(zip(df["node"], df["dist"]))
+    assert key(drv) == key(dist)
+
+
+def test_sssp_raises_when_relaxation_outruns_the_bound():
+    import pytest
+
+    from nospa_rdf_data_cube_validator_ray.stages.graph import sssp
+
+    chain = [(f"c{i}", f"c{i + 1}") for i in range(6)]
+    with pytest.raises(RuntimeError, match="still relaxing"):
+        sssp(_edges(chain), ["c0"], max_rounds=2)
