@@ -969,6 +969,9 @@ class SparqlCubeValidator:
             return self._findings
         triples = self.normalize()
         if self.mode == "local":
+            from .validate import assert_graph_block_alignment
+
+            assert_graph_block_alignment(triples)
             findings = triples.map_batches(
                 SpecLocalCheck(), batch_format="pyarrow", batch_size=None
             )

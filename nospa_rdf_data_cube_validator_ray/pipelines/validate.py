@@ -41,6 +41,54 @@ _DETAIL_SEP = "\x1e"
 ALL_ICS = [f"IC{i}" for i in range(1, 22)]
 
 
+def assert_graph_block_alignment(triples) -> None:
+    """Loud guard for the local path's one-graph-one-block invariant.
+
+    Reads ONLY each block's first and last graph value (zero-copy Arrow
+    column endpoints — no per-row scan) and raises when any graph touches
+    the endpoints of more than one block, i.e. it was split across
+    blocks: Ray's output buffer slices a yielded batch at
+    ``target_max_block_size``, and parquet-sourced triple streams
+    (checkpoints, foreign inputs) carry row-group boundaries — both
+    silently corrupt every per-block check, so the misalignment must
+    fail here with a pointer at mode='shuffle' instead.  Caught live by
+    the round-4 sf0.1 sweep (phase-1 re-batching split 15/16 slice-cube
+    graphs; findings were silently wrong)."""
+    import uuid
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        g = batch.column("graph")
+        return pa.table(
+            {
+                "block": pa.array([uuid.uuid4().hex]),
+                "g_first": pa.array([g[0].as_py()]),
+                "g_last": pa.array([g[batch.num_rows - 1].as_py()]),
+            }
+        )
+
+    eps = triples.map_batches(
+        endpoints, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if not len(eps):
+        return
+    from collections import Counter
+
+    seen: Counter = Counter()
+    for f, last in zip(eps["g_first"], eps["g_last"]):
+        seen[f] += 1
+        if last != f:
+            seen[last] += 1
+    bad = sorted(g for g, c in seen.items() if c > 1)
+    if bad:
+        raise RuntimeError(
+            f"graph(s) {bad[:3]!r} span multiple Arrow blocks — the "
+            "zero-shuffle local path requires one graph per block "
+            "(parquet/checkpoint-sourced triples and oversize blocks are "
+            "not block-aligned): validate this corpus with "
+            "CubeValidator(mode='shuffle')"
+        )
+
+
 def _findings_table(df: pd.DataFrame) -> pa.Table:
     details = [
         [] if not d else d.split(_DETAIL_SEP) for d in df["detail"].tolist()
@@ -266,6 +314,7 @@ class CubeValidator:
         scales with the corpus — neither a driver loop nor a broadcast."""
         from ..stages.pivot import local_findings
 
+        assert_graph_block_alignment(triples)
         self._findings = local_findings(triples).materialize()
         return self._findings
 

@@ -100,17 +100,59 @@ def phase1_augment(batch: pa.Table) -> pa.Table:
     """One batch → the same batch plus its phase-1 derivations.
 
     Single-pass (the original ``union(triples, derived)`` formulation made
-    Ray execute the parse lineage twice — once per union branch) and
-    block-preserving: each input block maps to exactly one output block,
-    which keeps triple blocks file-aligned for the shuffle-free local
-    validation path (see pivot.LocalCheck)."""
+    Ray execute the parse lineage twice — once per union branch)."""
     derived = phase1_derive(batch)
     if derived.num_rows == 0:
         return batch
     return pa.concat_tables([batch, derived]).combine_chunks()
 
 
+def phase1_augment_aligned(batch: pa.Table):
+    """Generator form of :func:`phase1_augment` that yields GRAPH-ALIGNED
+    tables, preserving the local path's one-graph-one-block invariant.
+
+    Ray's output buffer slices a yielded batch mid-rows only when that
+    single batch exceeds ``target_max_block_size`` (otherwise it flushes
+    at whole-batch boundaries) — measured on Ray 2.49, and the round-4
+    sf0.1 sweep caught the violation this guards against: the old
+    default-``batch_size`` form re-batched blocks at 1024 rows, so flush
+    boundaries landed mid-graph and LocalCheck silently validated
+    partial graphs (missing IC-10/11, phantom IC-2/18 on the sliced
+    cube corpus).  Small blocks yield whole (one table, no per-graph
+    cost); a block near the slicing threshold yields one table per
+    contiguous graph run, each bounded by the parse-side 96 MB per-file
+    cap + ~10% phase-1 growth — always under the 128 MB default target,
+    so never sliced."""
+    import numpy as np
+
+    import ray.data
+
+    target = ray.data.DataContext.get_current().target_max_block_size
+    # ~10% phase-1 growth margin on the input estimate; a single yielded
+    # batch under the slicing threshold keeps the whole block together,
+    # which preserves alignment without any per-graph work
+    if (
+        target is None
+        or batch.num_rows == 0
+        or int(batch.nbytes * 1.15) <= int(target * 0.75)
+    ):
+        yield phase1_augment(batch)
+        return
+    # oversize block: augment and yield one table per contiguous graph
+    # run of the INPUT (derived rows append at the tail, so runs must be
+    # cut before augmenting or a graph's derivations land in another run)
+    graphs = batch.column("graph").to_pandas().to_numpy()
+    bounds = np.flatnonzero(graphs[1:] != graphs[:-1]) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(graphs)]])
+    for s, e in zip(starts, ends):
+        yield phase1_augment(batch.slice(int(s), int(e - s)))
+
+
 def with_phase1(triples: "ray.data.Dataset") -> "ray.data.Dataset":  # noqa: F821
     """triples ∪ phase-1 derivations (duplicates allowed; set semantics
-    downstream)."""
-    return triples.map_batches(phase1_augment, batch_format="pyarrow")
+    downstream).  ``batch_size=None`` + the aligned generator keep every
+    output block graph-aligned (see phase1_augment_aligned)."""
+    return triples.map_batches(
+        phase1_augment_aligned, batch_format="pyarrow", batch_size=None
+    )
