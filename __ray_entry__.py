@@ -2659,6 +2659,41 @@ def q_kg_ra_scores(sf_dir: str):
     )
 
 
+def q_kg_jaccard_scores(sf_dir: str):
+    """Neighbor-set Jaccard link prediction over the link graph —
+    link_scores(jaccard=True): score = (common × 10^6) //
+    (deg(u) + deg(w) − common) in integer ppm, two degree hash joins
+    after the hub-capped wedge aggregation (floor division keeps engine
+    and SQL bit-identical)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        extract_edges,
+        link_scores,
+    )
+
+    return link_scores(extract_edges(_link_triples(sf_dir)), jaccard=True)
+
+
+def q_kg_four_cycles(sf_dir: str):
+    """Per-node 4-cycle participation counts over the undirected import
+    graph — stages/graph.four_cycle_counts: pair-common-neighbor C(c,2)
+    combinatorics through hub-capped wedges (every 4-cycle has two
+    diagonals and each node sits on exactly one, so the two-sided pair
+    explode counts each cycle through a node exactly once)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        four_cycle_counts,
+    )
+
+    ds = four_cycle_counts(_code_import_edges(sf_dir)).materialize()
+    if ds.count() == 0:
+        # a square-free corpus is legal at some scales; empty Datasets
+        # are schema-less (column-less to_pandas) → typed frame
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype="string"),
+                "n_c4": pd.Series(dtype="int64"),
+            }
+        )
+    return ds
 
 
 def q_kg_communities(sf_dir: str):
@@ -3458,6 +3493,70 @@ rk AS (
 SELECT u AS node_u, w AS node_w, score::BIGINT AS score FROM rk WHERE rn <= 5
 """
 
+_SQL_KG_JACCARD_SCORES = f"""
+WITH {_KG_EDGE_BODY},
+und AS (
+  SELECT DISTINCT least(subj, obj) AS x, greatest(subj, obj) AS y
+  FROM edges WHERE subj <> obj
+),
+adj AS (
+  SELECT x AS node, y AS nbr FROM und UNION ALL SELECT y, x FROM und
+),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+a2 AS (
+  SELECT a.node, a.nbr AS mid FROM adj a JOIN deg ON a.nbr = deg.node
+  WHERE deg.d <= 128
+),
+wed AS (
+  SELECT a.node AS u, b.node AS w, count(*) AS c
+  FROM a2 a JOIN a2 b ON a.mid = b.mid
+  WHERE a.node < b.node
+  GROUP BY a.node, b.node
+),
+nw AS (
+  SELECT wed.* FROM wed ANTI JOIN und ON wed.u = und.x AND wed.w = und.y
+),
+jac AS (
+  SELECT u, w, (c * 1000000) // (du.d + dw.d - c) AS score
+  FROM nw JOIN deg du ON nw.u = du.node JOIN deg dw ON nw.w = dw.node
+),
+rk AS (
+  SELECT u, w, score,
+         row_number() OVER (PARTITION BY u ORDER BY score DESC, w) AS rn
+  FROM jac
+)
+SELECT u AS node_u, w AS node_w, score::BIGINT AS score FROM rk WHERE rn <= 5
+"""
+
+_SQL_KG_FOUR_CYCLES = f"""
+WITH {_CODE_EDGE_BODY},
+und AS (
+  SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+  FROM cedges WHERE src <> dst
+),
+adj AS (
+  SELECT x AS node, y AS nbr FROM und UNION ALL SELECT y, x FROM und
+),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+a2 AS (
+  SELECT a.node, a.nbr AS mid FROM adj a JOIN deg ON a.nbr = deg.node
+  WHERE deg.d <= 128
+),
+wed AS (
+  SELECT a.node AS u, b.node AS w, count(*) AS c
+  FROM a2 a JOIN a2 b ON a.mid = b.mid
+  WHERE a.node < b.node
+  GROUP BY a.node, b.node
+),
+q AS (
+  SELECT u, w, c * (c - 1) // 2 AS q FROM wed WHERE c >= 2
+),
+sides AS (
+  SELECT u AS node, q FROM q UNION ALL SELECT w AS node, q FROM q
+)
+SELECT node, sum(q)::BIGINT AS n_c4 FROM sides GROUP BY node
+"""
+
 _SQL_KG_BGP = f"""
 WITH {_KG_EDGE_BODY}
 SELECT p1.subj AS o, p1.obj AS c, p2.obj AS n
@@ -3632,6 +3731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_entity_lift": q_kg_entity_lift,
         "kg_ra_scores": q_kg_ra_scores,
+        "kg_jaccard_scores": q_kg_jaccard_scores,
+        "kg_four_cycles": q_kg_four_cycles,
         "kg_communities": q_kg_communities,
         "kg_kcore": q_kg_kcore,
         "kg_ktruss": q_kg_ktruss,
@@ -3735,6 +3836,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_cooccur": _SQL_ENTITY_COOCCUR,
         "kg_entity_lift": _SQL_ENTITY_LIFT,
         "kg_ra_scores": _SQL_KG_RA_SCORES,
+        "kg_jaccard_scores": _SQL_KG_JACCARD_SCORES,
+        "kg_four_cycles": _SQL_KG_FOUR_CYCLES,
         "kg_communities": _SQL_KG_COMMUNITIES,
         "kg_kcore": _SQL_KG_KCORE,
         "kg_ktruss": _SQL_KG_KTRUSS,

@@ -1606,6 +1606,7 @@ def link_scores(
     num_partitions: int | None = None,
     mid_weight: str = "one",
     weight_scale: int = 1_000_000,
+    jaccard: bool = False,
 ) -> "ray.data.Dataset":
     """Common-neighbor link-prediction scores: for every non-adjacent
     unordered node pair (u, w) of the UNDIRECTED graph,
@@ -1619,6 +1620,16 @@ def link_scores(
       1/deg damping of RA / Adamic-Adar is order-dependent under IEEE
       summation and thus not bit-reproducible; integer-scaled floor
       weights are exact on both engine and SQL sides).
+
+    ``jaccard=True`` (with ``mid_weight="one"``) rescales the common
+    count to the neighbor-set Jaccard similarity in integer
+    parts-per-million: score = (common × weight_scale) //
+    (deg(u) + deg(w) − common), via two degree hash joins after the
+    wedge aggregation — floor division keeps both engine and SQL sides
+    bit-identical where IEEE division would not round-trip.  Degrees
+    are the FULL undirected degrees; only the wedge mids are
+    hub-capped, so the similarity is exact for pairs whose common
+    neighbors all sit under the cap (the documented hub cut).
 
     Scale shape: candidate pairs are generated as wedges through each
     common neighbor m — Σ deg(m)² blowup — so mids with degree >
@@ -1643,11 +1654,15 @@ def link_scores(
         ).astype("string")
 
     adj = und.map_batches(both_dirs, batch_format="pandas").materialize()
-    deg = bucket_count(adj, ["node"], out_col="_d")
+    # consumed by up to three joins (mid filter + jaccard u/w degrees) —
+    # materialize once so the adjacency count never re-executes
+    deg = bucket_count(adj, ["node"], out_col="_d").materialize()
 
     weighted = mid_weight == "inv_deg"
     if mid_weight not in ("one", "inv_deg"):
         raise ValueError(f"unknown mid_weight {mid_weight!r}")
+    if jaccard and weighted:
+        raise ValueError("jaccard rescaling requires mid_weight='one'")
 
     def mid_ok(df: pd.DataFrame, cap=max_mid_degree) -> pd.DataFrame:
         keep = df.loc[df["_d"] <= cap]
@@ -1707,6 +1722,35 @@ def link_scores(
         ).materialize()
     else:
         scored = bucket_count(wedges, ["u", "w"], out_col="score").materialize()
+    if jaccard and scored.count() > 0:
+        # common → jaccard ppm: two degree joins (full degrees, not the
+        # capped mid set), materialized between (chained aggregator
+        # pools starve each other otherwise), then vectorized floor math
+        def jac(df: pd.DataFrame, scale=weight_scale) -> pd.DataFrame:
+            c = df["score"].to_numpy(dtype=np.int64)
+            du = df["_du"].to_numpy(dtype=np.int64)
+            dw = df["_dw"].to_numpy(dtype=np.int64)
+            out = df[["u", "w"]].reset_index(drop=True).astype("string")
+            out["score"] = (c * scale) // (du + dw - c)
+            return out
+
+        scored = (
+            heal_schema(scored, np_)
+            .join(
+                heal_schema(_ren(deg, {"node": "u", "_d": "_du"}), np_),
+                "inner", np_, on=("u",),
+            )
+            .materialize()
+        )
+        scored = (
+            heal_schema(scored, np_)
+            .join(
+                heal_schema(_ren(deg, {"node": "w", "_d": "_dw"}), np_),
+                "inner", np_, on=("w",),
+            )
+            .map_batches(jac, batch_format="pandas")
+            .materialize()
+        )
     if scored.count() == 0:
         import pyarrow as pa
 
@@ -1749,6 +1793,99 @@ def link_scores(
         return out.rename(columns={"u": "node_u", "w": "node_w"})
 
     return bucket_agg(new_pairs, ["u"], top)
+
+
+def four_cycle_counts(
+    edges: "ray.data.Dataset",
+    *,
+    max_mid_degree: int = 128,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-node 4-cycle (quadrilateral) participation counts over the
+    UNDIRECTED graph — the square-motif analogue of triangle counting.
+
+    Combinatorics: an unordered pair (u, w) with c common neighbors is
+    the diagonal of C(c, 2) distinct 4-cycles u–mᵢ–w–mⱼ; every 4-cycle
+    has exactly two diagonals and each node sits on exactly one of
+    them, so n_c4(v) = Σ over pairs containing v of C(c, 2) counts each
+    cycle through v exactly once.  Chorded squares count (standard C4
+    semantics).  Common neighbors are generated as wedges through mids
+    with degree ≤ ``max_mid_degree`` (the same hub cut as link_scores:
+    bounds wedge fan-out at cap² per mid; cycles whose BOTH opposite
+    corners are hubs are dropped on both engine and SQL sides, so the
+    capped count stays bit-exact).  Plan: adjacency dedup → degree
+    filter join → one mid self-join → bucketed pair counts → vectorized
+    C(c,2) → two-sided node explode → bucketed node sums."""
+    from ..util import bucket_count, bucket_sum, heal_schema
+
+    np_ = _nparts(num_partitions)
+    und = _undirected(edges).materialize()
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["x"], df["y"]], ignore_index=True),
+                "nbr": pd.concat([df["y"], df["x"]], ignore_index=True),
+            }
+        ).astype("string")
+
+    adj = und.map_batches(both_dirs, batch_format="pandas").materialize()
+    deg = bucket_count(adj, ["node"], out_col="_d")
+
+    def mid_ok(df: pd.DataFrame, cap=max_mid_degree) -> pd.DataFrame:
+        keep = df.loc[df["_d"] <= cap]
+        return keep[["node", "mid"]].reset_index(drop=True).astype("string")
+
+    a2 = (
+        heal_schema(_ren(adj, {"nbr": "mid"}), np_)
+        .join(
+            heal_schema(_ren(deg, {"node": "mid"}), np_),
+            "inner", np_, on=("mid",),
+        )
+        .map_batches(mid_ok, batch_format="pandas")
+        .materialize()
+    )
+
+    def ordered(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.loc[df["u"] < df["w"]]
+        return keep[["u", "w"]].reset_index(drop=True).astype("string")
+
+    wedges = (
+        heal_schema(_ren(a2, {"node": "u"}), np_)
+        .join(
+            heal_schema(_ren(a2, {"node": "w"}), np_),
+            "inner", np_, on=("mid",),
+        )
+        .map_batches(ordered, batch_format="pandas")
+    )
+    pairs = bucket_count(wedges, ["u", "w"], out_col="_c").materialize()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.loc[df["_c"] >= 2]
+        c = keep["_c"].to_numpy(dtype=np.int64)
+        q = c * (c - 1) // 2
+        return pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [keep["u"], keep["w"]], ignore_index=True
+                ).astype("string"),
+                "n_c4": np.concatenate([q, q]),
+            }
+        )
+
+    # a square-free graph legally yields 0 rows after the c >= 2 filter,
+    # and 0-row pandas outputs are schema-less — short-circuit to a
+    # TYPED empty (post-aggregation, so the count is output-scale)
+    per_side = pairs.map_batches(explode, batch_format="pandas").materialize()
+    if per_side.count() == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.schema(
+                [("node", pa.string()), ("n_c4", pa.int64())]
+            ).empty_table()
+        )
+    return bucket_sum(per_side, ["node"], ["n_c4"])
 
 
 def bgp_match(

@@ -412,3 +412,73 @@ def test_clustering_coeff():
     assert dict(out["coeff_ppm"]) == {
         "a": 333333, "b": 1000000, "c": 1000000, "d": 0,
     }
+
+
+def test_jaccard_link_scores():
+    # square a-b-c-d-a: non-adjacent diagonals (a,c) and (b,d).
+    # N(a)={b,d}, N(c)={b,d} → common=2, deg 2+2 → jac = 2e6 // 2 = 1e6
+    rows = [
+        ("a", "p", 0, "b"),
+        ("b", "p", 0, "c"),
+        ("c", "p", 0, "d"),
+        ("d", "p", 0, "a"),
+    ]
+    out = (
+        G.link_scores(G.extract_edges(_triples(rows)), jaccard=True)
+        .to_pandas()
+        .sort_values(["node_u", "node_w"], ignore_index=True)
+    )
+    assert out.to_dict("records") == [
+        {"node_u": "a", "node_w": "c", "score": 1_000_000},
+        {"node_u": "b", "node_w": "d", "score": 1_000_000},
+    ]
+    # pendant e on a shifts a's degree to 3: jac(a,c) = 2e6 // 3 = 666666
+    out2 = (
+        G.link_scores(
+            G.extract_edges(_triples(rows + [("a", "p", 0, "e")])),
+            jaccard=True,
+        )
+        .to_pandas()
+        .set_index(["node_u", "node_w"])["score"]
+    )
+    assert out2[("a", "c")] == 666_666
+    assert out2[("b", "d")] == 1_000_000
+
+
+def test_four_cycle_counts():
+    # square a-b-c-d-a: one 4-cycle, every node participates once;
+    # pendant e on a participates in none (filtered out of the output)
+    rows = [
+        ("a", "p", 0, "b"),
+        ("b", "p", 0, "c"),
+        ("c", "p", 0, "d"),
+        ("d", "p", 0, "a"),
+        ("a", "p", 0, "e"),
+    ]
+    out = (
+        G.four_cycle_counts(G.extract_edges(_triples(rows)))
+        .to_pandas()
+        .set_index("node")["n_c4"]
+    )
+    assert dict(out) == {"a": 1, "b": 1, "c": 1, "d": 1}
+    # K4 has 3 distinct 4-cycles, each through all 4 nodes
+    k4 = [
+        ("a", "p", 0, "b"), ("a", "p", 0, "c"), ("a", "p", 0, "d"),
+        ("b", "p", 0, "c"), ("b", "p", 0, "d"), ("c", "p", 0, "d"),
+    ]
+    out2 = (
+        G.four_cycle_counts(G.extract_edges(_triples(k4)))
+        .to_pandas()
+        .set_index("node")["n_c4"]
+    )
+    assert dict(out2) == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_four_cycle_counts_square_free_empty():
+    # a path graph has no squares: typed empty, not a schema-less
+    # Dataset (from_arrow(empty).to_pandas() drops columns, so assert
+    # on the Dataset schema — the engine-side contract)
+    rows = [("a", "p", 0, "b"), ("b", "p", 0, "c")]
+    out = G.four_cycle_counts(G.extract_edges(_triples(rows)))
+    assert out.count() == 0
+    assert out.schema().names == ["node", "n_c4"]
