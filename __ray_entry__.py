@@ -1349,23 +1349,38 @@ def q_kg_code_pagerank(sf_dir: str):
     return pagerank_int(_code_import_edges(sf_dir))
 
 
-def _pagerank_sql(iters: int = 3, scale: int = 1_000_000, dn: int = 85, dd: int = 100) -> str:
+def _pagerank_sql(
+    iters: int = 3,
+    scale: int = 1_000_000,
+    dn: int = 85,
+    dd: int = 100,
+    seeds: tuple[str, ...] | None = None,
+) -> str:
     """K chained-CTE PageRank iterations mirroring pagerank_int's
-    integer semantics exactly (floor division both sides)."""
+    integer semantics exactly (floor division both sides).  ``seeds``
+    produces the personalized variant: initial mass and the restart
+    term land only on the seed set, mirroring restart_nodes."""
     base = (dd - dn) * scale // dd
+    if seeds is None:
+        pr0 = f"{scale}::BIGINT"
+        base_term = str(base)
+    else:
+        inlist = ", ".join(f"'{s}'" for s in seeds)
+        pr0 = f"(CASE WHEN node IN ({inlist}) THEN {scale} ELSE 0 END)::BIGINT"
+        base_term = f"(CASE WHEN n.node IN ({inlist}) THEN {base} ELSE 0 END)"
     parts = [
         f"""nodes AS (
   SELECT DISTINCT node
   FROM (SELECT src AS node FROM cedges UNION ALL SELECT dst FROM cedges)
 ),
 od AS (SELECT src AS node, count(*) AS d FROM cedges GROUP BY src),
-pr0 AS (SELECT node, {scale}::BIGINT AS pr FROM nodes)"""
+pr0 AS (SELECT node, {pr0} AS pr FROM nodes)"""
     ]
     for i in range(iters):
         parts.append(
             f""",
 pr{i + 1} AS (
-  SELECT n.node, ({base} + {dn} * coalesce(s.s, 0) // {dd})::BIGINT AS pr
+  SELECT n.node, ({base_term} + {dn} * coalesce(s.s, 0) // {dd})::BIGINT AS pr
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, sum(p.pr // od.d)::BIGINT AS s
     FROM pr{i} p
@@ -1383,6 +1398,24 @@ pr{i + 1} AS (
 
 
 _SQL_CODE_PAGERANK = _pagerank_sql()
+
+# PPR seeds: one popular hub target (m0) + one mid-tier module — shared
+# constant so the engine call and the oracle can never drift
+_PPR_SEEDS = (f"{_CODEN}mod/m0", f"{_CODEN}mod/m7")
+_SQL_CODE_PPR = _pagerank_sql(seeds=_PPR_SEEDS)
+
+
+def q_kg_code_ppr(sf_dir: str):
+    """Personalized PageRank from a 2-module seed set over the import
+    graph — pagerank_int(restart_nodes=...): initial mass and the
+    restart term land only on the seeds, integer floor arithmetic end
+    to end (stages/graph.pagerank_int, size-adaptive + parity-tested
+    driver/distributed regimes)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import pagerank_int
+
+    return pagerank_int(
+        _code_import_edges(sf_dir), restart_nodes=list(_PPR_SEEDS)
+    )
 
 
 _SQL_CODE_TRIANGLES = f"""
@@ -3702,6 +3735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_triangles": q_kg_code_triangles,
         "kg_snapshot_latest": q_kg_snapshot_latest,
         "kg_code_pagerank": q_kg_code_pagerank,
+        "kg_code_ppr": q_kg_code_ppr,
         "kg_code_components": q_kg_code_components,
         "kg_code_reachable": q_kg_code_reachable,
         "kg_closeness": q_kg_closeness,
@@ -3807,6 +3841,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_triangles": _SQL_CODE_TRIANGLES,
         "kg_snapshot_latest": _SQL_SNAPSHOT_LATEST,
         "kg_code_pagerank": _SQL_CODE_PAGERANK,
+        "kg_code_ppr": _SQL_CODE_PPR,
         "kg_code_components": _SQL_CODE_COMPONENTS,
         "kg_code_reachable": _SQL_CODE_REACHABLE,
         "kg_closeness": _SQL_KG_CLOSENESS,

@@ -943,6 +943,7 @@ def pagerank_int(
     damp_den: int = 100,
     max_driver_edges: int = 2_000_000,
     num_partitions: int | None = None,
+    restart_nodes: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Deterministic INTEGER PageRank — floor arithmetic end to end, so a
     SQL oracle can reproduce it bit-exactly (IEEE-float PageRank cannot
@@ -954,6 +955,14 @@ def pagerank_int(
         pr_{i+1}(n) = base + damp_num * (Σ incoming contrib) // damp_den
         base      = (damp_den - damp_num) * scale // damp_den
 
+    ``restart_nodes`` switches to PERSONALIZED PageRank: the initial
+    mass and the per-iteration restart term ``base`` land only on the
+    given seed set (pr_0 = scale·[n ∈ S]; base·[n ∈ S] in the update) —
+    all other semantics identical, so the same SQL unroll oracles it.
+    Seeds absent from the graph are ignored (they hold mass but no node
+    row exists to report).  The seed set is query-scale and ships by
+    task-closure capture, never per row.
+
     Dangling-node mass is dropped (not redistributed) — documented
     semantics shared with the oracle.  Size-adaptive (parity-tested):
     under ``max_driver_edges`` the edge list is collected once and the
@@ -963,6 +972,7 @@ def pagerank_int(
     Rounds = ``iters`` (fixed), unlike BFS there is no depth hazard."""
     np_ = _nparts(num_partitions)
     base = (damp_den - damp_num) * scale // damp_den
+    restart = frozenset(restart_nodes) if restart_nodes is not None else None
 
     def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -979,7 +989,17 @@ def pagerank_int(
         )
         nodes = pd.Index(pd.concat([e["src"], e["dst"]]).unique())
         od = e["src"].value_counts()
-        pr = pd.Series(scale, index=nodes, dtype="int64")
+        if restart is None:
+            base_vec = base
+            pr = pd.Series(scale, index=nodes, dtype="int64")
+        else:
+            seed = nodes.isin(restart)
+            base_vec = pd.Series(
+                np.where(seed, base, 0), index=nodes, dtype="int64"
+            )
+            pr = pd.Series(
+                np.where(seed, scale, 0), index=nodes, dtype="int64"
+            )
         for _ in range(iters):
             contrib = (pr[e["src"]].to_numpy() // od[e["src"]].to_numpy()).astype(
                 "int64"
@@ -990,7 +1010,7 @@ def pagerank_int(
                 .sum()
                 .reindex(nodes, fill_value=0)
             )
-            pr = (base + damp_num * s // damp_den).astype("int64")
+            pr = (base_vec + damp_num * s // damp_den).astype("int64")
         out = pd.DataFrame(
             {"node": pd.Series(nodes, dtype="string"), "pr": pr.to_numpy()}
         )
@@ -1029,9 +1049,16 @@ def pagerank_int(
     ).materialize()
 
     def init_pr(df: pd.DataFrame) -> pd.DataFrame:
+        if restart is None:
+            pr0 = pd.Series(scale, index=df.index, dtype="int64")
+        else:
+            pr0 = pd.Series(
+                np.where(df["node"].isin(restart), scale, 0),
+                index=df.index,
+                dtype="int64",
+            )
         return pd.DataFrame(
-            {"node": df["node"].astype("string"),
-             "pr": pd.Series(scale, index=df.index, dtype="int64")}
+            {"node": df["node"].astype("string"), "pr": pr0}
         )
 
     ranks = nodes_ds.map_batches(init_pr, batch_format="pandas").materialize()
@@ -1070,9 +1097,17 @@ def pagerank_int(
                 if "s" in df.columns
                 else pd.Series(0, index=df.index, dtype="int64")
             )
+            if restart is None:
+                bv = base
+            else:
+                bv = pd.Series(
+                    np.where(df["node"].isin(restart), base, 0),
+                    index=df.index,
+                    dtype="int64",
+                )
             return pd.DataFrame(
                 {"node": df["node"].astype("string"),
-                 "pr": (base + damp_num * s // damp_den).astype("int64")}
+                 "pr": (bv + damp_num * s // damp_den).astype("int64")}
             )
 
         ranks = joined.map_batches(update, batch_format="pandas").materialize()

@@ -482,3 +482,30 @@ def test_four_cycle_counts_square_free_empty():
     out = G.four_cycle_counts(G.extract_edges(_triples(rows)))
     assert out.count() == 0
     assert out.schema().names == ["node", "n_c4"]
+
+
+def test_personalized_pagerank_regime_parity():
+    # chain a -> b -> c with restart at {a}: mass flows strictly
+    # downstream of the seed; c's only mass is damped 2-hop flow
+    rows = [("a", "p", 0, "b"), ("b", "p", 0, "c")]
+    edges = G.extract_edges(_triples(rows))
+    fast = (
+        G.pagerank_int(edges, iters=2, restart_nodes=["a"])
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    dist = (
+        G.pagerank_int(edges, iters=2, restart_nodes=["a"], max_driver_edges=0)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist.astype(fast.dtypes.to_dict()))
+    pr = dict(zip(fast["node"], fast["pr"]))
+    scale, base = 1_000_000, 150_000
+    # hand-rolled integer PPR, 2 iterations
+    p = {"a": scale, "b": 0, "c": 0}
+    for _ in range(2):
+        s = {"a": 0, "b": p["a"] // 1, "c": p["b"] // 1}
+        p = {n: (base if n == "a" else 0) + 85 * s[n] // 100 for n in p}
+    assert pr == p
+    assert pr["a"] == base  # nothing points at the seed
