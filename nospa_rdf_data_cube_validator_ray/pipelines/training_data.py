@@ -4107,3 +4107,90 @@ FROM starts
 
 QUERIES["docs_chunks"] = q_docs_chunks
 ORACLES["docs_chunks"] = _SQL_DOCS_CHUNKS
+
+
+_BPE_TOPK = 50
+
+
+def q_docs_bpe_pairs(sf_dir: str):
+    """Corpus-wide adjacent BYTE-pair frequency top-k — the counting
+    step of one BPE tokenizer-training merge round.  Fully vectorized
+    map-side combine: each batch joins its texts with a NUL separator,
+    views the blob as a uint8 array, packs adjacent bytes into one
+    uint16 code and bincounts — one numpy pass per batch, ≤ 65 536
+    candidate rows out regardless of batch text volume.  Bucketed sum →
+    per-block top-k candidates → exact driver merge (global top-k ⊆
+    union of block top-ks since counts are final after the sum).
+
+    Contract: ASCII corpora only (the repo-wide tokens() convention) —
+    byte pairs and DuckDB's character substring agree exactly on ASCII;
+    a non-Latin-1 byte raises loud rather than silently diverging from
+    the oracle."""
+    from ..util import bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").tolist()
+        blob = "\x00".join(texts)
+        if not blob:
+            return pd.DataFrame(
+                {"pair": pd.Series(dtype="string"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        try:
+            a = np.frombuffer(blob.encode("latin-1"), dtype=np.uint8)
+        except UnicodeEncodeError as e:
+            raise ValueError(
+                "docs_bpe_pairs requires Latin-1-safe text (ASCII corpus "
+                f"contract); got a code point above U+00FF: {e}"
+            ) from e
+        if len(a) < 2:
+            return pd.DataFrame(
+                {"pair": pd.Series(dtype="string"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        codes = (a[:-1].astype(np.uint32) << 8) | a[1:]
+        mask = (a[:-1] != 0) & (a[1:] != 0)
+        counts = np.bincount(codes[mask], minlength=65536)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "pair": pd.Series(
+                    [chr(c >> 8) + chr(c & 0xFF) for c in nz], dtype="string"
+                ),
+                "n": counts[nz].astype(np.int64),
+            }
+        )
+
+    agg = bucket_sum(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["pair"],
+        ["n"],
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "pair"], ascending=[False, True]
+        ).head(_BPE_TOPK)
+
+    cands = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    out = (
+        cands.sort_values(["n", "pair"], ascending=[False, True])
+        .head(_BPE_TOPK)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+_SQL_DOCS_BPE_PAIRS = f"""
+WITH ch AS (
+  SELECT substring(d.text, t.i, 2) AS pair
+  FROM documents d, unnest(generate_series(1, length(d.text) - 1)) AS t(i)
+  WHERE length(d.text) >= 2
+)
+SELECT pair, count(*)::BIGINT AS n FROM ch GROUP BY pair
+ORDER BY n DESC, pair LIMIT {_BPE_TOPK}
+"""
+
+QUERIES["docs_bpe_pairs"] = q_docs_bpe_pairs
+ORACLES["docs_bpe_pairs"] = _SQL_DOCS_BPE_PAIRS

@@ -599,3 +599,21 @@ def test_global_rank_total_order_across_blocks():
     assert list(out["rank"]) == list(range(1, 101))
     # n_chars=7 ids (0..49) outrank n_chars=3 ids, each in id order
     assert list(out["doc_id"]) == list(range(100))
+
+
+def test_bpe_pairs_counts_and_doc_boundaries(tmp_path):
+    from nospa_rdf_data_cube_validator_ray.pipelines.training_data import (
+        q_docs_bpe_pairs,
+    )
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["abab", "ba", None]}
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = q_docs_bpe_pairs(str(tmp_path))
+    got = dict(zip(out["pair"], out["n"]))
+    # "abab" → ab, ba, ab ; "ba" → ba ; NO cross-doc pair (b↔b), NULL
+    # text contributes nothing
+    assert got == {"ab": 2, "ba": 2}
+    # deterministic order: n desc, pair asc
+    assert list(out["pair"]) == ["ab", "ba"]
