@@ -2136,3 +2136,98 @@ GROUP BY CUBE (event_type, dow)
 
 QUERIES["events_cube"] = q_events_cube
 ORACLES["events_cube"] = _SQL_EVENTS_CUBE
+
+
+def q_events_temporal_reach(sf_dir: str):
+    """Time-respecting reachability (information flow / contagion) over
+    the event stream: per props-channel k, consecutive events form a
+    directed contact (prev_user → user at the later event's timestamp);
+    a user is reached when a strictly time-increasing contact path from
+    the seed arrives (stages/graph.temporal_reachability — synchronous
+    Jacobi rounds, size-adaptive driver/distributed regimes).  Plain
+    BFS over the static projection would overcount by following
+    contacts backwards in time.  Channels are a fixed ~100-value space,
+    so the per-channel lag runs as one Ray groupby-map_groups (groupby
+    on ≤~100 keys is the documented cheap regime)."""
+    from ..stages.graph import temporal_reachability
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "props"],
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df["props"]
+                .str.extract(r'"k": (\d+)', expand=False)
+                .astype("int64"),
+                "t": (
+                    (df["ts"] - pd.Timestamp(0))
+                    // pd.Timedelta(microseconds=1)
+                ).astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "user": df["user_id"].astype("int64"),
+            }
+        )
+
+    def channel_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["t", "event_id"])
+        src = df["user"].shift(1)
+        keep = src.notna() & (src != df["user"])
+        return pd.DataFrame(
+            {
+                "src": src[keep].astype("int64").astype(str),
+                "dst": df["user"][keep].astype("int64").astype(str),
+                "t": df["t"][keep].astype("int64"),
+            }
+        )
+
+    contacts = (
+        ds.map_batches(project, batch_format="pandas")
+        .groupby("k")
+        .map_groups(channel_edges, batch_format="pandas")
+    )
+    reached = temporal_reachability(
+        contacts, [str(_TEMPORAL_SEED)]
+    ).to_pandas()
+    if not len(reached):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "arrival_us": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "user_id": reached["node"].astype("int64"),
+            "arrival_us": reached["arrival"].astype("int64"),
+        }
+    )
+
+
+_TEMPORAL_SEED = 0
+
+_SQL_TEMPORAL_REACH = rf"""
+WITH RECURSIVE ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+  FROM events
+),
+c AS (
+  SELECT lag(user_id) OVER (PARTITION BY k ORDER BY t, event_id) AS src,
+         user_id AS dst, t
+  FROM ev
+),
+contacts AS (SELECT src, dst, t FROM c WHERE src IS NOT NULL AND src <> dst),
+reach(u, t) AS (
+  SELECT {_TEMPORAL_SEED}::BIGINT AS u, 0::BIGINT AS t
+  UNION
+  SELECT contacts.dst, contacts.t FROM reach JOIN contacts
+    ON contacts.src = reach.u AND contacts.t > reach.t
+)
+SELECT u AS user_id, min(t)::BIGINT AS arrival_us FROM reach GROUP BY u
+"""
+
+QUERIES["events_temporal_reach"] = q_events_temporal_reach
+ORACLES["events_temporal_reach"] = _SQL_TEMPORAL_REACH

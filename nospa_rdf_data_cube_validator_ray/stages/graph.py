@@ -3450,6 +3450,7 @@ def sssp(
     e_src = e.map_batches(
         lambda df: df.rename(columns={"src": "node"}), batch_format="pandas"
     ).materialize()
+    # (sssp distributed loop continues below)
 
     def relax(df: pd.DataFrame) -> pd.DataFrame:
         w = _md5_edge_w(df["node"], df["dst"], weight_mod)
@@ -3480,4 +3481,155 @@ def sssp(
     raise RuntimeError(
         f"sssp: still relaxing after {max_rounds} rounds — raise "
         "max_rounds for this graph"
+    )
+
+
+def temporal_reachability(
+    contacts: "ray.data.Dataset",
+    seeds: list[str],
+    *,
+    max_rounds: int = 256,
+    max_driver_edges: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Time-respecting reachability over a temporal contact graph —
+    rows ``(src, dst, t)`` mean "src can pass to dst at instant t".
+    A node v is reached at arrival(v) = the minimum t of any contact
+    path whose timestamps STRICTLY increase along the path (strict ``>``
+    makes same-instant relays impossible, so tie order between
+    equal-timestamp contacts never matters); seeds start at arrival 0.
+    The information-flow / contagion primitive over event streams —
+    plain BFS over the static projection overcounts (it follows edges
+    backwards in time).
+
+    Synchronous Jacobi rounds, exactly :func:`sssp`'s shape: relax
+    every contact with t > arrival(src) to a candidate arrival t, take
+    per-node minimums, repeat to fixpoint — so a recursive SQL twin
+    enumerating (node, t) pairs reaches the identical fixpoint.
+    Size-adaptive and parity-tested: at or under ``max_driver_edges``
+    the rounds are a driver numpy loop (np.minimum.at over int-coded
+    contacts); above it each round is one hash join (arrival ⋈ contacts
+    on src) plus one bucketed min with a (count, sum) metadata fixpoint
+    test (arrivals never increase).  Returns ``(node, arrival)`` for
+    every reached node, seeds included at 0."""
+    import pyarrow as pa
+
+    from ..util import bucket_agg, heal_schema, join_partitions
+
+    empty = pa.schema(
+        [("node", pa.string()), ("arrival", pa.int64())]
+    ).empty_table()
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "src": df["src"].astype("string"),
+                "dst": df["dst"].astype("string"),
+                "t": df["t"].astype("int64"),
+            }
+        )
+        return out.drop_duplicates()
+
+    e = contacts.map_batches(proj, batch_format="pandas").materialize()
+    m = e.count()
+    seeds = list(dict.fromkeys(seeds))
+    if (
+        pd.Series(seeds, dtype="object").map(lambda s: not isinstance(s, str)).any()
+    ):
+        raise TypeError("temporal_reachability seeds must be strings")
+
+    if m <= max_driver_edges:
+        df = e.to_pandas()
+        if not len(df):
+            out = pd.DataFrame(
+                {"node": pd.array(seeds, dtype="string"),
+                 "arrival": np.zeros(len(seeds), dtype=np.int64)}
+            )
+            return (
+                ray.data.from_pandas(out) if len(out)
+                else ray.data.from_arrow(empty)
+            )
+        codes, uniq = pd.factorize(
+            pd.concat(
+                [df["src"], df["dst"], pd.Series(seeds, dtype="string")],
+                ignore_index=True,
+            )
+        )
+        n = len(uniq)
+        es = codes[: len(df)]
+        ed = codes[len(df): 2 * len(df)]
+        seed_codes = codes[2 * len(df):]
+        t = df["t"].to_numpy(dtype=np.int64)
+        INF = np.int64(1 << 62)
+        arr = np.full(n, INF, dtype=np.int64)
+        arr[seed_codes] = 0
+        for _ in range(max_rounds):
+            cand = np.where(arr[es] < t, t, INF)
+            new = arr.copy()
+            np.minimum.at(new, ed, cand)
+            if (new == arr).all():
+                reach = arr < INF
+                out = pd.DataFrame(
+                    {
+                        "node": pd.array(
+                            np.asarray(uniq)[reach], dtype="string"
+                        ),
+                        "arrival": arr[reach],
+                    }
+                )
+                return (
+                    ray.data.from_pandas(out)
+                    if len(out)
+                    else ray.data.from_arrow(empty)
+                )
+            arr = new
+        raise RuntimeError(
+            f"temporal_reachability: still relaxing after {max_rounds} "
+            "rounds — raise max_rounds for this contact set"
+        )
+
+    np_ = join_partitions(num_partitions)
+    arrival = ray.data.from_pandas(
+        pd.DataFrame(
+            {"node": pd.array(seeds, dtype="string"),
+             "arrival": np.zeros(len(seeds), dtype=np.int64)}
+        )
+    ).materialize()
+    prev = (len(seeds), 0)
+    e_src = e.map_batches(
+        lambda df: df.rename(columns={"src": "node"}), batch_format="pandas"
+    ).materialize()
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.loc[df["t"] > df["arrival"]]
+        return pd.DataFrame(
+            {
+                "node": keep["dst"].astype("string"),
+                "arrival": keep["t"].astype("int64"),
+            }
+        )
+
+    def gmin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False, sort=False)["arrival"].min()
+        return g.astype({"node": "string", "arrival": "int64"})
+
+    for _ in range(max_rounds):
+        cand = heal_schema(arrival, np_).join(
+            heal_schema(e_src, np_), "inner", np_, on=("node",),
+        ).map_batches(relax, batch_format="pandas")
+        new = bucket_agg(
+            arrival.union(cand), ["node"], gmin
+        ).materialize()
+        from ray.data.aggregate import Sum
+
+        cur = (
+            new.count(),
+            int(new.aggregate(Sum("arrival"))["sum(arrival)"] or 0),
+        )
+        if cur == prev:
+            return new
+        arrival, prev = new, cur
+    raise RuntimeError(
+        f"temporal_reachability: still relaxing after {max_rounds} "
+        "rounds — raise max_rounds for this contact set"
     )

@@ -509,3 +509,55 @@ def test_personalized_pagerank_regime_parity():
         p = {n: (base if n == "a" else 0) + 85 * s[n] // 100 for n in p}
     assert pr == p
     assert pr["a"] == base  # nothing points at the seed
+
+
+def _contacts(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src": [r[0] for r in rows],
+                "dst": [r[1] for r in rows],
+                "t": pd.Series([r[2] for r in rows], dtype="int64"),
+            }
+        )
+    )
+
+
+def test_temporal_reachability_respects_time():
+    # a→b at 5, b→c at 3 (BEFORE b is reached): c unreachable;
+    # b→d at 9 relays (9 > 5); a→e at 5 reached directly
+    rows = [("a", "b", 5), ("b", "c", 3), ("b", "d", 9), ("a", "e", 5)]
+    out = (
+        G.temporal_reachability(_contacts(rows), ["a"])
+        .to_pandas()
+        .set_index("node")["arrival"]
+    )
+    assert dict(out) == {"a": 0, "b": 5, "d": 9, "e": 5}
+    # strict increase: same-instant relay never happens
+    same_t = [("a", "b", 5), ("b", "c", 5)]
+    out2 = (
+        G.temporal_reachability(_contacts(same_t), ["a"])
+        .to_pandas()
+        .set_index("node")["arrival"]
+    )
+    assert dict(out2) == {"a": 0, "b": 5}
+
+
+def test_temporal_reachability_regime_parity():
+    rows = [
+        ("a", "b", 1), ("b", "c", 2), ("c", "d", 3),
+        ("d", "a", 4), ("a", "c", 10), ("x", "y", 1),
+    ]
+    fast = (
+        G.temporal_reachability(_contacts(rows), ["a"])
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    dist = (
+        G.temporal_reachability(_contacts(rows), ["a"], max_driver_edges=0)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist.astype(fast.dtypes.to_dict()))
+    # earliest arrival wins: c is reached at 2 via b, not at 10 direct
+    assert dict(zip(fast["node"], fast["arrival"]))["c"] == 2
