@@ -4194,3 +4194,47 @@ ORDER BY n DESC, pair LIMIT {_BPE_TOPK}
 
 QUERIES["docs_bpe_pairs"] = q_docs_bpe_pairs
 ORACLES["docs_bpe_pairs"] = _SQL_DOCS_BPE_PAIRS
+
+
+def q_multimodal_image_hist(sf_dir: str):
+    """Per-image 16-bin brightness histogram, value-exact through the
+    REAL codec: text → 24-bit BMP payload → actor-pool decode
+    (stages/multimodal.ImageHist) → bincount(byte // 16).  The oracle
+    re-derives every bin count from the cycled-byte synthesis
+    arithmetic (full_cycles × per-bin byte count + the remainder
+    prefix's per-bin count), entirely in SQL."""
+    payloads = M.attach_payload(_docs(sf_dir), media="bmp")
+    return M.image_hist(payloads)
+
+
+# pixel array = np.resize(utf8_bytes, side*side*3): each bin count =
+# (total // n) * count(bytes in bin) + count(bytes[:total % n] in bin)
+_SQL_IMAGE_HIST = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(4, least(32, floor(sqrt(length(text)))::INT)) AS side
+  FROM documents
+),
+pos AS (
+  SELECT d.doc_id, d.n, d.side * d.side * 3 AS total, t.i AS i,
+         ascii(substr(d.text, t.i, 1)) // 16 AS b
+  FROM d, unnest(generate_series(1, d.n)) AS t(i)
+),
+cnt AS (
+  SELECT doc_id, b,
+         count(*) AS c_all,
+         count(*) FILTER (i <= total % n) AS c_rem,
+         any_value(total) AS total, any_value(n) AS n
+  FROM pos GROUP BY doc_id, b
+),
+bins AS (
+  SELECT d.doc_id, g.b FROM d, unnest(generate_series(0, 15)) AS g(b)
+)
+SELECT bins.doc_id::BIGINT AS doc_id, bins.b::BIGINT AS bin,
+       coalesce((cnt.total // cnt.n) * cnt.c_all + cnt.c_rem, 0)::BIGINT
+         AS n_px
+FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.b = cnt.b
+"""
+
+QUERIES["multimodal_image_hist"] = q_multimodal_image_hist
+ORACLES["multimodal_image_hist"] = _SQL_IMAGE_HIST

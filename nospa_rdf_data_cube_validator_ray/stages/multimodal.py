@@ -310,6 +310,57 @@ def image_stats(
     )
 
 
+class ImageHist:
+    """Actor-pool brightness-histogram stage: decode each image/bmp
+    payload with the real codec and bincount its bytes into 16
+    brightness bins (value // 16) — integer counts, so a SQL oracle
+    reproduces them exactly from the synthesis arithmetic.  Emits all
+    16 bins per image (zeros included) for a fixed per-image shape."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, bins, counts = [], [], []
+        bin_idx = np.arange(16, dtype=np.int64)
+        for doc_id, p, mt in zip(
+            df["doc_id"].astype("int64"), df["payload"], _media_types(df)
+        ):
+            if mt != "image/bmp":
+                raise ValueError(f"ImageHist needs image/bmp rows, got {mt!r}")
+            px = C.decode_bmp(bytes(p))
+            h = np.bincount(px.reshape(-1) >> 4, minlength=16)
+            ids.append(np.full(16, doc_id, dtype=np.int64))
+            bins.append(bin_idx)
+            counts.append(h.astype(np.int64))
+        if not ids:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "bin": pd.Series(dtype="int64"),
+                    "n_px": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids),
+                "bin": np.concatenate(bins),
+                "n_px": np.concatenate(counts),
+            }
+        )
+
+
+def image_hist(
+    ds: "ray.data.Dataset", *, batch_size: int = 64, concurrency=None
+) -> "ray.data.Dataset":
+    """Payload table (image/bmp) → (doc_id, bin 0..15, n_px)."""
+    from ..util import auto_concurrency
+
+    return ds.map_batches(
+        ImageHist,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=auto_concurrency(concurrency),
+    )
+
+
 class AudioStats:
     """Actor-pool audio-statistics stage (integer outputs — SQL-exact):
     PCM16 WAV payloads → (doc_id, rate, n_samples, samp_sum) through the

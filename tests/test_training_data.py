@@ -617,3 +617,16 @@ def test_bpe_pairs_counts_and_doc_boundaries(tmp_path):
     assert got == {"ab": 2, "ba": 2}
     # deterministic order: n desc, pair asc
     assert list(out["pair"]) == ["ab", "ba"]
+
+
+def test_image_hist_bins_sum_to_pixel_count():
+    _, ds = docs_ds()
+    bmp = M.attach_payload(ds, media="bmp").materialize()
+    hist = M.image_hist(bmp).to_pandas()
+    stats = M.image_stats(bmp).to_pandas().set_index("doc_id")
+    assert set(hist["bin"]) <= set(range(16))
+    per_doc = hist.groupby("doc_id")
+    # all 16 bins present per doc; counts sum to H*W*3 bytes
+    assert (per_doc["bin"].count() == 16).all()
+    for doc_id, total in per_doc["n_px"].sum().items():
+        assert total == stats.loc[doc_id, "height"] * stats.loc[doc_id, "width"] * 3
