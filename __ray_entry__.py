@@ -2692,6 +2692,22 @@ def q_kg_ra_scores(sf_dir: str):
     )
 
 
+def q_kg_aa_scores(sf_dir: str):
+    """Adamic-Adar-style link prediction over the link graph —
+    link_scores with mid_weight="inv_log2": score = Σ over common
+    neighbors m of (10^6 // max(1, ⌊log2 deg(m)⌋)); the frexp-exponent
+    integer log keeps the damping bit-exact on both sides (float ln is
+    not reproducible across engines)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        extract_edges,
+        link_scores,
+    )
+
+    return link_scores(
+        extract_edges(_link_triples(sf_dir)), mid_weight="inv_log2"
+    )
+
+
 def q_kg_jaccard_scores(sf_dir: str):
     """Neighbor-set Jaccard link prediction over the link graph —
     link_scores(jaccard=True): score = (common × 10^6) //
@@ -3526,6 +3542,39 @@ rk AS (
 SELECT u AS node_u, w AS node_w, score::BIGINT AS score FROM rk WHERE rn <= 5
 """
 
+_SQL_KG_AA_SCORES = f"""
+WITH {_KG_EDGE_BODY},
+und AS (
+  SELECT DISTINCT least(subj, obj) AS x, greatest(subj, obj) AS y
+  FROM edges WHERE subj <> obj
+),
+adj AS (
+  SELECT x AS node, y AS nbr FROM und UNION ALL SELECT y, x FROM und
+),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+a2 AS (
+  SELECT a.node, a.nbr AS mid,
+         (1000000 // greatest(1, length(format('{{:b}}', deg.d)) - 1)) AS wm
+  FROM adj a JOIN deg ON a.nbr = deg.node
+  WHERE deg.d <= 128
+),
+wed AS (
+  SELECT a.node AS u, b.node AS w, sum(a.wm) AS score
+  FROM a2 a JOIN a2 b ON a.mid = b.mid
+  WHERE a.node < b.node
+  GROUP BY a.node, b.node
+),
+nw AS (
+  SELECT wed.* FROM wed ANTI JOIN und ON wed.u = und.x AND wed.w = und.y
+),
+rk AS (
+  SELECT u, w, score,
+         row_number() OVER (PARTITION BY u ORDER BY score DESC, w) AS rn
+  FROM nw
+)
+SELECT u AS node_u, w AS node_w, score::BIGINT AS score FROM rk WHERE rn <= 5
+"""
+
 _SQL_KG_JACCARD_SCORES = f"""
 WITH {_KG_EDGE_BODY},
 und AS (
@@ -3766,6 +3815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_lift": q_kg_entity_lift,
         "kg_ra_scores": q_kg_ra_scores,
         "kg_jaccard_scores": q_kg_jaccard_scores,
+        "kg_aa_scores": q_kg_aa_scores,
         "kg_four_cycles": q_kg_four_cycles,
         "kg_communities": q_kg_communities,
         "kg_kcore": q_kg_kcore,
@@ -3872,6 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_lift": _SQL_ENTITY_LIFT,
         "kg_ra_scores": _SQL_KG_RA_SCORES,
         "kg_jaccard_scores": _SQL_KG_JACCARD_SCORES,
+        "kg_aa_scores": _SQL_KG_AA_SCORES,
         "kg_four_cycles": _SQL_KG_FOUR_CYCLES,
         "kg_communities": _SQL_KG_COMMUNITIES,
         "kg_kcore": _SQL_KG_KCORE,

@@ -4238,3 +4238,77 @@ FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.b = cnt.b
 
 QUERIES["multimodal_image_hist"] = q_multimodal_image_hist
 ORACLES["multimodal_image_hist"] = _SQL_IMAGE_HIST
+
+
+def q_docs_temperature_sample(sf_dir: str):
+    """√-temperature mixture sampling (τ = 2): per-source quota =
+    isqrt(n_source), filled by the smallest-md5(doc_id) docs — the
+    standard temperature rebalancing of a training mix (large sources
+    down-weighted toward √n, small sources kept nearly whole),
+    deterministic across cluster sizes and retries.  Source counts are
+    a ≤10-row broadcast; selection is the stratified-sample machinery
+    with a per-source k.  isqrt and SQL floor(sqrt(n::DOUBLE)) agree
+    exactly for corpus-scale n (a correctly-rounded double sqrt of a
+    non-square below 2^52 never rounds onto an integer)."""
+    import math
+
+    from ..stages.dedup import _md5_u64
+    from ..util import bucket_agg, bucket_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    counts = bucket_count(
+        ds.map_batches(
+            lambda df: df[["source"]].astype({"source": "string"}),
+            batch_format="pandas",
+        ),
+        ["source"],
+        out_col="n",
+    ).to_pandas()
+    quota = {
+        s: math.isqrt(int(n)) for s, n in zip(counts["source"], counts["n"])
+    }
+
+    def with_hash(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": df["source"].astype("string"),
+                "h": pd.Series(
+                    [_md5_u64(str(i)) for i in ids], dtype="uint64",
+                    index=df.index,
+                ),
+            }
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ranked = df.sort_values(["source", "h", "doc_id"])
+        rn = ranked.groupby("source", sort=False).cumcount() + 1
+        k = ranked["source"].map(quota).astype("int64")
+        top = ranked.loc[(rn <= k).to_numpy()]
+        return top[["doc_id", "source"]].reset_index(drop=True)
+
+    return bucket_agg(
+        ds.map_batches(with_hash, batch_format="pandas"), ["source"], pick
+    )
+
+
+_SQL_TEMPERATURE_SAMPLE = """
+WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id::BIGINT AS doc_id, r.source
+FROM r JOIN n ON r.source = n.source
+WHERE r.rn <= CAST(floor(sqrt(n.n)) AS BIGINT)
+"""
+
+QUERIES["docs_temperature_sample"] = q_docs_temperature_sample
+ORACLES["docs_temperature_sample"] = _SQL_TEMPERATURE_SAMPLE

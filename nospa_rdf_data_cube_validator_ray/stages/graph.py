@@ -1654,7 +1654,12 @@ def link_scores(
       resource-allocation index in INTEGER floor arithmetic (the float
       1/deg damping of RA / Adamic-Adar is order-dependent under IEEE
       summation and thus not bit-reproducible; integer-scaled floor
-      weights are exact on both engine and SQL sides).
+      weights are exact on both engine and SQL sides);
+    * ``"inv_log2"`` — score = Σ (weight_scale // max(1, ⌊log2 deg(m)⌋)),
+      the Adamic-Adar analogue with exact integer log damping:
+      ⌊log2 d⌋ comes from the frexp exponent (exact for integers, the
+      kg_degree_hist idiom), mirrored in SQL as
+      ``length(format('{:b}', d)) - 1``.
 
     ``jaccard=True`` (with ``mid_weight="one"``) rescales the common
     count to the neighbor-set Jaccard similarity in integer
@@ -1693,8 +1698,8 @@ def link_scores(
     # materialize once so the adjacency count never re-executes
     deg = bucket_count(adj, ["node"], out_col="_d").materialize()
 
-    weighted = mid_weight == "inv_deg"
-    if mid_weight not in ("one", "inv_deg"):
+    weighted = mid_weight in ("inv_deg", "inv_log2")
+    if mid_weight not in ("one", "inv_deg", "inv_log2"):
         raise ValueError(f"unknown mid_weight {mid_weight!r}")
     if jaccard and weighted:
         raise ValueError("jaccard rescaling requires mid_weight='one'")
@@ -1705,9 +1710,11 @@ def link_scores(
             {"node": "string", "mid": "string"}
         )
         if weighted:
-            out["_w"] = (
-                weight_scale // keep["_d"].to_numpy(dtype=np.int64)
-            ).astype("int64")
+            d = keep["_d"].to_numpy(dtype=np.int64)
+            if mid_weight == "inv_log2":
+                # frexp exponent − 1 = ⌊log2 d⌋ exactly for integers
+                d = np.maximum(1, np.frexp(d)[1].astype(np.int64) - 1)
+            out["_w"] = (weight_scale // d).astype("int64")
         return out
 
     # adjacency restricted to low-degree mids: adj ⋈ deg on the nbr side
