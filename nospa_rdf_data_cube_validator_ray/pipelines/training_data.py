@@ -4312,3 +4312,59 @@ WHERE r.rn <= CAST(floor(sqrt(n.n)) AS BIGINT)
 
 QUERIES["docs_temperature_sample"] = q_docs_temperature_sample
 ORACLES["docs_temperature_sample"] = _SQL_TEMPERATURE_SAMPLE
+
+
+def q_docs_containment_pairs(sf_dir: str):
+    """Exact global DIRECTED shingle-containment join (≥ 8/10 of the
+    contained side) — sub-document duplication that Jaccard misses when
+    |b| ≫ |a| (stages/dedup.containment_pairs: A-side-only prefix
+    filter, ppjoin-style distributed intersection verify, integer-ppm
+    scores).  Oracle recomputes the full directed join without the
+    prefix filter, so the filter's losslessness is checked too."""
+    ds = D.containment_pairs(
+        _docs(sf_dir), threshold_num=8, threshold_den=10, shingle_k=3
+    )
+    pdf = ds.to_pandas()
+    if not len(pdf):
+        return pd.DataFrame(
+            {
+                "doc_id_a": pd.Series(dtype="int64"),
+                "doc_id_b": pd.Series(dtype="int64"),
+                "containment_ppm": pd.Series(dtype="int64"),
+            }
+        )
+    return pdf
+
+
+_SQL_CONTAINMENT = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents
+),
+shp AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(w) = 0 THEN []::VARCHAR[]
+         WHEN length(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, length(w) - 2),
+                             i -> array_to_string(w[i:i + 2], ' '))
+    END)) AS s
+  FROM toks
+),
+sh2 AS (
+  SELECT DISTINCT doc_id,
+         (md5_number_lower(s) % (1::HUGEINT << 61))::BIGINT AS h
+  FROM shp
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a::BIGINT AS doc_id_a, i.b::BIGINT AS doc_id_b,
+       (i.i * 1000000 // sa.n)::BIGINT AS containment_ppm
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+WHERE i.i * 10 >= sa.n * 8
+"""
+
+QUERIES["docs_containment_pairs"] = q_docs_containment_pairs
+ORACLES["docs_containment_pairs"] = _SQL_CONTAINMENT

@@ -1614,3 +1614,165 @@ def ppjoin_pairs(
         )
 
     return bucket_agg(shared, ["doc_id_a", "doc_id_b"], verdict)
+
+
+def containment_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 100_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact global DIRECTED set-containment join: every ordered pair
+    (a, b), a ≠ b, with |shingles(a) ∩ shingles(b)| ≥ (num/den)·|a| —
+    the sub-document-duplication detector (a quote, boilerplate block
+    or near-verbatim excerpt of b scores high even when Jaccard is low
+    because |b| ≫ |a|).  Containment-style prefix filter: if
+    |A∩B| ≥ t·|A| then A's prefix of length |A| − ⌈t·|A|⌉ + 1 shares a
+    token with B (pigeonhole on the A side only, so candidates join
+    A-prefix rows against ALL of B's rows — no symmetric prefix
+    reduction exists for containment).  Verify is the ppjoin_pairs
+    distributed-intersection plan; scores are integer ppm
+    (i · 10^6 // |A|), bit-exact vs SQL."""
+    from ..util import bucket_agg, heal_schema, join_partitions
+
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(
+            f"threshold must satisfy 0 < num <= den, got "
+            f"{threshold_num}/{threshold_den}"
+        )
+    np_ = join_partitions(num_partitions)
+    mask = (1 << 61) - 1
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_id: list[int] = []
+        out_h: list[int] = []
+        out_n: list[int] = []
+        out_p: list[bool] = []
+        for i, t in zip(df[id_col].astype("int64"), df[text_col].fillna("")):
+            hs = sorted(
+                {_md5_u64_cached(s) & mask for s in shingle_set(t, shingle_k)}
+            )
+            n = len(hs)
+            if not n:
+                continue
+            p = n - ((threshold_num * n + threshold_den - 1) // threshold_den) + 1
+            out_id.extend([int(i)] * n)
+            out_h.extend(hs)
+            out_n.extend([n] * n)
+            out_p.extend([True] * p + [False] * (n - p))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "h": pd.Series(out_h, dtype="int64"),
+                "n": pd.Series(out_n, dtype="int64"),
+                "pref": pd.Series(out_p, dtype="bool"),
+            }
+        )
+
+    shingles = ds.map_batches(doc_rows, batch_format="pandas").materialize()
+
+    def directed_pairs(df: pd.DataFrame, cap=max_bucket) -> pd.DataFrame:
+        d = df[["h", "doc_id", "pref"]].drop_duplicates(
+            ["h", "doc_id", "pref"]
+        ).sort_values(["h", "doc_id"])
+        keys = d["h"].to_numpy()
+        ids = d["doc_id"].to_numpy()
+        pref = d["pref"].to_numpy()
+        bounds = _segment_bounds(keys)
+        outs_a, outs_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s > cap:
+                raise RuntimeError(
+                    f"containment bucket cap exceeded: {e - s} > {cap}"
+                )
+            seg_ids = ids[s:e]
+            # one row per (doc, h), so the a-side is simply the pref rows
+            a_ids = seg_ids[pref[s:e]]
+            if not len(a_ids) or len(seg_ids) < 2:
+                continue
+            if len(a_ids) * (e - s) > cap:
+                raise RuntimeError(
+                    "containment candidate cap exceeded: "
+                    f"{len(a_ids)}×{e - s} > {cap} for one shingle"
+                )
+            ia, ib = np.meshgrid(a_ids, np.unique(seg_ids), indexing="ij")
+            ia, ib = ia.ravel(), ib.ravel()
+            keep = ia != ib
+            outs_a.append(ia[keep])
+            outs_b.append(ib[keep])
+        if not outs_a:
+            return pd.DataFrame(
+                {"doc_id_a": [], "doc_id_b": []}
+            ).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.concatenate(outs_a),
+                "doc_id_b": np.concatenate(outs_b),
+            }
+        ).astype("int64")
+
+    cands = _dedup_pairs(
+        bucket_agg(
+            shingles.map_batches(
+                lambda df: df[["doc_id", "h", "pref"]], batch_format="pandas"
+            ),
+            ["h"],
+            directed_pairs,
+        )
+    ).materialize()
+    import pyarrow as pa
+
+    empty = pa.schema(
+        [
+            ("doc_id_a", pa.int64()),
+            ("doc_id_b", pa.int64()),
+            ("containment_ppm", pa.int64()),
+        ]
+    ).empty_table()
+    if cands.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def _ren(d, m):
+        return d.map_batches(
+            lambda df, mm=m: df.rename(columns=mm), batch_format="pandas"
+        )
+
+    sh_a = heal_schema(
+        _ren(shingles, {"doc_id": "doc_id_a", "n": "n_a"}).map_batches(
+            lambda df: df[["doc_id_a", "h", "n_a"]], batch_format="pandas"
+        ),
+        np_,
+    )
+    sh_b = heal_schema(
+        _ren(shingles, {"doc_id": "doc_id_b"}).map_batches(
+            lambda df: df[["doc_id_b", "h"]], batch_format="pandas"
+        ),
+        np_,
+    )
+    with_a = heal_schema(cands, np_).join(sh_a, "inner", np_, on=("doc_id_a",))
+    shared = heal_schema(with_a, np_).join(
+        sh_b, "inner", np_, on=("doc_id_b", "h")
+    )
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_id_a", "doc_id_b"], sort=False).agg(
+            i=("h", "size"), n_a=("n_a", "first")
+        ).reset_index()
+        keep = g[g["i"] * threshold_den >= g["n_a"] * threshold_num].copy()
+        keep["containment_ppm"] = (
+            keep["i"].to_numpy(dtype=np.int64) * 1_000_000
+            // keep["n_a"].to_numpy(dtype=np.int64)
+        )
+        return keep[
+            ["doc_id_a", "doc_id_b", "containment_ppm"]
+        ].astype("int64").reset_index(drop=True)
+
+    out = bucket_agg(shared, ["doc_id_a", "doc_id_b"], verdict).materialize()
+    if out.count() == 0:
+        return ray.data.from_arrow(empty)
+    return out

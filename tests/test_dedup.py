@@ -144,3 +144,29 @@ def test_ppjoin_matches_bruteforce():
         if len(sets[a] & sets[b]) * 10 >= len(sets[a] | sets[b]) * 5
     )
     assert got == want and (0, 3) in got and (0, 2) not in got
+
+
+def test_containment_pairs_directed():
+    import pandas as pd
+    import ray.data as rd
+
+    from nospa_rdf_data_cube_validator_ray.stages import dedup as D
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [small, big, "unrelated words only here"]}
+    )
+    out = (
+        D.containment_pairs(
+            rd.from_pandas(docs), threshold_num=8, threshold_den=10
+        )
+        .to_pandas()
+        .set_index(["doc_id_a", "doc_id_b"])
+    )
+    # every shingle of the small doc appears in the big doc → 1.0 ppm
+    assert out.loc[(1, 2), "containment_ppm"] == 1_000_000
+    # the reverse direction is far below 8/10 (big has many extra
+    # shingles), and the unrelated doc pairs with nothing
+    assert (2, 1) not in out.index
+    assert not [p for p in out.index if 3 in p]
