@@ -4368,3 +4368,32 @@ WHERE i.i * 10 >= sa.n * 8
 
 QUERIES["docs_containment_pairs"] = q_docs_containment_pairs
 ORACLES["docs_containment_pairs"] = _SQL_CONTAINMENT
+
+
+def q_knn_int8_recall(sf_dir: str):
+    """Scalar-quantization ANN audit: per query, does the int8-code
+    cosine top-5 (stages/embedding.int8_topk — 4× memory compression)
+    keep ≥ 4 of the exact float top-5?  Graded like knn_ivf_recall by a
+    recall bound (quantized rankings have no exact-output oracle); any
+    quantization-recall regression flips a row and fails the hash."""
+    embs = _embs(sf_dir)
+    exact = E.knn_topk(embs, query_ids=list(range(10)), k=5)
+    q8 = E.int8_topk(embs, query_ids=list(range(10)), k=5)
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    qs = q8.groupby("query_id")["neighbor_id"].apply(set)
+    qids = sorted(ex.index)
+    return pd.DataFrame(
+        {
+            "query_id": pd.array(qids, dtype="int64"),
+            "recall_ok": [len(ex[q] & qs.get(q, set())) >= 4 for q in qids],
+        }
+    )
+
+
+_SQL_INT8_RECALL = """
+SELECT vec_id::BIGINT AS query_id, true AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+QUERIES["knn_int8_recall"] = q_knn_int8_recall
+ORACLES["knn_int8_recall"] = _SQL_INT8_RECALL

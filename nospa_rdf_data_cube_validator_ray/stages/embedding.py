@@ -112,6 +112,85 @@ def knn_topk(
     return top[["query_id", "neighbor_id", "rank"]].astype("int64")
 
 
+def _quantize_int8(mat: np.ndarray) -> np.ndarray:
+    """Per-vector symmetric int8 scalar quantization: q = ⌊x·127/s⌋
+    with s = max|x| over the vector (zero vectors quantize to zeros).
+    Floor (not round) so an integer SQL twin could reproduce the codes;
+    determinism across parallelism is exact because each vector's codes
+    depend only on itself."""
+    s = np.abs(mat).max(axis=1, keepdims=True)
+    s[s == 0] = 1.0
+    return np.floor(mat * 127.0 / s)
+
+
+class _BlockTopKInt8:
+    """Actor stage: int8-quantized block rows × broadcast quantized
+    query matrix → local top-k by quantized cosine (integer dot over
+    float norms of the CODES — the scalar-quantization ANN ranking)."""
+
+    def __init__(self, query_ref, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.qids = q["ids"]
+        self.qmat = q["mat"]          # quantized codes, L2-normalized
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
+        mat = _normalize(_quantize_int8(_emb_matrix(df, "embedding")))
+        ids = df["vec_id"].to_numpy()
+        sims = self.qmat @ mat.T
+        k = min(self.k + 1, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            row = sims[qi]
+            top = np.lexsort((ids, -row))[:k]
+            for j in top:
+                if ids[j] != qid:
+                    out_q.append(qid)
+                    out_n.append(ids[j])
+                    out_s.append(row[j])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cos": out_s}
+        )
+
+
+def int8_topk(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Scalar-quantized (int8) brute-force top-k — the 4×-compression
+    ANN baseline: every vector is per-vector symmetrically quantized to
+    int8 codes and ranked by the codes' cosine.  Same broadcast + block
+    top-k plan as :func:`knn_topk`; returns (query_id, neighbor_id,
+    rank) with the identical deterministic tie-break."""
+    qrows = ds.filter(expr=f"{id_col} in {sorted(set(query_ids))}").take_all()
+    order = {v: i for i, v in enumerate(query_ids)}
+    qrows.sort(key=lambda r: order[r[id_col]])
+    qmat = _normalize(
+        _quantize_int8(np.array([r[emb_col] for r in qrows], dtype=np.float64))
+    )
+    qref = ray.put({"ids": [r[id_col] for r in qrows], "mat": qmat})
+
+    cands = ds.map_batches(
+        _BlockTopKInt8,
+        fn_constructor_kwargs={"query_ref": qref, "k": k},
+        batch_format="pandas",
+        concurrency=auto_concurrency(None),
+    ).to_pandas()
+
+    cands = cands.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].astype("int64")
+
+
 class _ThresholdPairs:
     def __init__(self, ref, threshold: float):
         r = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
