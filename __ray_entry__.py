@@ -3283,20 +3283,42 @@ FROM both_repos
 """
 
 
-_SQL_CODE_COMPONENTS = f"""
-WITH RECURSIVE {_CODE_EDGE_BODY},
-u AS (
-  SELECT src AS a, dst AS b FROM cedges WHERE src <> dst
-  UNION
-  SELECT dst, src FROM cedges WHERE src <> dst
+def _cc_unrolled_sql(rounds: int = 40) -> str:
+    """Fixed-round UNROLLED min-label propagation (MATERIALIZED CTEs) —
+    the recursive enumeration form retains every (node, label) pair it
+    ever generates, which explodes to disk-full on the sf0.1 import
+    graph (one 20 K-node component); K synchronous rounds are exact
+    once K ≥ graph diameter (sf0.1 converges by round 40, verified with
+    an l_K == l_{{K-1}} fixpoint probe), and an under-K non-convergence
+    shows up as a hash mismatch against the engine, never silently."""
+    body = [
+        """und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+  FROM cedges WHERE src <> dst
 ),
-comp(node, lbl) AS (
-  SELECT a, a FROM u
-  UNION
-  SELECT u.b, c.lbl FROM comp c JOIN u ON u.a = c.node
-)
-SELECT node, min(lbl) AS label FROM comp GROUP BY node
-"""
+adj AS MATERIALIZED (
+  SELECT x AS node, y AS nbr FROM und UNION ALL SELECT y, x FROM und
+),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj)"""
+    ]
+    for i in range(rounds):
+        body.append(
+            f"""l{i + 1} AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(min(a_l.lbl), n.lbl)) AS lbl
+  FROM l{i} n
+  LEFT JOIN adj ON adj.node = n.node
+  LEFT JOIN l{i} a_l ON a_l.node = adj.nbr
+  GROUP BY n.node, n.lbl
+)"""
+        )
+    return (
+        f"WITH {_CODE_EDGE_BODY},\n"
+        + ",\n".join(body)
+        + f"\nSELECT node, lbl AS label FROM l{rounds}"
+    )
+
+
+_SQL_CODE_COMPONENTS = _cc_unrolled_sql()
 
 _SQL_CODE_REACHABLE = f"""
 WITH RECURSIVE {_CODE_EDGE_BODY},
