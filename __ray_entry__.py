@@ -2050,6 +2050,38 @@ FROM m GROUP BY src
 """
 
 
+def q_kg_harmonic(sf_dir: str):
+    """Sampled harmonic centrality + eccentricity over the import graph
+    — stages/graph.harmonic_table: the same single multi-source BFS as
+    closeness, aggregated as Σ (10^6 // dist) integer floor terms (the
+    disconnected-graph-safe centrality) and max dist per seed."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import harmonic_table
+
+    return harmonic_table(_code_import_edges(sf_dir), _CLOSENESS_SEEDS)
+
+
+_SQL_KG_HARMONIC = f"""
+WITH RECURSIVE {_CODE_EDGE_BODY},
+seeds(s) AS (
+  SELECT unnest(['{_CODEN}mod/m1', '{_CODEN}mod/m2',
+                 '{_CODEN}mod/m3', '{_CODEN}mod/m5'])
+),
+reach(src, node, d) AS (
+  SELECT s, s, 0 FROM seeds
+  UNION
+  SELECT r.src, c.dst, r.d + 1
+  FROM reach r JOIN cedges c ON c.src = r.node
+  WHERE r.d < 100
+),
+m AS (SELECT src, node, min(d) AS d FROM reach GROUP BY src, node)
+SELECT src,
+       sum(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END)::BIGINT
+         AS harmonic_ppm,
+       max(d)::BIGINT AS ecc
+FROM m GROUP BY src
+"""
+
+
 def q_kg_code_defs(sf_dir: str):
     """The materialized definition-attribute view (module, kind, name)
     of the code KG — definesFunction/definesClass triples projected
@@ -3810,6 +3842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_components": q_kg_code_components,
         "kg_code_reachable": q_kg_code_reachable,
         "kg_closeness": q_kg_closeness,
+        "kg_harmonic": q_kg_harmonic,
         "kg_triangle_types": q_kg_triangle_types,
         "kg_property_cardinality": q_kg_property_cardinality,
         "kg_pred_subsumption": q_kg_pred_subsumption,
@@ -3917,6 +3950,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_components": _SQL_CODE_COMPONENTS,
         "kg_code_reachable": _SQL_CODE_REACHABLE,
         "kg_closeness": _SQL_KG_CLOSENESS,
+        "kg_harmonic": _SQL_KG_HARMONIC,
         "kg_triangle_types": _SQL_TRIANGLE_TYPES,
         "kg_property_cardinality": _SQL_PROPERTY_CARDINALITY,
         "kg_pred_subsumption": _SQL_PRED_SUBSUMPTION,

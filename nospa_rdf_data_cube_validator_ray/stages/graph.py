@@ -3640,3 +3640,64 @@ def temporal_reachability(
         f"temporal_reachability: still relaxing after {max_rounds} "
         "rounds — raise max_rounds for this contact set"
     )
+
+
+def harmonic_table(
+    edges: "ray.data.Dataset",
+    seeds: list[str],
+    *,
+    reverse: bool = False,
+    scale: int = 1_000_000,
+    max_rounds: int = 64,
+    max_driver_edges: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Sampled harmonic centrality + eccentricity: for each seed,
+    harmonic_ppm = Σ over reached nodes v ≠ seed of (scale // dist(v))
+    (integer floor terms — exact on both engine and SQL sides, unlike
+    the float 1/d sum) and ecc = max dist (the seed's eccentricity
+    restricted to its reachable set).  Harmonic centrality handles
+    disconnected graphs gracefully where closeness does not — the
+    standard companion metric.  Same single multi-source BFS as
+    closeness_table, then a K-row aggregate (map-side partials +
+    bucketed sum/max)."""
+    pairs = multi_bfs_distances(
+        edges,
+        seeds,
+        reverse=reverse,
+        max_rounds=max_rounds,
+        max_driver_edges=max_driver_edges,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["dist"].to_numpy(dtype=np.int64)
+        h = np.where(d > 0, scale // np.maximum(d, 1), 0)
+        t = pd.DataFrame({"src": df["src"], "h": h, "ecc": d})
+        g = t.groupby("src", sort=False).agg(
+            harmonic_ppm=("h", "sum"), ecc=("ecc", "max")
+        )
+        return pd.DataFrame(
+            {
+                "src": pd.Series(g.index, dtype="string"),
+                "harmonic_ppm": g["harmonic_ppm"].to_numpy().astype("int64"),
+                "ecc": g["ecc"].to_numpy().astype("int64"),
+            }
+        )
+
+    from ..util import bucket_agg
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", sort=False).agg(
+            harmonic_ppm=("harmonic_ppm", "sum"), ecc=("ecc", "max")
+        )
+        return pd.DataFrame(
+            {
+                "src": pd.Series(g.index, dtype="string"),
+                "harmonic_ppm": g["harmonic_ppm"].to_numpy().astype("int64"),
+                "ecc": g["ecc"].to_numpy().astype("int64"),
+            }
+        )
+
+    out = bucket_agg(
+        pairs.map_batches(partial, batch_format="pandas"), ["src"], merge
+    )
+    return out.sort("src")
