@@ -2231,3 +2231,58 @@ SELECT u AS user_id, min(t)::BIGINT AS arrival_us FROM reach GROUP BY u
 
 QUERIES["events_temporal_reach"] = q_events_temporal_reach
 ORACLES["events_temporal_reach"] = _SQL_TEMPORAL_REACH
+
+
+def q_events_csv_roundtrip(sf_dir: str):
+    """CSV source/sink surface: export the event stream to partitioned
+    CSV (one file per block), read it back with the CSV source, and
+    aggregate per event type — the q_events_jsonl_roundtrip twin for
+    the remaining columnar-text format.  Any row lost, duplicated, or
+    value-mangled by the serialize→parse hop (quoting, type
+    re-inference) breaks the hash against the straight-from-parquet
+    oracle."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id"],
+    )
+    out_dir = tempfile.mkdtemp(prefix="graft_csv_rt_")
+    try:
+        # fresh mkdtemp per call: Ray file sinks APPEND into existing
+        # directories, so reusing a path would double-count on re-runs
+        ds.write_csv(out_dir)
+        back = ray.data.read_csv(out_dir)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("event_type", as_index=False).agg(
+                n=("event_id", "size"), uid_sum=("user_id", "sum")
+            )
+            return g.astype(
+                {"event_type": "string", "n": "int64", "uid_sum": "int64"}
+            )
+
+        res = (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .sum(["n", "uid_sum"])
+        )
+        out = res.to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    out = out.rename(
+        columns={"sum(n)": "n", "sum(uid_sum)": "uid_sum"}
+    ).astype({"event_type": "string", "n": "int64", "uid_sum": "int64"})
+    return out.sort_values("event_type", ignore_index=True)
+
+
+_SQL_CSV_ROUNDTRIP = """
+SELECT event_type, count(*)::BIGINT AS n, sum(user_id)::BIGINT AS uid_sum
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["events_csv_roundtrip"] = q_events_csv_roundtrip
+ORACLES["events_csv_roundtrip"] = _SQL_CSV_ROUNDTRIP
