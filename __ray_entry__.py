@@ -303,6 +303,88 @@ def q_sparql_mt_profile(sf_dir: str) -> pd.DataFrame:
     return g.sort_values("ic", ignore_index=True)
 
 
+def q_sparql_ic2(sf_dir: str) -> pd.DataFrame:
+    """Spec IC-2 ≡ NoSPA IC-2 on this corpus: the K%107 extra dataset is
+    typed qb:DataSet by phase-1 rule 1 (NormalizationAlgorithm.java:9-14)
+    and carries no qb:structure, so BOTH engines flag it."""
+    return _sparql_ic(sf_dir, "IC2")[["subject"]]
+
+
+def q_sparql_ic13(sf_dir: str) -> pd.DataFrame:
+    """Spec IC-13 ≡ NoSPA IC-13 here: a_status is the only
+    componentRequired-true property missing from any obs (a_unit is
+    DataSet-attached and pushed down by phase 2 before the check)."""
+    return _subject_missing(_sparql_ic(sf_dir, "IC13"))
+
+
+def q_sparql_ic21(sf_dir: str) -> pd.DataFrame:
+    """Spec IC-21: the global-pcp substitution (SparqlValidator.java:
+    217-234) unions failures over every declared inverse pcp; with one
+    hierarchy carrying one inverse pcp the spec agrees with NoSPA's
+    per-hierarchy closure on this corpus."""
+    df = _sparql_ic(sf_dir, "IC21")
+    return pd.DataFrame(
+        {"subject": df["subject"], "detail_0": df["detail"].map(lambda d: d[0])}
+    )
+
+
+def _sparql_slice_findings(sf_dir: str) -> pd.DataFrame:
+    state = _CACHE.setdefault(sf_dir, {})
+    if "sparql_slice_findings" not in state:
+        from nospa_rdf_data_cube_validator_ray import create_validator
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_slice_corpus
+
+        v = create_validator("SPARQL", corpus=tpch_slice_corpus(sf_dir))
+        state["sparql_slice_findings"] = v.findings_df()
+    return state["sparql_slice_findings"]
+
+
+def _sparql_slice_ic(sf_dir: str, ic: str) -> pd.DataFrame:
+    df = _sparql_slice_findings(sf_dir)
+    return df[df["ic"] == ic].reset_index(drop=True)
+
+
+def q_sparql_slice_ic10(sf_dir: str) -> pd.DataFrame:
+    """Spec IC-10 over the slice corpus (slice missing a value for a key
+    dimension) — phase-2b pushdown must run before the check on both
+    engines, so the spec result matches NoSPA's."""
+    return _subject_missing(_sparql_slice_ic(sf_dir, "IC10"))
+
+
+def q_sparql_slice_ic11(sf_dir: str) -> pd.DataFrame:
+    """Spec IC-11 over the slice corpus — the slice-attached dimension
+    reaches each observation only via phase-2b pushdown, so this also
+    pins the spec engine's phase-2 ordering."""
+    return _subject_missing(_sparql_slice_ic(sf_dir, "IC11"))
+
+
+def q_sparql_slice_ic18(sf_dir: str) -> pd.DataFrame:
+    """Spec IC-18 (slice obs must link back to the dataset) over the
+    slice corpus; detail is the dataset term as in the NoSPA twin."""
+    df = _sparql_slice_ic(sf_dir, "IC18")
+    return pd.DataFrame(
+        {"subject": df["subject"], "detail_0": df["detail"].map(lambda d: d[0])}
+    )
+
+
+def q_sparql_schema_ics(sf_dir: str) -> pd.DataFrame:
+    """All spec schema constraints (IC-3..IC-9) over the supplier-derived
+    schema corpus.  The engines agree on every subject here — the IC-8
+    accumulation quirk (ValidatorIC8.java:29 vs IntegrityConstraint.java:
+    90-98) needs a cross-DSD slice-key reference to diverge, which this
+    corpus does not seed — so the NoSPA schema oracle is exact for the
+    spec engine too."""
+    state = _CACHE.setdefault(sf_dir, {})
+    if "sparql_schema_findings" not in state:
+        from nospa_rdf_data_cube_validator_ray import create_validator
+        from nospa_rdf_data_cube_validator_ray.fixtures import tpch_schema_corpus
+
+        v = create_validator("SPARQL", corpus=tpch_schema_corpus(sf_dir))
+        state["sparql_schema_findings"] = v.findings_df()
+    df = state["sparql_schema_findings"]
+    return df[["ic", "subject"]].sort_values(["ic", "subject"]).reset_index(drop=True)
+
+
 # -- slice corpus queries (phase-2b pushdown + IC-10/18 at scale) ----------
 
 
@@ -3804,6 +3886,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_sparql_ic19": q_sparql_ic19,
         "cube_sparql_ic20": q_sparql_ic20,
         "cube_sparql_mt_profile": q_sparql_mt_profile,
+        "cube_sparql_ic2": q_sparql_ic2,
+        "cube_sparql_ic13": q_sparql_ic13,
+        "cube_sparql_ic21": q_sparql_ic21,
+        "cube_sparql_slice_ic10": q_sparql_slice_ic10,
+        "cube_sparql_slice_ic11": q_sparql_slice_ic11,
+        "cube_sparql_slice_ic18": q_sparql_slice_ic18,
+        "cube_sparql_schema_ics": q_sparql_schema_ics,
         "cube_obs_per_dataset": q_cube_obs_per_dataset,
         "cube_phase2_by_pred": q_cube_phase2_by_pred,
         "cube_schema_ics": q_schema_ics,
@@ -3910,6 +3999,13 @@ def oracle_sql() -> dict[str, str]:
         "cube_sparql_ic19": _SQL_SPARQL_IC19,
         "cube_sparql_ic20": _SQL_IC2021,
         "cube_sparql_mt_profile": _SQL_SPARQL_MT_PROFILE,
+        "cube_sparql_ic2": _SQL_IC2,
+        "cube_sparql_ic13": _SQL_IC13,
+        "cube_sparql_ic21": _SQL_IC2021,
+        "cube_sparql_slice_ic10": _SQL_SLICE_IC10,
+        "cube_sparql_slice_ic11": _SQL_SLICE_IC11,
+        "cube_sparql_slice_ic18": _SQL_SLICE_IC18,
+        "cube_sparql_schema_ics": _SQL_SCHEMA_ICS,
         "cube_obs_per_dataset": _SQL_OBS_PER_DS,
         "cube_phase2_by_pred": _SQL_PHASE2,
         "cube_schema_ics": _SQL_SCHEMA_ICS,
