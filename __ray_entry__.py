@@ -1202,6 +1202,43 @@ def q_kg_bgp_optional(sf_dir: str):
     )
 
 
+def q_kg_bgp_union(sf_dir: str):
+    """SPARQL UNION execution (stages/graph.bgp_match_union — §18.5
+    Union as a metadata-only Dataset.union + one distinct): containment
+    edges from either level of the hierarchy, '?x inNation ?y' UNION
+    '?x inRegion ?y', so customers and nations land in ONE (x, y)
+    solution set."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bgp_match_union
+
+    return bgp_match_union(
+        _link_triples(sf_dir),
+        [
+            [("?x", f"{_KGP}inNation", "?y")],
+            [("?x", f"{_KGP}inRegion", "?y")],
+        ],
+    )
+
+
+def q_kg_bgp_filter(sf_dir: str):
+    """SPARQL FILTER execution (stages/graph.bgp_match_filter — §18.5
+    Filter as one vectorized map_batches over the joined solutions):
+    first orders joined to their customer's nation, restricted by a
+    STRSTARTS on the order IRI and a regex on the nation IRI."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bgp_match_filter
+
+    return bgp_match_filter(
+        _link_triples(sf_dir),
+        [
+            ("?o", f"{_KGP}placedBy", "?c"),
+            ("?c", f"{_KGP}inNation", "?n"),
+        ],
+        [
+            ("?o", "strstarts", f"{_KGN}ord/1"),
+            ("?n", "regex", r"nat/\d*[02468]$"),
+        ],
+    )
+
+
 def q_kg_bfs_tree(sf_dir: str):
     """Shortest-path reconstruction: the parent-pointer BFS tree from
     region 1 over reversed provenance edges — parent = the
@@ -3833,6 +3870,26 @@ SELECT f.o, f.prev, coalesce(g.o2, '') AS o2
 FROM f LEFT JOIN g ON g.o = f.o
 """
 
+_SQL_BGP_UNION = f"""
+WITH {_KG_EDGE_BODY}
+SELECT DISTINCT subj AS x, obj AS y FROM edges
+WHERE pred = '{_KGP}inNation'
+UNION
+SELECT DISTINCT subj, obj FROM edges
+WHERE pred = '{_KGP}inRegion'
+"""
+
+_SQL_BGP_FILTER = f"""
+WITH {_KG_EDGE_BODY}
+SELECT p1.subj AS o, p1.obj AS c, p2.obj AS n
+FROM (SELECT DISTINCT subj, obj FROM edges
+      WHERE pred = '{_KGP}placedBy') p1
+JOIN (SELECT DISTINCT subj, obj FROM edges
+      WHERE pred = '{_KGP}inNation') p2 ON p1.obj = p2.subj
+WHERE p1.subj LIKE '{_KGN}ord/1%'
+  AND regexp_matches(p2.obj, 'nat/[0-9]*[02468]$')
+"""
+
 
 # per-IC finding counts over the plain cube corpus — the incremental
 # run's combined output must land exactly on the same per-IC SQL the
@@ -3920,6 +3977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_depths": q_kg_bfs_depths,
         "kg_bfs_tree": q_kg_bfs_tree,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_bgp_union": q_kg_bgp_union,
+        "kg_bgp_filter": q_kg_bgp_filter,
         "cube_incremental": q_cube_incremental,
         "cube_report_lines": q_cube_report_lines,
         "kg_code_imports": q_kg_code_imports,
@@ -4033,6 +4092,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_depths": _SQL_KG_BFS,
         "kg_bfs_tree": _SQL_KG_BFS_TREE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,
+        "kg_bgp_union": _SQL_BGP_UNION,
+        "kg_bgp_filter": _SQL_BGP_FILTER,
         "cube_incremental": _SQL_INCREMENTAL,
         "cube_report_lines": (
             "SELECT ic, n FROM (" + _SQL_INCREMENTAL + ") WHERE n > 0 ORDER BY ic"

@@ -2089,6 +2089,108 @@ def bgp_match_optional(
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def bgp_match_union(
+    triples: "ray.data.Dataset",
+    branches: list[list[tuple[str, str, str]]],
+    *,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """SPARQL UNION (SPARQL 1.1 §18.5 Union): each branch BGP evaluates
+    independently through :func:`bgp_match`, solutions concatenate, and
+    variables absent from a branch surface as "" (the engine's
+    hash-stable unbound rendering, as in OPTIONAL).  Output columns are
+    the union of the branches' variable lists in first-appearance order;
+    the result is DISTINCT across branches — this engine is
+    set-semantics throughout (every scan is distinct), so two branches
+    producing the same solution yield one row, exactly what a SQL UNION
+    twin computes.  The union itself is metadata-only in Ray
+    (``Dataset.union`` concatenates block lists — no shuffle); only the
+    final distinct exchanges rows."""
+    from ..functions.kernel import distinct
+
+    if not branches or any(not b for b in branches):
+        raise ValueError("bgp_match_union needs non-empty branches")
+    cols: list[str] = []
+    for b in branches:
+        for v in _bgp_vars(b):
+            if v not in cols:
+                cols.append(v)
+
+    def pad(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(index=df.index)
+        for c in cols:
+            out[c] = df[c] if c in df.columns else ""
+        return out.astype({c: "string" for c in cols})
+
+    parts = [
+        bgp_match(triples, b, num_partitions=num_partitions).map_batches(
+            pad, batch_format="pandas"
+        )
+        for b in branches
+    ]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.union(p)
+    return distinct(acc, cols)
+
+
+# FILTER operators: each is a vectorized pandas kernel (value columns are
+# string dtype — comparisons are LEXICAL, matching the engine's term
+# rendering; numeric filters belong upstream where values are typed)
+_BGP_FILTER_OPS = {
+    "==": lambda col, rhs: col == rhs,
+    "!=": lambda col, rhs: col != rhs,
+    "<": lambda col, rhs: col < rhs,
+    "<=": lambda col, rhs: col <= rhs,
+    ">": lambda col, rhs: col > rhs,
+    ">=": lambda col, rhs: col >= rhs,
+    "regex": lambda col, rhs: col.str.contains(rhs, regex=True, na=False),
+    "strstarts": lambda col, rhs: col.str.startswith(rhs).fillna(False),
+}
+
+
+def bgp_match_filter(
+    triples: "ray.data.Dataset",
+    patterns: list[tuple[str, str, str]],
+    filters: list[tuple[str, str, str]],
+    *,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """SPARQL FILTER over a BGP (SPARQL 1.1 §18.5 Filter): the BGP's
+    solution stream restricted by a conjunction of vectorized predicates.
+    Each filter is ``(lhs, op, rhs)`` with ``lhs`` a ``?var``; ``op`` one
+    of ``== != < <= > >= regex strstarts`` (string/lexical semantics —
+    every solution column is a rendered term); ``rhs`` a constant, or a
+    second ``?var`` for the comparison ops (``regex``/``strstarts`` take
+    constants only).  Filters apply inside ONE ``map_batches`` over the
+    already-joined solutions — streaming and allocation-free per batch;
+    constant subject/pred/object restrictions should stay in the
+    patterns themselves, where the scan prunes before the join."""
+    vs = _bgp_vars(patterns)
+    for lhs, op, rhs in filters:
+        if not lhs.startswith("?") or lhs[1:] not in vs:
+            raise ValueError(f"filter lhs {lhs!r} is not a bound variable")
+        if op not in _BGP_FILTER_OPS:
+            raise ValueError(f"unknown filter op {op!r}")
+        if rhs.startswith("?"):
+            if op in ("regex", "strstarts"):
+                raise ValueError(f"{op} takes a constant pattern, got {rhs!r}")
+            if rhs[1:] not in vs:
+                raise ValueError(f"filter rhs {rhs!r} is not a bound variable")
+
+    sol = bgp_match(triples, patterns, num_partitions=num_partitions)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        m = pd.Series(True, index=df.index)
+        for lhs, op, rhs in filters:
+            col = df[lhs[1:]]
+            target = df[rhs[1:]] if rhs.startswith("?") else rhs
+            m &= _BGP_FILTER_OPS[op](col, target).fillna(False)
+        return df[m]
+
+    return sol.map_batches(apply, batch_format="pandas")
+
+
 def kcore(
     edges: "ray.data.Dataset",
     *,

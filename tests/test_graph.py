@@ -148,6 +148,64 @@ def test_bgp_optional_unbound_and_empty():
         G.bgp_match_optional(t, [("?x", "p", "?y")], [("?u", "p", "?v")])
 
 
+def test_bgp_union_pads_and_dedups():
+    rows = [
+        ("a", "p", 0, "b"), ("b", "q", 0, "c"),
+        ("a", "q", 0, "b"),  # (a,b) solution reachable from BOTH branches
+    ]
+    t = _triples(rows)
+    out = (
+        G.bgp_match_union(t, [[("?x", "p", "?y")], [("?x", "q", "?y")]])
+        .to_pandas()
+        .sort_values(["x", "y"], ignore_index=True)
+    )
+    # distinct across branches: (a,b) appears once
+    assert list(map(tuple, out.to_numpy())) == [("a", "b"), ("b", "c")]
+    # branch-only variables pad with '' (SPARQL unbound rendering)
+    padded = (
+        G.bgp_match_union(
+            t, [[("?x", "p", "?y")], [("?x", "q", "?z")]]
+        )
+        .to_pandas()
+        .sort_values(["x", "y", "z"], ignore_index=True)
+    )
+    assert list(padded.columns) == ["x", "y", "z"]
+    assert ("" == padded["z"]).sum() == 1 and ("" == padded["y"]).sum() == 2
+    with pytest.raises(ValueError, match="non-empty"):
+        G.bgp_match_union(t, [[("?x", "p", "?y")], []])
+
+
+def test_bgp_filter_ops_and_validation():
+    rows = [
+        ("a1", "p", 0, "b1"), ("a2", "p", 0, "b2"), ("xx", "p", 0, "xx"),
+    ]
+    t = _triples(rows)
+    out = (
+        G.bgp_match_filter(
+            t, [("?x", "p", "?y")],
+            [("?x", "strstarts", "a"), ("?y", "regex", r"[12]$")],
+        )
+        .to_pandas()
+        .sort_values("x", ignore_index=True)
+    )
+    assert list(out["x"]) == ["a1", "a2"]
+    # var-var comparison
+    eq = G.bgp_match_filter(
+        t, [("?x", "p", "?y")], [("?x", "==", "?y")]
+    ).to_pandas()
+    assert list(eq["x"]) == ["xx"]
+    lt = G.bgp_match_filter(
+        t, [("?x", "p", "?y")], [("?x", "<", "?y")]
+    ).to_pandas()
+    assert set(lt["x"]) == {"a1", "a2"}  # lexical compare
+    with pytest.raises(ValueError, match="not a bound variable"):
+        G.bgp_match_filter(t, [("?x", "p", "?y")], [("?z", "==", "a")])
+    with pytest.raises(ValueError, match="unknown filter op"):
+        G.bgp_match_filter(t, [("?x", "p", "?y")], [("?x", "~", "a")])
+    with pytest.raises(ValueError, match="constant pattern"):
+        G.bgp_match_filter(t, [("?x", "p", "?y")], [("?x", "regex", "?y")])
+
+
 def test_bfs_tree_parent_pointers():
     rows = [
         ("root", "p", 0, "a"), ("root", "p", 0, "b"),
