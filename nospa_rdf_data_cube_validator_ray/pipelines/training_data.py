@@ -3795,6 +3795,134 @@ QUERIES["kmeans_clusters"] = q_kmeans_clusters
 ORACLES["kmeans_clusters"] = _SQL_KMEANS
 
 
+# -- SemDeDup: semantic dedup inside k-means clusters ------------------------
+
+
+_SEMDEDUP_TAU = 0.35
+_SEMDEDUP_MAX_CLUSTER = 200_000  # pairwise is O(n²) per cluster — fail loud
+
+
+def q_embedding_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
+    join-free on the engine's exact primitives: fit integer k-means
+    (stages/embedding.kmeans_int — broadcast centroids, map-side
+    partials), re-attach (cluster, dist2) MAP-SIDE from the fitted
+    centroids (kmeans_assign_batch — bit-identical argmin, zero joins),
+    then ONE bucketed groupby by cluster does the whole per-cluster
+    phase in pandas/numpy: pairwise cosine≥τ (normalized matmul),
+    min-label components (scatter-min rounds), and the paper's
+    keep-the-outlier rule — in each component KEEP the vector farthest
+    from its centroid (max integer dist2, ties to the lowest vec_id).
+    The clustering is what makes corpus-scale semantic dedup tractable
+    (candidates never cross clusters); the partitioning assumption is
+    the paper's — one cluster fits one worker (k scales with corpus
+    size), enforced by a loud cap.  Returns (vec_id, cluster,
+    sem_cluster, keep); keep-count = #components + #singletons."""
+    from ..stages.embedding import kmeans_assign_batch, kmeans_int
+    from ..util import bucket_agg
+
+    embs = _embs(sf_dir)
+    _, cent = kmeans_int(embs, return_centroids=True)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        return kmeans_assign_batch(df, cent)
+
+    tagged = embs.map_batches(attach, batch_format="pandas")
+    return bucket_agg(tagged, ["cluster"], _semdedup_groups)
+
+
+def _semdedup_groups(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-cluster SemDeDup kernel (bucket_agg fn): pairwise cosine≥τ
+    via normalized matmul, min-label components via scatter-min rounds,
+    keep = max dist2 (ties to the lowest vec_id) per component."""
+    outs = []
+    for _, g in df.groupby("cluster", sort=False):
+        if len(g) > _SEMDEDUP_MAX_CLUSTER:
+            raise RuntimeError(
+                f"semdedup cluster has {len(g)} rows > "
+                f"{_SEMDEDUP_MAX_CLUSTER}: raise k (more, smaller "
+                "clusters) before the O(n²) per-cluster phase"
+            )
+        g = g.sort_values("vec_id", ignore_index=True)
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        v = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        nv = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sim = nv @ nv.T
+        iu, ju = np.triu_indices(len(g), 1)
+        hit = sim[iu, ju] >= _SEMDEDUP_TAU
+        i, j = iu[hit], ju[hit]
+        lbl = ids.copy()
+        while True:
+            before = lbl.copy()
+            m = np.minimum(lbl[i], lbl[j])
+            np.minimum.at(lbl, i, m)
+            np.minimum.at(lbl, j, m)
+            if np.array_equal(lbl, before):
+                break
+        gg = pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy(),
+                "sem_cluster": lbl,
+                "dist2": g["dist2"].to_numpy(),
+            }
+        ).sort_values(
+            ["sem_cluster", "dist2", "vec_id"],
+            ascending=[True, False, True],
+        )
+        gg["keep"] = ~gg["sem_cluster"].duplicated()
+        outs.append(gg.drop(columns=["dist2"]))
+    return pd.concat(outs, ignore_index=True)
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                  scale: int = 10_000, offset: int = 100_000,
+                  tau: float = 0.35) -> str:
+    """kmeans CTEs (same generator as _SQL_KMEANS) + same-cluster cosine
+    pairs + recursive min-label components + farthest-from-centroid
+    window — the exact SQL twin of q_embedding_semdedup."""
+    km = _kmeans_sql(k=k, iters=iters, dim=dim, scale=scale, offset=offset)
+    body = km[len("WITH "):]  # CTE list + final assignment SELECT
+    ctes, final_select = body.rsplit("\nSELECT vec_id, cid AS cluster", 1)
+    final = (
+        "final AS MATERIALIZED (\nSELECT vec_id, cid AS cluster"
+        + final_select + "\n)"
+    )
+    return f"""
+WITH RECURSIVE {ctes},
+{final},
+p AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a
+  JOIN final fa ON fa.vec_id = a.vec_id
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN final fb ON fb.vec_id = b.vec_id AND fa.cluster = fb.cluster
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= {tau}
+),
+e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+comp(node, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, c.lbl FROM comp c JOIN e ON e.a = c.node
+),
+lab AS (SELECT node, min(lbl) AS sem FROM comp GROUP BY node),
+lbl AS (
+  SELECT f.vec_id, f.cluster, coalesce(lab.sem, f.vec_id) AS sem_cluster,
+         f.dist2
+  FROM final f LEFT JOIN lab ON lab.node = f.vec_id
+)
+SELECT vec_id, cluster::BIGINT AS cluster, sem_cluster::BIGINT AS sem_cluster,
+       (row_number() OVER (
+          PARTITION BY sem_cluster ORDER BY dist2 DESC, vec_id) = 1) AS keep
+FROM lbl
+"""
+
+
+QUERIES["embedding_semdedup"] = q_embedding_semdedup
+ORACLES["embedding_semdedup"] = _semdedup_sql()
+
+
 # -- positional inverted index build ----------------------------------------
 
 

@@ -780,6 +780,7 @@ def kmeans_int(
     offset: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_centroids: bool = False,
 ) -> "ray.data.Dataset":
     """Deterministic INTEGER Lloyd's k-means over an embedding column —
     the embedding-clustering curation step (SemDeDup-style cluster
@@ -871,4 +872,35 @@ def kmeans_int(
              "dist2": pd.array(d, dtype="int64")}
         )
 
-    return ds_q.map_batches(final, batch_format="pandas")
+    out = ds_q.map_batches(final, batch_format="pandas")
+    if return_centroids:
+        return out, cent
+    return out
+
+
+def kmeans_assign_batch(
+    df: "pd.DataFrame",
+    cent: np.ndarray,
+    *,
+    scale: int = 10_000,
+    offset: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pd.DataFrame":
+    """Map-side re-assignment against FITTED integer centroids — the
+    zero-join way to attach (cluster, dist2) to any embedding batch:
+    centroids are k×dim int64 (closure-broadcast), quantization and
+    argmin are the exact kmeans_int kernels, so labels are bit-identical
+    to the fitted assignment.  Keeps every input column."""
+    import numpy as np
+
+    v = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+    q = np.floor(v * scale).astype(np.int64) + offset
+    qq = np.einsum("ij,ij->i", q, q)
+    cc = np.einsum("ij,ij->i", cent, cent)
+    d2 = qq[:, None] - 2 * (q @ cent.T) + cc[None, :]
+    a = np.argmin(d2, axis=1)
+    out = df.copy()
+    out["cluster"] = pd.array(a, dtype="int64")
+    out["dist2"] = pd.array(d2[np.arange(len(a)), a], dtype="int64")
+    return out

@@ -755,6 +755,71 @@ def test_kmeans_int_separates_two_blobs():
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_kmeans_assign_batch_matches_fit_and_semdedup_keep_rule():
+    from nospa_rdf_data_cube_validator_ray.stages.embedding import (
+        kmeans_assign_batch,
+        kmeans_int,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "vec_id": range(40),
+            "embedding": [
+                (rng.normal(size=4) + (3.0 if i % 2 else -3.0)).astype(
+                    np.float32
+                )
+                for i in range(40)
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    fit, cent = kmeans_int(ds, k=2, iters=2, return_centroids=True)
+    fit = fit.to_pandas().sort_values("vec_id", ignore_index=True)
+    # map-side re-assignment from the fitted centroids is bit-identical
+    re_asg = (
+        kmeans_assign_batch(df, cent)[["vec_id", "cluster", "dist2"]]
+        .sort_values("vec_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(fit, re_asg)
+    # duplicate group: two identical vectors — exactly one survives,
+    # and it's the one FARTHER from its centroid (max dist2, tie low id)
+    dup = pd.DataFrame(
+        {
+            "vec_id": [100, 101, 102],
+            "embedding": [
+                np.full(4, 1.0, dtype=np.float32),
+                np.full(4, 1.0, dtype=np.float32),
+                np.full(4, -1.0, dtype=np.float32),
+            ],
+        }
+    )
+    from nospa_rdf_data_cube_validator_ray.pipelines.training_data import (
+        _semdedup_groups,
+    )
+
+    tagged = kmeans_assign_batch(dup, cent)
+    res = _semdedup_groups(tagged).sort_values("vec_id", ignore_index=True)
+    # identical vectors are a cosine-1 pair: min-label 100, exactly one
+    # survivor picked by (dist2 DESC, vec_id ASC); the opposite vector
+    # is a singleton and always keeps
+    pair = res[res["vec_id"].isin([100, 101])]
+    assert pair["keep"].sum() == 1
+    assert (pair["sem_cluster"] == 100).all()
+    assert res.loc[res["vec_id"] == 102, "keep"].all()
+    # oversize cluster fails loud, not O(n²) silently
+    import nospa_rdf_data_cube_validator_ray.pipelines.training_data as td
+
+    big = pd.concat([tagged] * 2, ignore_index=True)
+    orig = td._SEMDEDUP_MAX_CLUSTER
+    td._SEMDEDUP_MAX_CLUSTER = 3
+    try:
+        with pytest.raises(RuntimeError, match="raise k"):
+            _semdedup_groups(big)
+    finally:
+        td._SEMDEDUP_MAX_CLUSTER = orig
+
+
 def test_dedup_normalized_collapses_reformatted_copies():
     from nospa_rdf_data_cube_validator_ray.stages import dedup as D
 
