@@ -3923,6 +3923,132 @@ QUERIES["embedding_semdedup"] = q_embedding_semdedup
 ORACLES["embedding_semdedup"] = _semdedup_sql()
 
 
+# -- Matryoshka-style dimension-sliced retrieval -----------------------------
+
+
+def q_knn_matryoshka_topk(sf_dir: str, dims: int = 16):
+    """Dimension-sliced exact retrieval (the Matryoshka-representation
+    serving pattern, Kusupati et al. 2022: rank with a PREFIX of the
+    embedding, 4× less memory bandwidth): cosine top-5 computed on the
+    first ``dims`` coordinates only, through the same broadcast-query
+    actor stage as knn_cosine_topk — one extra map_batches slices the
+    column, everything downstream is unchanged.  Exact-output oracle
+    (the slice is deterministic), unlike the recall-gated IVF/PQ/int8
+    audits."""
+
+    def trunc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["embedding"] = [
+            np.asarray(v[:dims], dtype=np.float32) for v in df["embedding"]
+        ]
+        return df
+
+    tds = _embs(sf_dir).map_batches(trunc, batch_format="pandas")
+    return E.knn_topk(tds, query_ids=list(range(10)), k=5)
+
+
+_SQL_MATRYOSHKA = """
+SELECT q.vec_id::BIGINT AS query_id, n.vec_id::BIGINT AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_cosine_similarity((q.embedding[1:16])::DOUBLE[],
+                                         (n.embedding[1:16])::DOUBLE[]) DESC,
+                  n.vec_id
+       )::BIGINT AS rank
+FROM embeddings q, embeddings n
+WHERE q.vec_id < 10 AND n.vec_id != q.vec_id
+QUALIFY rank <= 5
+"""
+
+QUERIES["knn_matryoshka_topk"] = q_knn_matryoshka_topk
+ORACLES["knn_matryoshka_topk"] = _SQL_MATRYOSHKA
+
+
+# -- windowed HLL: distinct users per hour ------------------------------------
+
+
+def q_events_hourly_hll(sf_dir: str):
+    """Per-hour distinct-user HyperLogLog — the mergeable-sketch +
+    time-window composition a streaming metrics pipeline runs (count
+    distinct users per window without per-window user sets): the same
+    integer 256-register HLL as distinct_sketch_hll keyed by event hour;
+    each batch ships ≤256 (hour, reg, rho) rows per hour touched, one
+    bucketed pass merges (register max) and evaluates the integer raw
+    estimator.  Rows: (hour, n_regs, sum_rho, est_hll) — bit-exact SQL
+    twin, no float anywhere."""
+    import ray.data
+
+    from ..stages.dedup import _md5_u64_cached
+    from ..util import bucket_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hrs = (df["ts"].astype("int64") // 3_600_000_000).to_numpy()
+        uids = df["user_id"].astype("int64").to_numpy()
+        best: dict[tuple, int] = {}
+        for hr, uid in zip(hrs, uids):
+            h = _md5_u64_cached(str(uid)) & ((1 << 61) - 1)
+            rho = 54 - (h & ((1 << 53) - 1)).bit_length()
+            k = (hr, h >> 53)
+            if best.get(k, 0) < rho:
+                best[k] = rho
+        return pd.DataFrame(
+            {
+                "hour": pd.Series([k[0] for k in best], dtype="int64"),
+                "reg": pd.Series([k[1] for k in best], dtype="int64"),
+                "rho": pd.Series(list(best.values()), dtype="int64"),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for hr, g in df.groupby("hour", sort=False):
+            m = g.groupby("reg")["rho"].max()
+            denom = sum(1 << (54 - int(r)) for r in m)
+            denom += (256 - len(m)) * (1 << 54)
+            est = (7213 * 65536 * (1 << 54)) // (10000 * denom)
+            out.append((hr, len(m), int(m.sum()), min(est, 1 << 62)))
+        return pd.DataFrame(
+            out, columns=["hour", "n_regs", "sum_rho", "est_hll"]
+        ).astype("int64")
+
+    return bucket_agg(
+        events.map_batches(partial, batch_format="pandas"), ["hour"], merge
+    )
+
+
+_SQL_EVENTS_HLL = r"""
+WITH uh AS (
+  SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour,
+         (md5_number_lower(user_id::VARCHAR) % (1::HUGEINT << 61))::BIGINT AS h
+  FROM events
+),
+regs AS (
+  SELECT hour, h // (1::BIGINT << 53) AS reg,
+         max(CASE WHEN h % (1::BIGINT << 53) = 0 THEN 54
+                  ELSE 54 - length(bin(h % (1::BIGINT << 53))) END) AS rho
+  FROM uh GROUP BY hour, reg
+),
+agg AS (
+  SELECT hour, count(*) AS n_regs, sum(rho) AS sum_rho,
+         sum(1::HUGEINT << (54 - rho)) AS d_hit
+  FROM regs GROUP BY hour
+)
+SELECT hour::BIGINT AS hour, n_regs::BIGINT AS n_regs,
+       sum_rho::BIGINT AS sum_rho,
+       least((7213::HUGEINT * 65536 * (1::HUGEINT << 54))
+             // (10000 * (d_hit + (256 - n_regs) * (1::HUGEINT << 54))),
+             1::HUGEINT << 62)::BIGINT AS est_hll
+FROM agg
+"""
+
+QUERIES["events_hourly_hll"] = q_events_hourly_hll
+ORACLES["events_hourly_hll"] = _SQL_EVENTS_HLL
+
+
 # -- positional inverted index build ----------------------------------------
 
 
