@@ -1239,6 +1239,22 @@ def q_kg_bgp_filter(sf_dir: str):
     )
 
 
+def q_kg_tree_betweenness(sf_dir: str):
+    """Exact betweenness centrality over the provenance forest
+    (stages/graph.tree_betweenness — closed-form from subtree sizes:
+    bet(v) = C(n_t−1,2) − Σ C(c_i,2) − C(up,2), computed with one
+    height-round fixpoint + one bucketed child-sum, never per-pair).
+    The oracle rebuilds subtree sizes analytically from the chain
+    structure (window ranks over orders, group sums up the
+    cust→nation→region levels)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        extract_edges,
+        tree_betweenness,
+    )
+
+    return tree_betweenness(extract_edges(_link_triples(sf_dir)))
+
+
 def q_kg_bfs_tree(sf_dir: str):
     """Shortest-path reconstruction: the parent-pointer BFS tree from
     region 1 over reversed provenance edges — parent = the
@@ -3870,6 +3886,58 @@ SELECT f.o, f.prev, coalesce(g.o2, '') AS o2
 FROM f LEFT JOIN g ON g.o = f.o
 """
 
+# tree betweenness: subtree sizes rebuilt analytically from the chain
+# structure — order at chain position pos (of L) has subtree L-pos+1 and
+# ONE child of size L-pos; cust subtree = 1+L (child = first order, size
+# L); nation = 1 + Σ(1+L); region = 1 + Σ nation.  bet(v) =
+# C(n_t-1,2) - (Σc²-Σc)/2 - C(n_t-1-Σc,2), n_t = its region's subtree.
+_SQL_TREE_BET = f"""
+WITH ch AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pos,
+         count(*) OVER (PARTITION BY o_custkey) AS L
+  FROM orders
+),
+cust AS (
+  SELECT c_custkey AS c, c_nationkey AS n, coalesce(cl.L, 0) AS L
+  FROM customer LEFT JOIN (SELECT c, max(L) AS L FROM ch GROUP BY c) cl
+    ON cl.c = c_custkey
+),
+nat AS (
+  SELECT n_nationkey AS n, n_regionkey AS r,
+         1 + coalesce(sum(1 + cust.L), 0) AS d,
+         coalesce(sum(1 + cust.L), 0) AS sumc,
+         coalesce(sum((1 + cust.L) * (1 + cust.L)), 0) AS sumc2
+  FROM nation LEFT JOIN cust ON cust.n = n_nationkey
+  GROUP BY n_nationkey, n_regionkey
+),
+reg AS (
+  SELECT r, 1 + sum(d) AS d, sum(d) AS sumc, sum(d * d) AS sumc2
+  FROM nat GROUP BY r
+),
+pern AS (
+  SELECT '{_KGN}ord/' || ch.k AS node, reg.d AS n_t,
+         CASE WHEN ch.pos < ch.L THEN ch.L - ch.pos ELSE 0 END AS sumc,
+         CASE WHEN ch.pos < ch.L
+              THEN (ch.L - ch.pos) * (ch.L - ch.pos) ELSE 0 END AS sumc2
+  FROM ch JOIN cust ON cust.c = ch.c
+  JOIN nat ON nat.n = cust.n JOIN reg ON reg.r = nat.r
+  UNION ALL
+  SELECT '{_KGN}cust/' || cust.c, reg.d, cust.L, cust.L * cust.L
+  FROM cust JOIN nat ON nat.n = cust.n JOIN reg ON reg.r = nat.r
+  UNION ALL
+  SELECT '{_KGN}nat/' || nat.n, reg.d, nat.sumc, nat.sumc2
+  FROM nat JOIN reg ON reg.r = nat.r
+  UNION ALL
+  SELECT '{_KGN}reg/' || r, d, sumc, sumc2 FROM reg
+)
+SELECT node,
+       ((n_t - 1) * (n_t - 2) // 2
+        - (sumc2 - sumc) // 2
+        - (n_t - 1 - sumc) * (n_t - 2 - sumc) // 2)::BIGINT AS betweenness
+FROM pern
+"""
+
 _SQL_BGP_UNION = f"""
 WITH {_KG_EDGE_BODY}
 SELECT DISTINCT subj AS x, obj AS y FROM edges
@@ -3979,6 +4047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_union": q_kg_bgp_union,
         "kg_bgp_filter": q_kg_bgp_filter,
+        "kg_tree_betweenness": q_kg_tree_betweenness,
         "cube_incremental": q_cube_incremental,
         "cube_report_lines": q_cube_report_lines,
         "kg_code_imports": q_kg_code_imports,
@@ -4094,6 +4163,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,
         "kg_bgp_union": _SQL_BGP_UNION,
         "kg_bgp_filter": _SQL_BGP_FILTER,
+        "kg_tree_betweenness": _SQL_TREE_BET,
         "cube_incremental": _SQL_INCREMENTAL,
         "cube_report_lines": (
             "SELECT ic, n FROM (" + _SQL_INCREMENTAL + ") WHERE n > 0 ORDER BY ic"

@@ -3279,6 +3279,271 @@ def dag_path_counts(
     )
 
 
+def tree_betweenness(
+    edges: "ray.data.Dataset",
+    *,
+    max_iters: int = 64,
+    max_driver_edges: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact betweenness centrality on a parent-pointer FOREST (subj =
+    child, obj = parent; ≤1 out-edge per node) in closed form — no
+    per-pair path work: removing node v splits its tree (size n_t) into
+    its child subtrees (sizes c_1..c_k) and the "up" component of size
+    u = n_t − 1 − Σc_i, so the number of unordered (s, t) pairs whose
+    unique path passes THROUGH v is
+
+        bet(v) = C(n_t−1, 2) − Σ_i C(c_i, 2) − C(u, 2).
+
+    Everything reduces to subtree sizes: the monotone fixpoint
+    d_{i+1}(v) = 1 + Σ_{child c} d_i(c) (d_i = descendants within depth
+    ≤ i, incl. self) converges in height rounds; per-parent (Σc, Σc²)
+    is one bucketed sum; tree sizes come from connected-component
+    labels (component count = #trees, so label→size broadcasts).
+    Size-adaptive like :func:`dag_path_counts` (parity-tested): exact
+    vectorized pandas under ``max_driver_edges``, else each round is
+    one hash join + one bucketed sum with a fixpoint signature check.
+    A node with TWO parents raises (not a forest); a cycle never
+    converges and raises at ``max_iters``.  Returns (node, betweenness),
+    int64, one row per node appearing in the edge set."""
+    from ..functions.kernel import distinct
+    from ..util import bucket_count, bucket_sum, ds_signature, heal_schema
+
+    np_ = _nparts(num_partitions)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["subj"].astype("string"),
+             "dst": df["obj"].astype("string")}
+        ).drop_duplicates(ignore_index=True)
+
+    pairs = distinct(
+        edges.map_batches(to_pairs, batch_format="pandas"), ["src", "dst"]
+    ).materialize()
+    n_edges = pairs.count()
+
+    if n_edges == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.string()), ("betweenness", pa.int64())])
+            .empty_table()
+        )
+
+    def _bet(n_t, sumc, sumc2):
+        # C(n_t-1,2) - Σ C(c_i,2) - C(u,2), all int64-vectorized
+        # (Σ C(c_i,2) = (Σc_i² - Σc_i)/2; u = n_t - 1 - Σc_i)
+        up = n_t - 1 - sumc
+        c2 = lambda x: x * (x - 1) // 2  # noqa: E731
+        return c2(n_t - 1) - (sumc2 - sumc) // 2 - c2(up)
+
+    if n_edges <= max_driver_edges:
+        e = pd.concat(
+            list(pairs.iter_batches(batch_format="pandas", batch_size=65536)),
+            ignore_index=True,
+        ).drop_duplicates(ignore_index=True)
+        if e["src"].duplicated().any():
+            bad = e.loc[e["src"].duplicated(), "src"].iloc[0]
+            raise RuntimeError(
+                f"tree_betweenness: node {bad!r} has more than one parent "
+                "— the edge set is not a parent-pointer forest"
+            )
+        nodes = pd.Index(pd.concat([e["src"], e["dst"]]).unique())
+        d = pd.Series(1, index=nodes, dtype="int64")
+        for it in range(max_iters + 1):
+            if it == max_iters:
+                raise RuntimeError(
+                    f"tree_betweenness did not converge in {max_iters} "
+                    "rounds: the graph contains a cycle or is deeper"
+                )
+            inc = (
+                pd.DataFrame({"dst": e["dst"], "c": d[e["src"]].to_numpy()})
+                .groupby("dst")["c"]
+                .sum()
+                .reindex(nodes, fill_value=0)
+                .astype("int64")
+            )
+            new = (1 + inc).astype("int64")
+            if new.equals(d):
+                break
+            d = new
+        # tree label per node: follow parent pointers to the root
+        pmap = pd.Series(e["dst"].to_numpy(), index=e["src"].to_numpy())
+        root = pd.Series(nodes.to_numpy(), index=nodes)
+        for it in range(max_iters + 1):
+            nxt = root.map(pmap)
+            done = nxt.isna()
+            if done.all():
+                break
+            if it == max_iters:
+                raise RuntimeError(
+                    f"tree_betweenness root-following did not converge in "
+                    f"{max_iters} rounds: cycle or over-deep tree"
+                )
+            root = nxt.where(~done, root)
+        sizes = root.value_counts()
+        n_t = root.map(sizes).astype("int64")
+        ch = (
+            pd.DataFrame({"p": e["dst"], "c": d[e["src"]].to_numpy()})
+            .assign(c2=lambda x: x["c"] * x["c"])
+            .groupby("p")[["c", "c2"]]
+            .sum()
+        )
+        sumc = ch["c"].reindex(nodes, fill_value=0).astype("int64")
+        sumc2 = ch["c2"].reindex(nodes, fill_value=0).astype("int64")
+        out = pd.DataFrame(
+            {
+                "node": pd.Series(nodes, dtype="string"),
+                "betweenness": _bet(
+                    n_t.to_numpy(), sumc.to_numpy(), sumc2.to_numpy()
+                ),
+            }
+        )
+        return ray.data.from_pandas(out.sort_values("node", ignore_index=True))
+
+    # ---- distributed regime ------------------------------------------------
+    pairs = heal_schema(pairs, np_).materialize()
+    dup = (
+        bucket_count(pairs, ["src"], out_col="n", num_buckets=np_)
+        .filter(expr="n > 1")
+        .take(1)
+    )
+    if dup:
+        raise RuntimeError(
+            f"tree_betweenness: node {dup[0]['src']!r} has more than one "
+            "parent — the edge set is not a parent-pointer forest"
+        )
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([df["src"], df["dst"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"node": u.astype("string")})
+
+    nodes_ds = heal_schema(
+        distinct(pairs.map_batches(node_partial, batch_format="pandas"), ["node"]),
+        np_,
+    ).materialize()
+
+    d_ds = nodes_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("string"),
+             "c": pd.Series(1, index=df.index, dtype="int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    cur = ds_signature(d_ds, ["node", "c"])
+    for it in range(max_iters + 1):
+        if it == max_iters:
+            raise RuntimeError(
+                f"tree_betweenness did not converge in {max_iters} rounds: "
+                "the graph contains a cycle or is deeper than the bound"
+            )
+        msgs = pairs.join(
+            heal_schema(_ren(d_ds, {"node": "src"}), np_),
+            "inner",
+            np_,
+            on=("src",),
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["dst"].astype("string"),
+                 "c": df["c"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+        sums = heal_schema(
+            bucket_sum(heal_schema(msgs, np_), ["node"], ["c"], num_buckets=np_),
+            np_,
+        )
+        d_new = nodes_ds.join(
+            _ren(sums, {"c": "s"}), "left_outer", np_, on=("node",)
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"].astype("string"),
+                    "c": (
+                        1
+                        + (
+                            df["s"].fillna(0).astype("int64")
+                            if "s" in df.columns
+                            else 0
+                        )
+                    ).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+        d_ds = d_new
+        new = ds_signature(d_ds, ["node", "c"])
+        if new == cur:
+            break
+        cur = new
+
+    # tree sizes: component labels (tree count is small → broadcast sizes)
+    labels = components(
+        pairs.map_batches(
+            lambda df: pd.DataFrame(
+                {"subj": df["src"].astype("string"),
+                 "obj": df["dst"].astype("string")}
+            ),
+            batch_format="pandas",
+        ),
+        num_partitions=np_,
+    ).materialize()
+    sizes = (
+        bucket_count(labels, ["label"], out_col="n", num_buckets=np_)
+        .to_pandas()
+        .set_index("label")["n"]
+        .astype("int64")
+        .to_dict()
+    )
+    sizes_ref = ray.put(sizes)
+
+    # per-parent child-subtree sums: one join + one bucketed sum
+    ch = pairs.join(
+        heal_schema(_ren(d_ds, {"node": "src"}), np_), "inner", np_, on=("src",)
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "node": df["dst"].astype("string"),
+                "sumc": df["c"].astype("int64"),
+                "sumc2": (df["c"].astype("int64") ** 2),
+            }
+        ),
+        batch_format="pandas",
+    )
+    ch = heal_schema(
+        bucket_sum(heal_schema(ch, np_), ["node"], ["sumc", "sumc2"],
+                   num_buckets=np_),
+        np_,
+    )
+
+    full = heal_schema(d_ds, np_).join(
+        ch, "left_outer", np_, on=("node",)
+    ).join(heal_schema(labels, np_), "inner", np_, on=("node",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        sz = ray.get(sizes_ref)
+        n_t = df["label"].map(sz).astype("int64").to_numpy()
+        sumc = (
+            df["sumc"].fillna(0).astype("int64").to_numpy()
+            if "sumc" in df.columns
+            else np.zeros(len(df), dtype="int64")
+        )
+        sumc2 = (
+            df["sumc2"].fillna(0).astype("int64").to_numpy()
+            if "sumc2" in df.columns
+            else np.zeros(len(df), dtype="int64")
+        )
+        return pd.DataFrame(
+            {
+                "node": df["node"].astype("string"),
+                "betweenness": _bet(n_t, sumc, sumc2),
+            }
+        )
+
+    return full.map_batches(finish, batch_format="pandas")
+
+
 def _edge_support_driver(df: pd.DataFrame) -> pd.DataFrame:
     """Per-edge triangle support of a canonical (x < y) undirected edge
     frame, fully vectorized on the driver: degree-orient every edge from

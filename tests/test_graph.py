@@ -619,3 +619,77 @@ def test_temporal_reachability_regime_parity():
     pd.testing.assert_frame_equal(fast, dist.astype(fast.dtypes.to_dict()))
     # earliest arrival wins: c is reached at 2 via b, not at 10 direct
     assert dict(zip(fast["node"], fast["arrival"]))["c"] == 2
+
+
+def _edge_ds(pairs):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"subj": [a for a, _ in pairs],
+             "pred": "p",
+             "obj": [b for _, b in pairs]}
+        ).astype("string")
+    )
+
+
+def _brute_tree_betweenness(pairs):
+    """Reference betweenness by path enumeration (forest: unique paths)."""
+    import itertools
+
+    parent = dict(pairs)
+    nodes = sorted({x for p in pairs for x in p})
+
+    def root_path(v):
+        path = [v]
+        while path[-1] in parent:
+            path.append(parent[path[-1]])
+        return path
+
+    bet = {v: 0 for v in nodes}
+    for s, t in itertools.combinations(nodes, 2):
+        ps, pt = root_path(s), root_path(t)
+        if ps[-1] != pt[-1]:
+            continue  # different trees: no path
+        ss, st = set(ps), set(pt)
+        lca = next(x for x in ps if x in st)
+        on_path = (set(ps[: ps.index(lca)]) | set(pt[: pt.index(lca)])
+                   | {lca}) - {s, t}
+        for v in on_path:
+            bet[v] += 1
+    return bet
+
+
+def test_tree_betweenness_exact_and_parity():
+    pairs = [
+        ("b", "a"), ("c", "a"), ("d", "b"), ("e", "b"), ("f", "c"),
+        ("y", "x"),  # second tree in the forest
+    ]
+    ds = _edge_ds(pairs)
+    out = (
+        G.tree_betweenness(ds)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    got = dict(zip(out["node"], out["betweenness"]))
+    assert got == _brute_tree_betweenness(pairs)
+    assert got["a"] == 6 and got["b"] == 7 and got["c"] == 4
+    assert got["d"] == got["e"] == got["f"] == 0
+    assert got["x"] == got["y"] == 0
+    dist = (
+        G.tree_betweenness(ds, max_driver_edges=0)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(out, dist.astype(out.dtypes.to_dict()))
+
+
+def test_tree_betweenness_rejects_non_forest_and_cycle():
+    two_parents = _edge_ds([("b", "a"), ("b", "c")])
+    with pytest.raises(RuntimeError, match="more than one parent"):
+        G.tree_betweenness(two_parents)
+    with pytest.raises(RuntimeError, match="more than one parent"):
+        G.tree_betweenness(two_parents, max_driver_edges=0)
+    cycle = _edge_ds([("a", "b"), ("b", "c"), ("c", "a")])
+    with pytest.raises(RuntimeError, match="converge"):
+        G.tree_betweenness(cycle, max_iters=5)
+    with pytest.raises(RuntimeError, match="converge"):
+        G.tree_betweenness(cycle, max_driver_edges=0, max_iters=5)
