@@ -4049,6 +4049,73 @@ QUERIES["events_hourly_hll"] = q_events_hourly_hll
 ORACLES["events_hourly_hll"] = _SQL_EVENTS_HLL
 
 
+# -- partitioned-parquet sink round-trip --------------------------------------
+
+
+def q_events_parquet_partitioned(sf_dir: str):
+    """Resumable-output sink proof: the event stream written as
+    HIVE-PARTITIONED parquet (``write_parquet(partition_cols=["day"])``
+    — one directory per day, so a failed 100 TB run re-lists the sink
+    and skips finished partitions instead of restarting), then re-read
+    through partition discovery and re-aggregated; the per-day counts
+    and integer cent sums must match the direct-from-source oracle,
+    which pins BOTH directions of the partitioned codec (column →
+    directory key → column).  floor(value·100) keeps the money integer
+    (identical float64 op on both engines — round() differs between
+    numpy half-even and SQL half-away)."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..util import bucket_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": (df["ts"].astype("int64") // 86_400_000_000).astype(
+                    "int64"
+                ),
+                "cents": np.floor(
+                    df["value"].to_numpy(dtype=np.float64) * 100
+                ).astype("int64"),
+            }
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="events_by_day_", dir="/tmp")
+    try:
+        ev.map_batches(prep, batch_format="pandas").write_parquet(
+            out_dir, partition_cols=["day"]
+        )
+        back = ray.data.read_parquet(out_dir)
+
+        def agg(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("day", as_index=False, sort=False).agg(
+                n=("cents", "size"), sum_cents=("cents", "sum")
+            )
+            g["day"] = g["day"].astype("int64")
+            return g.astype({"n": "int64", "sum_cents": "int64"})
+
+        return bucket_agg(back, ["day"], agg).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_SQL_EVENTS_PARTITIONED = """
+SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+       count(*)::BIGINT AS n,
+       sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events GROUP BY day
+"""
+
+QUERIES["events_parquet_partitioned"] = q_events_parquet_partitioned
+ORACLES["events_parquet_partitioned"] = _SQL_EVENTS_PARTITIONED
+
+
 # -- positional inverted index build ----------------------------------------
 
 
