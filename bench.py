@@ -259,7 +259,7 @@ def run_suite(
             for k in (
                 "scaling_efficiency", "triples_per_sec_lo", "triples_per_sec_hi",
                 "minhash_scaling_efficiency", "probe_sec", "probe_gated",
-                "probe_failed", "attempts",
+                "probe_failed", "attempts", "attempt_history",
             )
             if k in scal
         }
@@ -474,18 +474,38 @@ def run_scaling(
     def score(r: dict) -> float:
         return min(r["scaling_efficiency"], r["minhash_scaling_efficiency"])
 
-    best, n_tried = None, 0
+    def wall(r: dict) -> float:
+        # total wall across the four points: the least-contaminated pair
+        # is the one the host slowed the least, REGARDLESS of which leg —
+        # picking by max efficiency instead would cherry-pick pairs whose
+        # LO leg ran slow (host noise on the small leg INFLATES the ratio)
+        return sum(r["queries"].values())
+
+    best, n_tried, history = None, 0, []
     for _ in range(max(1, max_attempts)):
         n_tried += 1
         res = attempt()
-        if best is None or score(res) > score(best):
+        history.append(
+            {
+                "eff": res["scaling_efficiency"],
+                "minhash_eff": res["minhash_scaling_efficiency"],
+                "wall_sec": round(wall(res), 1),
+                "probe_gated": res["probe_gated"],
+            }
+        )
+        if best is None or (res["probe_gated"], -wall(res)) > (
+            best["probe_gated"], -wall(best)
+        ):
             best = res
-        # A fully-gated pair is authoritative (even below the bar: that is
-        # a real engine result, not host noise); a ≥0.8 pair is good
-        # regardless.  Only loaded-host sub-bar pairs are retried.
-        if res["probe_gated"] or score(res) >= 0.8:
+        # stop early only on a pair that is both launch-gated AND ≥0.8:
+        # a quiet probe gates the LAUNCH moment, but this host's measured
+        # mid-run speed swings (same build, same day: a 16-cpu leg at 60 s
+        # vs 90 s) mean a gated sub-bar pair can still be noise — retry it
+        # and keep the least-contaminated attempt.
+        if res["probe_gated"] and score(res) >= 0.8:
             break
     best["attempts"] = n_tried
+    best["attempt_history"] = history
     if not best["probe_gated"]:
         best["probe_failed"] = True
     return best
