@@ -2286,3 +2286,361 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 QUERIES["events_csv_roundtrip"] = q_events_csv_roundtrip
 ORACLES["events_csv_roundtrip"] = _SQL_CSV_ROUNDTRIP
+
+
+# -- star-schema join (fact-fact hash join + broadcast dims) -----------------
+
+
+def q_star_revenue(sf_dir: str):
+    """Star-schema revenue rollup (region, nation, order year) — the
+    classic warehouse join tree, built with the three join strategies a
+    100 TB plan needs in the right places:
+
+    * **aggregate pushdown** — lineitem revenue partials combine per
+      ``l_orderkey`` inside each batch BEFORE any join, so the fact-fact
+      exchange carries ~distinct-orderkeys-per-block rows, not line
+      items (partials are safe: downstream re-sums);
+    * **partitioned hash join** for the two big-big edges
+      (lineitem ⋈ orders on orderkey, then ⋈ customer on custkey —
+      both sides scale with the corpus, so neither may broadcast);
+      the second join's left side is pre-shrunk to (custkey, year)
+      grain by one bucketed sum;
+    * **broadcast lookup** for the bounded dims (nation ⋈ region is
+      ≤ 25 rows forever): merged map-side into every batch, no shuffle.
+
+    Revenue is exact integer arithmetic — cents × discount-percent
+    (price and discount are 2-decimal fixed-point), so the sum is
+    order-independent and hash-stable.  int64 headroom: ~1e9 per line
+    item leaves ~9e9 items before overflow; beyond that the partial
+    must widen to a (hi, lo) pair (documented limit)."""
+    from ..util import bucket_sum, heal_schema, join_partitions
+
+    np_ = join_partitions(None)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy("float64") * 100.0)
+        disc = np.rint(df["l_discount"].to_numpy("float64") * 100.0)
+        rev = cents.astype("int64") * (100 - disc.astype("int64"))
+        part = pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].astype("int64"), "rev": rev}
+        )
+        g = part.groupby("l_orderkey", as_index=False, sort=False).agg(
+            rev=("rev", "sum"), n_items=("rev", "size")
+        )
+        return g.astype(
+            {"l_orderkey": "int64", "rev": "int64", "n_items": "int64"}
+        )
+
+    li_agg = heal_schema(
+        li.map_batches(li_partial, batch_format="pandas"), np_
+    )
+
+    orders = heal_schema(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "l_orderkey": df["o_orderkey"].astype("int64"),
+                    "o_custkey": df["o_custkey"].astype("int64"),
+                    "o_year": df["o_orderdate"].dt.year.astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        np_,
+    )
+
+    j1 = li_agg.join(orders, "inner", np_, on=("l_orderkey",))
+    # shrink to (custkey, year) grain before the customer join: the
+    # joined fact stream re-aggregates to at most |customer| × |years|
+    by_cust = heal_schema(
+        bucket_sum(j1, ["o_custkey", "o_year"], ["rev", "n_items"]), np_
+    )
+
+    cust = heal_schema(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "o_custkey": df["c_custkey"].astype("int64"),
+                    "c_nationkey": df["c_nationkey"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        np_,
+    )
+    j2 = by_cust.join(cust, "inner", np_, on=("o_custkey",))
+
+    # bounded dims: nation ⋈ region resolved once, merged map-side
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nat.merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "n_name", "r_name"]]
+    dim["c_nationkey"] = dim["n_nationkey"].astype("int64")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(dim[["c_nationkey", "n_name", "r_name"]], on="c_nationkey")
+        g = m.groupby(
+            ["r_name", "n_name", "o_year"], as_index=False, sort=False
+        )[["rev", "n_items"]].sum()
+        return g
+
+    out = (
+        j2.map_batches(attach, batch_format="pandas")
+        .to_pandas()
+        .groupby(["r_name", "n_name", "o_year"], as_index=False)[
+            ["rev", "n_items"]
+        ]
+        .sum()
+    )
+    out = out.rename(columns={"rev": "revenue"})
+    out = out.astype(
+        {
+            "r_name": "string",
+            "n_name": "string",
+            "o_year": "int64",
+            "revenue": "int64",
+            "n_items": "int64",
+        }
+    )
+    return out.sort_values(
+        ["r_name", "n_name", "o_year"], ignore_index=True
+    )
+
+
+_SQL_STAR_REVENUE = """
+SELECT r_name, n_name, year(o_orderdate)::BIGINT AS o_year,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+QUERIES["star_revenue"] = q_star_revenue
+ORACLES["star_revenue"] = _SQL_STAR_REVENUE
+
+
+# -- distributed anti / semi join --------------------------------------------
+
+
+def q_orders_anti_semi(sf_dir: str):
+    """Anti- and semi-join in one partitioned pass: per order priority,
+    how many orders have NO line items (anti) vs at least one (semi),
+    plus the anti side's orderkey checksum.
+
+    Shape: the probe side sheds volume map-side first (per-batch
+    DISTINCT l_orderkey — occurrence count is irrelevant to existence),
+    both sides are tagged and co-located by ONE hash bucketing on the
+    join key (util.bucket_agg), and each bucket resolves existence with
+    a vectorized ``isin`` — no broadcast of a corpus-scale key set, no
+    driver-side membership state, and the post-join aggregate collapses
+    to ≤ buckets × |priorities| partial rows before the driver touches
+    anything."""
+    from ..util import bucket_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+
+    def li_keys(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "okey": k.astype("int64"),
+                "prio": pd.array([""] * len(k), dtype="string"),
+                "side": pd.array([0] * len(k), dtype="int64"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": df["o_orderkey"].astype("int64"),
+                "prio": df["o_orderpriority"].astype("string"),
+                "side": pd.array([1] * len(df), dtype="int64"),
+            }
+        )
+
+    tagged = li.map_batches(li_keys, batch_format="pandas").union(
+        orders.map_batches(o_rows, batch_format="pandas")
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        probe = df.loc[df["side"] == 0, "okey"]
+        o = df[df["side"] == 1]
+        has = o["okey"].isin(set(probe)).to_numpy()
+        part = pd.DataFrame(
+            {
+                "prio": o["prio"],
+                "anti": (~has).astype("int64"),
+                "semi": has.astype("int64"),
+                "anti_okey": o["okey"].to_numpy("int64") * ~has,
+            }
+        )
+        return part.groupby("prio", as_index=False, sort=False).sum()
+
+    parts = bucket_agg(tagged, ["okey"], resolve).to_pandas()
+    out = parts.groupby("prio", as_index=False).sum()
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": out["prio"].astype("string"),
+            "n_anti": out["anti"].astype("int64"),
+            "n_semi": out["semi"].astype("int64"),
+            "anti_okey_sum": out["anti_okey"].astype("int64"),
+        }
+    )
+    return out.sort_values("o_orderpriority", ignore_index=True)
+
+
+_SQL_ORDERS_ANTI_SEMI = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         EXISTS (SELECT 1 FROM lineitem l
+                 WHERE l.l_orderkey = o_orderkey) AS has
+  FROM orders
+)
+SELECT o_orderpriority,
+       coalesce(count(*) FILTER (WHERE NOT has), 0)::BIGINT AS n_anti,
+       coalesce(count(*) FILTER (WHERE has), 0)::BIGINT AS n_semi,
+       coalesce(sum(o_orderkey) FILTER (WHERE NOT has), 0)::BIGINT
+         AS anti_okey_sum
+FROM o GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_anti_semi"] = q_orders_anti_semi
+ORACLES["orders_anti_semi"] = _SQL_ORDERS_ANTI_SEMI
+
+
+# -- entity resolution: sorted-neighborhood blocking -------------------------
+
+# shared by the Ray side and the oracle SQL (see _SPIKE_WIN)
+_ER_WINDOW = 3
+_ER_MAX_DIST = 1
+_ER_BLOCK = 4096  # rank-range block width (module-level so tests can shrink it)
+
+
+def q_er_blocking_pairs(
+    sf_dir: str, window: int = _ER_WINDOW, max_dist: int = _ER_MAX_DIST
+):
+    """Sorted-neighborhood entity-resolution blocking: order the corpus
+    by the blocking key (name, with custkey tie-break), compare each
+    record only to its ``window`` successors, and keep pairs within
+    ``max_dist`` edits — the O(n·w) record-linkage candidate generator
+    (Hernández & Stolfo's merge/purge) instead of the O(n²) cross join.
+
+    Distribution: ONE total sort (stages.packing.global_rank — the
+    ordered prefix-sum rank primitive), then rank-range blocks of
+    ``_ER_BLOCK`` rows with the first ``window`` rows of each block
+    replicated to its predecessor, so every cross-boundary pair is
+    computed exactly once (pairs are emitted only where the LEFT row is
+    block-native).  Inside a block, shift-j alignment over the
+    contiguous rank sequence generates candidates and
+    ``linking.levenshtein_vec`` verifies them — numpy DP across all
+    pairs at once, no per-pair Python."""
+    from ..stages.linking import levenshtein_vec
+    from ..stages.packing import global_rank
+
+    w, md = int(window), int(max_dist)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    ranked = global_rank(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "c_custkey": df["c_custkey"].astype("int64"),
+                    "c_name": df["c_name"].astype("string"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["c_name", "c_custkey"],
+    )
+
+    def scatter(df: pd.DataFrame) -> pd.DataFrame:
+        rk = df["rank"].to_numpy("int64")
+        native = df.assign(blk=rk // _ER_BLOCK)
+        edge = df[(rk % _ER_BLOCK) < w]
+        ghost = edge.assign(blk=edge["rank"].to_numpy("int64") // _ER_BLOCK - 1)
+        out = pd.concat([native, ghost[ghost["blk"] >= 0]], ignore_index=True)
+        return out.astype({"blk": "int64"})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("rank", ignore_index=True)
+        blk = int(d["blk"].iloc[0])
+        rk = d["rank"].to_numpy("int64")
+        names = d["c_name"].astype(str).to_numpy()
+        keys = d["c_custkey"].to_numpy("int64")
+        lim = (blk + 1) * _ER_BLOCK  # left row must be block-native
+        a_i, b_i = [], []
+        for j in range(1, w + 1):
+            if len(d) <= j:
+                break
+            ia = np.arange(len(d) - j)
+            keep = (rk[ia] < lim) & (rk[ia + j] - rk[ia] == j)
+            a_i.append(ia[keep])
+            b_i.append(ia[keep] + j)
+        if not a_i:
+            return pd.DataFrame(
+                {
+                    "a_custkey": pd.array([], dtype="int64"),
+                    "b_custkey": pd.array([], dtype="int64"),
+                    "dist": pd.array([], dtype="int64"),
+                }
+            )
+        ai = np.concatenate(a_i)
+        bi = np.concatenate(b_i)
+        dist = levenshtein_vec(names[ai], names[bi])
+        m = dist <= md
+        return pd.DataFrame(
+            {
+                "a_custkey": pd.array(keys[ai][m], dtype="int64"),
+                "b_custkey": pd.array(keys[bi][m], dtype="int64"),
+                "dist": pd.array(dist[m], dtype="int64"),
+            }
+        )
+
+    return (
+        ranked.map_batches(scatter, batch_format="pandas")
+        .groupby("blk")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+_SQL_ER_BLOCKING = f"""
+WITH r AS (
+  SELECT c_name, c_custkey,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+  FROM customer
+)
+SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+       levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + {_ER_WINDOW}
+WHERE levenshtein(a.c_name, b.c_name) <= {_ER_MAX_DIST}
+ORDER BY 1, 2
+"""
+
+QUERIES["er_blocking_pairs"] = q_er_blocking_pairs
+ORACLES["er_blocking_pairs"] = _SQL_ER_BLOCKING

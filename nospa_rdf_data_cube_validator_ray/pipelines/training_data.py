@@ -4718,3 +4718,67 @@ FROM embeddings WHERE vec_id < 10
 
 QUERIES["knn_int8_recall"] = q_knn_int8_recall
 ORACLES["knn_int8_recall"] = _SQL_INT8_RECALL
+
+
+# -- search serving: boolean-AND postings intersection -----------------------
+
+
+def q_postings_and_query(sf_dir: str):
+    """Boolean-AND retrieval over the inverted index: resolve the two
+    globally most frequent tokens (count DESC, token ASC — a
+    deterministic stand-in for a user query), then return every
+    document containing BOTH, with per-doc term frequencies — the
+    serving-side postings-intersection a search stack runs against the
+    index q_postings_index builds.
+
+    Two streamed passes: pass 1 is the shared map-side-combined token
+    count (vocabulary-sized exchange, driver sees only block top-k
+    candidates); pass 2 re-scans the corpus counting just the two query
+    tokens per doc with vectorized ``str.count`` on a token-boundary
+    regex ((?<!\\S)tok(?!\\S) — exactly the \\S+ tokenizer's notion of a
+    token), filtering docs where both hit.  No shuffle in pass 2 at
+    all: doc rows already carry everything the predicate needs."""
+    import re as _re
+
+    top2 = q_vocab_topk(sf_dir, k=2)["token"].tolist()
+    tok_a, tok_b = sorted(top2)
+    pat_a = _re.compile(r"(?<!\S)" + _re.escape(tok_a) + r"(?!\S)")
+    pat_b = _re.compile(r"(?<!\S)" + _re.escape(tok_b) + r"(?!\S)")
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_a = text.str.count(pat_a).astype("int64")
+        n_b = text.str.count(pat_b).astype("int64")
+        m = (n_a > 0) & (n_b > 0)
+        return pd.DataFrame(
+            {
+                "doc_id": df.loc[m, "doc_id"].astype("int64"),
+                "n_a": n_a[m],
+                "n_b": n_b[m],
+            }
+        )
+
+    return _docs(sf_dir).map_batches(hits, batch_format="pandas")
+
+
+_SQL_POSTINGS_AND = r"""
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS token
+  FROM documents
+),
+top2 AS (
+  SELECT token FROM occ GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT 2
+),
+q AS (SELECT token, row_number() OVER (ORDER BY token) AS r FROM top2),
+c AS (
+  SELECT o.doc_id,
+         coalesce(sum(CASE WHEN q.r = 1 THEN 1 END), 0)::BIGINT AS n_a,
+         coalesce(sum(CASE WHEN q.r = 2 THEN 1 END), 0)::BIGINT AS n_b
+  FROM occ o JOIN q USING (token) GROUP BY 1
+)
+SELECT doc_id, n_a, n_b FROM c WHERE n_a > 0 AND n_b > 0
+"""
+
+QUERIES["postings_and_query"] = q_postings_and_query
+ORACLES["postings_and_query"] = _SQL_POSTINGS_AND
