@@ -2644,3 +2644,75 @@ ORDER BY 1, 2
 
 QUERIES["er_blocking_pairs"] = q_er_blocking_pairs
 ORACLES["er_blocking_pairs"] = _SQL_ER_BLOCKING
+
+
+# -- sequence mining: event-type transition matrix ---------------------------
+
+
+def q_events_transitions(sf_dir: str):
+    """Per-user event-sequence mining: the first-order Markov transition
+    matrix over event types — for every consecutive pair in a user's
+    (ts, event_id)-ordered stream, count (prev_type → next_type), the
+    bigram model behind next-action prediction and funnel discovery.
+
+    One user-bucketed co-location (util.bucket_agg — user keys never
+    reach a Ray per-key aggregate); inside a bucket the pairing is a
+    single sort + shift with a same-user mask (no per-user loops), and
+    only |types|² partial rows per bucket leave the shuffle."""
+    from ..util import bucket_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = (
+            (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ).astype("int64")
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": ts_us,
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"].astype("string"),
+            }
+        ).sort_values(["user_id", "ts_us", "event_id"], ignore_index=True)
+        same = d["user_id"].to_numpy()[1:] == d["user_id"].to_numpy()[:-1]
+        part = pd.DataFrame(
+            {
+                "prev_type": d["event_type"].to_numpy()[:-1][same],
+                "next_type": d["event_type"].to_numpy()[1:][same],
+            }
+        )
+        g = part.groupby(
+            ["prev_type", "next_type"], as_index=False, sort=False
+        ).size()
+        return g.rename(columns={"size": "n"}).astype(
+            {"prev_type": "string", "next_type": "string", "n": "int64"}
+        )
+
+    parts = bucket_agg(ds, ["user_id"], pairs).to_pandas()
+    out = (
+        parts.groupby(["prev_type", "next_type"], as_index=False)["n"]
+        .sum()
+        .astype({"prev_type": "string", "next_type": "string", "n": "int64"})
+    )
+    return out.sort_values(["prev_type", "next_type"], ignore_index=True)
+
+
+_SQL_EVENTS_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["events_transitions"] = q_events_transitions
+ORACLES["events_transitions"] = _SQL_EVENTS_TRANSITIONS

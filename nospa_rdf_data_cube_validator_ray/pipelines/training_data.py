@@ -4782,3 +4782,144 @@ SELECT doc_id, n_a, n_b FROM c WHERE n_a > 0 AND n_b > 0
 
 QUERIES["postings_and_query"] = q_postings_and_query
 ORACLES["postings_and_query"] = _SQL_POSTINGS_AND
+
+
+# -- sketch set operations: KMV union / intersection estimates ---------------
+
+
+def q_kmv_source_overlap(sf_dir: str, k: int = 64):
+    """Sketch SET OPERATIONS: for every source pair, estimate the token
+    UNION and INTERSECTION cardinalities from the per-source KMV
+    sketches alone — the mergeable-summary algebra that lets a 100 TB
+    corpus answer overlap questions (shared vocabulary, contamination
+    surface) without ever co-shuffling token occurrences.
+
+    Per-source k-min sets build exactly like distinct_sketch_kmv
+    (map-side distinct + k-min partials, one source-bucketed merge);
+    the pairwise combine runs on ≤ |sources| × k driver rows (bounded
+    state).  Estimators are the deterministic integer forms: union =
+    (k−1)·2^61 // kth of the combined k-min set (exact when < k), and
+    intersection = matches · union_est // K where matches counts
+    combined-k-min hashes present in BOTH sketches (Beyer et al.'s
+    ρ·|A∪B| with integer arithmetic) — every value reproduced
+    bit-exactly by the DuckDB twin."""
+    from ..stages.dedup import _md5_u64_cached, kmv_sketch, tokens
+    from ..util import bucket_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        per: dict[str, set[int]] = {}
+        for src, t in zip(df["source"], df["text"].fillna("")):
+            s = per.setdefault(src, set())
+            for tok in tokens(t):
+                s.add(_md5_u64_cached(tok) & ((1 << 61) - 1))
+        rows_s, rows_h = [], []
+        for src, hs in per.items():
+            keep = sorted(hs)[:k]
+            rows_s.extend([src] * len(keep))
+            rows_h.extend(keep)
+        return pd.DataFrame(
+            {
+                "source": pd.Series(rows_s, dtype="string"),
+                "h": pd.Series(rows_h, dtype="uint64"),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows_s, rows_h = [], []
+        for src, g in df.groupby("source", sort=False):
+            keep = sorted(set(int(v) for v in g["h"]))[:k]
+            rows_s.extend([src] * len(keep))
+            rows_h.extend(keep)
+        return pd.DataFrame(
+            {
+                "source": pd.Series(rows_s, dtype="string"),
+                "h": pd.Series(rows_h, dtype="int64"),
+            }
+        )
+
+    sketches = bucket_agg(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["source"],
+        merge,
+    ).to_pandas()
+
+    per_src = {
+        src: set(g["h"].tolist())
+        for src, g in sketches.groupby("source", sort=False)
+    }
+    rows = []
+    for sa in sorted(per_src):
+        for sb in sorted(per_src):
+            if sa >= sb:
+                continue
+            a, b = per_src[sa], per_src[sb]
+            union_kmin = sorted(a | b)[:k]
+            kk = len(union_kmin)
+            kth, union_est = kmv_sketch(union_kmin, k)
+            matches = sum(1 for h in union_kmin if h in a and h in b)
+            inter_est = matches * union_est // kk if kk else 0
+            rows.append((sa, sb, matches, union_est, inter_est))
+    out = pd.DataFrame(
+        rows, columns=["src_a", "src_b", "matches", "union_est", "inter_est"]
+    )
+    return out.astype(
+        {
+            "src_a": "string",
+            "src_b": "string",
+            "matches": "int64",
+            "union_est": "int64",
+            "inter_est": "int64",
+        }
+    ).sort_values(["src_a", "src_b"], ignore_index=True)
+
+
+_SQL_KMV_OVERLAP = r"""
+WITH th AS (
+  SELECT DISTINCT source,
+         (md5_number_lower(unnest(regexp_extract_all(coalesce(text, ''), '\S+')))
+          % (1::HUGEINT << 61))::BIGINT AS h
+  FROM documents
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM th
+  ) WHERE rn <= 64
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pr AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+uni AS (
+  SELECT p.src_a, p.src_b, s.h,
+         count(DISTINCT s.source)::BIGINT AS both_cnt
+  FROM pr p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+  GROUP BY 1, 2, 3
+),
+ru AS (
+  SELECT src_a, src_b, h, both_cnt,
+         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY src_a, src_b) AS n_u
+  FROM uni
+),
+agg AS (
+  SELECT src_a, src_b,
+         max(h) AS kth,
+         least(max(n_u), 64) AS kk,
+         max(n_u) AS n_u,
+         coalesce(sum(CASE WHEN both_cnt = 2 THEN 1 END), 0)::BIGINT AS matches
+  FROM ru WHERE rn <= least(n_u, 64)
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, matches,
+       CASE WHEN n_u >= 64 THEN (63 * (1::HUGEINT << 61) // kth)::BIGINT
+            ELSE n_u::BIGINT END AS union_est,
+       ((matches * CASE WHEN n_u >= 64 THEN 63 * (1::HUGEINT << 61) // kth
+                        ELSE n_u::HUGEINT END) // kk)::BIGINT AS inter_est
+FROM agg ORDER BY 1, 2
+"""
+
+QUERIES["kmv_source_overlap"] = q_kmv_source_overlap
+ORACLES["kmv_source_overlap"] = _SQL_KMV_OVERLAP
