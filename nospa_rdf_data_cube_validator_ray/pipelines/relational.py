@@ -2716,3 +2716,228 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["events_transitions"] = q_events_transitions
 ORACLES["events_transitions"] = _SQL_EVENTS_TRANSITIONS
+
+
+# -- exact distributed order statistics: IQR outlier gate --------------------
+
+
+def q_events_value_outliers(sf_dir: str):
+    """Exact per-type quartiles over a CONTINUOUS value domain + the
+    Tukey IQR outlier gate (value > q3 + 1.5·IQR) — the order-statistic
+    shape a counting histogram cannot cover (doc_len_quantiles' trick
+    needs bounded integers; event values are arbitrary doubles).
+
+    Distribution: ONE total sort via the ordered-prefix-sum rank
+    primitive (stages.packing.global_rank over (type, value, event_id)
+    — ranks are contiguous per type in type order), per-type counts
+    collapse map-side to |types| driver rows, the two quartile ranks
+    per type resolve with a broadcast rank→slot filter (a ~2·|types|
+    dict, never the data), and the outlier count is a second streamed
+    pass against broadcast thresholds.  Quartile VALUES are exact data
+    elements (position (n−1)·p//100 in each type's sorted run — the
+    doc_len_quantiles convention), so doubles hash bit-exactly; the
+    gate arithmetic is the same IEEE double expression on both sides."""
+    from ..stages.packing import global_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value", "event_id"],
+    )
+
+    ranked = global_rank(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "event_type": df["event_type"].astype("string"),
+                    "value": df["value"].astype("float64"),
+                    "event_id": df["event_id"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["event_type", "value", "event_id"],
+    ).materialize()
+
+    def type_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False, sort=False).size()
+        return g.rename(columns={"size": "n"}).astype(
+            {"event_type": "string", "n": "int64"}
+        )
+
+    counts = (
+        ranked.map_batches(type_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)["n"]
+        .sum()
+        .sort_values("event_type", ignore_index=True)
+    )
+    offs = counts["n"].cumsum().shift(fill_value=0).astype("int64")
+    want: dict[int, tuple[str, str]] = {}
+    for (ty, n), off in zip(counts.itertuples(index=False), offs):
+        want[int(off) + (int(n) - 1) * 25 // 100 + 1] = (ty, "q1")
+        want[int(off) + (int(n) - 1) * 75 // 100 + 1] = (ty, "q3")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["rank"].isin(want).to_numpy()
+        d = df[m]
+        slot = [want[int(r)][1] for r in d["rank"]]
+        return pd.DataFrame(
+            {
+                "event_type": d["event_type"].astype("string"),
+                "slot": pd.array(slot, dtype="string"),
+                "value": d["value"].astype("float64"),
+            }
+        )
+
+    qv = (
+        ranked.map_batches(pick, batch_format="pandas")
+        .to_pandas()
+        .pivot(index="event_type", columns="slot", values="value")
+        .reset_index()
+    )
+    hi = {
+        ty: q3 + 1.5 * (q3 - q1)
+        for ty, q1, q3 in zip(qv["event_type"], qv["q1"], qv["q3"])
+    }
+
+    def outlier_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["event_type"].map(hi).to_numpy("float64")
+        flag = df["value"].to_numpy("float64") > t
+        part = pd.DataFrame(
+            {"event_type": df["event_type"].astype("string"),
+             "n_outliers": flag.astype("int64")}
+        )
+        return part.groupby("event_type", as_index=False, sort=False).sum()
+
+    outl = (
+        ranked.map_batches(outlier_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)["n_outliers"]
+        .sum()
+    )
+    out = counts.merge(qv, on="event_type").merge(outl, on="event_type")
+    return out.astype(
+        {
+            "event_type": "string",
+            "n": "int64",
+            "q1": "float64",
+            "q3": "float64",
+            "n_outliers": "int64",
+        }
+    )[["event_type", "n", "q1", "q3", "n_outliers"]].sort_values(
+        "event_type", ignore_index=True
+    )
+
+
+_SQL_VALUE_OUTLIERS = """
+WITH q AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         (list_sort(list(value)))[(count(*) - 1) * 25 // 100 + 1] AS q1,
+         (list_sort(list(value)))[(count(*) - 1) * 75 // 100 + 1] AS q3
+  FROM events GROUP BY 1
+)
+SELECT q.event_type, q.n, q.q1, q.q3,
+       coalesce(sum(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 END), 0)::BIGINT AS n_outliers
+FROM q JOIN events e USING (event_type)
+GROUP BY 1, 2, 3, 4 ORDER BY 1
+"""
+
+QUERIES["events_value_outliers"] = q_events_value_outliers
+ORACLES["events_value_outliers"] = _SQL_VALUE_OUTLIERS
+
+
+# -- grouped trend fit: exact integer OLS sums --------------------------------
+
+
+def q_events_type_trend(sf_dir: str):
+    """Per-type value-over-time trend (OLS slope) carried as EXACT
+    integer sufficient statistics — the grouped-regression pattern for
+    drift/trend monitors at corpus scale: each batch contributes
+    per-type partial sums (n, Σx, Σy, Σxy, Σx²) where x = hour since
+    the corpus' first hour and y = integer cents, so the slope's
+    closed-form numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²)
+    are order-independent int64 arithmetic that hashes bit-exactly
+    (the ratio itself is one division away for any consumer).  Two
+    streamed passes (global min hour, then partials), no shuffle —
+    only |types| rows ever reach the driver.  int64 headroom: with
+    H = hour span and C = cents ceiling, n·Σxy < 2^63 needs
+    n² · H · C ≲ 9e18 (sf0.1: ~1e10·720·6e4 ≈ 4e17); a wider corpus
+    promotes the partials to python ints / HUGEINT."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def hours(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(hours=1)
+        ).astype("int64")
+        return pd.DataFrame({"h": pd.array([int(h.min())], dtype="int64")})
+
+    h0 = int(
+        ds.map_batches(hours, batch_format="pandas").to_pandas()["h"].min()
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(hours=1)
+        ).astype("int64") - h0
+        y = np.rint(df["value"].to_numpy("float64") * 100.0).astype("int64")
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype("string"),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxy": x.to_numpy() * y,
+                "sxx": x.to_numpy() * x.to_numpy(),
+            }
+        )
+        return (
+            d.groupby("event_type", as_index=False, sort=False)
+            .sum()
+            .astype(
+                {"n": "int64", "sx": "int64", "sy": "int64",
+                 "sxy": "int64", "sxx": "int64"}
+            )
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    agg["slope_num"] = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    agg["slope_den"] = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    out = agg.astype(
+        {
+            "event_type": "string",
+            "n": "int64", "sx": "int64", "sy": "int64",
+            "sxy": "int64", "sxx": "int64",
+            "slope_num": "int64", "slope_den": "int64",
+        }
+    )
+    return out.sort_values("event_type", ignore_index=True)
+
+
+_SQL_TYPE_TREND = """
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000)::BIGINT AS h,
+         round(value * 100)::BIGINT AS cents
+  FROM events
+),
+m AS (SELECT min(h) AS h0 FROM e),
+x AS (SELECT event_type, (h - m.h0)::BIGINT AS x, cents AS y
+      FROM e CROSS JOIN m)
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+       (count(*) * sum(x * y) - sum(x) * sum(y))::BIGINT AS slope_num,
+       (count(*) * sum(x * x) - sum(x) * sum(x))::BIGINT AS slope_den
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_type_trend"] = q_events_type_trend
+ORACLES["events_type_trend"] = _SQL_TYPE_TREND

@@ -4923,3 +4923,146 @@ FROM agg ORDER BY 1, 2
 
 QUERIES["kmv_source_overlap"] = q_kmv_source_overlap
 ORACLES["kmv_source_overlap"] = _SQL_KMV_OVERLAP
+
+
+# -- ranked retrieval: BM25 top-k --------------------------------------------
+
+
+def q_postings_bm25_topk(sf_dir: str, k: int = 20):
+    """BM25-ranked retrieval for the deterministic two-token query
+    (the postings_and_query query, now scored): Robertson ratio idf
+    ((N − df + 0.5)/(df + 0.5) — the ratio form, NOT ln, for the same
+    reason doc_tfidf_topk documents: a transcendental would hostage the
+    oracle to libm ulps) and the standard k1=1.2 / b=0.75 saturation.
+    Each term's weight is algebraically cleared to ONE division of two
+    exact int64s (k1/b constants ×10: w = (2N−2df+1)·22·tf·Σlen /
+    ((2df+1)·(10·Σlen·tf + 3·Σlen + 9·nt·N))), because a
+    multi-step float pipeline diverged from DuckDB by 1 ulp on half
+    the scores (measured) — single-division doubles hash bit-exactly.
+    int64 headroom: numerator ≈ 44·N·tf·Σlen must stay < 2^63 (and
+    < 2^53 for the double conversion to be exact); petabyte corpora
+    would widen to HUGEINT/float128 partials (documented limit).
+
+    Three streamed passes, zero shuffles: (1) the shared map-side
+    token-count top-2; (2) corpus stats — N, Σlen, per-term df — as
+    map-side partial sums collapsing to one driver row; (3) scoring,
+    where each batch ranks its own docs against the broadcast stats and
+    only per-block top-k candidates (k rows per block) reach the
+    driver.  Exact because a doc lives in exactly one batch and scores
+    are final the moment they're computed."""
+    import re as _re
+
+    top2 = q_vocab_topk(sf_dir, k=2)["token"].tolist()
+    tok_a, tok_b = sorted(top2)
+    pat_a = _re.compile(r"(?<!\S)" + _re.escape(tok_a) + r"(?!\S)")
+    pat_b = _re.compile(r"(?<!\S)" + _re.escape(tok_b) + r"(?!\S)")
+    pat_t = _re.compile(r"\S+")
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        nt = text.str.count(pat_t).astype("int64")
+        na = text.str.count(pat_a).astype("int64")
+        nb = text.str.count(pat_b).astype("int64")
+        return pd.DataFrame(
+            {
+                "n_docs": pd.array([len(df)], dtype="int64"),
+                "sum_len": pd.array([int(nt.sum())], dtype="int64"),
+                "df_a": pd.array([int((na > 0).sum())], dtype="int64"),
+                "df_b": pd.array([int((nb > 0).sum())], dtype="int64"),
+            }
+        )
+
+    stats = (
+        _docs(sf_dir)
+        .map_batches(stat_partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n_docs, sum_len = int(stats["n_docs"]), int(stats["sum_len"])
+    df_a, df_b = int(stats["df_a"]), int(stats["df_b"])
+    idf_num_a, idf_den_a = 2 * n_docs - 2 * df_a + 1, 2 * df_a + 1
+    idf_num_b, idf_den_b = 2 * n_docs - 2 * df_b + 1, 2 * df_b + 1
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        nt = text.str.count(pat_t).to_numpy("int64")
+        tf_a = text.str.count(pat_a).to_numpy("int64")
+        tf_b = text.str.count(pat_b).to_numpy("int64")
+        base = 3 * sum_len + 9 * nt * n_docs
+        w_a = (idf_num_a * 22 * sum_len * tf_a).astype("float64") / (
+            idf_den_a * (10 * sum_len * tf_a + base)
+        ).astype("float64")
+        w_b = (idf_num_b * 22 * sum_len * tf_b).astype("float64") / (
+            idf_den_b * (10 * sum_len * tf_b + base)
+        ).astype("float64")
+        score = w_a + w_b
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "score": score,
+            }
+        )
+        out = out[(tf_a + tf_b) > 0]
+        return out.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k)
+
+    cands = (
+        _docs(sf_dir)
+        .map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    cands["rank"] = pd.array(range(1, len(cands) + 1), dtype="int64")
+    return cands.astype({"doc_id": "int64", "score": "float64"})
+
+
+_SQL_BM25 = r"""
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS token
+  FROM documents
+),
+top2 AS (
+  SELECT token FROM occ GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT 2
+),
+q AS (SELECT token, row_number() OVER (ORDER BY token) AS r FROM top2),
+nt AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS nt
+  FROM documents
+),
+tfq AS (
+  SELECT o.doc_id,
+         coalesce(sum(CASE WHEN q.r = 1 THEN 1 END), 0)::BIGINT AS tf_a,
+         coalesce(sum(CASE WHEN q.r = 2 THEN 1 END), 0)::BIGINT AS tf_b
+  FROM occ o JOIN q USING (token) GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         (SELECT sum(nt) FROM nt)::BIGINT AS sum_len,
+         (SELECT count(*) FROM tfq WHERE tf_a > 0)::BIGINT AS df_a,
+         (SELECT count(*) FROM tfq WHERE tf_b > 0)::BIGINT AS df_b
+),
+scored AS (
+  SELECT n.doc_id,
+         (((2 * s.n_docs - 2 * s.df_a + 1) * 22 * s.sum_len * t.tf_a)::DOUBLE
+          / ((2 * s.df_a + 1)
+             * (10 * s.sum_len * t.tf_a + 3 * s.sum_len + 9 * n.nt * s.n_docs))::DOUBLE)
+         + (((2 * s.n_docs - 2 * s.df_b + 1) * 22 * s.sum_len * t.tf_b)::DOUBLE
+            / ((2 * s.df_b + 1)
+               * (10 * s.sum_len * t.tf_b + 3 * s.sum_len + 9 * n.nt * s.n_docs))::DOUBLE)
+           AS score
+  FROM tfq t JOIN nt n USING (doc_id) CROSS JOIN stats s
+  WHERE t.tf_a + t.tf_b > 0
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+FROM scored
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+QUERIES["postings_bm25_topk"] = q_postings_bm25_topk
+ORACLES["postings_bm25_topk"] = _SQL_BM25
