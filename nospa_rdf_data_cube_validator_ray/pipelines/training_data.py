@@ -5066,3 +5066,115 @@ ORDER BY score DESC, doc_id LIMIT 20
 
 QUERIES["postings_bm25_topk"] = q_postings_bm25_topk
 ORACLES["postings_bm25_topk"] = _SQL_BM25
+
+
+# -- binary-quantized retrieval: sign bits + Hamming top-k --------------------
+
+
+def q_knn_sign_hamming(sf_dir: str, k: int = 5, n_queries: int = 10):
+    """Binary (1-bit) quantized retrieval: embeddings collapse to their
+    SIGN bits (64 dims → one uint64 word) and ranking is Hamming
+    distance — the 32×-compression serving tier under int8/PQ, where a
+    100 TB vector corpus becomes CPU-popcount-bound instead of
+    memory-bandwidth-bound.
+
+    The packed query words broadcast once (ray.put); each block packs
+    its own rows with ``np.packbits``, XORs against every query in one
+    vectorized op, popcounts via the same unpackbits-free SWAR kernel
+    shape as simhash, and only per-block top-k candidates reach the
+    driver.  Exact deterministic output (distance ASC, neighbor_id) so
+    the oracle recomputes the full ranking from sign comparisons."""
+    from ..util import auto_concurrency
+
+    import ray
+
+    ds = _embs(sf_dir)
+    qrows = ds.filter(expr=f"vec_id in {list(range(n_queries))}").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qbits = np.packbits(qmat >= 0, axis=1)  # (nq, dims/8) uint8
+    qref = ray.put({"ids": [int(r["vec_id"]) for r in qrows], "bits": qbits})
+
+    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+        axis=1
+    )  # 256-entry popcount LUT, built once per process
+
+    class BlockTopK:
+        def __init__(self, query_ref, k: int):
+            q = ray.get(query_ref) if isinstance(
+                query_ref, ray.ObjectRef
+            ) else query_ref
+            self.qids = q["ids"]
+            self.qbits = q["bits"]
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.array([], dtype="int64"),
+                        "neighbor_id": pd.array([], dtype="int64"),
+                        "hamming": pd.array([], dtype="int64"),
+                    }
+                )
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+            )
+            bits = np.packbits(mat >= 0, axis=1)  # (n, dims/8)
+            ids = df["vec_id"].to_numpy("int64")
+            # (nq, n, dims/8) xor → LUT popcount → (nq, n) distances
+            ham = _POP[self.qbits[:, None, :] ^ bits[None, :, :]].sum(axis=2)
+            out_q, out_n, out_h = [], [], []
+            kk = min(self.k + 1, ham.shape[1])
+            for qi, qid in enumerate(self.qids):
+                row = ham[qi]
+                top = np.lexsort((ids, row))[:kk]
+                for j in top:
+                    if ids[j] != qid:
+                        out_q.append(qid)
+                        out_n.append(int(ids[j]))
+                        out_h.append(int(row[j]))
+            return pd.DataFrame(
+                {
+                    "query_id": pd.array(out_q, dtype="int64"),
+                    "neighbor_id": pd.array(out_n, dtype="int64"),
+                    "hamming": pd.array(out_h, dtype="int64"),
+                }
+            )
+
+    cands = ds.map_batches(
+        BlockTopK,
+        fn_constructor_kwargs={"query_ref": qref, "k": k},
+        batch_format="pandas",
+        concurrency=auto_concurrency(None),
+    ).to_pandas()
+    cands = cands.sort_values(
+        ["query_id", "hamming", "neighbor_id"], ignore_index=True
+    )
+    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = (top.groupby("query_id").cumcount() + 1).astype("int64")
+    return top.astype(
+        {"query_id": "int64", "neighbor_id": "int64", "hamming": "int64"}
+    )
+
+
+_SQL_SIGN_HAMMING = """
+SELECT query_id, neighbor_id, hamming, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, n.vec_id::BIGINT AS neighbor_id,
+         list_sum(list_transform(list_zip(q.embedding, n.embedding),
+           x -> CASE WHEN (x[1] >= 0) <> (x[2] >= 0) THEN 1 ELSE 0 END
+         ))::BIGINT AS hamming,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(list_zip(q.embedding, n.embedding),
+             x -> CASE WHEN (x[1] >= 0) <> (x[2] >= 0) THEN 1 ELSE 0 END)),
+             n.vec_id
+         )::BIGINT AS rank
+  FROM embeddings q, embeddings n
+  WHERE q.vec_id < 10 AND n.vec_id != q.vec_id
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+QUERIES["knn_sign_hamming"] = q_knn_sign_hamming
+ORACLES["knn_sign_hamming"] = _SQL_SIGN_HAMMING
