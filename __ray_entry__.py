@@ -335,7 +335,12 @@ def _sparql_slice_findings(sf_dir: str) -> pd.DataFrame:
         from nospa_rdf_data_cube_validator_ray.fixtures import tpch_slice_corpus
 
         v = create_validator("SPARQL", corpus=tpch_slice_corpus(sf_dir))
-        state["sparql_slice_findings"] = v.findings_df()
+        # IC selection pushed into the kernel: the three slice queries
+        # need IC10/11/18 only, and skipping the spec's quadratic IC-12
+        # compare is what keeps this corpus viable at 10x driver scale
+        state["sparql_slice_findings"] = v.findings_df(
+            ics=["IC10", "IC11", "IC18"]
+        )
     return state["sparql_slice_findings"]
 
 

@@ -236,10 +236,21 @@ def _anti(left: pd.DataFrame, right: pd.DataFrame, on: list[str]) -> pd.DataFram
     return m[m["_merge"] == "left_only"].drop(columns="_merge")
 
 
-def spec_eval_graph(gdf: pd.DataFrame) -> pd.DataFrame:
+def spec_eval_graph(gdf: pd.DataFrame, ics=None) -> pd.DataFrame:
     """One graph's triples (phase 1 applied) → spec findings
     (ic, subject, detail) — detail entries joined by \\x1e, one row per
-    (ic, subject) with merged sorted-unique details."""
+    (ic, subject) with merged sorted-unique details.
+
+    ``ics`` (an iterable of "ICn" names, None = all) pushes per-IC
+    selection INTO the kernel — parity with the reference, whose
+    SparqlValidator runs one SELECT per requested constraint
+    (SparqlValidator.java:90-234).  Only the two cap-bounded pairwise
+    kernels (IC-12, IC-17) are actually skipped; the linear kernels
+    cost less than the selection plumbing would save, and callers
+    filter the output rows regardless.  This is what lets a
+    slice-corpus IC-10/11/18 run at 10× driver scale avoid executing
+    the spec's quadratic IC-12 compare entirely."""
+    want = (lambda ic: True) if ics is None else (lambda ic: ic in ics)
     G = _Graph(gdf)
     t = G.t
     out: list[tuple[str, str, str]] = []  # (ic, subject_term, one detail term)
@@ -395,24 +406,26 @@ def spec_eval_graph(gdf: pd.DataFrame) -> pd.DataFrame:
         emit_series("IC11", miss["obs"], ("<" + miss["p"] + ">").to_numpy())
 
     # --- IC12 (:133-151): ordered obs pairs agreeing on all SHARED dims --
-    dims_by_ds = {
-        ds: list(sub["comp"]) for ds, sub in ds_dim.groupby("dataset", sort=False)
-    }
-    ov = dsof.merge(ds_dim, on="dataset")
-    ov = ov.merge(
-        t[["subj", "pred", "oterm"]].rename(
-            columns={"subj": "obs", "pred": "comp"}
-        ),
-        on=["obs", "comp"],
-    ).drop_duplicates(["dataset", "obs", "comp", "oterm"])
-    for ds, sub in ov.groupby("dataset", sort=False):
-        dims = dims_by_ds.get(ds, [])
-        if not dims:
-            continue
-        pairs = _spec_equal_pairs(sub, dims, require_shared=True)
-        for o1, o2s in pairs.items():
-            for o2 in o2s:
-                out.append(("IC12", _one_term(o1), _one_term(o2)))
+    if want("IC12"):
+        dims_by_ds = {
+            ds: list(sub["comp"])
+            for ds, sub in ds_dim.groupby("dataset", sort=False)
+        }
+        ov = dsof.merge(ds_dim, on="dataset")
+        ov = ov.merge(
+            t[["subj", "pred", "oterm"]].rename(
+                columns={"subj": "obs", "pred": "comp"}
+            ),
+            on=["obs", "comp"],
+        ).drop_duplicates(["dataset", "obs", "comp", "oterm"])
+        for ds, sub in ov.groupby("dataset", sort=False):
+            dims = dims_by_ds.get(ds, [])
+            if not dims:
+                continue
+            pairs = _spec_equal_pairs(sub, dims, require_shared=True)
+            for o1, o2s in pairs.items():
+                for o2 in o2s:
+                    out.append(("IC12", _one_term(o1), _one_term(o2)))
 
     # --- IC13 (:153-161): required components missing on obs -------------
     req_true = set(req.loc[req["oterm"] == _bool_term(V.LEX_TRUE), "subj"])
@@ -483,9 +496,10 @@ def spec_eval_graph(gdf: pd.DataFrame) -> pd.DataFrame:
         emit_series("IC16", bad["obs"], bad["m_term"].to_numpy())
 
     # --- IC17 (:205-235): measure count at each dimension point ----------
-    out.extend(
-        _spec_ic17(G, obs_ds_dsd, dsd_prop, dim_typed, meas_typed, mt_rows, t)
-    )
+    if want("IC17"):
+        out.extend(
+            _spec_ic17(G, obs_ds_dsd, dsd_prop, dim_typed, meas_typed, mt_rows, t)
+        )
 
     # --- IC18 (:237-244): slice obs must link back to the dataset --------
     ds_slice = G.node_pairs(V.QB_slice).rename(
@@ -872,10 +886,10 @@ def _findings_arrow(rows: pd.DataFrame) -> pa.Table:
     )
 
 
-def _check_frame(df: pd.DataFrame) -> pd.DataFrame:
+def _check_frame(df: pd.DataFrame, ics=None) -> pd.DataFrame:
     parts = []
     for (graph, sha), gdf in df.groupby(["graph", "file_sha256"], sort=False):
-        f = spec_eval_graph(gdf)
+        f = spec_eval_graph(gdf, ics)
         if len(f):
             f.insert(0, "file_sha256", sha)
             f.insert(0, "graph", graph)
@@ -889,14 +903,20 @@ def _check_frame(df: pd.DataFrame) -> pd.DataFrame:
 
 class SpecLocalCheck:
     """Zero-shuffle spec validation over file-aligned triple blocks
-    (graphs never span blocks on the parse path — pivot.LocalCheck)."""
+    (graphs never span blocks on the parse path — pivot.LocalCheck).
+    ``ics`` pushes per-IC selection into the kernel (see
+    spec_eval_graph)."""
+
+    def __init__(self, ics=None):
+        self._ics = None if ics is None else frozenset(ics)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _findings_arrow(_check_frame(batch.to_pandas()))
+        return _findings_arrow(_check_frame(batch.to_pandas(), self._ics))
 
 
 def spec_findings_shuffle(
-    triples, num_buckets: int = 64, max_graph_rows: int = _SPEC_GRAPH_ROWS_CAP
+    triples, num_buckets: int = 64, max_graph_rows: int = _SPEC_GRAPH_ROWS_CAP,
+    ics=None,
 ):
     """Non-file-aligned inputs: ONE shuffle co-locating whole graphs by
     hash(graph), then the per-graph evaluator per bucket.  Partitioning
@@ -924,7 +944,7 @@ def spec_findings_shuffle(
                 "one graph per worker frame — validate this corpus with "
                 'create_validator("NOSPA", mode="shuffle") instead'
             )
-        return _check_frame(df.drop(columns=["kb"]))
+        return _check_frame(df.drop(columns=["kb"]), ics)
 
     out = (
         triples.map_batches(add_kb, batch_format="pandas")
@@ -949,7 +969,7 @@ class SparqlCubeValidator:
         self.mode = self._inner.mode
         self.num_buckets = self._inner.num_buckets
         self._max_graph_rows = spec_max_graph_rows or _SPEC_GRAPH_ROWS_CAP
-        self._findings = None
+        self._findings_cache: dict = {}
 
     # shared surface --------------------------------------------------------
     def normalize(self):
@@ -964,24 +984,32 @@ class SparqlCubeValidator:
         return self._inner.export_model(out_dir, fmt)
 
     # spec validation --------------------------------------------------------
-    def validate_all(self):
-        if self._findings is not None:
-            return self._findings
+    def _compute(self, ics=None):
+        """Findings Dataset for the requested IC subset (None = all),
+        cached per subset — the per-IC selection is pushed into the
+        kernel (spec_eval_graph) so an IC-10-only run never executes
+        the quadratic IC-12 compare."""
+        key = None if ics is None else frozenset(ics)
+        if key in self._findings_cache:
+            return self._findings_cache[key]
         triples = self.normalize()
         if self.mode == "local":
             from .validate import assert_graph_block_alignment
 
             assert_graph_block_alignment(triples)
             findings = triples.map_batches(
-                SpecLocalCheck(), batch_format="pyarrow", batch_size=None
+                SpecLocalCheck(key), batch_format="pyarrow", batch_size=None
             )
         else:
             findings = spec_findings_shuffle(
                 triples, self._inner._buckets(),
-                max_graph_rows=self._max_graph_rows,
+                max_graph_rows=self._max_graph_rows, ics=key,
             )
-        self._findings = findings.materialize()
-        return self._findings
+        self._findings_cache[key] = findings.materialize()
+        return self._findings_cache[key]
+
+    def validate_all(self):
+        return self._compute(None)
 
     def validate(self, ics):
         from .validate import ALL_ICS
@@ -993,13 +1021,15 @@ class SparqlCubeValidator:
                 f"unknown IC name(s) {sorted(unknown)}; valid: IC1..IC21"
             )
         keep = sorted(ics)
-        return self.validate_all().map_batches(
+        # the kernel only SKIPS the pairwise ICs; linear kernels still
+        # emit non-requested rows, so the output filter stays
+        return self._compute(ics).map_batches(
             lambda df, k=keep: df[df["ic"].isin(k)].reset_index(drop=True),
             batch_format="pandas",
         )
-
-    def findings_df(self) -> pd.DataFrame:
-        df = self.validate_all().to_pandas()
+    def findings_df(self, ics=None) -> pd.DataFrame:
+        src = self.validate_all() if ics is None else self.validate(ics)
+        df = src.to_pandas()
         if "detail" not in df.columns:
             return pd.DataFrame(
                 columns=["graph", "file_sha256", "ic", "subject", "detail"]

@@ -214,3 +214,46 @@ def test_factory_dispatch():
     assert isinstance(create_validator("NOSPA", corpus=corpus), CubeValidator)
     with pytest.raises(ValueError):
         create_validator("OTHER", corpus=corpus)
+
+
+def test_ic_selection_pushdown_skips_pairwise_kernels(monkeypatch):
+    """spec_eval_graph(ics=...) pushes selection into the kernel: an
+    IC-10/11/18 run must not execute the quadratic IC-12 compare at all
+    (the slice-corpus 10x-scale fix), while an unrestricted run does —
+    driven in-process so the monkeypatch actually observes the kernel.
+    The end-to-end surface (findings_df(ics=...) through Ray workers)
+    is covered by the cube_sparql_slice_* driver oracles."""
+    import nospa_rdf_data_cube_validator_ray.pipelines.sparql_validate as SV
+    from nospa_rdf_data_cube_validator_ray import create_validator
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_slice_corpus
+
+    v = create_validator(
+        "SPARQL", corpus=tpch_slice_corpus("/root/testdata/sf0.001")
+    )
+    triples = v.normalize().to_pandas()
+    g = triples[triples["graph"] == triples["graph"].iloc[0]]
+
+    calls = {"n": 0}
+    orig = SV._spec_equal_pairs
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(SV, "_spec_equal_pairs", counting)
+    sel = SV.spec_eval_graph(g, ics=frozenset({"IC10", "IC11", "IC18"}))
+    assert calls["n"] == 0, "IC-12 kernel ran despite selection"
+    # only the pairwise kernels are skipped; linear ICs still emit and
+    # validate() filters rows — so assert absence of the skipped two
+    assert not (sel["ic"].isin(["IC12", "IC17"])).any()
+
+    full = SV.spec_eval_graph(g)
+    assert calls["n"] > 0, "unrestricted run must exercise IC-12"
+    want = {"IC10", "IC11", "IC18"}
+    lhs = sel[sel["ic"].isin(want)].sort_values(
+        ["ic", "subject", "detail"], ignore_index=True
+    )
+    rhs = full[full["ic"].isin(want)].sort_values(
+        ["ic", "subject", "detail"], ignore_index=True
+    )
+    assert lhs.equals(rhs), "selection changed the selected ICs' findings"
