@@ -5178,3 +5178,201 @@ ORDER BY query_id, rank
 
 QUERIES["knn_sign_hamming"] = q_knn_sign_hamming
 ORACLES["knn_sign_hamming"] = _SQL_SIGN_HAMMING
+
+
+# -- composed end-to-end corpus build -----------------------------------------
+
+
+def q_corpus_build_manifest(sf_dir: str):
+    """The END-TO-END training-corpus build, composed from the engine's
+    own stages and verified as ONE exact oracle: Gopher quality filter
+    → benchmark decontamination (eval split held out, its 8-gram
+    shingles broadcast — GPT-3-appendix-C-style long n-grams: 3-grams
+    measured ~100% false-hit rate on this small-vocabulary corpus) → normalized exact dedup (keep min doc_id per
+    normalized form) → per-source manifest with GPT-style
+    concat-and-chunk sequence counts (⌈Σtokens / 512⌉).  This is the
+    pipeline a "switch from the reference" user actually ships; every
+    intermediate rides a stage that already has its own oracle
+    (docs_gopher_filter, contamination, dedup_normalized,
+    pack_sequences), and the composition itself is what this query
+    pins — an off-by-one in stage ORDER (e.g. dedup before
+    decontamination) changes the manifest and fails the hash.
+
+    Scale shape: three streamed map passes + exact_dedup's single
+    digest-bucketed shuffle; the only driver state is the eval-split
+    shingle set (benchmark-scale by construction) and the |sources|
+    manifest rows."""
+    import re
+
+    from ..functions.text import gopher_filter
+    from ..stages import dedup as D
+    from ..stages.dedup import _md5_u64, shingle_set
+
+    import ray
+
+    docs = _docs(sf_dir)
+
+    # the gate is the Gopher conjunction MINUS the stopword rule: the
+    # synthetic corpus is stopword-free by construction (r_stop fails on
+    # every doc — verified), and a gate that keeps nothing pins nothing;
+    # the six structural rules discriminate (~45% survive at sf0.01)
+    _RULES = ["r_nwords", "r_wordlen", "r_sym", "r_bullet",
+              "r_ellipsis", "r_alpha"]
+
+    def survive(df: pd.DataFrame) -> pd.DataFrame:
+        g = gopher_filter(df)
+        g = g[g[_RULES].all(axis=1)]
+        m = df.merge(g[["doc_id", "n_words"]], on="doc_id")
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].astype("int64"),
+                "text": m["text"].fillna("").astype("string"),
+                "source": m["source"].astype("string"),
+                "n_words": m["n_words"].astype("int64"),
+            }
+        )
+
+    s1 = docs.map_batches(survive, batch_format="pandas")
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        grams: set[str] = set()
+        for i, t in zip(df["doc_id"], df["text"]):
+            if _md5_u64(str(int(i))) % 20 == 0:
+                grams.update(shingle_set(t, 8))
+        return pd.DataFrame({"g": sorted(grams)})
+
+    gdf = s1.map_batches(bench_grams, batch_format="pandas").to_pandas()
+    bench = frozenset(gdf["g"]) if len(gdf) else frozenset()
+    ref = ray.put(bench)
+
+    drop_re = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+        is_train = np.array(
+            [_md5_u64(str(int(i))) % 20 != 0 for i in df["doc_id"]]
+        )
+        hit = np.array(
+            [
+                any(s in b for s in shingle_set(t, 8))
+                for t in df["text"]
+            ]
+        )
+        m = df[is_train & ~hit]
+        norm = (
+            m["text"]
+            .str.lower()
+            .str.replace(drop_re, "", regex=True)
+            .str.replace(ws_re, " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].astype("int64"),
+                "source": m["source"].astype("string"),
+                "n_words": m["n_words"].astype("int64"),
+                "norm": norm.astype("string"),
+            }
+        )
+
+    kept = D.exact_dedup(s1.map_batches(clean, batch_format="pandas"),
+                         text_col="norm")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False, sort=False).agg(
+            n_docs=("doc_id", "size"), n_tokens=("n_words", "sum")
+        )
+        return g.astype(
+            {"source": "string", "n_docs": "int64", "n_tokens": "int64"}
+        )
+
+    parts = kept.map_batches(part, batch_format="pandas").to_pandas()
+    if not len(parts):
+        # an all-filtered corpus yields a typed empty manifest
+        parts = pd.DataFrame(
+            {"source": pd.array([], dtype="string"),
+             "n_docs": pd.array([], dtype="int64"),
+             "n_tokens": pd.array([], dtype="int64")}
+        )
+    out = parts.groupby("source", as_index=False).sum()
+    out["n_sequences"] = (out["n_tokens"] + 511) // 512
+    return out.astype(
+        {
+            "source": "string", "n_docs": "int64",
+            "n_tokens": "int64", "n_sequences": "int64",
+        }
+    ).sort_values("source", ignore_index=True)
+
+
+_SQL_CORPUS_BUILD = r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text, source FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM d
+),
+tstat AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         sum(length(t)) AS sum_len,
+         count(*) FILTER (WHERE regexp_matches(t, '[A-Za-z]')) AS n_alpha,
+         count(DISTINCT lower(t)) FILTER (
+           WHERE lower(t) IN ('and','be','have','of','that','the','to','with')
+         ) AS n_stop
+  FROM toks GROUP BY doc_id
+),
+lstat AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, '#', ''))
+           + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(regexp_extract_all(text, '(?m)^[-*]')) AS n_bullet,
+         len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ell
+  FROM d
+),
+j AS (
+  SELECT d.doc_id,
+         coalesce(n_words, 0) AS w, coalesce(sum_len, 0) AS sl,
+         coalesce(n_alpha, 0) AS na, coalesce(n_stop, 0) AS ns,
+         n_sym, n_lines, n_bullet, n_ell
+  FROM d LEFT JOIN tstat USING (doc_id) JOIN lstat USING (doc_id)
+),
+s1 AS (
+  SELECT d.doc_id, d.text, d.source, j.w AS n_words
+  FROM d JOIN j USING (doc_id)
+  WHERE j.w >= 50 AND j.w <= 100000 AND 3 * j.w <= j.sl AND j.sl <= 10 * j.w
+    AND 10 * j.n_sym <= j.w AND 10 * j.n_bullet <= 9 * j.n_lines
+    AND 10 * j.n_ell <= 3 * j.n_lines AND 5 * j.na >= 4 * j.w
+),
+sw AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM s1),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(w) = 0 THEN []::VARCHAR[]
+         WHEN length(w) < 8 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, length(w) - 7),
+                             i -> array_to_string(w[i:i + 7], ' '))
+    END)) AS s
+  FROM sw
+),
+bench AS (
+  SELECT DISTINCT s FROM sh
+  WHERE md5_number_lower(doc_id::VARCHAR) % 20 = 0
+),
+contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)),
+clean AS (
+  SELECT doc_id, source, n_words,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+           '\s+', ' ', 'g')) AS norm
+  FROM s1
+  WHERE md5_number_lower(doc_id::VARCHAR) % 20 != 0
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+kept AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY norm)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_tokens,
+       ((sum(n_words) + 511) // 512)::BIGINT AS n_sequences
+FROM clean JOIN kept USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+QUERIES["corpus_build_manifest"] = q_corpus_build_manifest
+ORACLES["corpus_build_manifest"] = _SQL_CORPUS_BUILD
