@@ -27,6 +27,16 @@ _DETAIL_SEP = "\x1e"
 
 _F_COLS = ["graph", "file_sha256", "ic", "subject", "detail"]
 
+# a 0-row pandas frame of object columns makes Ray 2.49's block-size
+# estimator log "Error calculating size ... vectorize on size 0 inputs"
+# once per column per empty block (measured: most finalize groups flag
+# nothing, so the bench log drowned in these) — an EMPTY ARROW table is
+# typed and sized without the estimator, so empty results return this
+def _empty_findings_table():
+    import pyarrow as pa
+
+    return pa.schema([(c, pa.string()) for c in _F_COLS]).empty_table()
+
 
 def _fdf(rows: list[tuple]) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_F_COLS)
@@ -223,7 +233,10 @@ def fused_findings(pivot_out, indexes: dict, num_buckets: int = 64):
                 outs.append(_merge_vals(sub))
             elif kind == "pt":
                 outs.append(flag_points(sub))
-        return pd.concat(outs, ignore_index=True) if outs else _fdf([])
+        out = pd.concat(outs, ignore_index=True) if outs else _fdf([])
+        if not len(out):
+            return _empty_findings_table()
+        return out
 
     out = (
         pivot_out.map_batches(add_kb, batch_format="pandas")

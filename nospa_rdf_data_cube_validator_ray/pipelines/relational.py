@@ -2941,3 +2941,94 @@ FROM x GROUP BY 1 ORDER BY 1
 
 QUERIES["events_type_trend"] = q_events_type_trend
 ORACLES["events_type_trend"] = _SQL_TYPE_TREND
+
+
+# -- telemetry burst dedup: keep the first event per burst --------------------
+
+
+_BURST_GAP_S = 5  # shared by the Ray side and the oracle SQL (see _SPIKE_WIN)
+
+
+def q_events_burst_dedup(sf_dir: str, gap_seconds: int = _BURST_GAP_S):
+    """Telemetry burst deduplication: within each (user, event_type)
+    stream, collapse bursts — runs of events less than ``gap_seconds``
+    apart — to their FIRST event (the at-least-once-delivery /
+    double-click cleanup every event pipeline runs before analytics).
+    Returns per-type kept/dropped counts plus a checksum of kept event
+    ids so the oracle pins WHICH events survive, not just how many.
+
+    Same machinery as sessionization (a burst is a 5-second session):
+    one user-bucketed co-location, in-bucket sort + shift with a
+    same-(user,type) mask, partials collapse to |types| rows."""
+    from ..util import bucket_agg
+
+    gap_us = gap_seconds * 1_000_000
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = (
+            (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ).astype("int64")
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_type": df["event_type"].astype("string"),
+                "ts_us": ts_us,
+                "event_id": df["event_id"].astype("int64"),
+            }
+        ).sort_values(
+            ["user_id", "event_type", "ts_us", "event_id"],
+            ignore_index=True,
+        )
+        same = (
+            (d["user_id"].to_numpy()[1:] == d["user_id"].to_numpy()[:-1])
+            & (d["event_type"].to_numpy()[1:] == d["event_type"].to_numpy()[:-1])
+            & (d["ts_us"].to_numpy()[1:] - d["ts_us"].to_numpy()[:-1] < gap_us)
+        )
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = ~same
+        part = pd.DataFrame(
+            {
+                "event_type": d["event_type"],
+                "n_kept": keep.astype("int64"),
+                "n_dropped": (~keep).astype("int64"),
+                "kept_id_sum": d["event_id"].to_numpy() * keep,
+            }
+        )
+        return part.groupby("event_type", as_index=False, sort=False).sum()
+
+    parts = bucket_agg(ds, ["user_id"], dedup).to_pandas()
+    out = parts.groupby("event_type", as_index=False).sum().astype(
+        {"event_type": "string", "n_kept": "int64",
+         "n_dropped": "int64", "kept_id_sum": "int64"}
+    )
+    return out.sort_values("event_type", ignore_index=True)
+
+
+_SQL_BURST_DEDUP = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id
+         ) AS prev_us
+  FROM events
+),
+k AS (
+  SELECT event_type, event_id,
+         (prev_us IS NULL OR ts_us - prev_us >= {_BURST_GAP_S * 1_000_000}) AS keep
+  FROM e
+)
+SELECT event_type,
+       coalesce(sum(CASE WHEN keep THEN 1 END), 0)::BIGINT AS n_kept,
+       coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0)::BIGINT AS n_dropped,
+       coalesce(sum(CASE WHEN keep THEN event_id END), 0)::BIGINT AS kept_id_sum
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_burst_dedup"] = q_events_burst_dedup
+ORACLES["events_burst_dedup"] = _SQL_BURST_DEDUP
