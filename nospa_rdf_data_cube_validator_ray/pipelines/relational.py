@@ -2772,20 +2772,30 @@ def q_events_value_outliers(sf_dir: str):
         .sort_values("event_type", ignore_index=True)
     )
     offs = counts["n"].cumsum().shift(fill_value=0).astype("int64")
-    want: dict[int, tuple[str, str]] = {}
+    # one rank may carry BOTH slots: for n <= 2 the q1 and q3 positions
+    # coincide ((n-1)*25//100 == (n-1)*75//100), so the map holds a slot
+    # LIST — a dict of single slots silently dropped q1 for such types
+    want: dict[int, list[tuple[str, str]]] = {}
     for (ty, n), off in zip(counts.itertuples(index=False), offs):
-        want[int(off) + (int(n) - 1) * 25 // 100 + 1] = (ty, "q1")
-        want[int(off) + (int(n) - 1) * 75 // 100 + 1] = (ty, "q3")
+        q1r = int(off) + (int(n) - 1) * 25 // 100 + 1
+        q3r = int(off) + (int(n) - 1) * 75 // 100 + 1
+        want.setdefault(q1r, []).append((ty, "q1"))
+        want.setdefault(q3r, []).append((ty, "q3"))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         m = df["rank"].isin(want).to_numpy()
         d = df[m]
-        slot = [want[int(r)][1] for r in d["rank"]]
+        tys, slots, vals = [], [], []
+        for r, v in zip(d["rank"], d["value"]):
+            for ty, slot in want[int(r)]:
+                tys.append(ty)
+                slots.append(slot)
+                vals.append(float(v))
         return pd.DataFrame(
             {
-                "event_type": d["event_type"].astype("string"),
-                "slot": pd.array(slot, dtype="string"),
-                "value": d["value"].astype("float64"),
+                "event_type": pd.array(tys, dtype="string"),
+                "slot": pd.array(slots, dtype="string"),
+                "value": pd.array(vals, dtype="float64"),
             }
         )
 

@@ -992,6 +992,11 @@ class SparqlCubeValidator:
         key = None if ics is None else frozenset(ics)
         if key in self._findings_cache:
             return self._findings_cache[key]
+        if key is not None and None in self._findings_cache:
+            # a materialized ALL-ICs run is a superset of any subset:
+            # serve it (validate()'s row filter does the rest) instead
+            # of re-running the whole kernel per distinct subset
+            return self._findings_cache[None]
         triples = self.normalize()
         if self.mode == "local":
             from .validate import assert_graph_block_alignment

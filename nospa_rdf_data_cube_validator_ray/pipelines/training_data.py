@@ -3209,8 +3209,11 @@ def q_docs_gopher_filter(sf_dir: str):
     return _docs(sf_dir).map_batches(gopher_filter, batch_format="pandas")
 
 
-_SQL_GOPHER = r"""
-WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+# the Gopher-gate CTE block (word/line statistics feeding the rule
+# arithmetic in functions/text.py:gopher_filter) — ONE definition shared
+# by the docs_gopher_filter oracle and the composed corpus_build oracle,
+# so a threshold change cannot silently desynchronize them
+_SQL_GOPHER_CTES = r"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text, source FROM documents),
 toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM d
 ),
@@ -3239,7 +3242,10 @@ j AS (
          coalesce(n_alpha, 0) AS na, coalesce(n_stop, 0) AS ns,
          n_sym, n_lines, n_bullet, n_ell
   FROM d LEFT JOIN tstat USING (doc_id) JOIN lstat USING (doc_id)
-)
+)"""
+
+_SQL_GOPHER = rf"""
+{_SQL_GOPHER_CTES}
 SELECT doc_id, w::BIGINT AS n_words,
        (w >= 50 AND w <= 100000) AS r_nwords,
        (3 * w <= sl AND sl <= 10 * w) AS r_wordlen,
@@ -4723,6 +4729,22 @@ ORACLES["knn_int8_recall"] = _SQL_INT8_RECALL
 # -- search serving: boolean-AND postings intersection -----------------------
 
 
+def _top2_query_patterns(sf_dir: str):
+    """The deterministic two-token 'user query' shared by the postings
+    retrieval queries: the two globally most frequent tokens (count
+    DESC, token ASC) compiled as token-boundary regexes —
+    (?<!\\S)tok(?!\\S) is exactly the \\S+ tokenizer's notion of one
+    token, and this single definition keeps postings_and_query and
+    postings_bm25_topk (and their oracles) from desynchronizing."""
+    import re as _re
+
+    top2 = q_vocab_topk(sf_dir, k=2)["token"].tolist()
+    tok_a, tok_b = sorted(top2)
+    pat_a = _re.compile(r"(?<!\S)" + _re.escape(tok_a) + r"(?!\S)")
+    pat_b = _re.compile(r"(?<!\S)" + _re.escape(tok_b) + r"(?!\S)")
+    return pat_a, pat_b
+
+
 def q_postings_and_query(sf_dir: str):
     """Boolean-AND retrieval over the inverted index: resolve the two
     globally most frequent tokens (count DESC, token ASC — a
@@ -4738,12 +4760,7 @@ def q_postings_and_query(sf_dir: str):
     regex ((?<!\\S)tok(?!\\S) — exactly the \\S+ tokenizer's notion of a
     token), filtering docs where both hit.  No shuffle in pass 2 at
     all: doc rows already carry everything the predicate needs."""
-    import re as _re
-
-    top2 = q_vocab_topk(sf_dir, k=2)["token"].tolist()
-    tok_a, tok_b = sorted(top2)
-    pat_a = _re.compile(r"(?<!\S)" + _re.escape(tok_a) + r"(?!\S)")
-    pat_b = _re.compile(r"(?<!\S)" + _re.escape(tok_b) + r"(?!\S)")
+    pat_a, pat_b = _top2_query_patterns(sf_dir)
 
     def hits(df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"].fillna("")
@@ -4952,10 +4969,7 @@ def q_postings_bm25_topk(sf_dir: str, k: int = 20):
     are final the moment they're computed."""
     import re as _re
 
-    top2 = q_vocab_topk(sf_dir, k=2)["token"].tolist()
-    tok_a, tok_b = sorted(top2)
-    pat_a = _re.compile(r"(?<!\S)" + _re.escape(tok_a) + r"(?!\S)")
-    pat_b = _re.compile(r"(?<!\S)" + _re.escape(tok_b) + r"(?!\S)")
+    pat_a, pat_b = _top2_query_patterns(sf_dir)
     pat_t = _re.compile(r"\S+")
 
     def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -5305,37 +5319,8 @@ def q_corpus_build_manifest(sf_dir: str):
     ).sort_values("source", ignore_index=True)
 
 
-_SQL_CORPUS_BUILD = r"""
-WITH d AS (SELECT doc_id, coalesce(text, '') AS text, source FROM documents),
-toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM d
-),
-tstat AS (
-  SELECT doc_id,
-         count(*) AS n_words,
-         sum(length(t)) AS sum_len,
-         count(*) FILTER (WHERE regexp_matches(t, '[A-Za-z]')) AS n_alpha,
-         count(DISTINCT lower(t)) FILTER (
-           WHERE lower(t) IN ('and','be','have','of','that','the','to','with')
-         ) AS n_stop
-  FROM toks GROUP BY doc_id
-),
-lstat AS (
-  SELECT doc_id,
-         length(text) - length(replace(text, '#', ''))
-           + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
-         len(string_split(text, chr(10))) AS n_lines,
-         len(regexp_extract_all(text, '(?m)^[-*]')) AS n_bullet,
-         len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ell
-  FROM d
-),
-j AS (
-  SELECT d.doc_id,
-         coalesce(n_words, 0) AS w, coalesce(sum_len, 0) AS sl,
-         coalesce(n_alpha, 0) AS na, coalesce(n_stop, 0) AS ns,
-         n_sym, n_lines, n_bullet, n_ell
-  FROM d LEFT JOIN tstat USING (doc_id) JOIN lstat USING (doc_id)
-),
+_SQL_CORPUS_BUILD = rf"""
+{_SQL_GOPHER_CTES},
 s1 AS (
   SELECT d.doc_id, d.text, d.source, j.w AS n_words
   FROM d JOIN j USING (doc_id)

@@ -155,3 +155,27 @@ def test_star_revenue_integer_arithmetic(tmp_path):
     assert list(out["n_items"]) == [2, 1]
     assert list(out["r_name"]) == ["WEST", "WEST"]
     assert list(out["n_name"]) == ["NARNIA", "NARNIA"]
+
+
+def test_value_outliers_tiny_groups(tmp_path):
+    """n <= 2 makes the q1 and q3 rank positions coincide; both slots
+    must still resolve (review finding: a single-slot dict dropped q1)."""
+    pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 5),
+            "user_id": pd.array([1] * 5, dtype="int64"),
+            "event_type": pd.array(["a", "b", "b", "c", "c"], dtype="string"),
+            "value": pd.array([5.0, 1.0, 9.0, 2.0, 2.0], dtype="float64"),
+            "props": pd.array(["{}"] * 5, dtype="string"),
+        }
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    out = rel.q_events_value_outliers(str(tmp_path))
+    assert list(out["event_type"]) == ["a", "b", "c"]
+    # n=1: q1 == q3 == the element; n=2: positions (2-1)*25//100 == 0
+    # and (2-1)*75//100 == 0 -> both quartiles are the smaller element
+    assert list(out["q1"]) == [5.0, 1.0, 2.0]
+    assert list(out["q3"]) == [5.0, 1.0, 2.0]
+    assert not out["q1"].isna().any()
+    # b's 9.0 exceeds q3 + 1.5*(q3-q1) = 1.0 -> one outlier
+    assert list(out["n_outliers"]) == [0, 1, 0]
