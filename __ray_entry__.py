@@ -1244,6 +1244,25 @@ def q_kg_bgp_filter(sf_dir: str):
     )
 
 
+def q_kg_bgp_path(sf_dir: str):
+    """SPARQL property-path execution (stages/graph.bgp_match_path —
+    §18.4 one-or-more): '?a follows+ ?b . ?b placedBy ?c' over the
+    order-chain corpus.  The ``follows+`` closure is evaluated once by
+    the size-adaptive closure_pairs kernel (semi-naive, cycle-safe) and
+    joins the ordinary placedBy pattern through the regular BGP plan —
+    placedBy only exists on chain HEADS, so the join keeps exactly the
+    (descendant order, head order, customer) rows."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bgp_match_path
+
+    return bgp_match_path(
+        _link_triples(sf_dir),
+        [
+            ("?a", f"{_KGP}follows+", "?b"),
+            ("?b", f"{_KGP}placedBy", "?c"),
+        ],
+    )
+
+
 def q_kg_tree_betweenness(sf_dir: str):
     """Exact betweenness centrality over the provenance forest
     (stages/graph.tree_betweenness — closed-form from subtree sizes:
@@ -3891,6 +3910,20 @@ SELECT f.o, f.prev, coalesce(g.o2, '') AS o2
 FROM f LEFT JOIN g ON g.o = f.o
 """
 
+_SQL_BGP_PATH = f"""
+WITH RECURSIVE {_KG_EDGE_BODY},
+f AS (SELECT DISTINCT subj AS s, obj AS o FROM edges
+      WHERE pred = '{_KGP}follows'),
+cl(a, b) AS (
+  SELECT s, o FROM f
+  UNION
+  SELECT cl.a, f.o FROM cl JOIN f ON f.s = cl.b
+),
+pb AS (SELECT DISTINCT subj AS b, obj AS c FROM edges
+       WHERE pred = '{_KGP}placedBy')
+SELECT cl.a, cl.b, pb.c FROM cl JOIN pb USING (b)
+"""
+
 # tree betweenness: subtree sizes rebuilt analytically from the chain
 # structure — order at chain position pos (of L) has subtree L-pos+1 and
 # ONE child of size L-pos; cust subtree = 1+L (child = first order, size
@@ -4052,6 +4085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_union": q_kg_bgp_union,
         "kg_bgp_filter": q_kg_bgp_filter,
+        "kg_bgp_path": q_kg_bgp_path,
         "kg_tree_betweenness": q_kg_tree_betweenness,
         "cube_incremental": q_cube_incremental,
         "cube_report_lines": q_cube_report_lines,
@@ -4168,6 +4202,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,
         "kg_bgp_union": _SQL_BGP_UNION,
         "kg_bgp_filter": _SQL_BGP_FILTER,
+        "kg_bgp_path": _SQL_BGP_PATH,
         "kg_tree_betweenness": _SQL_TREE_BET,
         "cube_incremental": _SQL_INCREMENTAL,
         "cube_report_lines": (

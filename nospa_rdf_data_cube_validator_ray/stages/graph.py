@@ -4068,3 +4068,235 @@ def harmonic_table(
         pairs.map_batches(partial, batch_format="pandas"), ["src"], merge
     )
     return out.sort("src")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL property paths: one-or-more (p+) closure pairs + BGP integration
+# ---------------------------------------------------------------------------
+
+_CLOSURE_PAIR_CAP = 50_000_000  # loud bound on materialized closure size
+
+
+def closure_pairs(
+    edges: "ray.data.Dataset",
+    *,
+    max_iters: int = 64,
+    max_driver_edges: int = 2_000_000,
+    max_pairs: int = _CLOSURE_PAIR_CAP,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Distinct transitive-closure PAIRS (subj reaches obj in ≥ 1 hop)
+    of an edge table — the evaluation of a SPARQL ``p+`` property path
+    (SPARQL 1.1 §18.4 ZeroOrMorePath minus the zero case).  Cycles are
+    LEGAL here (unlike ancestor_closure): semi-naive iteration with an
+    accumulated-pair dedup saturates on cyclic inputs.
+
+    Size-adaptive like the other graph kernels: below
+    ``max_driver_edges`` the factorized int64-pair-key loop runs on the
+    driver (the ancestor_closure inner machinery, keeping pairs instead
+    of digests); above it, semi-naive rounds run as distributed hash
+    joins (delta ⋈ edges) with a bucketed anti-join against the
+    accumulated pair set each round.  Either regime RAISES loudly past
+    ``max_pairs`` — a p+ over a dense graph is quadratic output, and a
+    silent OOM is worse than an explicit cap (callers constrain the
+    path's endpoints first when the closure itself is the bottleneck)."""
+    import pyarrow as pa
+
+    from ..functions.kernel import distinct as _distinct
+    from ..util import bucket_agg
+
+    np_ = _nparts(num_partitions)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["subj"].astype("string"),
+                "dst": df["obj"].astype("string"),
+            }
+        ).drop_duplicates(ignore_index=True)
+
+    pairs = edges.map_batches(to_pairs, batch_format="pandas").materialize()
+    n_edges = pairs.count()
+    empty = pa.schema([("subj", pa.string()), ("obj", pa.string())])
+    if n_edges == 0:
+        return ray.data.from_arrow(empty.empty_table())
+
+    if n_edges <= max_driver_edges:
+        e = pd.concat(
+            list(pairs.iter_batches(batch_format="pandas", batch_size=65536)),
+            ignore_index=True,
+        ).drop_duplicates(ignore_index=True)
+        both = pd.concat([e["node"], e["dst"]], ignore_index=True)
+        codes, uniq = pd.factorize(both)
+        n = len(uniq)
+        if n >= (1 << 31):
+            raise RuntimeError(
+                "closure_pairs driver regime: node count exceeds the "
+                "int64 pair-key domain; lower max_driver_edges"
+            )
+        src = codes[: len(e)].astype(np.int64)
+        dst = codes[len(e):].astype(np.int64)
+        order = np.argsort(src, kind="stable")
+        e_src, e_dst = src[order], dst[order]
+        bounds = np.searchsorted(e_src, np.arange(n + 1))
+        acc = np.unique(src * n + dst)
+        d_node, d_dst = src, dst
+        for _ in range(max_iters):
+            lo, hi = bounds[d_dst], bounds[d_dst + 1]
+            fan = (hi - lo).astype(np.int64)
+            if not fan.sum():
+                break
+            rep = np.repeat(np.arange(len(d_node)), fan)
+            idx = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+            )
+            cand = d_node[rep] * n + e_dst[idx]
+            cand = np.unique(cand)
+            new = cand[~np.isin(cand, acc, assume_unique=True)]
+            if not len(new):
+                break
+            acc = np.union1d(acc, new)
+            if len(acc) > max_pairs:
+                raise RuntimeError(
+                    f"closure_pairs exceeded max_pairs={max_pairs}: "
+                    "constrain the path's endpoints or raise the cap"
+                )
+            d_node, d_dst = new // n, new % n
+        else:
+            raise RuntimeError(
+                f"closure_pairs did not converge in {max_iters} rounds"
+            )
+        out = pd.DataFrame(
+            {
+                "subj": pd.array(uniq[(acc // n)], dtype="string"),
+                "obj": pd.array(uniq[(acc % n)], dtype="string"),
+            }
+        )
+        return ray.data.from_pandas(out)
+
+    # distributed regime: semi-naive rounds of hash join + bucketed
+    # anti-join vs the accumulated pair set
+    edges_j = heal_schema(
+        pairs.map_batches(
+            lambda df: df.rename(columns={"node": "mid", "dst": "dst2"}),
+            batch_format="pandas",
+        ),
+        np_,
+    ).materialize()
+    acc_ds = pairs.materialize()
+    delta = acc_ds
+    for _ in range(max_iters):
+        ext = heal_schema(
+            delta.map_batches(
+                lambda df: df.rename(columns={"dst": "mid"}),
+                batch_format="pandas",
+            ),
+            np_,
+        ).join(edges_j, "inner", np_, on=("mid",))
+        cand = _distinct(
+            ext.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "node": df["node"].astype("string"),
+                        "dst": df["dst2"].astype("string"),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["node", "dst"],
+        )
+        tagged = cand.map_batches(
+            lambda df: df.assign(side=pd.array([1] * len(df), dtype="int64")),
+            batch_format="pandas",
+        ).union(
+            acc_ds.map_batches(
+                lambda df: df.assign(
+                    side=pd.array([0] * len(df), dtype="int64")
+                ),
+                batch_format="pandas",
+            )
+        )
+
+        def anti(df: pd.DataFrame) -> pd.DataFrame:
+            seen = df.loc[df["side"] == 0, ["node", "dst"]]
+            newer = df[df["side"] == 1].merge(
+                seen, on=["node", "dst"], how="left", indicator=True
+            )
+            keep = newer[newer["_merge"] == "left_only"]
+            return pd.DataFrame(
+                {
+                    "node": keep["node"].astype("string"),
+                    "dst": keep["dst"].astype("string"),
+                }
+            )
+
+        new_ds = bucket_agg(tagged, ["node", "dst"], anti).materialize()
+        if new_ds.count() == 0:
+            break
+        acc_ds = acc_ds.union(new_ds).materialize()
+        if acc_ds.count() > max_pairs:
+            raise RuntimeError(
+                f"closure_pairs exceeded max_pairs={max_pairs}: "
+                "constrain the path's endpoints or raise the cap"
+            )
+        delta = new_ds
+    else:
+        raise RuntimeError(
+            f"closure_pairs did not converge in {max_iters} rounds"
+        )
+    return acc_ds.map_batches(
+        lambda df: df.rename(columns={"node": "subj", "dst": "obj"}),
+        batch_format="pandas",
+    )
+
+
+def bgp_match_path(
+    triples: "ray.data.Dataset",
+    patterns: list[tuple[str, str, str]],
+    *,
+    num_partitions: int | None = None,
+    closure_kwargs: dict | None = None,
+) -> "ray.data.Dataset":
+    """bgp_match extended with SPARQL one-or-more property paths: a
+    pattern predicate ending in ``+`` (e.g. ``kgp:follows+``) matches
+    the TRANSITIVE CLOSURE of that predicate's edges.  Each ``p+`` is
+    evaluated once by :func:`closure_pairs` and materialized as
+    synthetic triples under the literal ``p+`` predicate name; the
+    conjunctive join plan is then exactly bgp_match's over the union —
+    path patterns compose freely with ordinary patterns, OPTIONAL-free
+    §18.4 semantics (no zero-hop case; use p? ∪ p+ upstream for p*)."""
+    plus_preds = sorted(
+        {p[:-1] for _, p, _ in patterns if not p.startswith("?") and p.endswith("+")}
+    )
+    base = triples.map_batches(
+        lambda df: df[["subj", "pred", "obj", "obj_kind"]],
+        batch_format="pandas",
+    )
+    parts = [base]
+    for pred in plus_preds:
+        e = triples.map_batches(
+            lambda df, pr=pred: df[
+                (df["pred"] == pr) & (df["obj_kind"] == 0)
+            ].reset_index(drop=True),
+            batch_format="pandas",
+        )
+        cp = closure_pairs(
+            e, num_partitions=num_partitions, **(closure_kwargs or {})
+        )
+        parts.append(
+            cp.map_batches(
+                lambda df, pr=pred: pd.DataFrame(
+                    {
+                        "subj": df["subj"].astype("string"),
+                        "pred": pd.array([pr + "+"] * len(df), dtype="string"),
+                        "obj": df["obj"].astype("string"),
+                        "obj_kind": pd.array([0] * len(df), dtype="int8"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+    merged = parts[0]
+    for p_ in parts[1:]:
+        merged = merged.union(p_)
+    return bgp_match(merged, patterns, num_partitions=num_partitions)

@@ -693,3 +693,61 @@ def test_tree_betweenness_rejects_non_forest_and_cycle():
         G.tree_betweenness(cycle, max_iters=5)
     with pytest.raises(RuntimeError, match="converge"):
         G.tree_betweenness(cycle, max_driver_edges=0, max_iters=5)
+
+
+def test_closure_pairs_cycles_and_regime_parity():
+    """p+ closure over cyclic input saturates (self-pairs through the
+    cycle are reachable in >= 1 hop) and the driver / distributed
+    regimes agree pair-for-pair."""
+    import pandas as pd
+
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray.stages.graph import closure_pairs
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": pd.array(["a", "b", "c", "x", "y"], dtype="string"),
+                "obj": pd.array(["b", "c", "a", "y", "x"], dtype="string"),
+            }
+        )
+    )
+    drv = closure_pairs(edges).to_pandas().sort_values(
+        ["subj", "obj"], ignore_index=True
+    )
+    dist = closure_pairs(edges, max_driver_edges=0).to_pandas().sort_values(
+        ["subj", "obj"], ignore_index=True
+    )
+    assert drv.equals(dist)
+    got = set(map(tuple, drv.to_numpy()))
+    tri = {"a", "b", "c"}
+    assert {(u, v) for u in tri for v in tri} <= got  # 3-cycle saturates
+    assert {("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")} <= got
+
+
+def test_bgp_match_path_composes_with_plain_patterns():
+    import pandas as pd
+
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bgp_match_path
+
+    t = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": pd.array(["o2", "o3", "o1"], dtype="string"),
+                "pred": pd.array(["f", "f", "pb"], dtype="string"),
+                "obj": pd.array(["o1", "o2", "cust"], dtype="string"),
+                "obj_kind": pd.array([0, 0, 0], dtype="int8"),
+            }
+        )
+    )
+    out = (
+        bgp_match_path(t, [("?a", "f+", "?b"), ("?b", "pb", "?c")])
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    # closure f+: o2->o1, o3->o2, o3->o1; only b=o1 has placedBy
+    assert list(map(tuple, out.to_numpy())) == [
+        ("o2", "o1", "cust"),
+        ("o3", "o1", "cust"),
+    ]
