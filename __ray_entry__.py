@@ -1263,6 +1263,20 @@ def q_kg_bgp_path(sf_dir: str):
     )
 
 
+def q_kg_bgp_minus(sf_dir: str):
+    """SPARQL MINUS execution (stages/graph.bgp_match_minus — §18.5
+    Minus as one bucketed anti-join on the shared variables): orders
+    that follow a predecessor MINUS orders that are themselves followed
+    — i.e. each customer chain's TAIL order with its predecessor."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bgp_match_minus
+
+    return bgp_match_minus(
+        _link_triples(sf_dir),
+        [("?o", f"{_KGP}follows", "?prev")],
+        [("?x", f"{_KGP}follows", "?o")],
+    )
+
+
 def q_kg_tree_betweenness(sf_dir: str):
     """Exact betweenness centrality over the provenance forest
     (stages/graph.tree_betweenness — closed-form from subtree sizes:
@@ -3924,6 +3938,14 @@ pb AS (SELECT DISTINCT subj AS b, obj AS c FROM edges
 SELECT cl.a, cl.b, pb.c FROM cl JOIN pb USING (b)
 """
 
+_SQL_BGP_MINUS = f"""
+WITH {_KG_EDGE_BODY},
+f AS (SELECT DISTINCT subj AS o, obj AS prev FROM edges
+      WHERE pred = '{_KGP}follows')
+SELECT o, prev FROM f
+WHERE o NOT IN (SELECT prev FROM f)
+"""
+
 # tree betweenness: subtree sizes rebuilt analytically from the chain
 # structure — order at chain position pos (of L) has subtree L-pos+1 and
 # ONE child of size L-pos; cust subtree = 1+L (child = first order, size
@@ -4086,6 +4108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_union": q_kg_bgp_union,
         "kg_bgp_filter": q_kg_bgp_filter,
         "kg_bgp_path": q_kg_bgp_path,
+        "kg_bgp_minus": q_kg_bgp_minus,
         "kg_tree_betweenness": q_kg_tree_betweenness,
         "cube_incremental": q_cube_incremental,
         "cube_report_lines": q_cube_report_lines,
@@ -4203,6 +4226,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_union": _SQL_BGP_UNION,
         "kg_bgp_filter": _SQL_BGP_FILTER,
         "kg_bgp_path": _SQL_BGP_PATH,
+        "kg_bgp_minus": _SQL_BGP_MINUS,
         "kg_tree_betweenness": _SQL_TREE_BET,
         "cube_incremental": _SQL_INCREMENTAL,
         "cube_report_lines": (

@@ -4300,3 +4300,57 @@ def bgp_match_path(
     for p_ in parts[1:]:
         merged = merged.union(p_)
     return bgp_match(merged, patterns, num_partitions=num_partitions)
+
+
+def bgp_match_minus(
+    triples: "ray.data.Dataset",
+    patterns: list[tuple[str, str, str]],
+    minus_patterns: list[tuple[str, str, str]],
+    *,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """SPARQL MINUS (SPARQL 1.1 §18.5 Minus): keep each solution of
+    ``patterns`` unless a solution of ``minus_patterns`` agrees on the
+    shared variables.  BGP solutions bind every pattern variable, so
+    compatibility degenerates to equality on the shared-variable tuple
+    — one bucketed anti-join, the same partitioned existence pass as
+    the relational anti/semi operator, never a broadcast of a
+    corpus-scale solution set.  Per the spec's dom() rule, DISJOINT
+    variable domains remove nothing: the left side passes through
+    unchanged (that is MINUS's documented divergence from NOT EXISTS)."""
+    from ..util import bucket_agg
+
+    left = bgp_match(triples, patterns, num_partitions=num_partitions)
+    lvars = _bgp_vars(patterns)
+    rvars = _bgp_vars(minus_patterns)
+    shared = [v for v in lvars if v in rvars]
+    if not shared:
+        return left
+    right = bgp_match(triples, minus_patterns, num_partitions=num_partitions)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[shared].drop_duplicates(ignore_index=True)
+        out["_side"] = pd.array([0] * len(out), dtype="int64")
+        for v in lvars:
+            if v not in out.columns:
+                out[v] = pd.array([""] * len(out), dtype="string")
+        return out[lvars + ["_side"]]
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_side"] = pd.array([1] * len(out), dtype="int64")
+        return out
+
+    tagged = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(proj, batch_format="pandas")
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        kill = df.loc[df["_side"] == 0, shared].drop_duplicates()
+        keep = df[df["_side"] == 1].merge(
+            kill, on=shared, how="left", indicator=True
+        )
+        keep = keep[keep["_merge"] == "left_only"]
+        return keep[lvars].reset_index(drop=True).astype("string")
+
+    return bucket_agg(tagged, shared, anti)

@@ -751,3 +751,38 @@ def test_bgp_match_path_composes_with_plain_patterns():
         ("o2", "o1", "cust"),
         ("o3", "o1", "cust"),
     ]
+
+
+def test_bgp_minus_disjoint_domains_removes_nothing():
+    """SPARQL MINUS with no shared variables keeps every left solution
+    (the spec's dom() rule — the documented divergence from NOT
+    EXISTS)."""
+    import pandas as pd
+
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        bgp_match, bgp_match_minus,
+    )
+
+    t = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": pd.array(["a", "b"], dtype="string"),
+                "pred": pd.array(["p", "q"], dtype="string"),
+                "obj": pd.array(["x", "y"], dtype="string"),
+                "obj_kind": pd.array([0, 0], dtype="int8"),
+            }
+        )
+    )
+    base = bgp_match(t, [("?s", "p", "?o")]).to_pandas()
+    out = bgp_match_minus(
+        t, [("?s", "p", "?o")], [("?u", "q", "?v")]
+    ).to_pandas()
+    assert len(out) == len(base) == 1
+    # and a SHARED variable does remove: s=a matches u=a? no q-edge from a,
+    # so nothing removed; but minus on ?o vs q-object y removes nothing,
+    # while minus against p's own subject wipes the row
+    wiped = bgp_match_minus(
+        t, [("?s", "p", "?o")], [("?s", "p", "?o2")]
+    ).to_pandas()
+    assert len(wiped) == 0
