@@ -1277,6 +1277,27 @@ def q_kg_bgp_minus(sf_dir: str):
     )
 
 
+def q_kg_bgp_agg(sf_dir: str):
+    """SPARQL SELECT-aggregate over a property-path BGP
+    (stages/graph.bgp_match_agg — §18.5 Group/Aggregation): per
+    customer, COUNT of (descendant, head) chain pairs reachable through
+    '?a follows+ ?b . ?b placedBy ?c' GROUP BY ?c — the full algebra
+    stack (path closure → conjunctive join → grouped aggregate) in one
+    plan, no driver-side grouping."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bgp_match_agg
+
+    out = bgp_match_agg(
+        _link_triples(sf_dir),
+        [
+            ("?a", f"{_KGP}follows+", "?b"),
+            ("?b", f"{_KGP}placedBy", "?c"),
+        ],
+        group_vars=["c"],
+    )
+    df = out.to_pandas().sort_values("c", ignore_index=True)
+    return df.astype({"c": "string", "n": "int64"})
+
+
 def q_kg_tree_betweenness(sf_dir: str):
     """Exact betweenness centrality over the provenance forest
     (stages/graph.tree_betweenness — closed-form from subtree sizes:
@@ -3946,6 +3967,22 @@ SELECT o, prev FROM f
 WHERE o NOT IN (SELECT prev FROM f)
 """
 
+_SQL_BGP_AGG = f"""
+WITH RECURSIVE {_KG_EDGE_BODY},
+f AS (SELECT DISTINCT subj AS s, obj AS o FROM edges
+      WHERE pred = '{_KGP}follows'),
+cl(a, b) AS (
+  SELECT s, o FROM f
+  UNION
+  SELECT cl.a, f.o FROM cl JOIN f ON f.s = cl.b
+),
+pb AS (SELECT DISTINCT subj AS b, obj AS c FROM edges
+       WHERE pred = '{_KGP}placedBy')
+SELECT pb.c, count(*)::BIGINT AS n
+FROM cl JOIN pb USING (b)
+GROUP BY 1 ORDER BY 1
+"""
+
 # tree betweenness: subtree sizes rebuilt analytically from the chain
 # structure — order at chain position pos (of L) has subtree L-pos+1 and
 # ONE child of size L-pos; cust subtree = 1+L (child = first order, size
@@ -4109,6 +4146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_filter": q_kg_bgp_filter,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_bgp_agg": q_kg_bgp_agg,
         "kg_tree_betweenness": q_kg_tree_betweenness,
         "cube_incremental": q_cube_incremental,
         "cube_report_lines": q_cube_report_lines,
@@ -4227,6 +4265,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_filter": _SQL_BGP_FILTER,
         "kg_bgp_path": _SQL_BGP_PATH,
         "kg_bgp_minus": _SQL_BGP_MINUS,
+        "kg_bgp_agg": _SQL_BGP_AGG,
         "kg_tree_betweenness": _SQL_TREE_BET,
         "cube_incremental": _SQL_INCREMENTAL,
         "cube_report_lines": (

@@ -4354,3 +4354,29 @@ def bgp_match_minus(
         return keep[lvars].reset_index(drop=True).astype("string")
 
     return bucket_agg(tagged, shared, anti)
+
+
+def bgp_match_agg(
+    triples: "ray.data.Dataset",
+    patterns: list[tuple[str, str, str]],
+    *,
+    group_vars: list[str],
+    count_as: str = "n",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """SPARQL SELECT-aggregate (SPARQL 1.1 §18.5 Group/Aggregation,
+    COUNT(*) form): evaluate the BGP — property-path patterns included,
+    via bgp_match_path — and count solutions per ``group_vars`` tuple.
+    The count rides util.bucket_agg, so solution-scale groups never
+    reach a Ray per-key aggregate; output columns are ``group_vars`` +
+    ``count_as``."""
+    from ..util import bucket_agg
+
+    sol = bgp_match_path(triples, patterns, num_partitions=num_partitions)
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_vars, as_index=False, sort=False).size()
+        g = g.rename(columns={"size": count_as})
+        return g.astype({count_as: "int64"})
+
+    return bucket_agg(sol, group_vars, cnt)
