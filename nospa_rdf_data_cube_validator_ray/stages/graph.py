@@ -4146,9 +4146,11 @@ def closure_pairs(
             fan = (hi - lo).astype(np.int64)
             if not fan.sum():
                 break
+            # fully-vectorized segment gather (the ancestor_closure
+            # trick) — no per-delta-row Python list building
             rep = np.repeat(np.arange(len(d_node)), fan)
-            idx = np.concatenate(
-                [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+            idx = np.repeat(lo, fan) + (
+                np.arange(fan.sum()) - np.repeat(np.cumsum(fan) - fan, fan)
             )
             cand = d_node[rep] * n + e_dst[idx]
             cand = np.unique(cand)
