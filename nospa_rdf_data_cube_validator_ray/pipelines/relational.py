@@ -3042,3 +3042,99 @@ FROM k GROUP BY 1 ORDER BY 1
 
 QUERIES["events_burst_dedup"] = q_events_burst_dedup
 ORACLES["events_burst_dedup"] = _SQL_BURST_DEDUP
+
+
+# -- Markov stationary mass over the transition matrix ------------------------
+
+_MARKOV_ITERS = 10
+_MARKOV_SCALE = 10**12
+
+
+def q_events_markov_stationary(sf_dir: str):
+    """Stationary mass of the event-type Markov chain: power iteration
+    over the q_events_transitions matrix in EXACT integer arithmetic
+    (mass·count // row_total per edge, the pagerank_int convention), a
+    fixed ``_MARKOV_ITERS`` rounds from a uniform start of
+    ``_MARKOV_SCALE`` total — the next-action steady-state a
+    recommendation/caching layer derives from the transition counts.
+
+    The transition matrix aggregates distributed (one user-bucketed
+    pass); the iteration itself is |types|² driver arithmetic on
+    bounded-cardinality state, exactly like pagerank_int's mass loop.
+    Types without outgoing transitions shed their mass (dangling, the
+    unnormalized convention both sides share); types with no incoming
+    mass report 0."""
+    tr = q_events_transitions(sf_dir)
+    types = sorted(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type"]
+        )
+        .map_batches(
+            lambda df: df.drop_duplicates(ignore_index=True),
+            batch_format="pandas",
+        )
+        .to_pandas()["event_type"]
+        .drop_duplicates()
+    )
+    tot = tr.groupby("prev_type")["n"].sum().to_dict()
+    edges = [
+        (p, nx, int(c)) for p, nx, c in tr.itertuples(index=False)
+    ]
+    mass = {t: _MARKOV_SCALE // len(types) for t in types}
+    for _ in range(_MARKOV_ITERS):
+        nxt = {t: 0 for t in types}
+        for p, nx, c in edges:
+            nxt[nx] += mass.get(p, 0) * c // int(tot[p])
+        mass = nxt
+    out = pd.DataFrame(
+        {
+            "event_type": pd.array(types, dtype="string"),
+            "mass": pd.array([mass[t] for t in types], dtype="int64"),
+        }
+    )
+    return out.sort_values("event_type", ignore_index=True)
+
+
+def _markov_sql() -> str:
+    trans = """
+WITH s0 AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+  FROM s0 WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tt AS (SELECT prev_type, sum(n)::BIGINT AS tot FROM tr GROUP BY 1),
+t AS (SELECT tr.prev_type, tr.next_type, tr.n, tt.tot
+      FROM tr JOIN tt USING (prev_type)),
+types AS (SELECT DISTINCT event_type FROM events),
+m0 AS (
+  SELECT event_type,
+         (1000000000000 // (SELECT count(*) FROM types))::BIGINT AS mass
+  FROM types
+)"""
+    steps = []
+    for i in range(_MARKOV_ITERS):
+        steps.append(
+            f""",
+m{i + 1} AS (
+  SELECT t.next_type AS event_type,
+         sum(m{i}.mass * t.n // t.tot)::BIGINT AS mass
+  FROM m{i} JOIN t ON t.prev_type = m{i}.event_type
+  GROUP BY 1
+)"""
+        )
+    tail = f"""
+SELECT types.event_type, coalesce(m{_MARKOV_ITERS}.mass, 0)::BIGINT AS mass
+FROM types LEFT JOIN m{_MARKOV_ITERS} USING (event_type)
+ORDER BY 1
+"""
+    return trans + "".join(steps) + tail
+
+
+QUERIES["events_markov_stationary"] = q_events_markov_stationary
+ORACLES["events_markov_stationary"] = _markov_sql()
