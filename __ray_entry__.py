@@ -2387,6 +2387,19 @@ def q_kg_random_walks(sf_dir: str):
     return random_walks(_code_import_edges(sf_dir), length=4)
 
 
+def q_kg_node2vec_walks(sf_dir: str):
+    """node2vec-BIASED deterministic walks (Grover & Leskovec 2016)
+    over the import graph (stages/graph.node2vec_walks): the step
+    distribution discourages backtracking and encourages 2-hop
+    exploration via integer weight classes (return 1 / BFS 2 / DFS 4 —
+    p=4, q=1/4 up to scale), each step picked by
+    argmin(md5_u64(walk|t|cand) // w, cand).  Size-adaptive
+    driver/distributed regimes, parity-tested."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import node2vec_walks
+
+    return node2vec_walks(_code_import_edges(sf_dir), length=4)
+
+
 def _random_walks_cte(length: int = 4) -> str:
     """CTE body (w0..wL plus a unioned ``walks`` view) mirroring
     random_walks' pick exactly: row_number ordered by
@@ -2425,6 +2438,55 @@ _SQL_RANDOM_WALKS = (
     f"WITH {_CODE_EDGE_BODY},\n"
     + _random_walks_cte()
     + "\nSELECT walk, step, node FROM walks"
+)
+
+
+def _node2vec_cte(length: int = 4) -> str:
+    """CTE body mirroring node2vec_walks: each step's key is
+    md5_number_lower(walk|t|dst) // w with w = 1 (dst = prev), 2
+    (prev->dst is an edge), else 4; step 1 has no prev so every
+    candidate divides by 4 (the SAME division — // 4 introduces ties a
+    raw-hash ordering would not have, so the oracle must divide too)."""
+    parts = [
+        """e AS (SELECT DISTINCT src, dst FROM cedges),
+n AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+v0 AS (SELECT node AS walk, 0::BIGINT AS step, node,
+              ''::VARCHAR AS prev FROM n)"""
+    ]
+    for t in range(1, length + 1):
+        w_case = (
+            "CASE WHEN e.dst = w.prev THEN 1 "
+            "WHEN EXISTS (SELECT 1 FROM e e2 WHERE e2.src = w.prev "
+            "AND e2.dst = e.dst) THEN 2 ELSE 4 END"
+        )
+        parts.append(
+            f""",
+v{t} AS (
+  SELECT walk, {t}::BIGINT AS step, dst AS node, prev
+  FROM (
+    SELECT w.walk, e.dst, w.node AS prev,
+           row_number() OVER (
+             PARTITION BY w.walk
+             ORDER BY md5_number_lower(w.walk || '|{t}|' || e.dst)
+                      // ({w_case}), e.dst
+           ) AS rn
+    FROM v{t - 1} w JOIN e ON e.src = w.node
+  ) WHERE rn = 1
+)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT walk, step, node FROM v{t}" for t in range(length + 1)
+    )
+    return "".join(parts) + f",\nn2v_walks AS (\n  {union}\n)"
+
+
+_SQL_NODE2VEC = (
+    f"WITH {_CODE_EDGE_BODY},\n"
+    + _node2vec_cte()
+    + "\nSELECT walk, step, node FROM n2v_walks"
 )
 
 
@@ -4176,6 +4238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dag_depth": q_kg_dag_depth,
         "kg_code_2hop": q_kg_code_2hop,
         "kg_random_walks": q_kg_random_walks,
+        "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_pred_profile": q_kg_pred_profile,
         "kg_link_negatives": q_kg_link_negatives,
@@ -4297,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_dag_depth": _SQL_DAG_DEPTH,
         "kg_code_2hop": _SQL_CODE_2HOP,
         "kg_random_walks": _SQL_RANDOM_WALKS,
+        "kg_node2vec_walks": _SQL_NODE2VEC,
         "kg_walk_skipgrams": _SQL_WALK_SKIPGRAMS,
         "kg_pred_profile": _SQL_PRED_PROFILE,
         "kg_link_negatives": _SQL_LINK_NEGATIVES,

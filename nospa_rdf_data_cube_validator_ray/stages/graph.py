@@ -4382,3 +4382,262 @@ def bgp_match_agg(
         return g.astype({count_as: "int64"})
 
     return bucket_agg(sol, group_vars, cnt)
+
+
+# ---------------------------------------------------------------------------
+# node2vec-biased deterministic walks
+# ---------------------------------------------------------------------------
+
+# integer weight classes (node2vec p=4, q=1/4 up to the common x4 scale):
+# backtracking discouraged, 2-hop exploration encouraged
+_N2V_W_RETURN = 1
+_N2V_W_BFS = 2
+_N2V_W_DFS = 4
+
+
+def _n2v_pick(cand: pd.DataFrame, step: int) -> pd.DataFrame:
+    """Weighted deterministic pick: per walk, the candidate minimizing
+    (md5_u64(walk|step|dst) // w, dst) — integer division by the weight
+    class makes heavier candidates win proportionally more walks while
+    staying bit-reproducible and SQL-replicable (same bulk-md5 contract
+    as random_walks._pick).  ``cand`` columns: walk, prev, dst, w."""
+    import hashlib
+
+    if not len(cand):
+        return pd.DataFrame(
+            {
+                "walk": pd.Series(dtype="string"),
+                "prev": pd.Series(dtype="string"),
+                "node": pd.Series(dtype="string"),
+            }
+        )
+    md5 = hashlib.md5
+    joined = (
+        cand["walk"].astype("string") + f"|{step}|" + cand["dst"].astype("string")
+    ).to_numpy()
+    digs = b"".join([md5(s.encode("utf-8")).digest() for s in joined])
+    h = np.frombuffer(digs, "<u8")[1::2]
+    key = h // cand["w"].to_numpy("uint64")
+    wcodes, wuniq = pd.factorize(cand["walk"])
+    dcodes, duniq = pd.factorize(cand["dst"], sort=True)
+    order = np.lexsort((dcodes, key, wcodes))
+    ws = wcodes[order]
+    first = np.ones(len(ws), dtype=bool)
+    first[1:] = ws[1:] != ws[:-1]
+    pick = order[first]
+    # the PICKED node's predecessor for the next step is this step's cur
+    return pd.DataFrame(
+        {
+            "walk": pd.array(np.asarray(wuniq)[wcodes[pick]], dtype="string"),
+            "prev": cand["cur"].to_numpy()[pick],
+            "node": pd.array(np.asarray(duniq)[dcodes[pick]], dtype="string"),
+        }
+    ).astype({"prev": "string"})
+
+
+def _n2v_weights(cand: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+    """Attach the node2vec weight class: return (dst == prev), BFS
+    (prev→dst is an edge), else DFS — one vectorized indicator merge."""
+    m = cand.merge(
+        e.rename(columns={"src": "prev", "dst": "dst"}),
+        on=["prev", "dst"],
+        how="left",
+        indicator=True,
+    )
+    is_ret = (m["dst"] == m["prev"]).to_numpy()
+    is_bfs = (m["_merge"] == "both").to_numpy() & ~is_ret
+    w = np.where(is_ret, _N2V_W_RETURN, np.where(is_bfs, _N2V_W_BFS, _N2V_W_DFS))
+    out = m.drop(columns=["_merge"]).copy()
+    out["w"] = w.astype("int64")
+    return out
+
+
+def node2vec_walks(
+    edges: "ray.data.Dataset",
+    *,
+    length: int = 4,
+    starts: list[str] | None = None,
+    max_driver_edges: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """node2vec-biased deterministic walks (Grover & Leskovec 2016): the
+    step distribution prefers 2-hop exploration over backtracking via
+    the p/q weight classes (integer weights — see _N2V_W_*), with the
+    same no-RNG md5 contract as :func:`random_walks` so every retry,
+    cluster size and the DuckDB oracle agree bit-for-bit.  Step 1 has
+    no predecessor and is uniform (all weights _N2V_W_DFS — a constant
+    divisor preserves the hash order).
+
+    Rows (walk, step, node), step 0 = start.  Size-adaptive: driver
+    frames below ``max_driver_edges``; above it, each step is one hash
+    join (frontier ⋈ edges) plus TWO bucketed passes — a
+    (prev, dst)-bucketed tagged union that marks the BFS class against
+    the edge set (no broadcast of a corpus-scale edge set), then the
+    per-walk weighted argmin."""
+    from ..util import bucket_agg
+
+    def proj(d: pd.DataFrame) -> pd.DataFrame:
+        return d[["subj", "obj"]].rename(columns={"subj": "src", "obj": "dst"})
+
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        e = pd.concat(
+            list(
+                edges.map_batches(proj, batch_format="pandas").iter_batches(
+                    batch_format="pandas", batch_size=None
+                )
+            ),
+            ignore_index=True,
+        ).drop_duplicates()
+        if starts is None:
+            starts = sorted(set(e["src"]) | set(e["dst"]))
+        rows = [
+            pd.DataFrame(
+                {
+                    "walk": pd.Series(starts, dtype="string"),
+                    "step": pd.Series([0] * len(starts), dtype="int64"),
+                    "node": pd.Series(starts, dtype="string"),
+                }
+            )
+        ]
+        frontier = pd.DataFrame(
+            {
+                "walk": pd.Series(starts, dtype="string"),
+                "prev": pd.Series([""] * len(starts), dtype="string"),
+                "cur": pd.Series(starts, dtype="string"),
+            }
+        )
+        for t in range(1, length + 1):
+            cand = frontier.merge(e, left_on="cur", right_on="src")[
+                ["walk", "prev", "cur", "dst"]
+            ]
+            if not len(cand):
+                break
+            nxt = _n2v_pick(_n2v_weights(cand, e), t)
+            rows.append(nxt.assign(step=t)[["walk", "step", "node"]])
+            frontier = nxt.rename(columns={"node": "cur"})[
+                ["walk", "prev", "cur"]
+            ]
+            # the NEXT step's prev is THIS step's cur (already set by
+            # _n2v_pick: prev column = the node we just left)
+        out = pd.concat(rows, ignore_index=True)
+        out["step"] = out["step"].astype("int64")
+        return ray.data.from_pandas(
+            out.sort_values(["walk", "step"], ignore_index=True)
+        )
+
+    np_ = _nparts(None)
+    mat = edges.map_batches(proj, batch_format="pandas").materialize()
+    if starts is None:
+        from ..functions.kernel import distinct
+
+        su = mat.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "walk": pd.concat(
+                        [df["src"], df["dst"]], ignore_index=True
+                    ).astype("string")
+                }
+            ).drop_duplicates(),
+            batch_format="pandas",
+        )
+        start_ds = distinct(su, ["walk"]).materialize()
+    else:
+        start_ds = ray.data.from_pandas(
+            pd.DataFrame({"walk": pd.Series(starts, dtype="string")})
+        ).materialize()
+
+    result = start_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "walk": df["walk"].astype("string"),
+                "step": pd.Series(0, index=df.index, dtype="int64"),
+                "node": df["walk"].astype("string"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    frontier = start_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "walk": df["walk"].astype("string"),
+                "prev": pd.Series("", index=df.index, dtype="string"),
+                "src": df["walk"].astype("string"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    for t in range(1, length + 1):
+        cand = heal_schema(frontier, np_).join(
+            heal_schema(mat, np_), "inner", np_, on=("src",)
+        )
+        # mark the BFS class: tagged union bucketed on (prev, dst) —
+        # candidate rows meet the edge rows that share their pair
+        cand_t = cand.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "walk": df["walk"].astype("string"),
+                    "cur": df["src"].astype("string"),
+                    "prev": df["prev"].astype("string"),
+                    "dst": df["dst"].astype("string"),
+                    "side": pd.Series(1, index=df.index, dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        edge_t = mat.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "walk": pd.Series("", index=df.index, dtype="string"),
+                    "cur": pd.Series("", index=df.index, dtype="string"),
+                    "prev": df["src"].astype("string"),
+                    "dst": df["dst"].astype("string"),
+                    "side": pd.Series(0, index=df.index, dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def mark(df: pd.DataFrame) -> pd.DataFrame:
+            seen = df.loc[df["side"] == 0, ["prev", "dst"]].drop_duplicates()
+            c = df[df["side"] == 1].merge(
+                seen, on=["prev", "dst"], how="left", indicator=True
+            )
+            is_ret = (c["dst"] == c["prev"]).to_numpy()
+            is_bfs = (c["_merge"] == "both").to_numpy() & ~is_ret
+            w = np.where(
+                is_ret, _N2V_W_RETURN,
+                np.where(is_bfs, _N2V_W_BFS, _N2V_W_DFS),
+            )
+            out = c[["walk", "cur", "prev", "dst"]].copy()
+            out["w"] = w.astype("int64")
+            return out
+
+        marked = bucket_agg(cand_t.union(edge_t), ["prev", "dst"], mark)
+        nxt = bucket_agg(
+            marked, ["walk"], lambda df, _t=t: _n2v_pick(df, _t)
+        ).materialize()
+        if nxt.count() == 0:
+            break
+        result = result.union(
+            nxt.map_batches(
+                lambda df, _t=t: pd.DataFrame(
+                    {
+                        "walk": df["walk"].astype("string"),
+                        "step": pd.Series(_t, index=df.index, dtype="int64"),
+                        "node": df["node"].astype("string"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        frontier = nxt.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "walk": df["walk"].astype("string"),
+                    "prev": df["prev"].astype("string"),
+                    "src": df["node"].astype("string"),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+    return result

