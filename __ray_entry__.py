@@ -2400,6 +2400,60 @@ def q_kg_node2vec_walks(sf_dir: str):
     return node2vec_walks(_code_import_edges(sf_dir), length=4)
 
 
+def q_kg_sage_neighbors(sf_dir: str):
+    """GraphSAGE minibatch neighbor sampling (stages/graph.
+    sage_neighbor_sample): per root, up to 3 out-neighbors at layer 1
+    and up to 3 of each sampled node at layer 2, deterministically
+    drawn by the walks' md5 convention (root-seeded, so different
+    roots sample different neighborhoods through the same node) —
+    the GNN-trainer expansion as a streaming two-pass pipeline."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        sage_neighbor_sample,
+    )
+
+    return sage_neighbor_sample(_code_import_edges(sf_dir), fanout=3)
+
+
+_SQL_SAGE = f"""
+WITH {_CODE_EDGE_BODY},
+e AS (SELECT DISTINCT src, dst FROM cedges),
+n AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+l1 AS (
+  SELECT root, src, dst FROM (
+    SELECT n.node AS root, e.src, e.dst,
+           row_number() OVER (
+             PARTITION BY n.node, e.src
+             ORDER BY md5_number_lower(
+               n.node || '|1|' || e.src || '|' || e.dst), e.dst
+           ) AS rn
+    FROM n JOIN e ON e.src = n.node
+  ) WHERE rn <= 3
+),
+f2 AS (SELECT DISTINCT root, dst AS nxt FROM l1),
+c2 AS (
+  SELECT DISTINCT f2.root, e.src, e.dst
+  FROM f2 JOIN e ON e.src = f2.nxt
+),
+l2 AS (
+  SELECT root, src, dst FROM (
+    SELECT root, src, dst,
+           row_number() OVER (
+             PARTITION BY root, src
+             ORDER BY md5_number_lower(
+               root || '|2|' || src || '|' || dst), dst
+           ) AS rn
+    FROM c2
+  ) WHERE rn <= 3
+)
+SELECT root, 1::BIGINT AS layer, src, dst FROM l1
+UNION ALL
+SELECT root, 2::BIGINT AS layer, src, dst FROM l2
+"""
+
+
 def _random_walks_cte(length: int = 4) -> str:
     """CTE body (w0..wL plus a unioned ``walks`` view) mirroring
     random_walks' pick exactly: row_number ordered by
@@ -4239,6 +4293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_2hop": q_kg_code_2hop,
         "kg_random_walks": q_kg_random_walks,
         "kg_node2vec_walks": q_kg_node2vec_walks,
+        "kg_sage_neighbors": q_kg_sage_neighbors,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_pred_profile": q_kg_pred_profile,
         "kg_link_negatives": q_kg_link_negatives,
@@ -4361,6 +4416,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_2hop": _SQL_CODE_2HOP,
         "kg_random_walks": _SQL_RANDOM_WALKS,
         "kg_node2vec_walks": _SQL_NODE2VEC,
+        "kg_sage_neighbors": _SQL_SAGE,
         "kg_walk_skipgrams": _SQL_WALK_SKIPGRAMS,
         "kg_pred_profile": _SQL_PRED_PROFILE,
         "kg_link_negatives": _SQL_LINK_NEGATIVES,

@@ -4641,3 +4641,129 @@ def node2vec_walks(
             batch_format="pandas",
         ).materialize()
     return result
+
+
+def sage_neighbor_sample(
+    edges: "ray.data.Dataset",
+    *,
+    fanout: int = 3,
+    num_layers: int = 2,
+) -> "ray.data.Dataset":
+    """GraphSAGE-style deterministic neighbor sampling (Hamilton et al.
+    2017): per root node, up to ``fanout`` out-neighbors at layer 1,
+    then up to ``fanout`` out-neighbors of EACH sampled node at layer 2
+    (and so on) — the minibatch-expansion a GNN trainer runs per epoch,
+    made reproducible with the walks' md5 convention: layer ℓ keeps the
+    k candidates minimizing (md5_u64(root|ℓ|src|dst), dst), so the
+    sample depends on the ROOT (different roots draw different
+    neighborhoods through the same node, as epoch-seeded samplers do).
+
+    Rows (root, layer, src, dst).  Fully streaming: hashes are computed
+    map-side on the (frontier ⋈ edges) rows and each layer's top-k is
+    one bucketed pass per (root, src) group — never a per-node Ray
+    aggregate, no driver state beyond the layer counter."""
+    import hashlib
+
+    from ..util import bucket_agg
+
+    def proj(d: pd.DataFrame) -> pd.DataFrame:
+        return d[["subj", "obj"]].rename(columns={"subj": "src", "obj": "dst"})
+
+    mat = edges.map_batches(proj, batch_format="pandas").materialize()
+    np_ = _nparts(None)
+
+    def topk(df: pd.DataFrame, layer: int) -> pd.DataFrame:
+        md5 = hashlib.md5
+        joined = (
+            df["root"].astype("string")
+            + f"|{layer}|"
+            + df["src"].astype("string")
+            + "|"
+            + df["dst"].astype("string")
+        ).to_numpy()
+        digs = b"".join([md5(s.encode("utf-8")).digest() for s in joined])
+        h = np.frombuffer(digs, "<u8")[1::2]
+        gcodes, _ = pd.factorize(
+            df["root"].astype(str) + "\x1f" + df["src"].astype(str)
+        )
+        dcodes, duniq = pd.factorize(df["dst"], sort=True)
+        order = np.lexsort((dcodes, h, gcodes))
+        gs = gcodes[order]
+        rank = np.arange(len(gs))
+        starts = np.ones(len(gs), dtype=bool)
+        starts[1:] = gs[1:] != gs[:-1]
+        rank = rank - np.maximum.accumulate(np.where(starts, rank, 0))
+        keep = order[rank < fanout]
+        return pd.DataFrame(
+            {
+                "root": df["root"].to_numpy()[keep],
+                "src": df["src"].to_numpy()[keep],
+                "dst": df["dst"].to_numpy()[keep],
+            }
+        ).astype("string")
+
+    from ..functions.kernel import distinct
+
+    roots = distinct(
+        mat.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "root": pd.concat(
+                        [df["src"], df["dst"]], ignore_index=True
+                    ).astype("string")
+                }
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["root"],
+    ).materialize()
+
+    frontier = roots.map_batches(
+        lambda df: pd.DataFrame(
+            {"root": df["root"].astype("string"),
+             "src": df["root"].astype("string")}
+        ),
+        batch_format="pandas",
+    )
+    out = None
+    for layer in range(1, num_layers + 1):
+        cand = heal_schema(frontier, np_).join(
+            heal_schema(mat, np_), "inner", np_, on=("src",)
+        )
+        # distinct (root, src, dst): the frontier may reach one src via
+        # several paths; the sample is per (root, src), not per path
+        cand = distinct(
+            cand.map_batches(
+                lambda df: df[["root", "src", "dst"]].reset_index(drop=True),
+                batch_format="pandas",
+            ),
+            ["root", "src", "dst"],
+        )
+        picked = bucket_agg(
+            cand, ["root", "src"], lambda df, _l=layer: topk(df, _l)
+        ).materialize()
+        lay = picked.map_batches(
+            lambda df, _l=layer: pd.DataFrame(
+                {
+                    "root": df["root"].astype("string"),
+                    "layer": pd.Series(_l, index=df.index, dtype="int64"),
+                    "src": df["src"].astype("string"),
+                    "dst": df["dst"].astype("string"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        out = lay if out is None else out.union(lay)
+        frontier = distinct(
+            picked.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "root": df["root"].astype("string"),
+                        "src": df["dst"].astype("string"),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["root", "src"],
+        )
+    return out
