@@ -2,6 +2,121 @@
 
 from __future__ import annotations
 
+# Substrings identifying Ray Data's own pool workers in
+# ``ray._private.state.actors()`` ActorClassName — the only classes
+# drain_stale_pools() will ever force-kill (never user actors).
+_RAY_DATA_ACTOR_MARKS = ("MapWorker", "Aggregator")
+
+
+def _cpu_totals():
+    """(total, available) CPU slots right now; degrades to (4, 4) when
+    the cluster state is unreadable (e.g. Ray not yet initialised)."""
+    import ray
+
+    try:
+        total = float(ray.cluster_resources().get("CPU", 4))
+        avail = float(ray.available_resources().get("CPU", total))
+    except Exception:
+        return 4.0, 4.0
+    return total, avail
+
+
+def drain_stale_pools(timeout: float = 10.0, kill_after: float = 6.0):
+    """Release actor pools left over from PRIOR Dataset plans in this
+    session.  Call at a query/plan boundary (nothing of ours running).
+
+    Ray 2.49 shuts a fixed-size ``map_batches(Cls, ...)`` pool down
+    asynchronously when its plan finishes — and not at all while any
+    reference to the executor survives.  Back-to-back query execution in
+    ONE session (the driver's shape) therefore accumulates live
+    ``MapWorker``/``HashShuffleAggregator`` actors that still hold CPU
+    slots, and a later plan's fixed pool can dead-end with every actor
+    pending (observed: 238-query sweep hung at query #151 with
+    ``Actors: 7 (running=0, pending=7)`` against 6 leaked MapWorkers +
+    4 aggregators).  Strategy here: (1) ``gc.collect()`` so dead plans'
+    executors actually finalize, (2) poll until available CPU equals the
+    cluster total, (3) after ``kill_after`` seconds, force-kill actors
+    that are still ALIVE *and* are Ray Data pool workers by class name —
+    at a plan boundary those are orphans by definition.  Returns True
+    when the cluster is fully quiet."""
+    import gc
+    import time
+
+    import ray
+
+    if not ray.is_initialized():
+        return True
+    gc.collect()
+    total, avail = _cpu_totals()
+    if avail >= total:
+        return True
+    deadline = time.monotonic() + timeout
+    kill_at = time.monotonic() + kill_after
+    killed = False
+    while time.monotonic() < deadline:
+        time.sleep(0.2)
+        gc.collect()
+        total, avail = _cpu_totals()
+        if avail >= total:
+            return True
+        if not killed and time.monotonic() >= kill_at:
+            killed = True
+            _kill_ray_data_workers()
+    total, avail = _cpu_totals()
+    return avail >= total
+
+
+def _kill_ray_data_workers():
+    """Force-kill ALIVE Ray-Data pool workers (MapWorker / shuffle
+    aggregator actors) — last-resort path of :func:`drain_stale_pools`,
+    reached only when a plan boundary still shows held CPU slots after
+    the graceful wait.  Works without the dashboard: actor ids come
+    from the GCS-backed ``ray._private.state.actors()`` and are killed
+    through the core worker (``ray.kill`` needs handles, which unnamed
+    pool actors don't expose)."""
+    import ray
+
+    try:
+        snapshot = ray._private.state.actors()
+        core = ray._private.worker.global_worker.core_worker
+    except Exception:
+        return
+    for aid_hex, info in snapshot.items():
+        if info.get("State") != "ALIVE":
+            continue
+        cls = info.get("ActorClassName") or ""
+        if not any(m in cls for m in _RAY_DATA_ACTOR_MARKS):
+            continue
+        try:
+            core.kill_actor(ray.ActorID(bytes.fromhex(aid_hex)), False)
+        except Exception:
+            pass
+
+
+def _slot_capped(budget: int, *, wait: float = 8.0, floor: int = 2) -> int:
+    """Cap a pool/partition budget by the CPU slots actually free right
+    now.  The root cause of the one-session deadlock: budgets derived
+    from the cluster's TOTAL CPUs ignore actors still alive/draining
+    from prior plans, so a fixed pool can request more slots than can
+    ever be placed.  If free slots don't cover ``budget`` + 1 producer
+    slot, wait briefly (prior pools normally exit within a second or
+    two), then size to what is genuinely free.  On a quiet cluster this
+    is one ``available_resources()`` call and no wait."""
+    import gc
+    import time
+
+    total, avail = _cpu_totals()
+    if avail >= budget + 1 or total <= floor:
+        return budget
+    deadline = time.monotonic() + wait
+    while time.monotonic() < deadline:
+        gc.collect()
+        time.sleep(0.2)
+        total, avail = _cpu_totals()
+        if avail >= budget + 1:
+            return budget
+    return max(floor, min(budget, int(avail) - 1))
+
 
 def auto_concurrency(concurrency=None):
     """Actor-pool size for ``map_batches(Cls, ...)``: Ray 2.49 requires an
@@ -27,7 +142,7 @@ def auto_concurrency(concurrency=None):
         n = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         n = 4
-    return max(2, n - max(1, n // 8))
+    return _slot_capped(max(2, n - max(1, n // 8)))
 
 
 def stage_concurrency(n_stages: int, concurrency=None):
@@ -66,7 +181,7 @@ def join_partitions(num_partitions=None) -> int:
         n = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         n = 4
-    return max(2, n // 2)
+    return _slot_capped(max(2, n // 2))
 
 
 def heal_schema(ds, num_partitions: int):

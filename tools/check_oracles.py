@@ -63,17 +63,25 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
+    # Bound DuckDB's buffer growth: a 238-query sweep with the default
+    # (80% of RAM) limit plus Ray's object store crossed 80% RSS by
+    # query ~194 (BASELINE.md round 4); 4 GiB is ample at sf<=0.1.
+    con.sql("SET memory_limit='4GB'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+
+    import gc
 
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
-            mine = to_pandas(fn(sf_dir))
+            res = fn(sf_dir)
+            mine = to_pandas(res)
+            del res  # drop the Dataset ref NOW so its blocks/pools free
         except Exception as e:  # noqa: BLE001
             print(f"{name:28s} ERROR running query: {e!r}")
             failed.append(name)
@@ -106,6 +114,9 @@ def main() -> int:
                 )
                 diff = merged[merged["_merge"] != "both"]
                 print(diff.head(10).to_string())
+        # per-query memory hygiene: the sweep must fit one session
+        del mine, oracle
+        gc.collect()
     print("FAILED:", failed if failed else "none")
     return 1 if failed else 0
 
