@@ -3138,3 +3138,164 @@ ORDER BY 1
 
 QUERIES["events_markov_stationary"] = q_events_markov_stationary
 ORACLES["events_markov_stationary"] = _markov_sql()
+
+
+# -- key-skew diagnostics: count-of-counts profile --------------------------
+
+
+def q_events_key_skew(sf_dir: str):
+    """Planner-grade key-skew profile of the event stream's user_id:
+    the count-of-counts table (how many keys occur exactly f times) —
+    the full frequency distribution from which every skew statistic
+    (distinct count, max multiplicity, self-join size Σc², heavy-hitter
+    share) is derivable, at distribution-sized output.
+
+    100-TB shape: per-key counts reduce through ONE coarse-bucketed sum
+    (key-scale, never a raw Ray per-key aggregate), then a map-side
+    per-batch regroup to (freq, n_keys) partials reduces through a
+    second bucketed sum whose key space is the tiny set of distinct
+    frequencies.  No driver state beyond the final profile rows."""
+    import ray.data
+
+    from ..util import bucket_count, bucket_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    per_key = bucket_count(ds, ["user_id"], out_col="freq")
+
+    def regroup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("freq", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "freq": g["freq"].astype("int64"),
+                "n_keys": g["size"].astype("int64"),
+            }
+        )
+
+    return bucket_sum(
+        per_key.map_batches(regroup, batch_format="pandas"),
+        ["freq"],
+        ["n_keys"],
+    )
+
+
+_SQL_KEY_SKEW = """
+WITH c AS (
+  SELECT user_id, count(*)::BIGINT AS freq FROM events GROUP BY 1
+)
+SELECT freq, count(*)::BIGINT AS n_keys FROM c GROUP BY 1
+"""
+
+
+QUERIES["events_key_skew"] = q_events_key_skew
+ORACLES["events_key_skew"] = _SQL_KEY_SKEW
+
+
+# -- join-size estimation from per-side key histograms ----------------------
+
+
+def q_orders_join_size(sf_dir: str):
+    """Exact equi-join cardinality of orders ⋈ lineitem on orderkey
+    computed WITHOUT executing the row-scale join: per-side key counts
+    (each via one coarse-bucketed sum), then the product Σ cₒ(k)·cₗ(k)
+    over the key-scale count tables — the cost-based-optimizer
+    statistic, here exact because the histograms are exact.  Emits one
+    row (est_rows, n_keys_matched, n_keys_orders, n_keys_lineitem).
+
+    The key-count tables join on orderkey (key-scale, not row-scale)
+    through a pandas merge inside ONE bucketed groupby — both sides'
+    counts for a key land in the same bucket, so per-bucket merges are
+    globally correct and disjoint (the bucket_agg invariant)."""
+    import ray.data
+
+    from ..util import bucket_agg, bucket_count
+
+    o = bucket_count(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+        ).map_batches(
+            lambda df: pd.DataFrame({"k": df["o_orderkey"].astype("int64")}),
+            batch_format="pandas",
+        ),
+        ["k"],
+        out_col="co",
+    )
+    li = bucket_count(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+        ).map_batches(
+            lambda df: pd.DataFrame({"k": df["l_orderkey"].astype("int64")}),
+            batch_format="pandas",
+        ),
+        ["k"],
+        out_col="cl",
+    )
+
+    def tag(col):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"k": df["k"].astype("int64")})
+            out["co"] = (
+                df["co"].astype("int64") if col == "co" else 0
+            )
+            out["cl"] = (
+                df["cl"].astype("int64") if col == "cl" else 0
+            )
+            return out
+
+        return f
+
+    both = o.map_batches(tag("co"), batch_format="pandas").union(
+        li.map_batches(tag("cl"), batch_format="pandas")
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", as_index=False)[["co", "cl"]].sum()
+        m = g[(g["co"] > 0) & (g["cl"] > 0)]
+        return pd.DataFrame(
+            {
+                "est_rows": pd.array(
+                    [int((m["co"] * m["cl"]).sum())], dtype="int64"
+                ),
+                "n_keys_matched": pd.array([len(m)], dtype="int64"),
+                "n_keys_orders": pd.array(
+                    [int((g["co"] > 0).sum())], dtype="int64"
+                ),
+                "n_keys_lineitem": pd.array(
+                    [int((g["cl"] > 0).sum())], dtype="int64"
+                ),
+            }
+        )
+
+    parts = bucket_agg(both, ["k"], combine).to_pandas()
+    total = parts.sum()
+    return pd.DataFrame(
+        {
+            "est_rows": pd.array([int(total["est_rows"])], dtype="int64"),
+            "n_keys_matched": pd.array(
+                [int(total["n_keys_matched"])], dtype="int64"
+            ),
+            "n_keys_orders": pd.array(
+                [int(total["n_keys_orders"])], dtype="int64"
+            ),
+            "n_keys_lineitem": pd.array(
+                [int(total["n_keys_lineitem"])], dtype="int64"
+            ),
+        }
+    )
+
+
+_SQL_JOIN_SIZE = """
+WITH co AS (SELECT o_orderkey AS k, count(*)::BIGINT AS c FROM orders GROUP BY 1),
+cl AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c FROM lineitem GROUP BY 1),
+m AS (SELECT co.k, co.c AS co, cl.c AS cl FROM co JOIN cl USING (k))
+SELECT sum(co * cl)::BIGINT AS est_rows,
+       count(*)::BIGINT AS n_keys_matched,
+       (SELECT count(*) FROM co)::BIGINT AS n_keys_orders,
+       (SELECT count(*) FROM cl)::BIGINT AS n_keys_lineitem
+FROM m
+"""
+
+
+QUERIES["orders_join_size"] = q_orders_join_size
+ORACLES["orders_join_size"] = _SQL_JOIN_SIZE

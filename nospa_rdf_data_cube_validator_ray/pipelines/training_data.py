@@ -5361,3 +5361,167 @@ GROUP BY source ORDER BY source
 
 QUERIES["corpus_build_manifest"] = q_corpus_build_manifest
 ORACLES["corpus_build_manifest"] = _SQL_CORPUS_BUILD
+
+
+# -- sparse weighted TF cosine similarity join ------------------------------
+
+# tuning constants shared by the Ray side and the generated oracle SQL so
+# the two sides cannot drift: posting lists longer than _SIM_MAX_DF are
+# pruned from BOTH the dot products and the norms (similarity is defined
+# in the pruned space — the standard df-cutoff that bounds pair fan-out
+# by |vocab|·MAX_DF² and drops only tokens too common to discriminate);
+# pairs kept when cos² ≥ _SIM_TAU2_BP/10000, tested by integer
+# cross-multiplication so no sqrt/float ever enters the contract.
+_SIM_MAX_DF = 100
+_SIM_TAU2_BP = 2500  # (cos ≥ 0.5)²·10⁴
+
+
+def q_docs_tfidf_simjoin(sf_dir: str):
+    """Weighted sparse all-pairs similarity join (Bayardo et al.,
+    WWW'07 shape) over term-frequency vectors — the WEIGHTED
+    counterpart of dedup_ppjoin_pairs' set-semantics join: pairs of
+    documents whose tf-vector cosine (computed in the df-pruned space)
+    passes the threshold, found from inverted posting lists with no
+    all-pairs matmul and no broadcast of anything corpus-sized.
+
+    Scale shape: one map pass builds (doc_id, token, tf) postings;
+    token document-frequencies aggregate through ONE coarse-bucketed
+    sum (vocab-scale output); the df-keep set broadcasts via ray.put
+    (vocabulary after pruning-eligibility is bounded, documented);
+    candidate pairs with partial products are generated inside a
+    token-bucketed groupby (posting lists capped at _SIM_MAX_DF rows);
+    pair dots + per-doc norms reduce through coarse-bucketed sums.
+    Norms ride the pair rows as part of the (a, b, na, nb) key — they
+    are per-doc constants — so the final filter is map-side and the
+    plan has ZERO hash joins.
+
+    Everything is integer (dot, norms, the cross-multiplied threshold),
+    so the DuckDB oracle hashes bit-identically."""
+    from collections import Counter
+
+    import ray
+
+    from ..stages.dedup import tokens as _tok
+    from ..util import bucket_agg, bucket_sum
+
+    docs = _docs(sf_dir)
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks, tfs = [], [], []
+        for doc_id, t in zip(df["doc_id"].astype("int64"), df["text"].fillna("")):
+            c = Counter(_tok(t))
+            ids.extend([doc_id] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "token": pd.array(toks, dtype="string"),
+                "tf": pd.array(tfs, dtype="int64"),
+            }
+        )
+
+    post = docs.map_batches(postings, batch_format="pandas").materialize()
+
+    dfr = post.map_batches(
+        lambda df: pd.DataFrame(
+            {"token": df["token"], "nd": pd.Series(1, index=df.index, dtype="int64")}
+        ),
+        batch_format="pandas",
+    )
+    df_tab = bucket_sum(dfr, ["token"], ["nd"]).to_pandas()
+    keep = frozenset(df_tab.loc[df_tab["nd"] <= _SIM_MAX_DF, "token"])
+    keep_ref = ray.put(keep)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(keep_ref)
+        return df[df["token"].isin(k)].reset_index(drop=True)
+
+    kept = post.map_batches(prune, batch_format="pandas").materialize()
+
+    # per-doc norms in the pruned space (doc-scale)
+    def sq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "sq": (df["tf"].astype("int64") ** 2),
+            }
+        )
+
+    norms = bucket_sum(
+        kept.map_batches(sq, batch_format="pandas"), ["doc_id"], ["sq"]
+    ).to_pandas()
+    nmap = dict(zip(norms["doc_id"].astype("int64"), norms["sq"].astype("int64")))
+    nref = ray.put(nmap)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nref)
+        m = df.merge(df, on="token", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "norm_a": pd.Series(dtype="int64"),
+                    "norm_b": pd.Series(dtype="int64"),
+                    "prod": pd.Series(dtype="int64"),
+                }
+            )
+        a = m["doc_id_a"].astype("int64").to_numpy()
+        b = m["doc_id_b"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_a": a,
+                "doc_b": b,
+                "norm_a": np.array([nm[x] for x in a], dtype="int64"),
+                "norm_b": np.array([nm[x] for x in b], dtype="int64"),
+                "prod": (
+                    m["tf_a"].astype("int64").to_numpy()
+                    * m["tf_b"].astype("int64").to_numpy()
+                ),
+            }
+        )
+
+    cand = bucket_agg(kept, ["token"], pairs)
+    dots = bucket_sum(cand, ["doc_a", "doc_b", "norm_a", "norm_b"], ["prod"])
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["prod"].astype("int64")
+        ok = 10000 * d * d >= _SIM_TAU2_BP * df["norm_a"].astype("int64") * df[
+            "norm_b"
+        ].astype("int64")
+        out = df[ok].rename(columns={"prod": "dot"})
+        return out[["doc_a", "doc_b", "dot", "norm_a", "norm_b"]].reset_index(
+            drop=True
+        )
+
+    return dots.map_batches(thresh, batch_format="pandas")
+
+
+_SQL_TFIDF_SIMJOIN = rf"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+kept AS (
+  SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN dfq USING (t)
+  WHERE df <= {_SIM_MAX_DF}
+),
+nrm AS (SELECT doc_id, sum(tf * tf)::BIGINT AS na FROM kept GROUP BY 1),
+dot AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.tf * b.tf)::BIGINT AS dot
+  FROM kept a JOIN kept b USING (t)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b, dot, x.na AS norm_a, y.na AS norm_b
+FROM dot JOIN nrm x ON da = x.doc_id JOIN nrm y ON db = y.doc_id
+WHERE 10000 * dot * dot >= {_SIM_TAU2_BP} * x.na * y.na
+"""
+
+
+QUERIES["docs_tfidf_simjoin"] = q_docs_tfidf_simjoin
+ORACLES["docs_tfidf_simjoin"] = _SQL_TFIDF_SIMJOIN

@@ -45,6 +45,42 @@ def _emb_matrix(df: pd.DataFrame, col: str) -> np.ndarray:
     return np.array(df[col].tolist(), dtype=np.float64)
 
 
+def _block_topk_frame(
+    sims: np.ndarray, ids: np.ndarray, qids, k: int
+) -> pd.DataFrame:
+    """Per-query top-(k+1) over a (n_query, n_block) sims matrix, fully
+    vectorized — no Python loop over queries (the old per-row lexsort
+    was the block stage's hot loop at ≥10³ queries).
+
+    Exactness under ties: per row, ``np.partition`` finds the (k+1)-th
+    largest cosine, the mask ``sims >= v`` keeps a SUPERSET including
+    every boundary tie, and one global ``lexsort`` by (query, -cos,
+    neighbor_id) ranks the survivors — so exact cosine ties keep the
+    lowest id even when the tie spans the cut, matching the driver
+    merge's deterministic tie-break and the SQL oracle's ``ORDER BY sim
+    DESC, vec_id``.  Self-matches are dropped AFTER the k+1 cut
+    (unchanged semantics: the query's own row may consume one slot; the
+    driver merge trims to k)."""
+    n = sims.shape[1]
+    k1 = min(k + 1, n)                       # +1: self may be in block
+    v = np.partition(sims, n - k1, axis=1)[:, n - k1]
+    qidx, cidx = np.nonzero(sims >= v[:, None])
+    vals = sims[qidx, cidx]
+    nids = ids[cidx]
+    order = np.lexsort((nids, -vals, qidx))
+    qidx, vals, nids = qidx[order], vals[order], nids[order]
+    # rank within each query group (qidx ascending after the lexsort)
+    pos = np.arange(len(qidx))
+    is_new = np.r_[True, qidx[1:] != qidx[:-1]] if len(qidx) else np.array([], bool)
+    grp_start = np.maximum.accumulate(np.where(is_new, pos, 0))
+    keep = (pos - grp_start) < k1
+    qid_arr = np.asarray(qids)[qidx]
+    keep &= nids != qid_arr                  # drop self AFTER the cut
+    return pd.DataFrame(
+        {"query_id": qid_arr[keep], "neighbor_id": nids[keep], "cos": vals[keep]}
+    )
+
+
 class _BlockTopK:
     """Actor stage: block rows × broadcast query matrix → local top-k."""
 
@@ -60,23 +96,7 @@ class _BlockTopK:
         mat = _normalize(_emb_matrix(df, "embedding"))
         ids = df["vec_id"].to_numpy()
         sims = self.qmat @ mat.T                     # (n_query, n_block)
-        k = min(self.k + 1, sims.shape[1])           # +1: self may be in block
-        out_q, out_n, out_s = [], [], []
-        for qi, qid in enumerate(self.qids):
-            row = sims[qi]
-            # full (-cos, neighbor_id) order before truncating so exact
-            # cosine ties keep the lowest id — matches the driver merge's
-            # documented deterministic tie-break (and the SQL oracle's
-            # ORDER BY sim DESC, vec_id) even when the tie spans the cut
-            top = np.lexsort((ids, -row))[:k]
-            for j in top:
-                if ids[j] != qid:
-                    out_q.append(qid)
-                    out_n.append(ids[j])
-                    out_s.append(row[j])
-        return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "cos": out_s}
-        )
+        return _block_topk_frame(sims, ids, self.qids, self.k)
 
 
 def knn_topk(
@@ -140,19 +160,7 @@ class _BlockTopKInt8:
         mat = _normalize(_quantize_int8(_emb_matrix(df, "embedding")))
         ids = df["vec_id"].to_numpy()
         sims = self.qmat @ mat.T
-        k = min(self.k + 1, sims.shape[1])
-        out_q, out_n, out_s = [], [], []
-        for qi, qid in enumerate(self.qids):
-            row = sims[qi]
-            top = np.lexsort((ids, -row))[:k]
-            for j in top:
-                if ids[j] != qid:
-                    out_q.append(qid)
-                    out_n.append(ids[j])
-                    out_s.append(row[j])
-        return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "cos": out_s}
-        )
+        return _block_topk_frame(sims, ids, self.qids, self.k)
 
 
 def int8_topk(

@@ -4566,6 +4566,23 @@ def node2vec_walks(
         ),
         batch_format="pandas",
     ).materialize()
+    # Broadcast-prune gate for the per-step BFS-mark pass: the only
+    # edges that can influence a candidate's weight class share their
+    # (prev, dst) pair with some candidate, so src ∈ {frontier.prev}.
+    # Below the cap we broadcast the hashed prev-set once per step and
+    # filter the edge side MAP-SIDE (scan, no shuffle) — each step's
+    # shuffle then moves candidate-scale rows, not the full edge set
+    # (VERDICT r4 next-round #4).  Hash collisions only ADD edges (a
+    # superset); the mark merges on the string pair, so results are
+    # exact.  Above the cap (more walks than we can broadcast) fall
+    # back to the full tagged union.
+    max_broadcast_prevs = 2_000_000
+
+    def _h64(s: pd.Series) -> np.ndarray:
+        return pd.util.hash_pandas_object(
+            s.astype("string"), index=False
+        ).to_numpy(dtype="uint64")
+
     for t in range(1, length + 1):
         cand = heal_schema(frontier, np_).join(
             heal_schema(mat, np_), "inner", np_, on=("src",)
@@ -4584,7 +4601,32 @@ def node2vec_walks(
             ),
             batch_format="pandas",
         )
-        edge_t = mat.map_batches(
+        edge_src = mat
+        if frontier.count() <= max_broadcast_prevs:
+            hs = [
+                h
+                for b in frontier.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"h": np.unique(_h64(df["prev"]))}
+                    ),
+                    batch_format="pandas",
+                ).iter_batches(batch_format="pandas", batch_size=None)
+                for h in (b["h"].to_numpy(dtype="uint64"),)
+            ]
+            pset_ref = ray.put(
+                np.unique(np.concatenate(hs))
+                if hs
+                else np.empty(0, dtype="uint64")
+            )
+
+            def keep_frontier_src(df: pd.DataFrame, *, _ref=pset_ref):
+                pset = ray.get(_ref)
+                return df[np.isin(_h64(df["src"]), pset)]
+
+            edge_src = mat.map_batches(
+                keep_frontier_src, batch_format="pandas"
+            )
+        edge_t = edge_src.map_batches(
             lambda df: pd.DataFrame(
                 {
                     "walk": pd.Series("", index=df.index, dtype="string"),

@@ -9,8 +9,9 @@ real pipeline schedules:
 - actor pool (``map_batches(Cls, concurrency=N)``) — recovery = actor
   restart + task resubmission (Ray Data pools set max_restarts);
 - hash-shuffle aggregator actors (``Dataset.join`` partitions) —
-  recovery = aggregator restart + lineage reconstruction of the
-  partial-aggregate inputs.
+  NOT restartable in Ray 2.49: death fails the job loudly (never a
+  hang or a silently wrong result); recovery is the checkpoint
+  layer's rerun of the failed partition-job.
 """
 
 import os
