@@ -1263,6 +1263,21 @@ def q_kg_bgp_path(sf_dir: str):
     )
 
 
+def q_kg_bgp_path_alt(sf_dir: str):
+    """SPARQL alternation under a one-or-more path (§18.4
+    AlternativePath ∘ OneOrMorePath): '?a (follows|placedBy)+ ?b' —
+    the closure runs over the UNION of both predicates' edge sets, so
+    chains extend through their head order onto the customer
+    (stages/graph.bgp_match_path alternation groups; same size-adaptive
+    cycle-safe closure_pairs kernel underneath)."""
+    from nospa_rdf_data_cube_validator_ray.stages.graph import bgp_match_path
+
+    return bgp_match_path(
+        _link_triples(sf_dir),
+        [("?a", f"({_KGP}follows|{_KGP}placedBy)+", "?b")],
+    )
+
+
 def q_kg_bgp_minus(sf_dir: str):
     """SPARQL MINUS execution (stages/graph.bgp_match_minus — §18.5
     Minus as one bucketed anti-join on the shared variables): orders
@@ -4075,6 +4090,18 @@ pb AS (SELECT DISTINCT subj AS b, obj AS c FROM edges
 SELECT cl.a, cl.b, pb.c FROM cl JOIN pb USING (b)
 """
 
+_SQL_BGP_PATH_ALT = f"""
+WITH RECURSIVE {_KG_EDGE_BODY},
+f AS (SELECT DISTINCT subj AS s, obj AS o FROM edges
+      WHERE pred IN ('{_KGP}follows', '{_KGP}placedBy')),
+cl(a, b) AS (
+  SELECT s, o FROM f
+  UNION
+  SELECT cl.a, f.o FROM cl JOIN f ON f.s = cl.b
+)
+SELECT a, b FROM cl
+"""
+
 _SQL_BGP_MINUS = f"""
 WITH {_KG_EDGE_BODY},
 f AS (SELECT DISTINCT subj AS o, obj AS prev FROM edges
@@ -4261,6 +4288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_union": q_kg_bgp_union,
         "kg_bgp_filter": q_kg_bgp_filter,
         "kg_bgp_path": q_kg_bgp_path,
+        "kg_bgp_path_alt": q_kg_bgp_path_alt,
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_tree_betweenness": q_kg_tree_betweenness,
@@ -4402,6 +4430,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_union": _SQL_BGP_UNION,
         "kg_bgp_filter": _SQL_BGP_FILTER,
         "kg_bgp_path": _SQL_BGP_PATH,
+        "kg_bgp_path_alt": _SQL_BGP_PATH_ALT,
         "kg_bgp_minus": _SQL_BGP_MINUS,
         "kg_bgp_agg": _SQL_BGP_AGG,
         "kg_tree_betweenness": _SQL_TREE_BET,

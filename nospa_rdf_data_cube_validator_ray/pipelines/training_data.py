@@ -5525,3 +5525,172 @@ WHERE 10000 * dot * dot >= {_SIM_TAU2_BP} * x.na * y.na
 
 QUERIES["docs_tfidf_simjoin"] = q_docs_tfidf_simjoin
 ORACLES["docs_tfidf_simjoin"] = _SQL_TFIDF_SIMJOIN
+
+
+# -- positional phrase query over the inverted index -------------------------
+
+# the fixed query phrase, shared by the Ray side and the generated oracle;
+# a REPEATED token on purpose — adjacency pairs (p, p+1) within one
+# posting list are the boundary case a phrase engine gets wrong first
+_PHRASE = ("batch", "batch")
+
+
+def q_postings_phrase_query(sf_dir: str):
+    """Exact phrase retrieval ("w1 w2" adjacent) through the positional
+    posting lists — the consumer of postings_index's artifact: filter
+    the position stream to the phrase's two tokens (map-side — the
+    selective step a real engine does by seeking two posting lists),
+    then ONE doc-bucketed pass intersects positions with pos₂ = pos₁+1
+    vectorized (np.isin on int64 position arrays).  Emits
+    (doc_id, n_phrase) for matching documents only.  No row-scale
+    shuffle: what moves is the two tokens' postings, not the corpus."""
+    from ..stages.dedup import tokens as _tok
+    from ..util import bucket_agg
+
+    docs = _docs(sf_dir)
+    w1, w2 = _PHRASE
+
+    def explode_sel(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks, poss = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            ts = _tok(text if isinstance(text, str) else "")
+            for i, t in enumerate(ts, 1):
+                if t == w1 or t == w2:
+                    ids.append(doc_id)
+                    toks.append(t)
+                    poss.append(i)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "token": pd.array(toks, dtype="string"),
+                "pos": pd.array(poss, dtype="int64"),
+            }
+        )
+
+    occ = docs.map_batches(explode_sel, batch_format="pandas")
+
+    def adjacency(df: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_n = [], []
+        for doc_id, g in df.groupby("doc_id", sort=False):
+            p1 = g.loc[g["token"] == w1, "pos"].to_numpy(dtype="int64")
+            p2 = g.loc[g["token"] == w2, "pos"].to_numpy(dtype="int64")
+            n = int(np.isin(p1 + 1, p2).sum())
+            if n:
+                out_ids.append(int(doc_id))
+                out_n.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(out_ids, dtype="int64"),
+                "n_phrase": pd.array(out_n, dtype="int64"),
+            }
+        )
+
+    return bucket_agg(occ, ["doc_id"], adjacency)
+
+
+_SQL_PHRASE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i] AS token, i
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+)
+SELECT a.doc_id, count(*)::BIGINT AS n_phrase
+FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+WHERE a.token = '{_PHRASE[0]}' AND b.token = '{_PHRASE[1]}'
+GROUP BY 1
+"""
+
+
+QUERIES["postings_phrase_query"] = q_postings_phrase_query
+ORACLES["postings_phrase_query"] = _SQL_PHRASE
+
+
+# -- per-source token-budget apportionment ----------------------------------
+
+# total token budget to apportion (largest-remainder / Hamilton method) —
+# shared constant so the Ray side and the oracle cannot drift
+_BUDGET_TOKENS = 1_000_000
+
+
+def q_docs_token_budget(sf_dir: str):
+    """Training-mix engineering: apportion a fixed token budget across
+    sources proportionally to their token counts with the
+    largest-remainder (Hamilton) method — all integer, so exact: source
+    i gets ⌊B·cᵢ/C⌋ plus one of the B − Σ⌊·⌋ leftover tokens by
+    remainder rank (ties by source name).  Per-source token counts
+    reduce through ONE coarse-bucketed sum; the apportionment itself
+    runs on the |sources|-row aggregate (driver-side by design — the
+    rank couples every row, and the frame is dimension-sized)."""
+    from ..stages.dedup import tokens as _tok
+    from ..util import bucket_sum
+
+    docs = _docs(sf_dir)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"].astype("string"),
+                "n_tokens": pd.array(
+                    [
+                        len(_tok(t if isinstance(t, str) else ""))
+                        for t in df["text"]
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    tab = bucket_sum(
+        docs.map_batches(counts, batch_format="pandas"),
+        ["source"],
+        ["n_tokens"],
+    ).to_pandas()
+    tab = tab.sort_values("source", ignore_index=True)
+    C = int(tab["n_tokens"].sum())
+    B = _BUDGET_TOKENS
+    floor = (B * tab["n_tokens"].astype("int64")) // C
+    rem = (B * tab["n_tokens"].astype("int64")) % C
+    leftover = B - int(floor.sum())
+    order = np.lexsort((tab["source"].to_numpy(), -rem.to_numpy()))
+    bonus = np.zeros(len(tab), dtype="int64")
+    bonus[order[:leftover]] = 1
+    return pd.DataFrame(
+        {
+            "source": tab["source"].astype("string"),
+            "n_tokens": tab["n_tokens"].astype("int64"),
+            "budget": pd.array(floor.to_numpy() + bonus, dtype="int64"),
+        }
+    )
+
+
+_SQL_TOKEN_BUDGET = rf"""
+WITH c AS (
+  SELECT source,
+         sum(len(regexp_extract_all(coalesce(text, ''), '\S+')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_tokens)::BIGINT AS ct FROM c),
+sh AS (
+  SELECT source, n_tokens,
+         ({_BUDGET_TOKENS}::BIGINT * n_tokens) // ct AS fl,
+         ({_BUDGET_TOKENS}::BIGINT * n_tokens) % ct AS rem
+  FROM c, tot
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source) AS r,
+         (SELECT {_BUDGET_TOKENS} - sum(fl) FROM sh) AS leftover
+  FROM sh
+)
+SELECT source, n_tokens,
+       (fl + CASE WHEN r <= leftover THEN 1 ELSE 0 END)::BIGINT AS budget
+FROM rk
+"""
+
+
+QUERIES["docs_token_budget"] = q_docs_token_budget
+ORACLES["docs_token_budget"] = _SQL_TOKEN_BUDGET

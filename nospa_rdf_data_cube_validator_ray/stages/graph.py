@@ -4266,7 +4266,12 @@ def bgp_match_path(
     synthetic triples under the literal ``p+`` predicate name; the
     conjunctive join plan is then exactly bgp_match's over the union —
     path patterns compose freely with ordinary patterns, OPTIONAL-free
-    §18.4 semantics (no zero-hop case; use p? ∪ p+ upstream for p*)."""
+    §18.4 semantics (no zero-hop case; use p? ∪ p+ upstream for p*).
+
+    Alternation groups are supported: a predicate ``(p1|p2)+`` closes
+    over the UNION of the alternatives' edge sets (SPARQL 1.1 §18.4
+    AlternativePath under OneOrMorePath) — the closure kernel is
+    identical, only the edge filter widens."""
     plus_preds = sorted(
         {p[:-1] for _, p, _ in patterns if not p.startswith("?") and p.endswith("+")}
     )
@@ -4276,9 +4281,14 @@ def bgp_match_path(
     )
     parts = [base]
     for pred in plus_preds:
+        alts = (
+            tuple(pred[1:-1].split("|"))
+            if pred.startswith("(") and pred.endswith(")")
+            else (pred,)
+        )
         e = triples.map_batches(
-            lambda df, pr=pred: df[
-                (df["pred"] == pr) & (df["obj_kind"] == 0)
+            lambda df, al=alts: df[
+                df["pred"].isin(al) & (df["obj_kind"] == 0)
             ].reset_index(drop=True),
             batch_format="pandas",
         )
