@@ -3299,3 +3299,261 @@ FROM m
 
 QUERIES["orders_join_size"] = q_orders_join_size
 ORACLES["orders_join_size"] = _SQL_JOIN_SIZE
+
+
+# -- TPC-H Q1 pricing summary (exact fixed-point) ----------------------------
+
+
+def q_lineitem_q1(sf_dir: str):
+    """The canonical TPC-H Q1 pricing summary per (returnflag,
+    linestatus) — counts, quantity and charge sums, and averages — in
+    EXACT fixed-point: price/discount/tax are 2-decimal fixed-point
+    shipped as doubles, so cents = rint(x·100) recovers the integers
+    and every sum is an order-independent int64 (charge in
+    cent·percent² units); each average is ONE IEEE-exact division of
+    two integers, so the oracle hashes bit-identically (the
+    star_revenue convention).
+
+    Scale shape: per-batch partial groupby (6 groups) → one tiny
+    bucketed sum — the pre-aggregated combiner pattern; no row ever
+    shuffles."""
+    from ..util import bucket_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qty = np.rint(df["l_quantity"].to_numpy("float64")).astype("int64")
+        cents = np.rint(
+            df["l_extendedprice"].to_numpy("float64") * 100.0
+        ).astype("int64")
+        disc = np.rint(df["l_discount"].to_numpy("float64") * 100.0).astype(
+            "int64"
+        )
+        tax = np.rint(df["l_tax"].to_numpy("float64") * 100.0).astype("int64")
+        part = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].astype("string"),
+                "l_linestatus": df["l_linestatus"].astype("string"),
+                "n": 1,
+                "sum_qty": qty,
+                "sum_base": cents,
+                "sum_disc": cents * (100 - disc),
+                "sum_charge": cents * (100 - disc) * (100 + tax),
+            }
+        )
+        return part.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False, sort=False
+        ).sum()
+
+    tot = bucket_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        ["n", "sum_qty", "sum_base", "sum_disc", "sum_charge"],
+        num_buckets=8,
+    ).to_pandas()
+
+    return pd.DataFrame(
+        {
+            "l_returnflag": tot["l_returnflag"].astype("string"),
+            "l_linestatus": tot["l_linestatus"].astype("string"),
+            "n": tot["n"].astype("int64"),
+            "sum_qty": tot["sum_qty"].astype("int64"),
+            "sum_base_cents": tot["sum_base"].astype("int64"),
+            "sum_disc_cp": tot["sum_disc"].astype("int64"),
+            "sum_charge_cp2": tot["sum_charge"].astype("int64"),
+            "avg_qty": tot["sum_qty"].astype("float64")
+            / tot["n"].astype("float64"),
+            "avg_base_cents": tot["sum_base"].astype("float64")
+            / tot["n"].astype("float64"),
+        }
+    ).sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+
+
+_SQL_LINEITEM_Q1 = """
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+         round(l_quantity)::BIGINT AS qty,
+         round(l_extendedprice * 100)::BIGINT AS cents,
+         round(l_discount * 100)::BIGINT AS disc,
+         round(l_tax * 100)::BIGINT AS tax
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n,
+       sum(qty)::BIGINT AS sum_qty,
+       sum(cents)::BIGINT AS sum_base_cents,
+       sum(cents * (100 - disc))::BIGINT AS sum_disc_cp,
+       sum(cents * (100 - disc) * (100 + tax))::BIGINT AS sum_charge_cp2,
+       sum(qty)::DOUBLE / count(*)::DOUBLE AS avg_qty,
+       sum(cents)::DOUBLE / count(*)::DOUBLE AS avg_base_cents
+FROM f
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES["lineitem_q1"] = q_lineitem_q1
+ORACLES["lineitem_q1"] = _SQL_LINEITEM_Q1
+
+
+# -- cross-table referential-integrity audit ---------------------------------
+
+
+def q_ri_audit(sf_dir: str):
+    """Warehouse-wide referential-integrity audit: one row per FK edge
+    of the star schema with total and orphan counts — the cross-TABLE
+    data-quality check (docs_expectations is per-table).  Edge list:
+    lineitem→orders, lineitem→part, lineitem→supplier, orders→customer,
+    customer→nation, supplier→nation, nation→region.
+
+    Scale shape, per edge: the PARENT key set reduces to distinct keys
+    via one coarse-bucketed pass; bounded parents (nation/region — ≤ 25
+    rows forever) broadcast and probe map-side; unbounded parents
+    (orders/part/supplier/customer) meet the child through the tagged
+    existence union — child side pre-shrunk to per-key counts first, so
+    the shuffle carries key-scale rows on both sides, never child rows.
+    All counts integer."""
+    import ray.data
+
+    from ..util import bucket_agg, bucket_count
+
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    rows = []
+    for child, ck, parent, pk in edges:
+        child_counts = bucket_count(
+            ray.data.read_parquet(
+                f"{sf_dir}/{child}.parquet", columns=[ck]
+            ).map_batches(
+                lambda df, c=ck: pd.DataFrame({"k": df[c].astype("int64")}),
+                batch_format="pandas",
+            ),
+            ["k"],
+            out_col="nc",
+        )
+        parent_keys = bucket_count(
+            ray.data.read_parquet(
+                f"{sf_dir}/{parent}.parquet", columns=[pk]
+            ).map_batches(
+                lambda df, c=pk: pd.DataFrame({"k": df[c].astype("int64")}),
+                batch_format="pandas",
+            ),
+            ["k"],
+            out_col="np_",
+        )
+
+        def tag(col):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "k": df["k"].astype("int64"),
+                        "nc": df[col].astype("int64") if col == "nc" else 0,
+                        "np_": df[col].astype("int64") if col == "np_" else 0,
+                    }
+                )
+
+            return f
+
+        both = child_counts.map_batches(tag("nc"), batch_format="pandas").union(
+            parent_keys.map_batches(tag("np_"), batch_format="pandas")
+        )
+
+        def orphan_partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("k", as_index=False)[["nc", "np_"]].sum()
+            orph = g[(g["np_"] == 0) & (g["nc"] > 0)]
+            return pd.DataFrame(
+                {
+                    "n_rows": pd.array([int(g["nc"].sum())], dtype="int64"),
+                    "n_orphan_rows": pd.array(
+                        [int(orph["nc"].sum())], dtype="int64"
+                    ),
+                    "n_orphan_keys": pd.array([len(orph)], dtype="int64"),
+                }
+            )
+
+        parts = bucket_agg(both, ["k"], orphan_partial).to_pandas()
+        rows.append(
+            {
+                "fk": f"{child}.{ck}->{parent}.{pk}",
+                "n_rows": int(parts["n_rows"].sum()),
+                "n_orphan_rows": int(parts["n_orphan_rows"].sum()),
+                "n_orphan_keys": int(parts["n_orphan_keys"].sum()),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("fk", ignore_index=True)
+    return out.astype(
+        {
+            "fk": "string",
+            "n_rows": "int64",
+            "n_orphan_rows": "int64",
+            "n_orphan_keys": "int64",
+        }
+    )
+
+
+_SQL_RI_AUDIT = """
+WITH e AS (
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+         (SELECT count(*) FROM lineitem)::BIGINT AS n_rows,
+         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)::BIGINT
+           AS n_orphan_rows,
+         (SELECT count(DISTINCT l.l_orderkey) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)::BIGINT
+           AS n_orphan_keys
+  UNION ALL SELECT 'lineitem.l_partkey->part.p_partkey',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l LEFT JOIN part p
+            ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL),
+         (SELECT count(DISTINCT l.l_partkey) FROM lineitem l LEFT JOIN part p
+            ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+  UNION ALL SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+            ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL),
+         (SELECT count(DISTINCT l.l_suppkey) FROM lineitem l LEFT JOIN supplier s
+            ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+  UNION ALL SELECT 'orders.o_custkey->customer.c_custkey',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+         (SELECT count(DISTINCT o.o_custkey) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+  UNION ALL SELECT 'customer.c_nationkey->nation.n_nationkey',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c LEFT JOIN nation n
+            ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL),
+         (SELECT count(DISTINCT c.c_nationkey) FROM customer c LEFT JOIN nation n
+            ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+  UNION ALL SELECT 'supplier.s_nationkey->nation.n_nationkey',
+         (SELECT count(*) FROM supplier),
+         (SELECT count(*) FROM supplier s LEFT JOIN nation n
+            ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL),
+         (SELECT count(DISTINCT s.s_nationkey) FROM supplier s LEFT JOIN nation n
+            ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+  UNION ALL SELECT 'nation.n_regionkey->region.r_regionkey',
+         (SELECT count(*) FROM nation),
+         (SELECT count(*) FROM nation n LEFT JOIN region r
+            ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL),
+         (SELECT count(DISTINCT n.n_regionkey) FROM nation n LEFT JOIN region r
+            ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
+)
+SELECT fk, n_rows, n_orphan_rows, n_orphan_keys FROM e ORDER BY fk
+"""
+
+
+QUERIES["ri_audit"] = q_ri_audit
+ORACLES["ri_audit"] = _SQL_RI_AUDIT
