@@ -1,13 +1,23 @@
-"""Scale-decade probe (VERDICT r4 next-round #5): run the headline
-pipeline + the slowest sf0.1 queries against a 10x-tiled sf1 input
-(tools/tile_sf.py) and record pass/wall — the caps/bucket-heuristics
-shakeout at a data decade none of the oracles have seen.
+"""Scale-decade probe (VERDICT r4 next-round #5): exercise the engine at
+10x the largest oracle-proven scale using the key-shifted tiled input
+(tools/tile_sf.py) — pass/wall + loud-raise shakeout of the caps and
+bucket heuristics, NOT an oracle comparison (tiling changes findings).
 
-    python tools/scale_probe.py /tmp/sf1_tiled q1 q2 ...
+Three legs, matching how 100 TB actually arrives:
+1. scale-OUT headline: the 21-IC cube validation over 640 files of the
+   sf0.1 per-file size (tpch_cube_corpus(n_files=640) over the tiled
+   6 M-row lineitem) — the many-files shape;
+2. scale-UP giant: the same corpus emitted as 64 files of 10x size
+   through the shuffle/chunk-split path (mode="shuffle") — the
+   one-giant-file shape (cube_validate_all_giant at a decade up);
+3. the heaviest non-cube queries() entries over the tiled tables
+   (documents/embeddings/part are 10x).
 
-Prints one JSON line per query: {"q": name, "sec": w, "rows": n} or
-{"q": name, "error": "..."} — a loud typed cap-raise is an acceptable,
-documented outcome; a hang or silent wrong-shape is not.
+    python tools/scale_probe.py /tmp/sf1_tiled
+
+Prints one JSON line per leg: {"q": ..., "sec": ..., "rows": ...} or
+{"q": ..., "error": ...} — a loud typed cap-raise is an acceptable,
+documented outcome; a hang or a silent wrong shape is not.
 """
 
 from __future__ import annotations
@@ -21,37 +31,67 @@ print = functools.partial(print, flush=True)  # noqa: A001
 
 sys.path.insert(0, ".")
 
+HEAVY = [
+    "dedup_minhash_pairs",
+    "dedup_lsh_recall",
+    "kg_code_triangles",
+    "kmeans_clusters",
+    "knn_cosine_topk",
+    "docs_containment_pairs",
+    "docs_tfidf_simjoin",
+]
+
+
+def run_one(name, fn):
+    t0 = time.perf_counter()
+    try:
+        res = fn()
+        import ray.data
+
+        n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+        print(json.dumps({"q": name, "sec": round(time.perf_counter() - t0, 2), "rows": int(n)}))
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({
+            "q": name,
+            "sec": round(time.perf_counter() - t0, 2),
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+
 
 def main() -> int:
-    sf_dir = sys.argv[1]
-    names = sys.argv[2:]
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_tiled"
 
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False)
 
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_cube_corpus
+    from nospa_rdf_data_cube_validator_ray.pipelines.validate import CubeValidator
+
+    t0 = time.perf_counter()
+    corpus_out = tpch_cube_corpus(sf_dir, n_files=640)
+    print(json.dumps({"q": "fixture_gen_640files", "sec": round(time.perf_counter() - t0, 2), "rows": corpus_out.num_rows}))
+
+    run_one(
+        "cube_validate_all@640files",
+        lambda: CubeValidator(corpus_out).findings_df(),
+    )
+
+    t0 = time.perf_counter()
+    corpus_giant = tpch_cube_corpus(sf_dir, n_files=64)
+    print(json.dumps({"q": "fixture_gen_64giant", "sec": round(time.perf_counter() - t0, 2), "rows": corpus_giant.num_rows}))
+
+    run_one(
+        "cube_validate_giant@64x10",
+        lambda: CubeValidator(corpus_giant, mode="shuffle").findings_df(),
+    )
+
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in names:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        try:
-            res = fn(sf_dir)
-            import ray.data
-
-            if isinstance(res, ray.data.Dataset):
-                n = res.count()
-            else:
-                n = len(res)
-            print(json.dumps({"q": name, "sec": round(time.perf_counter() - t0, 2), "rows": int(n)}))
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({
-                "q": name,
-                "sec": round(time.perf_counter() - t0, 2),
-                "error": f"{type(e).__name__}: {e}"[:300],
-            }))
+    for name in HEAVY:
+        run_one(name, functools.partial(qs[name], sf_dir))
     return 0
 
 
