@@ -1313,6 +1313,85 @@ def q_kg_bgp_agg(sf_dir: str):
     return df.astype({"c": "string", "n": "int64"})
 
 
+def q_kg_assortativity(sf_dir: str):
+    """Degree-assortativity SUFFICIENT STATISTICS over the link graph:
+    per directed edge (u, v), x = out_deg(u), y = in_deg(v); emits one
+    row (n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2) — every term an
+    order-independent int64, so the Pearson assortativity coefficient
+    is one driver-side formula away while the oracle hashes bit-exactly
+    (the events_type_trend integer-sufficient-statistics convention;
+    a float correlation would hostage the hash to summation order).
+
+    Scale shape: degree_table (map-side partials + one bucketed sum),
+    then the edge table joins the node-scale degree table twice
+    (partitioned hash joins — both sides scale, neither broadcasts) and
+    the six sums reduce map-side to ONE row per block."""
+    import ray.data
+
+    from nospa_rdf_data_cube_validator_ray.stages.graph import (
+        degree_table,
+        extract_edges,
+    )
+    from nospa_rdf_data_cube_validator_ray.util import (
+        heal_schema,
+        join_partitions,
+    )
+
+    edges = extract_edges(_link_triples(sf_dir))
+    deg = degree_table(edges).materialize()
+    np_ = join_partitions(None)
+
+    e = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "u": df["subj"].astype("string"),
+                "v": df["obj"].astype("string"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    du = deg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "u": df["node"].astype("string"),
+                "x": df["out_deg"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    dv = deg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "v": df["node"].astype("string"),
+                "y": df["in_deg"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = heal_schema(e, np_).join(heal_schema(du, np_), "inner", np_, on=("u",))
+    j = heal_schema(j, np_).join(heal_schema(dv, np_), "inner", np_, on=("v",))
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].astype("int64")
+        y = df["y"].astype("int64")
+        return pd.DataFrame(
+            {
+                "n_edges": pd.array([len(df)], dtype="int64"),
+                "sum_x": pd.array([int(x.sum())], dtype="int64"),
+                "sum_y": pd.array([int(y.sum())], dtype="int64"),
+                "sum_xy": pd.array([int((x * y).sum())], dtype="int64"),
+                "sum_x2": pd.array([int((x * x).sum())], dtype="int64"),
+                "sum_y2": pd.array([int((y * y).sum())], dtype="int64"),
+            }
+        )
+
+    parts = j.map_batches(stats, batch_format="pandas").to_pandas()
+    tot = parts.sum()
+    return pd.DataFrame(
+        {c: pd.array([int(tot[c])], dtype="int64") for c in parts.columns}
+    )
+
+
 def q_kg_tree_betweenness(sf_dir: str):
     """Exact betweenness centrality over the provenance forest
     (stages/graph.tree_betweenness — closed-form from subtree sizes:
@@ -4090,6 +4169,20 @@ pb AS (SELECT DISTINCT subj AS b, obj AS c FROM edges
 SELECT cl.a, cl.b, pb.c FROM cl JOIN pb USING (b)
 """
 
+_SQL_ASSORT = f"""
+WITH {_KG_EDGE_BODY},
+e AS (SELECT subj AS u, obj AS v FROM edges),
+od AS (SELECT subj AS node, count(*)::BIGINT AS x FROM edges GROUP BY 1),
+idg AS (SELECT obj AS node, count(*)::BIGINT AS y FROM edges GROUP BY 1)
+SELECT count(*)::BIGINT AS n_edges,
+       sum(od.x)::BIGINT AS sum_x,
+       sum(idg.y)::BIGINT AS sum_y,
+       sum(od.x * idg.y)::BIGINT AS sum_xy,
+       sum(od.x * od.x)::BIGINT AS sum_x2,
+       sum(idg.y * idg.y)::BIGINT AS sum_y2
+FROM e JOIN od ON e.u = od.node JOIN idg ON e.v = idg.node
+"""
+
 _SQL_BGP_PATH_ALT = f"""
 WITH RECURSIVE {_KG_EDGE_BODY},
 f AS (SELECT DISTINCT subj AS s, obj AS o FROM edges
@@ -4291,6 +4384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_path_alt": q_kg_bgp_path_alt,
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_bgp_agg": q_kg_bgp_agg,
+        "kg_assortativity": q_kg_assortativity,
         "kg_tree_betweenness": q_kg_tree_betweenness,
         "cube_incremental": q_cube_incremental,
         "cube_report_lines": q_cube_report_lines,
@@ -4429,6 +4523,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,
         "kg_bgp_union": _SQL_BGP_UNION,
         "kg_bgp_filter": _SQL_BGP_FILTER,
+        "kg_assortativity": _SQL_ASSORT,
         "kg_bgp_path": _SQL_BGP_PATH,
         "kg_bgp_path_alt": _SQL_BGP_PATH_ALT,
         "kg_bgp_minus": _SQL_BGP_MINUS,

@@ -5694,3 +5694,92 @@ FROM rk
 
 QUERIES["docs_token_budget"] = q_docs_token_budget
 ORACLES["docs_token_budget"] = _SQL_TOKEN_BUDGET
+
+
+# -- per-source duplicate-rate report ---------------------------------------
+
+
+def q_docs_dup_rate_by_source(sf_dir: str):
+    """Corpus-health metric: per source, how many documents collapse
+    under normalized exact dedup — (n_docs, n_distinct_norm, n_dup_rows
+    = n_docs − n_distinct) — the per-source duplication-rate report a
+    crawl pipeline watches per ingest batch.
+
+    Scale shape: documents reduce to (source, md5(norm)) digests
+    map-side (the dedup_normalized text-normalization chain, RE2-parity
+    regexes), distinct-digest counting rides ONE coarse-bucketed pass
+    keyed by the digest (each digest lands in one bucket, so per-bucket
+    nunique partials sum globally), and the per-source rollup is a
+    second bucketed sum over |sources| keys.  Content never shuffles —
+    only 16-byte digests."""
+    import re
+
+    from ..stages.dedup import _md5_u64
+    from ..util import bucket_agg, bucket_sum
+
+    docs = _docs(sf_dir)
+    drop_re = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def digests(df: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            df["text"]
+            .fillna("")
+            .str.lower()
+            .str.replace(drop_re, "", regex=True)
+            .str.replace(ws_re, " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame(
+            {
+                "source": df["source"].astype("string"),
+                "h": pd.array(
+                    [_md5_u64(s) % (1 << 61) for s in n], dtype="int64"
+                ),
+            }
+        )
+
+    dg = docs.map_batches(digests, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("h", "size"), n_distinct=("h", "nunique")
+        )
+        return g
+
+    # bucket by (source, h) would split a source across buckets; bucket
+    # by h alone keeps each digest whole, and a (source, digest) pair
+    # lives in exactly one bucket, so per-bucket nunique sums correctly
+    per_bucket = bucket_agg(dg, ["h"], partial)
+    tot = bucket_sum(
+        per_bucket, ["source"], ["n_docs", "n_distinct"]
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "source": tot["source"].astype("string"),
+            "n_docs": tot["n_docs"].astype("int64"),
+            "n_distinct": tot["n_distinct"].astype("int64"),
+            "n_dup_rows": (
+                tot["n_docs"].astype("int64") - tot["n_distinct"].astype("int64")
+            ),
+        }
+    ).sort_values("source", ignore_index=True)
+
+
+_SQL_DUP_RATE = r"""
+WITH n AS (
+  SELECT source,
+         trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+              '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT norm)::BIGINT AS n_distinct,
+       (count(*) - count(DISTINCT norm))::BIGINT AS n_dup_rows
+FROM n GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["docs_dup_rate_by_source"] = q_docs_dup_rate_by_source
+ORACLES["docs_dup_rate_by_source"] = _SQL_DUP_RATE
