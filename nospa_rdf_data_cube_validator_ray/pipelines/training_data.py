@@ -5783,3 +5783,100 @@ FROM n GROUP BY 1 ORDER BY 1
 
 QUERIES["docs_dup_rate_by_source"] = q_docs_dup_rate_by_source
 ORACLES["docs_dup_rate_by_source"] = _SQL_DUP_RATE
+
+
+# -- winnowing document fingerprints (MOSS) ---------------------------------
+
+# winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+# character k-gram size and window width, shared with the oracle SQL
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+def q_docs_winnowing(sf_dir: str):
+    """Winnowing fingerprints (the MOSS plagiarism-detector selection
+    rule): hash every character k-gram, slide a w-window over the hash
+    sequence, keep the minimum of each window — RIGHTMOST position on
+    ties, per the paper — and emit the distinct (doc_id, pos, h61)
+    selections.  Guarantees: any shared substring of length ≥ k+w−1
+    yields at least one shared fingerprint, while only ~2/(w+1) of
+    hashes are kept.
+
+    Fully map-side (a document's fingerprints depend on nothing else):
+    k-gram hashes use the md5 contract (DuckDB ``md5_number_lower``
+    parity), the rolling rightmost-argmin is one vectorized
+    sliding_window_view pass (reverse trick: argmin of the reversed
+    window = rightmost minimum), dedup is per-doc.  No shuffle at
+    all."""
+    from ..stages.dedup import _md5_u64
+
+    docs = _docs(sf_dir)
+    K, W = _WINNOW_K, _WINNOW_W
+
+    def winnow(df: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, hs = [], [], []
+        for doc_id, text in zip(df["doc_id"].astype("int64"), df["text"]):
+            t = text if isinstance(text, str) else ""
+            n = len(t) - K + 1
+            if n < W:
+                continue
+            hv = np.array(
+                [_md5_u64(t[i : i + K]) % (1 << 61) for i in range(n)],
+                dtype="int64",
+            )
+            win = np.lib.stride_tricks.sliding_window_view(hv, W)
+            rev = win[:, ::-1]
+            arg = W - 1 - rev.argmin(axis=1)  # rightmost minimum
+            sel_pos = np.arange(n - W + 1) + arg + 1  # 1-based k-gram pos
+            sel_h = win[np.arange(n - W + 1), arg]
+            pair = np.unique(
+                np.stack([sel_pos, sel_h], axis=1), axis=0
+            )
+            ids.extend([doc_id] * len(pair))
+            poss.extend(pair[:, 0].tolist())
+            hs.extend(pair[:, 1].tolist())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "pos": pd.array(poss, dtype="int64"),
+                "h61": pd.array(hs, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(winnow, batch_format="pandas")
+
+
+_SQL_WINNOW = f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+  WHERE length(coalesce(text, '')) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+h AS (
+  SELECT doc_id, i,
+         (md5_number_lower(substr(t, i, {_WINNOW_K}))
+          % 2305843009213693952)::BIGINT AS hv
+  FROM d, unnest(generate_series(1, length(t) - {_WINNOW_K} + 1)) AS u(i)
+),
+np_ AS (SELECT doc_id, max(i) AS p FROM h GROUP BY 1),
+win AS (
+  SELECT np_.doc_id, w.j
+  FROM np_, unnest(generate_series(1, np_.p - {_WINNOW_W} + 1)) AS w(j)
+),
+ex AS (
+  SELECT win.doc_id, win.j, h.i, h.hv
+  FROM win JOIN h ON h.doc_id = win.doc_id
+        AND h.i BETWEEN win.j AND win.j + {_WINNOW_W} - 1
+),
+g1 AS (SELECT doc_id, j, min(hv) AS mh FROM ex GROUP BY 1, 2),
+sel AS (
+  SELECT ex.doc_id, ex.j, g1.mh, max(ex.i) AS pi
+  FROM ex JOIN g1 ON g1.doc_id = ex.doc_id AND g1.j = ex.j
+  WHERE ex.hv = g1.mh
+  GROUP BY 1, 2, 3
+)
+SELECT DISTINCT doc_id, pi AS pos, mh AS h61 FROM sel
+"""
+
+
+QUERIES["docs_winnowing"] = q_docs_winnowing
+ORACLES["docs_winnowing"] = _SQL_WINNOW
