@@ -3557,3 +3557,95 @@ SELECT fk, n_rows, n_orphan_rows, n_orphan_keys FROM e ORDER BY fk
 
 QUERIES["ri_audit"] = q_ri_audit
 ORACLES["ri_audit"] = _SQL_RI_AUDIT
+
+
+# -- semi-structured property extraction ------------------------------------
+
+
+def q_events_props_extract(sf_dir: str):
+    """Semi-structured payload handling: extract the integer ``k`` field
+    from the events' JSON ``props`` column (vectorized regex — the
+    schema-on-read path a log pipeline takes before a real JSON codec)
+    and roll up per event_type: row count, Σk, and exact distinct-k.
+
+    Scale shape: extraction + per-batch partials map-side; the distinct
+    count rides one (event_type, k)-bucketed dedup pass then a tiny
+    per-type sum — the COUNT(DISTINCT) two-step that never hands Ray a
+    raw per-key aggregate."""
+    import ray.data
+
+    from ..util import bucket_agg, bucket_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .fillna("")
+            .str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype("float64")
+        )
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype("string"),
+                "k": k.fillna(0).astype("int64"),
+            }
+        )
+
+    ex = ds.map_batches(extract, batch_format="pandas")
+
+    # one bucketed pass holds each (type, k) pair whole → per-pair rows
+    pairs = bucket_agg(
+        ex,
+        ["event_type", "k"],
+        lambda df: df.groupby(["event_type", "k"], as_index=False).agg(
+            n=("k", "size")
+        ),
+    )
+
+    def rollup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_k"] = df["k"] * df["n"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"), n_distinct_k=("k", "nunique")
+        )
+        return g
+
+    # each (type, k) pair lives in exactly one bucket above, but a TYPE
+    # spans buckets — regroup per-type partials through one tiny sum
+    per_bucket = bucket_agg(pairs, ["k"], rollup_partial)
+    tot = bucket_sum(
+        per_bucket, ["event_type"], ["n", "sum_k", "n_distinct_k"]
+    ).to_pandas()
+    return (
+        tot.astype(
+            {
+                "event_type": "string",
+                "n": "int64",
+                "sum_k": "int64",
+                "n_distinct_k": "int64",
+            }
+        )
+        .sort_values("event_type", ignore_index=True)
+    )
+
+
+_SQL_PROPS_EXTRACT = r"""
+WITH e AS (
+  SELECT event_type,
+         coalesce(regexp_extract(coalesce(props, ''), '"k":\s*(-?\d+)', 1),
+                  '0')::BIGINT AS k
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(k)::BIGINT AS sum_k,
+       count(DISTINCT k)::BIGINT AS n_distinct_k
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["events_props_extract"] = q_events_props_extract
+ORACLES["events_props_extract"] = _SQL_PROPS_EXTRACT
