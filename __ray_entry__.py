@@ -1386,9 +1386,12 @@ def q_kg_assortativity(sf_dir: str):
         )
 
     parts = j.map_batches(stats, batch_format="pandas").to_pandas()
+    cols = ["n_edges", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+    if parts.empty or "n_edges" not in parts.columns:
+        return pd.DataFrame({c: pd.array([0], dtype="int64") for c in cols})
     tot = parts.sum()
     return pd.DataFrame(
-        {c: pd.array([int(tot[c])], dtype="int64") for c in parts.columns}
+        {c: pd.array([int(tot[c])], dtype="int64") for c in cols}
     )
 
 

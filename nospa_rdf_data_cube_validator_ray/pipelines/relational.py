@@ -3268,6 +3268,15 @@ def q_orders_join_size(sf_dir: str):
         )
 
     parts = bucket_agg(both, ["k"], combine).to_pandas()
+    if parts.empty or "est_rows" not in parts.columns:
+        parts = pd.DataFrame(
+            {
+                "est_rows": pd.Series(dtype="int64"),
+                "n_keys_matched": pd.Series(dtype="int64"),
+                "n_keys_orders": pd.Series(dtype="int64"),
+                "n_keys_lineitem": pd.Series(dtype="int64"),
+            }
+        )
     total = parts.sum()
     return pd.DataFrame(
         {

@@ -5448,9 +5448,28 @@ def q_docs_tfidf_simjoin(sf_dir: str):
             }
         )
 
+    def _typed_empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "dot": pd.Series(dtype="int64"),
+                "norm_a": pd.Series(dtype="int64"),
+                "norm_b": pd.Series(dtype="int64"),
+            }
+        )
+
+    # a corpus where EVERY token exceeds _SIM_MAX_DF (e.g. 10x exact
+    # duplication of a small-vocabulary corpus) prunes every posting;
+    # an all-empty Dataset round-trips to a COLUMNLESS pandas frame, so
+    # short-circuit before indexing it (found by the sf1 scale probe)
+    if not keep:
+        return _typed_empty()
     norms = bucket_sum(
         kept.map_batches(sq, batch_format="pandas"), ["doc_id"], ["sq"]
     ).to_pandas()
+    if norms.empty or "doc_id" not in norms.columns:
+        return _typed_empty()
     nmap = dict(zip(norms["doc_id"].astype("int64"), norms["sq"].astype("int64")))
     nref = ray.put(nmap)
 
