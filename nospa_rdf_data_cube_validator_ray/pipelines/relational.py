@@ -3658,3 +3658,142 @@ FROM e GROUP BY 1 ORDER BY 1
 
 QUERIES["events_props_extract"] = q_events_props_extract
 ORACLES["events_props_extract"] = _SQL_PROPS_EXTRACT
+
+
+# -- TPC-H Q3 shipping-priority top-10 ---------------------------------------
+
+# Q3 parameters shared with the oracle (TPC-H uses segment + date cutoff)
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1998-06-01"
+
+
+def q_lineitem_q3(sf_dir: str):
+    """TPC-H Q3 (shipping-priority): unshipped-revenue top-10 orders for
+    one market segment — the canonical selective join tree + grouped
+    aggregate + deterministic top-k composition.
+
+    Plan, 100-TB-shaped: customer filters to the segment map-side and
+    the surviving custkeys BROADCAST (one segment of one dim ≪ facts);
+    orders filter on date + broadcast-probe custkey map-side (no
+    customer join shuffles); the one genuinely big-big edge
+    (lineitem ⋈ orders on orderkey) is a partitioned hash join with
+    lineitem pre-shrunk by its shipdate filter AND pre-aggregated to
+    (orderkey, revenue-cents) partials inside each batch; the final
+    grouped sum is one key-scale bucketed pass and the top-10 is a
+    driver-side cut of per-bucket candidates.  Revenue is exact integer
+    cents×percent (the star_revenue convention)."""
+    import ray
+
+    from ..util import bucket_sum, heal_schema, join_partitions
+
+    np_ = join_partitions(None)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_keys = frozenset(
+        int(k)
+        for b in cust.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "c_custkey": df.loc[
+                        df["c_mktsegment"] == _Q3_SEGMENT, "c_custkey"
+                    ].astype("int64")
+                }
+            ),
+            batch_format="pandas",
+        ).iter_batches(batch_format="pandas", batch_size=None)
+        for k in b["c_custkey"]
+    )
+    seg_ref = ray.put(seg_keys)
+
+    cutoff = pd.Timestamp(_Q3_CUTOFF)
+
+    def orders_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(seg_ref)
+        m = (df["o_orderdate"] < cutoff) & df["o_custkey"].astype(
+            "int64"
+        ).isin(keys)
+        out = df[m]
+        return pd.DataFrame(
+            {
+                "l_orderkey": out["o_orderkey"].astype("int64"),
+                "o_orderdate": out["o_orderdate"].dt.strftime("%Y-%m-%d"),
+                "o_orderpriority": out["o_orderpriority"].astype("string"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_filter, batch_format="pandas")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["l_shipdate"] > cutoff
+        out = df[m]
+        cents = np.rint(
+            out["l_extendedprice"].to_numpy("float64") * 100.0
+        ).astype("int64")
+        disc = np.rint(out["l_discount"].to_numpy("float64") * 100.0).astype(
+            "int64"
+        )
+        part = pd.DataFrame(
+            {
+                "l_orderkey": out["l_orderkey"].astype("int64"),
+                "rev": cents * (100 - disc),
+            }
+        )
+        return part.groupby("l_orderkey", as_index=False, sort=False).sum()
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pandas")
+
+    j = heal_schema(li, np_).join(
+        heal_schema(orders, np_), "inner", np_, on=("l_orderkey",)
+    )
+    tot = bucket_sum(
+        j, ["l_orderkey", "o_orderdate", "o_orderpriority"], ["rev"]
+    ).to_pandas()
+    if tot.empty or "l_orderkey" not in tot.columns:
+        return pd.DataFrame(
+            {
+                "l_orderkey": pd.Series(dtype="int64"),
+                "revenue_cp": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="string"),
+                "o_orderpriority": pd.Series(dtype="string"),
+            }
+        )
+    top = tot.sort_values(
+        ["rev", "l_orderkey"], ascending=[False, True], ignore_index=True
+    ).head(10)
+    return pd.DataFrame(
+        {
+            "l_orderkey": top["l_orderkey"].astype("int64"),
+            "revenue_cp": top["rev"].astype("int64"),
+            "o_orderdate": top["o_orderdate"].astype("string"),
+            "o_orderpriority": top["o_orderpriority"].astype("string"),
+        }
+    )
+
+
+_SQL_LINEITEM_Q3 = f"""
+SELECT l_orderkey,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_cp,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{_Q3_SEGMENT}'
+  AND o_orderdate < DATE '{_Q3_CUTOFF}'
+  AND l_shipdate > DATE '{_Q3_CUTOFF}'
+GROUP BY 1, 3, 4
+ORDER BY revenue_cp DESC, l_orderkey
+LIMIT 10
+"""
+
+
+QUERIES["lineitem_q3"] = q_lineitem_q3
+ORACLES["lineitem_q3"] = _SQL_LINEITEM_Q3
