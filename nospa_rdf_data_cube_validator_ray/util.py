@@ -197,7 +197,17 @@ def heal_schema(ds, num_partitions: int):
 
     Call this as the LAST op on each ``Dataset.join`` operand (after any
     rename — renames skip empty blocks too).  A fully-empty dataset
-    stays schema-less; callers must short-circuit that case."""
+    stays schema-less; callers must short-circuit that case.
+
+    Also drains stale actor pools first: a query that EXECUTES a pool
+    stage (e.g. knn's _BlockTopK to_pandas) and then builds a join can
+    otherwise wedge — the pool's async shutdown lags under host
+    contention, the join's aggregators see too few free slots, and the
+    plan stalls with idle leaked workers (observed once in four
+    one-session sweeps at query #150 even after the query-boundary
+    drain; the intra-query boundary is HERE).  No-op (one
+    available_resources call) when the cluster is quiet."""
+    drain_stale_pools(timeout=8.0, kill_after=4.0)
     return ds.repartition(num_partitions)
 
 
