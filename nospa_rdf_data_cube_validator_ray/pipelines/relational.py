@@ -3797,3 +3797,77 @@ LIMIT 10
 
 QUERIES["lineitem_q3"] = q_lineitem_q3
 ORACLES["lineitem_q3"] = _SQL_LINEITEM_Q3
+
+
+# -- inter-arrival time histogram -------------------------------------------
+
+
+def q_events_interarrival_hist(sf_dir: str):
+    """Per-user inter-arrival gaps rolled into a log2 histogram —
+    the arrival-process profile (burstiness / think-time) a streaming
+    capacity planner reads: gap seconds between consecutive events of
+    one user (ordered by ts, event_id), bucketed by ⌊log2(gap+1)⌋,
+    counted corpus-wide.  Integer end to end: epoch-second diffs and a
+    bit-length bucket rule the SQL twin reproduces with
+    length(bin(gap+1))-1.
+
+    Scale shape: ONE user-bucketed pass computes each user's ordered
+    gaps (a user's events co-locate in its bucket; per-bucket vectorized
+    sort+diff), emitting per-bucket histogram PARTIALS — |buckets| ×
+    ~40 rows — reduced by one tiny sum.  Event rows shuffle once, keyed
+    by user."""
+    import ray.data
+
+    from ..util import bucket_agg, bucket_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        # parquet timestamps land as datetime64[us] — normalize to ns
+        # before the epoch-seconds division (a raw .astype(int64) would
+        # silently be 1000x off)
+        sec = (
+            df["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        ).to_numpy()
+        uid = df["user_id"].astype("int64").to_numpy()
+        same = uid[1:] == uid[:-1]
+        gap = (sec[1:] - sec[:-1])[same]
+        if not len(gap):
+            return pd.DataFrame(
+                {
+                    "gap_bucket": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        b = np.frexp((gap + 1).astype("float64"))[1] - 1  # ⌊log2⌋, exact
+        g = pd.DataFrame({"gap_bucket": b.astype("int64")}).groupby(
+            "gap_bucket", as_index=False
+        ).size()
+        return g.rename(columns={"size": "n"})
+
+    partials = bucket_agg(ds, ["user_id"], gaps)
+    return bucket_sum(partials, ["gap_bucket"], ["n"], num_buckets=16)
+
+
+_SQL_INTERARRIVAL = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_ms(ts) // 1000)
+         - lag(epoch_ms(ts) // 1000) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap
+  FROM events
+)
+SELECT (length(bin(gap + 1)) - 1)::BIGINT AS gap_bucket,
+       count(*)::BIGINT AS n
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+QUERIES["events_interarrival_hist"] = q_events_interarrival_hist
+ORACLES["events_interarrival_hist"] = _SQL_INTERARRIVAL

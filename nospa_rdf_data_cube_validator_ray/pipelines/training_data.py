@@ -5899,3 +5899,83 @@ SELECT DISTINCT doc_id, pi AS pos, mh AS h61 FROM sel
 
 QUERIES["docs_winnowing"] = q_docs_winnowing
 ORACLES["docs_winnowing"] = _SQL_WINNOW
+
+
+# -- exact per-label embedding centroid sums --------------------------------
+
+# quantization scale + dim cap shared with the oracle: float32 payloads
+# are quantized to integers BEFORE summation so the distributed sum is
+# order-independent (a float centroid would hash differently per block
+# order); 8 leading dims keep the output frame tiny
+_CENT_SCALE = 1_000_000
+_CENT_DIMS = 8
+
+
+def q_embedding_label_centroids(sf_dir: str):
+    """Per-class embedding centroid statistics — the drift-monitoring /
+    class-prototype aggregation a training pipeline tracks per shard:
+    for each label and each of the first 8 dimensions, the EXACT
+    integer sum of rint(x·10⁶) plus the class count, from which the
+    centroid is one division away.
+
+    Scale shape: batches quantize and partial-sum map-side into
+    (label, dim) rows — 10 labels × 8 dims regardless of corpus size —
+    then ONE tiny bucketed sum.  The array column never shuffles."""
+    from ..util import bucket_sum
+
+    ds = _embs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(df["embedding"].tolist(), dtype="float64")[
+            :, :_CENT_DIMS
+        ]
+        q = np.rint(mat * _CENT_SCALE).astype("int64")
+        lab = df["label"].astype("int64").to_numpy()
+        out = []
+        for lb in np.unique(lab):
+            rows = q[lab == lb]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(_CENT_DIMS, lb, dtype="int64"),
+                        "dim": np.arange(_CENT_DIMS, dtype="int64"),
+                        "sum_q": rows.sum(axis=0),
+                        "n": np.full(_CENT_DIMS, len(rows), dtype="int64"),
+                    }
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {
+                    "label": pd.Series(dtype="int64"),
+                    "dim": pd.Series(dtype="int64"),
+                    "sum_q": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        )
+
+    return bucket_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["label", "dim"],
+        ["sum_q", "n"],
+        num_buckets=16,
+    )
+
+
+_SQL_CENTROIDS = f"""
+WITH x AS (
+  SELECT label::BIGINT AS label, u.i - 1 AS dim,
+         round(embedding[u.i]::DOUBLE * {_CENT_SCALE})::BIGINT AS q
+  FROM embeddings, unnest(generate_series(1, {_CENT_DIMS})) AS u(i)
+)
+SELECT label, dim::BIGINT AS dim, sum(q)::BIGINT AS sum_q,
+       count(*)::BIGINT AS n
+FROM x GROUP BY 1, 2
+"""
+
+
+QUERIES["embedding_label_centroids"] = q_embedding_label_centroids
+ORACLES["embedding_label_centroids"] = _SQL_CENTROIDS
