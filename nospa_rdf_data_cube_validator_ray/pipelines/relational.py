@@ -3871,3 +3871,144 @@ GROUP BY 1
 
 QUERIES["events_interarrival_hist"] = q_events_interarrival_hist
 ORACLES["events_interarrival_hist"] = _SQL_INTERARRIVAL
+
+
+# -- TPC-H Q6 forecasting-revenue filter ------------------------------------
+
+_Q6_YEAR = 1997
+_Q6_DISC_LO, _Q6_DISC_HI = 5, 7   # discount percent window, inclusive
+_Q6_QTY_LT = 24
+
+
+def q_lineitem_q6(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): one selective scan —
+    shipdate year, discount window, quantity cap — and a single exact
+    integer sum of cents×percent revenue.  The fully-pushed-down
+    filter+aggregate every columnar engine is measured by: only the
+    four needed columns leave storage, each batch reduces to one
+    partial, the driver adds |blocks| integers."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        disc = np.rint(df["l_discount"].to_numpy("float64") * 100.0).astype(
+            "int64"
+        )
+        qty = np.rint(df["l_quantity"].to_numpy("float64")).astype("int64")
+        yr = df["l_shipdate"].dt.year.to_numpy()
+        m = (
+            (yr == _Q6_YEAR)
+            & (disc >= _Q6_DISC_LO)
+            & (disc <= _Q6_DISC_HI)
+            & (qty < _Q6_QTY_LT)
+        )
+        cents = np.rint(
+            df.loc[m, "l_extendedprice"].to_numpy("float64") * 100.0
+        ).astype("int64")
+        rev = int((cents * disc[m]).sum())
+        return pd.DataFrame(
+            {
+                "revenue_cp": pd.array([rev], dtype="int64"),
+                "n_items": pd.array([int(m.sum())], dtype="int64"),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_cp": pd.array(
+                [int(parts["revenue_cp"].sum())], dtype="int64"
+            ),
+            "n_items": pd.array([int(parts["n_items"].sum())], dtype="int64"),
+        }
+    )
+
+
+_SQL_LINEITEM_Q6 = f"""
+SELECT coalesce(sum(round(l_extendedprice * 100)::BIGINT
+           * round(l_discount * 100)::BIGINT), 0)::BIGINT AS revenue_cp,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE year(l_shipdate) = {_Q6_YEAR}
+  AND round(l_discount * 100)::BIGINT BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+  AND round(l_quantity)::BIGINT < {_Q6_QTY_LT}
+"""
+
+
+QUERIES["lineitem_q6"] = q_lineitem_q6
+ORACLES["lineitem_q6"] = _SQL_LINEITEM_Q6
+
+
+# -- bipartite co-supply projection -----------------------------------------
+
+_COSUPPLY_MIN = 2
+
+
+def q_kg_cosupply_pairs(sf_dir: str):
+    """Bipartite projection of the part–supplier graph: supplier pairs
+    that co-supply ≥ 2 distinct parts, with the co-supply count — the
+    one-mode projection (collaboration / co-purchase networks) built
+    WITHOUT materializing the quadratic full projection: per-part
+    supplier lists expand to pairs inside a part-bucketed pass (fan-out
+    bounded by per-part supplier degree), pair counts reduce through one
+    bucketed sum, and the threshold prunes before anything returns.
+
+    Distinct (part, supplier) edges come from lineitem via one
+    digest-level dedup (bucketed), so duplicate line items never
+    inflate counts."""
+    import ray.data
+
+    from ..util import bucket_agg, bucket_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p": df["l_partkey"].astype("int64"),
+                "s": df["l_suppkey"].astype("int64"),
+            }
+        ).drop_duplicates()
+
+    edges = bucket_agg(
+        ds.map_batches(proj, batch_format="pandas"),
+        ["p", "s"],
+        lambda df: df.drop_duplicates(),
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="p", suffixes=("_a", "_b"))
+        m = m[m["s_a"] < m["s_b"]]
+        return pd.DataFrame(
+            {
+                "supp_a": m["s_a"].astype("int64"),
+                "supp_b": m["s_b"].astype("int64"),
+            }
+        )
+
+    cand = bucket_agg(edges, ["p"], pairs)
+    counts = bucket_count(cand, ["supp_a", "supp_b"], out_col="n_parts")
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_parts"] >= _COSUPPLY_MIN].reset_index(drop=True)
+
+    return counts.map_batches(thresh, batch_format="pandas")
+
+
+_SQL_COSUPPLY = f"""
+WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)
+SELECT a.s AS supp_a, b.s AS supp_b, count(*)::BIGINT AS n_parts
+FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+GROUP BY 1, 2
+HAVING count(*) >= {_COSUPPLY_MIN}
+"""
+
+
+QUERIES["kg_cosupply_pairs"] = q_kg_cosupply_pairs
+ORACLES["kg_cosupply_pairs"] = _SQL_COSUPPLY
