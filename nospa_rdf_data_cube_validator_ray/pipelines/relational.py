@@ -4012,3 +4012,244 @@ HAVING count(*) >= {_COSUPPLY_MIN}
 
 QUERIES["kg_cosupply_pairs"] = q_kg_cosupply_pairs
 ORACLES["kg_cosupply_pairs"] = _SQL_COSUPPLY
+
+
+# -- per-segment Pareto skyline ---------------------------------------------
+
+
+def q_orders_skyline(sf_dir: str):
+    """Skyline (Pareto-front) query per market segment: orders not
+    dominated in (totalprice↑, orderdate↑) by any other order of the
+    same segment — dominated = another order with ≥ price AND ≥ date,
+    strictly better in one.  The multi-criteria shortlist operator
+    relational engines lack natively.
+
+    Scale shape: orders tag their segment via a broadcast custkey map
+    (one dim column), then ONE segment-bucketed pass computes each
+    segment's skyline with the sort-scan rule (sort by price desc,
+    date desc; keep rows whose date strictly exceeds the running max;
+    equal-point duplicates all survive, matching the NOT EXISTS
+    semantics).  Prices compare in exact integer cents."""
+    import ray
+
+    from ..util import bucket_agg
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_map = dict(
+        zip(cust["c_custkey"].astype("int64"), cust["c_mktsegment"])
+    )
+    seg_ref = ray.put(seg_map)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(seg_ref)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "segment": pd.array(
+                    [m.get(int(k), "") for k in df["o_custkey"]],
+                    dtype="string",
+                ),
+                "price_cents": np.rint(
+                    df["o_totalprice"].to_numpy("float64") * 100.0
+                ).astype("int64"),
+                "odate": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(tag, batch_format="pandas")
+
+    def skyline(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for seg, g in df.groupby("segment", sort=False):
+            g = g.sort_values(
+                ["price_cents", "odate"], ascending=[False, False]
+            )
+            p = g["price_cents"].to_numpy()
+            d = g["odate"].to_numpy()
+            best = ""
+            keep = np.zeros(len(g), dtype=bool)
+            i = 0
+            while i < len(g):
+                # rows tied on BOTH criteria survive together
+                j = i
+                while j < len(g) and p[j] == p[i] and d[j] == d[i]:
+                    j += 1
+                if d[i] > best:
+                    keep[i:j] = True
+                    best = d[i]
+                i = j
+            out.append(g[keep])
+        if not out:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "segment": pd.Series(dtype="string"),
+                    "price_cents": pd.Series(dtype="int64"),
+                    "odate": pd.Series(dtype="string"),
+                }
+            )
+        r = pd.concat(out, ignore_index=True)
+        return r[["o_orderkey", "segment", "price_cents", "odate"]]
+
+    return bucket_agg(orders, ["segment"], skyline)
+
+
+_SQL_SKYLINE = """
+WITH o AS (
+  SELECT o_orderkey, c_mktsegment AS segment,
+         round(o_totalprice * 100)::BIGINT AS price_cents,
+         strftime(o_orderdate, '%Y-%m-%d') AS odate
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT o_orderkey, segment, price_cents, odate
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.segment = a.segment
+    AND b.price_cents >= a.price_cents AND b.odate >= a.odate
+    AND (b.price_cents > a.price_cents OR b.odate > a.odate)
+)
+"""
+
+
+QUERIES["orders_skyline"] = q_orders_skyline
+ORACLES["orders_skyline"] = _SQL_SKYLINE
+
+
+# -- TPC-H Q18 large-volume customers ---------------------------------------
+
+_Q18_QTY = 200
+
+
+def q_lineitem_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): orders whose total line-item
+    quantity exceeds the threshold, enriched with the customer and
+    ranked by order value — the HAVING-subquery + join + top-k
+    composition.
+
+    Scale shape: per-order quantity partials combine inside each batch,
+    reduce through ONE orderkey-bucketed sum, and the HAVING filter
+    prunes there — only qualifying orders (rare by construction) flow
+    into the joins; orders metadata joins partitioned, the customer
+    names of qualifying orders resolve against a broadcast dim map.
+    Quantities and prices are exact integers."""
+    import ray
+
+    from ..util import bucket_sum, heal_schema, join_partitions
+
+    np_ = join_partitions(None)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "sum_qty": np.rint(
+                    df["l_quantity"].to_numpy("float64")
+                ).astype("int64"),
+            }
+        )
+        return part.groupby("o_orderkey", as_index=False, sort=False).sum()
+
+    per_order = bucket_sum(
+        li.map_batches(qty_partial, batch_format="pandas"),
+        ["o_orderkey"],
+        ["sum_qty"],
+    ).map_batches(
+        lambda df: df[df["sum_qty"] > _Q18_QTY].reset_index(drop=True),
+        batch_format="pandas",
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    cmap = dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"]))
+    cref = ray.put(cmap)
+
+    def orders_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "price_cents": np.rint(
+                    df["o_totalprice"].to_numpy("float64") * 100.0
+                ).astype("int64"),
+                "odate": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(orders_proj, batch_format="pandas")
+
+    j = heal_schema(per_order, np_).join(
+        heal_schema(orders, np_), "inner", np_, on=("o_orderkey",)
+    )
+
+    def name(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(cref)
+        out = df.copy()
+        out["c_name"] = pd.array(
+            [m.get(int(k), "") for k in df["o_custkey"]], dtype="string"
+        )
+        return out
+
+    res = j.map_batches(name, batch_format="pandas").to_pandas()
+    if res.empty or "o_orderkey" not in res.columns:
+        return pd.DataFrame(
+            {
+                "c_name": pd.Series(dtype="string"),
+                "o_custkey": pd.Series(dtype="int64"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "odate": pd.Series(dtype="string"),
+                "price_cents": pd.Series(dtype="int64"),
+                "sum_qty": pd.Series(dtype="int64"),
+            }
+        )
+    res = res.sort_values(
+        ["price_cents", "o_orderkey"], ascending=[False, True],
+        ignore_index=True,
+    ).head(100)
+    return res[
+        ["c_name", "o_custkey", "o_orderkey", "odate", "price_cents", "sum_qty"]
+    ].astype(
+        {
+            "c_name": "string",
+            "o_custkey": "int64",
+            "o_orderkey": "int64",
+            "odate": "string",
+            "price_cents": "int64",
+            "sum_qty": "int64",
+        }
+    )
+
+
+_SQL_LINEITEM_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(round(l_quantity)::BIGINT) > {_Q18_QTY}
+)
+SELECT c_name, o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       round(o_totalprice * 100)::BIGINT AS price_cents,
+       sum_qty
+FROM big JOIN orders USING (o_orderkey)
+JOIN customer ON o_custkey = c_custkey
+ORDER BY price_cents DESC, o_orderkey
+LIMIT 100
+"""
+
+
+QUERIES["lineitem_q18"] = q_lineitem_q18
+ORACLES["lineitem_q18"] = _SQL_LINEITEM_Q18
