@@ -31,7 +31,7 @@ def test_oracle_sql_is_parseable():
     con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
     con.sql("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[], label INT)")
     con.sql("CREATE TABLE lineitem AS SELECT 1::BIGINT l_orderkey, 1::BIGINT l_linenumber, 1::BIGINT l_partkey, 1::BIGINT l_suppkey, 1.0 l_quantity, 1.0 l_extendedprice, 1.0 l_discount, 1.0 l_tax, 'r' l_returnflag, 's' l_linestatus, now() l_shipdate WHERE false")
-    con.sql("CREATE TABLE orders AS SELECT 1::BIGINT o_orderkey, 1::BIGINT o_custkey, now() o_orderdate, 'p' o_orderpriority WHERE false")
+    con.sql("CREATE TABLE orders AS SELECT 1::BIGINT o_orderkey, 1::BIGINT o_custkey, now() o_orderdate, 'p' o_orderpriority, 1.0 o_totalprice WHERE false")
     con.sql("CREATE TABLE supplier AS SELECT 1::BIGINT s_suppkey, 1::BIGINT s_nationkey WHERE false")
     con.sql("CREATE TABLE events AS SELECT 1::BIGINT event_id, 1::BIGINT user_id, now() ts, 'a' event_type, 1.0 AS \"value\", 'p' AS props WHERE false")
     con.sql("CREATE TABLE customer AS SELECT 1::BIGINT c_custkey, 'n' c_name, 1::BIGINT c_nationkey, 1.0 c_acctbal, 'm' c_mktsegment WHERE false")
