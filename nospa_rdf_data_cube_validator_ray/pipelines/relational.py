@@ -4253,3 +4253,84 @@ LIMIT 100
 
 QUERIES["lineitem_q18"] = q_lineitem_q18
 ORACLES["lineitem_q18"] = _SQL_LINEITEM_Q18
+
+
+# -- CEP subsequence-pattern counting ---------------------------------------
+
+_PAT_A, _PAT_B, _PAT_C = "view", "click", "purchase"
+
+
+def q_events_pattern_count(sf_dir: str):
+    """Complex-event-processing pattern counting: per user, the number
+    of ordered A→B→C subsequences (view → click → purchase, not
+    necessarily adjacent) in the user's timeline — the MATCH_RECOGNIZE
+    / funnel-combinatorics operator beyond the 2-step funnel.
+
+    Counted WITHOUT enumerating triples: order each user's events by
+    (ts, event_id); for every B event the contribution is
+    (#A strictly before) × (#C strictly after), summed — two cumulative
+    counts and one dot product per user, all inside ONE user-bucketed
+    pass (a user's events co-locate; per-bucket vectorized cumsums).
+    Ties in ts disambiguate by event_id on both sides, so the count is
+    deterministic and the SQL twin (window counts over the same order)
+    hashes exactly."""
+    import ray.data
+
+    from ..util import bucket_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def count_patterns(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid = df["user_id"].astype("int64").to_numpy()
+        et = df["event_type"].to_numpy()
+        out_u, out_n = [], []
+        start = 0
+        n = len(df)
+        for i in range(1, n + 1):
+            if i == n or uid[i] != uid[start]:
+                seg = et[start:i]
+                isa = (seg == _PAT_A).astype("int64")
+                isb = seg == _PAT_B
+                isc = (seg == _PAT_C).astype("int64")
+                a_before = np.cumsum(isa) - isa  # strictly before
+                c_after = isc[::-1].cumsum()[::-1] - isc  # strictly after
+                cnt = int((a_before[isb] * c_after[isb]).sum())
+                if cnt:
+                    out_u.append(int(uid[start]))
+                    out_n.append(cnt)
+                start = i
+        return pd.DataFrame(
+            {
+                "user_id": pd.array(out_u, dtype="int64"),
+                "n_patterns": pd.array(out_n, dtype="int64"),
+            }
+        )
+
+    return bucket_agg(ds, ["user_id"], count_patterns)
+
+
+_SQL_PATTERN_COUNT = f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         count(*) FILTER (event_type = '{_PAT_A}') OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS a_before,
+         count(*) FILTER (event_type = '{_PAT_C}') OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS c_after
+  FROM events
+)
+SELECT user_id, sum(a_before * c_after)::BIGINT AS n_patterns
+FROM o WHERE event_type = '{_PAT_B}'
+GROUP BY 1
+HAVING sum(a_before * c_after) > 0
+"""
+
+
+QUERIES["events_pattern_count"] = q_events_pattern_count
+ORACLES["events_pattern_count"] = _SQL_PATTERN_COUNT
