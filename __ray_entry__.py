@@ -1630,6 +1630,15 @@ WITH {_CODE_EDGE_BODY}
 SELECT src, dst, kind FROM cedges
 """
 
+_SQL_RECIPROCITY = f"""
+WITH {_CODE_EDGE_BODY},
+e AS (SELECT DISTINCT src AS a, dst AS b FROM cedges
+      WHERE kind = '{_CODE}imports' AND src <> dst)
+SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT count(*) FROM e x JOIN e y
+          ON x.a = y.b AND x.b = y.a)::BIGINT AS n_reciprocal
+"""
+
 def q_kg_code_pagerank(sf_dir: str):
     """Deterministic integer PageRank (3 iterations, floor arithmetic —
     bit-exact across engines, unlike float PageRank) over the import
@@ -4392,6 +4401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_incremental": q_cube_incremental,
         "cube_report_lines": q_cube_report_lines,
         "kg_code_imports": q_kg_code_imports,
+        "kg_reciprocity": q_kg_reciprocity,
         "kg_code_degree": q_kg_code_degree,
         "kg_code_triangles": q_kg_code_triangles,
         "kg_snapshot_latest": q_kg_snapshot_latest,
@@ -4537,6 +4547,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ic, n FROM (" + _SQL_INCREMENTAL + ") WHERE n > 0 ORDER BY ic"
         ),
         "kg_code_imports": _SQL_CODE_IMPORTS,
+        "kg_reciprocity": _SQL_RECIPROCITY,
         "kg_code_degree": _SQL_CODE_DEGREE,
         "kg_code_triangles": _SQL_CODE_TRIANGLES,
         "kg_snapshot_latest": _SQL_SNAPSHOT_LATEST,
@@ -4592,3 +4603,66 @@ def oracle_sql() -> dict[str, str]:
     o.update(td.ORACLES)
     o.update(rel.ORACLES)
     return o
+
+
+def q_kg_reciprocity(sf_dir: str):
+    """Edge reciprocity of the code-import graph — (n_edges,
+    n_reciprocal): how many directed import edges have their reverse
+    present (mutual imports), the classic directedness health metric.
+    One pass projects distinct edges; the reverse probe rides the same
+    bucketed existence pass as the anti/semi join (both orientations of
+    a pair land in one bucket via the unordered pair key), so nothing
+    joins at row scale twice."""
+    import ray.data
+
+    import pandas as pd
+
+    from nospa_rdf_data_cube_validator_ray.sources.code_extract import (
+        extract_code_corpus,
+    )
+    from nospa_rdf_data_cube_validator_ray.fixtures import tpch_code_corpus
+    from nospa_rdf_data_cube_validator_ray.util import bucket_agg
+
+    edges = extract_code_corpus(
+        ray.data.from_arrow(tpch_code_corpus(sf_dir))
+    )
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["pred"] == f"{_CODE}imports"]
+        out = pd.DataFrame(
+            {
+                "a": d["subj"].astype("string"),
+                "b": d["obj"].astype("string"),
+            }
+        ).drop_duplicates()
+        out = out[out["a"] != out["b"]]
+        # unordered pair key so both orientations co-locate
+        lo = out[["a", "b"]].min(axis=1)
+        hi = out[["a", "b"]].max(axis=1)
+        out["lo"] = lo
+        out["hi"] = hi
+        return out
+
+    e = edges.map_batches(proj, batch_format="pandas")
+
+    def pair_stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["a", "b"])
+        g = df.groupby(["lo", "hi"], as_index=False).size()
+        n_edges = int(len(df))
+        n_recip = int(2 * (g["size"] == 2).sum())
+        return pd.DataFrame(
+            {
+                "n_edges": pd.array([n_edges], dtype="int64"),
+                "n_reciprocal": pd.array([n_recip], dtype="int64"),
+            }
+        )
+
+    parts = bucket_agg(e, ["lo", "hi"], pair_stats).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_edges": pd.array([int(parts["n_edges"].sum())], dtype="int64"),
+            "n_reciprocal": pd.array(
+                [int(parts["n_reciprocal"].sum())], dtype="int64"
+            ),
+        }
+    )
