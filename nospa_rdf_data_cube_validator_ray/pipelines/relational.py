@@ -4334,3 +4334,93 @@ HAVING sum(a_before * c_after) > 0
 
 QUERIES["events_pattern_count"] = q_events_pattern_count
 ORACLES["events_pattern_count"] = _SQL_PATTERN_COUNT
+
+
+# -- TPC-H Q14 promotion-revenue share --------------------------------------
+
+_Q14_YEAR = 1997
+_Q14_MONTH = 3
+
+
+def q_lineitem_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect): for one ship month, promo-part
+    revenue vs total revenue — the broadcast-dim conditional aggregate.
+    Emits the two exact integer cents×percent sums plus the share as
+    ONE IEEE-exact division (the lineitem_q1 convention), so the oracle
+    hashes bit-identically.
+
+    Scale shape: the part→is-promo flag broadcasts via ray.put (dim
+    table); lineitem filters to the month and reduces to two integers
+    per batch map-side; the driver adds |blocks| scalar pairs.  No
+    shuffle, no row-scale join."""
+    import ray
+
+    ds_part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    promo = np.sort(
+        ds_part.loc[ds_part["p_type"] == "PROMO", "p_partkey"]
+        .astype("int64")
+        .to_numpy()
+    )
+    pref = ray.put(promo)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ps = ray.get(pref)
+        m = (df["l_shipdate"].dt.year == _Q14_YEAR) & (
+            df["l_shipdate"].dt.month == _Q14_MONTH
+        )
+        d = df[m]
+        cents = np.rint(
+            d["l_extendedprice"].to_numpy("float64") * 100.0
+        ).astype("int64")
+        disc = np.rint(d["l_discount"].to_numpy("float64") * 100.0).astype(
+            "int64"
+        )
+        rev = cents * (100 - disc)
+        is_promo = np.isin(d["l_partkey"].astype("int64").to_numpy(), ps)
+        return pd.DataFrame(
+            {
+                "promo_cp": pd.array([int(rev[is_promo].sum())], dtype="int64"),
+                "total_cp": pd.array([int(rev.sum())], dtype="int64"),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    promo_cp = int(parts["promo_cp"].sum())
+    total_cp = int(parts["total_cp"].sum())
+    return pd.DataFrame(
+        {
+            "promo_cp": pd.array([promo_cp], dtype="int64"),
+            "total_cp": pd.array([total_cp], dtype="int64"),
+            "promo_share": pd.array(
+                [promo_cp / total_cp if total_cp else 0.0], dtype="float64"
+            ),
+        }
+    )
+
+
+_SQL_LINEITEM_Q14 = f"""
+WITH f AS (
+  SELECT round(l_extendedprice * 100)::BIGINT
+         * (100 - round(l_discount * 100)::BIGINT) AS rev,
+         (p_type = 'PROMO') AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = {_Q14_YEAR} AND month(l_shipdate) = {_Q14_MONTH}
+)
+SELECT coalesce(sum(rev) FILTER (is_promo), 0)::BIGINT AS promo_cp,
+       coalesce(sum(rev), 0)::BIGINT AS total_cp,
+       CASE WHEN coalesce(sum(rev), 0) = 0 THEN 0.0
+            ELSE (coalesce(sum(rev) FILTER (is_promo), 0)::DOUBLE
+                  / sum(rev)::DOUBLE) END AS promo_share
+FROM f
+"""
+
+
+QUERIES["lineitem_q14"] = q_lineitem_q14
+ORACLES["lineitem_q14"] = _SQL_LINEITEM_Q14
