@@ -37,7 +37,7 @@ def test_oracle_sql_is_parseable():
     con.sql("CREATE TABLE customer AS SELECT 1::BIGINT c_custkey, 'n' c_name, 1::BIGINT c_nationkey, 1.0 c_acctbal, 'm' c_mktsegment WHERE false")
     con.sql("CREATE TABLE nation AS SELECT 1::BIGINT n_nationkey, 1::BIGINT n_regionkey, 'n' n_name WHERE false")
     con.sql("CREATE TABLE region AS SELECT 1::BIGINT r_regionkey, 'r' r_name WHERE false")
-    con.sql("CREATE TABLE part AS SELECT 1::BIGINT p_partkey WHERE false")
+    con.sql("CREATE TABLE part AS SELECT 1::BIGINT p_partkey, 'n' p_name, 'b' p_brand, 't' p_type, 1::BIGINT p_size, 1.0 p_retailprice WHERE false")
     for name, sql in m.oracle_sql().items():
         try:
             con.sql(sql)  # plans (and runs on empty inputs) — syntax gate
