@@ -5979,3 +5979,95 @@ FROM x GROUP BY 1, 2
 
 QUERIES["embedding_label_centroids"] = q_embedding_label_centroids
 ORACLES["embedding_label_centroids"] = _SQL_CENTROIDS
+
+
+# -- survivorship / golden-record merge -------------------------------------
+
+
+def q_docs_golden_record(sf_dir: str):
+    """MDM survivorship: collapse each normalized-text duplicate group
+    to ONE golden record with field-level merge rules — keeper =
+    longest raw text (ties → min doc_id), plus the group's max n_chars
+    and member count.  The "which copy wins, field by field" operator a
+    record-linkage pipeline runs after dedup.
+
+    One digest-bucketed pass holds every group whole (16-byte digests
+    shuffle, content stays put as per-batch metadata: doc_id, n_chars
+    travel, text does not)."""
+    import re
+
+    from ..stages.dedup import _md5_u64
+    from ..util import bucket_agg
+
+    docs = _docs(sf_dir)
+    drop_re = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def digests(df: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            df["text"]
+            .fillna("")
+            .str.lower()
+            .str.replace(drop_re, "", regex=True)
+            .str.replace(ws_re, " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame(
+            {
+                "h": pd.array(
+                    [_md5_u64(s) % (1 << 61) for s in n], dtype="int64"
+                ),
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+                "raw_len": df["text"].fillna("").str.len().astype("int64"),
+            }
+        )
+
+    dg = docs.map_batches(digests, batch_format="pandas")
+
+    def golden(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["h", "raw_len", "doc_id"], ascending=[True, False, True]
+        )
+        first = g.drop_duplicates("h", keep="first")
+        agg = df.groupby("h", as_index=False).agg(
+            n_members=("doc_id", "size"), max_chars=("n_chars", "max")
+        )
+        out = first.merge(agg, on="h")
+        return pd.DataFrame(
+            {
+                "h": out["h"].astype("int64"),
+                "golden_doc_id": out["doc_id"].astype("int64"),
+                "n_members": out["n_members"].astype("int64"),
+                "max_chars": out["max_chars"].astype("int64"),
+            }
+        )
+
+    return bucket_agg(dg, ["h"], golden)
+
+
+_SQL_GOLDEN = r"""
+WITH n AS (
+  SELECT doc_id, n_chars, length(coalesce(text, '')) AS raw_len,
+         (md5_number_lower(trim(regexp_replace(regexp_replace(
+             lower(coalesce(text, '')), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g'))) % 2305843009213693952)::BIGINT AS h
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY h ORDER BY raw_len DESC, doc_id
+         ) AS rk
+  FROM n
+),
+agg AS (
+  SELECT h, count(*)::BIGINT AS n_members, max(n_chars)::BIGINT AS max_chars
+  FROM n GROUP BY 1
+)
+SELECT r.h, r.doc_id AS golden_doc_id, agg.n_members, agg.max_chars
+FROM r JOIN agg USING (h) WHERE r.rk = 1
+"""
+
+
+QUERIES["docs_golden_record"] = q_docs_golden_record
+ORACLES["docs_golden_record"] = _SQL_GOLDEN
