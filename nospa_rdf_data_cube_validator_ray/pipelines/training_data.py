@@ -5390,10 +5390,11 @@ def q_docs_tfidf_simjoin(sf_dir: str):
     (vocabulary after pruning-eligibility is bounded, documented);
     candidate pairs with partial products are generated inside a
     token-bucketed groupby (posting lists capped at _SIM_MAX_DF rows);
-    pair dots + per-doc norms reduce through coarse-bucketed sums.
-    Norms ride the pair rows as part of the (a, b, na, nb) key — they
-    are per-doc constants — so the final filter is map-side and the
-    plan has ZERO hash joins.
+    pair dots reduce through coarse-bucketed sums.  Per-doc norms are
+    computed as a doc-scale Dataset and joined onto the postings with
+    ONE doc-keyed partitioned hash join (never a driver dict — that
+    would be a corpus-sized broadcast), so every pair row carries its
+    norms and the final threshold is map-side.
 
     Everything is integer (dot, norms, the cross-multiplied threshold),
     so the DuckDB oracle hashes bit-identically."""
@@ -5465,16 +5466,22 @@ def q_docs_tfidf_simjoin(sf_dir: str):
     # short-circuit before indexing it (found by the sf1 scale probe)
     if not keep:
         return _typed_empty()
-    norms = bucket_sum(
+    # norms stay a DATASET and reach the pair stage through a
+    # doc-keyed partitioned join onto the postings (doc-scale — a
+    # driver dict of per-doc norms would be a corpus-sized broadcast
+    # at 100 TB); after the join every posting row carries its doc's
+    # norm, so pair generation is self-contained per token group
+    from ..util import heal_schema, join_partitions
+
+    np_ = join_partitions(None)
+    norms_ds = bucket_sum(
         kept.map_batches(sq, batch_format="pandas"), ["doc_id"], ["sq"]
-    ).to_pandas()
-    if norms.empty or "doc_id" not in norms.columns:
-        return _typed_empty()
-    nmap = dict(zip(norms["doc_id"].astype("int64"), norms["sq"].astype("int64")))
-    nref = ray.put(nmap)
+    )
+    kept2 = heal_schema(kept, np_).join(
+        heal_schema(norms_ds, np_), "inner", np_, on=("doc_id",)
+    )
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        nm = ray.get(nref)
         m = df.merge(df, on="token", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         if not len(m):
@@ -5487,14 +5494,12 @@ def q_docs_tfidf_simjoin(sf_dir: str):
                     "prod": pd.Series(dtype="int64"),
                 }
             )
-        a = m["doc_id_a"].astype("int64").to_numpy()
-        b = m["doc_id_b"].astype("int64").to_numpy()
         return pd.DataFrame(
             {
-                "doc_a": a,
-                "doc_b": b,
-                "norm_a": np.array([nm[x] for x in a], dtype="int64"),
-                "norm_b": np.array([nm[x] for x in b], dtype="int64"),
+                "doc_a": m["doc_id_a"].astype("int64").to_numpy(),
+                "doc_b": m["doc_id_b"].astype("int64").to_numpy(),
+                "norm_a": m["sq_a"].astype("int64").to_numpy(),
+                "norm_b": m["sq_b"].astype("int64").to_numpy(),
                 "prod": (
                     m["tf_a"].astype("int64").to_numpy()
                     * m["tf_b"].astype("int64").to_numpy()
@@ -5502,7 +5507,7 @@ def q_docs_tfidf_simjoin(sf_dir: str):
             }
         )
 
-    cand = bucket_agg(kept, ["token"], pairs)
+    cand = bucket_agg(kept2, ["token"], pairs)
     dots = bucket_sum(cand, ["doc_a", "doc_b", "norm_a", "norm_b"], ["prod"])
 
     def thresh(df: pd.DataFrame) -> pd.DataFrame:
