@@ -4424,3 +4424,156 @@ FROM f
 
 QUERIES["lineitem_q14"] = q_lineitem_q14
 ORACLES["lineitem_q14"] = _SQL_LINEITEM_Q14
+
+
+# -- gaps-and-islands: longest daily-activity streak ------------------------
+
+
+def q_events_streaks(sf_dir: str):
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days (and their total active days) — the retention/engagement
+    metric that needs the islands trick, not a plain window.
+
+    One user-bucketed pass: per user, distinct active epoch-days sort
+    ascending; island id = day − rank (vectorized), the longest island
+    is a groupby-size max.  The SQL twin is the canonical
+    date-minus-dense_rank formulation over the same distinct days."""
+    import ray.data
+
+    from ..util import bucket_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": (
+                    df["ts"].astype("datetime64[ns]").astype("int64")
+                    // 86_400_000_000_000
+                ),
+            }
+        ).drop_duplicates()
+        d = d.sort_values(["user_id", "day"])
+        uid = d["user_id"].to_numpy()
+        day = d["day"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        rank = np.arange(len(d)) - np.maximum.accumulate(
+            np.where(new_user, np.arange(len(d)), 0)
+        )
+        island = day - rank
+        g = (
+            pd.DataFrame({"user_id": uid, "island": island})
+            .groupby(["user_id", "island"], as_index=False)
+            .size()
+        )
+        out = g.groupby("user_id", as_index=False).agg(
+            longest_streak=("size", "max"), n_active_days=("size", "sum")
+        )
+        return out.astype(
+            {
+                "user_id": "int64",
+                "longest_streak": "int64",
+                "n_active_days": "int64",
+            }
+        )
+
+    return bucket_agg(ds, ["user_id"], streaks)
+
+
+_SQL_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (
+           PARTITION BY user_id ORDER BY day
+         ) AS island
+  FROM d
+),
+i AS (
+  SELECT user_id, island, count(*)::BIGINT AS len
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, max(len)::BIGINT AS longest_streak,
+       sum(len)::BIGINT AS n_active_days
+FROM i GROUP BY 1
+"""
+
+
+QUERIES["events_streaks"] = q_events_streaks
+ORACLES["events_streaks"] = _SQL_STREAKS
+
+
+# -- integer-decay lifetime value -------------------------------------------
+
+
+def q_events_ltv_decay(sf_dir: str):
+    """Decayed lifetime value per user with an INTEGER decay kernel:
+    value-cents halve per day of age (bit shift — no exponential, so
+    the distributed sum is order-independent and the SQL twin is
+    bit-exact): LTV = Σ cents >> min(age_days, 62), age relative to the
+    corpus' max event day.
+
+    Two passes: the max-day scalar reduces map-side (one int per
+    block), broadcasts implicitly as a Python constant; per-user decayed
+    sums combine inside batches then reduce through ONE user-bucketed
+    sum."""
+    import ray.data
+
+    from ..util import bucket_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def day_col(df: pd.DataFrame) -> np.ndarray:
+        return (
+            df["ts"].astype("datetime64[ns]").astype("int64")
+            // 86_400_000_000_000
+        ).to_numpy()
+
+    max_day = max(
+        int(b["d"].max())
+        for b in ds.map_batches(
+            lambda df: pd.DataFrame({"d": [int(day_col(df).max())]}),
+            batch_format="pandas",
+        ).iter_batches(batch_format="pandas", batch_size=None)
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        age = np.minimum(max_day - day_col(df), 62)
+        cents = np.rint(df["value"].to_numpy("float64") * 100.0).astype(
+            "int64"
+        )
+        part = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ltv_cents": cents >> age,
+            }
+        )
+        return part.groupby("user_id", as_index=False, sort=False).sum()
+
+    return bucket_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        ["ltv_cents"],
+    )
+
+
+_SQL_LTV_DECAY = """
+WITH mx AS (SELECT max(epoch_ms(ts) // 86400000) AS m FROM events)
+SELECT user_id,
+       sum(round(value * 100)::BIGINT
+           >> least(mx.m - (epoch_ms(ts) // 86400000), 62))::BIGINT
+         AS ltv_cents
+FROM events, mx
+GROUP BY 1
+"""
+
+
+QUERIES["events_ltv_decay"] = q_events_ltv_decay
+ORACLES["events_ltv_decay"] = _SQL_LTV_DECAY
