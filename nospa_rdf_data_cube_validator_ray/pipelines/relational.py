@@ -4577,3 +4577,87 @@ GROUP BY 1
 
 QUERIES["events_ltv_decay"] = q_events_ltv_decay
 ORACLES["events_ltv_decay"] = _SQL_LTV_DECAY
+
+
+# -- brand concentration (HHI sufficient statistics) ------------------------
+
+
+def q_brand_hhi(sf_dir: str):
+    """Market-concentration analytics: per part brand, the Herfindahl–
+    Hirschman sufficient statistics of demand concentration across the
+    brand's parts — (n_parts, sum_qty, sum_qty_sq = Σ per-part qty²),
+    all exact int64 so HHI = sum_qty_sq / sum_qty² is one driver-side
+    division and the oracle hashes bit-exactly (the assortativity
+    convention).
+
+    Scale shape: lineitem reduces to (partkey, qty) partials inside
+    each batch; ONE part-bucketed sum builds per-part totals; the
+    part→brand map is a broadcast dim column; brand-level statistics
+    reduce through a second tiny bucketed sum."""
+    import ray
+
+    from ..util import bucket_sum
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    bmap = dict(zip(part["p_partkey"].astype("int64"), part["p_brand"]))
+    bref = ray.put(bmap)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "p": df["l_partkey"].astype("int64"),
+                "q": np.rint(df["l_quantity"].to_numpy("float64")).astype(
+                    "int64"
+                ),
+            }
+        )
+        return p.groupby("p", as_index=False, sort=False).sum()
+
+    per_part = bucket_sum(
+        li.map_batches(partial, batch_format="pandas"), ["p"], ["q"]
+    )
+
+    def brandify(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(bref)
+        q = df["q"].astype("int64")
+        return pd.DataFrame(
+            {
+                "brand": pd.array(
+                    [m.get(int(k), "") for k in df["p"]], dtype="string"
+                ),
+                "n_parts": pd.Series(1, index=df.index, dtype="int64"),
+                "sum_qty": q,
+                "sum_qty_sq": q * q,
+            }
+        )
+
+    return bucket_sum(
+        per_part.map_batches(brandify, batch_format="pandas"),
+        ["brand"],
+        ["n_parts", "sum_qty", "sum_qty_sq"],
+        num_buckets=16,
+    )
+
+
+_SQL_BRAND_HHI = """
+WITH pp AS (
+  SELECT l_partkey AS p, sum(round(l_quantity)::BIGINT)::BIGINT AS q
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand AS brand,
+       count(*)::BIGINT AS n_parts,
+       sum(q)::BIGINT AS sum_qty,
+       sum(q * q)::BIGINT AS sum_qty_sq
+FROM pp JOIN part ON p = p_partkey
+GROUP BY 1
+"""
+
+
+QUERIES["brand_hhi"] = q_brand_hhi
+ORACLES["brand_hhi"] = _SQL_BRAND_HHI
