@@ -4661,3 +4661,144 @@ GROUP BY 1
 
 QUERIES["brand_hhi"] = q_brand_hhi
 ORACLES["brand_hhi"] = _SQL_BRAND_HHI
+
+
+# -- RFM customer segmentation ----------------------------------------------
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary): per customer,
+    days since last order, order count, and exact total cents — each
+    bucketed into global terciles by VALUE with the counting-histogram
+    lower-index quantile rule (the docs_quality_buckets convention:
+    threshold = value at rank (n−1)·p//100 + 1, integer arithmetic, no
+    interpolation), so the SQL twin hashes bit-exactly.
+
+    Scale shape: orders reduce to per-customer (n, cents, max_day)
+    partials inside each batch, then ONE customer-bucketed aggregate;
+    the three tercile thresholds come from value→count histograms
+    (distribution-sized driver state, never the customer table);
+    bucket assignment is map-side against six broadcast integers."""
+    import ray.data
+
+    from ..util import bucket_agg, bucket_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "c": df["o_custkey"].astype("int64"),
+                "n": 1,
+                "cents": np.rint(
+                    df["o_totalprice"].to_numpy("float64") * 100.0
+                ).astype("int64"),
+                "day": (
+                    df["o_orderdate"].astype("datetime64[ns]").astype("int64")
+                    // 86_400_000_000_000
+                ),
+            }
+        )
+        return p.groupby("c", as_index=False, sort=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"), day=("day", "max")
+        )
+
+    agg = bucket_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["c"],
+        lambda df: df.groupby("c", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"), day=("day", "max")
+        ),
+    ).materialize()
+
+    max_day = max(
+        int(b["day"].max())
+        for b in agg.iter_batches(batch_format="pandas", batch_size=None)
+    )
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c"].astype("int64"),
+                "r_days": (max_day - df["day"].astype("int64")),
+                "f_n": df["n"].astype("int64"),
+                "m_cents": df["cents"].astype("int64"),
+            }
+        )
+
+    met = agg.map_batches(metrics, batch_format="pandas").materialize()
+
+    def thresholds(col: str) -> tuple[int, int]:
+        hist = bucket_sum(
+            met.map_batches(
+                lambda df, c=col: pd.DataFrame(
+                    {"v": df[c].astype("int64"),
+                     "n": pd.Series(1, index=df.index, dtype="int64")}
+                ),
+                batch_format="pandas",
+            ),
+            ["v"],
+            ["n"],
+            num_buckets=16,
+        ).to_pandas().sort_values("v", ignore_index=True)
+        cum = hist["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        vs = hist["v"].to_numpy()
+        t33 = int(vs[np.searchsorted(cum, (n - 1) * 33 // 100 + 1)])
+        t66 = int(vs[np.searchsorted(cum, (n - 1) * 66 // 100 + 1)])
+        return t33, t66
+
+    th = {c: thresholds(c) for c in ("r_days", "f_n", "m_cents")}
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for c, short in (("r_days", "r"), ("f_n", "f"), ("m_cents", "m")):
+            t33, t66 = th[c]
+            v = df[c].astype("int64")
+            out[f"{short}_bucket"] = np.where(
+                v > t66, 3, np.where(v > t33, 2, 1)
+            ).astype("int64")
+        return out
+
+    return met.map_batches(assign, batch_format="pandas")
+
+
+_SQL_CUSTOMER_RFM = """
+WITH a AS (
+  SELECT o_custkey AS c_custkey,
+         count(*)::BIGINT AS f_n,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS m_cents,
+         max(epoch_ms(o_orderdate) // 86400000) AS day
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(day) AS m FROM a),
+met AS (
+  SELECT c_custkey, (mx.m - day)::BIGINT AS r_days, f_n, m_cents
+  FROM a, mx
+),
+tr AS (SELECT r_days AS v, row_number() OVER (ORDER BY r_days) rn,
+              count(*) OVER () n FROM met),
+tf AS (SELECT f_n AS v, row_number() OVER (ORDER BY f_n) rn,
+              count(*) OVER () n FROM met),
+tm AS (SELECT m_cents AS v, row_number() OVER (ORDER BY m_cents) rn,
+              count(*) OVER () n FROM met),
+th AS (SELECT
+  (SELECT max(CASE WHEN rn = (n-1)*33//100 + 1 THEN v END) FROM tr) AS r33,
+  (SELECT max(CASE WHEN rn = (n-1)*66//100 + 1 THEN v END) FROM tr) AS r66,
+  (SELECT max(CASE WHEN rn = (n-1)*33//100 + 1 THEN v END) FROM tf) AS f33,
+  (SELECT max(CASE WHEN rn = (n-1)*66//100 + 1 THEN v END) FROM tf) AS f66,
+  (SELECT max(CASE WHEN rn = (n-1)*33//100 + 1 THEN v END) FROM tm) AS m33,
+  (SELECT max(CASE WHEN rn = (n-1)*66//100 + 1 THEN v END) FROM tm) AS m66)
+SELECT c_custkey, r_days, f_n, m_cents,
+       (CASE WHEN r_days > r66 THEN 3 WHEN r_days > r33 THEN 2 ELSE 1 END)::BIGINT AS r_bucket,
+       (CASE WHEN f_n > f66 THEN 3 WHEN f_n > f33 THEN 2 ELSE 1 END)::BIGINT AS f_bucket,
+       (CASE WHEN m_cents > m66 THEN 3 WHEN m_cents > m33 THEN 2 ELSE 1 END)::BIGINT AS m_bucket
+FROM met, th
+"""
+
+
+QUERIES["customer_rfm"] = q_customer_rfm
+ORACLES["customer_rfm"] = _SQL_CUSTOMER_RFM
