@@ -4802,3 +4802,118 @@ FROM met, th
 
 QUERIES["customer_rfm"] = q_customer_rfm
 ORACLES["customer_rfm"] = _SQL_CUSTOMER_RFM
+
+
+# -- robust statistics: per-group median absolute deviation -----------------
+
+
+def q_orders_mad(sf_dir: str):
+    """Robust dispersion per order priority: the median absolute
+    deviation of order value — median (integer lower-index rule on the
+    value→count histogram), then the same rule on |cents − median| —
+    two counting-histogram passes, no distributed sort, everything
+    int64 (the doc_len_quantiles convention, composed twice).
+
+    Driver state is two distribution-sized histograms per priority
+    (distinct cent values), never the order rows."""
+    import ray.data
+
+    from ..util import bucket_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "g": df["o_orderpriority"].astype("string"),
+                "v": np.rint(
+                    df["o_totalprice"].to_numpy("float64") * 100.0
+                ).astype("int64"),
+            }
+        )
+        g = p.groupby(["g", "v"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = bucket_sum(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        ["g", "v"],
+        ["n"],
+    ).to_pandas()
+
+    def lower_median(sub: pd.DataFrame) -> int:
+        sub = sub.sort_values("v")
+        cum = sub["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        idx = (n - 1) * 50 // 100
+        return int(sub["v"].to_numpy()[np.searchsorted(cum, idx + 1)])
+
+    rows = []
+    for gname, sub in hist.groupby("g"):
+        med = lower_median(sub)
+        dev = sub.copy()
+        dev["v"] = (dev["v"] - med).abs()
+        dev = dev.groupby("v", as_index=False)["n"].sum()
+        mad = lower_median(dev.assign(g=gname))
+        rows.append(
+            {
+                "o_orderpriority": gname,
+                "median_cents": med,
+                "mad_cents": mad,
+                "n_orders": int(sub["n"].sum()),
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .sort_values("o_orderpriority", ignore_index=True)
+        .astype(
+            {
+                "o_orderpriority": "string",
+                "median_cents": "int64",
+                "mad_cents": "int64",
+                "n_orders": "int64",
+            }
+        )
+    )
+
+
+_SQL_ORDERS_MAD = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+),
+r1 AS (
+  SELECT g, cents, row_number() OVER (
+           PARTITION BY g ORDER BY cents
+         ) AS rn, count(*) OVER (PARTITION BY g) AS n
+  FROM v
+),
+med AS (
+  SELECT g, max(CASE WHEN rn = (n-1)*50//100 + 1 THEN cents END) AS m,
+         max(n) AS n_orders
+  FROM r1 GROUP BY g
+),
+d AS (
+  SELECT v.g, abs(v.cents - med.m) AS dev
+  FROM v JOIN med USING (g)
+),
+r2 AS (
+  SELECT g, dev, row_number() OVER (
+           PARTITION BY g ORDER BY dev
+         ) AS rn, count(*) OVER (PARTITION BY g) AS n
+  FROM d
+)
+SELECT med.g AS o_orderpriority,
+       med.m::BIGINT AS median_cents,
+       (SELECT max(CASE WHEN rn = (r2.n-1)*50//100 + 1 THEN dev END)
+        FROM r2 WHERE r2.g = med.g)::BIGINT AS mad_cents,
+       med.n_orders::BIGINT AS n_orders
+FROM med
+ORDER BY 1
+"""
+
+
+QUERIES["orders_mad"] = q_orders_mad
+ORACLES["orders_mad"] = _SQL_ORDERS_MAD

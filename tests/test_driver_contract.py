@@ -15,7 +15,7 @@ def test_every_query_has_an_oracle():
     m = _entry()
     qs = m.queries()
     oracles = m.oracle_sql()
-    assert len(qs) == 265, f"query count drifted: {len(qs)}"
+    assert len(qs) == 266, f"query count drifted: {len(qs)}"
     missing = sorted(set(qs) - set(oracles))
     assert not missing, f"queries without oracle SQL: {missing}"
     extra = sorted(set(oracles) - set(qs))
