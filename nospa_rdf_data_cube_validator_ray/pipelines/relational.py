@@ -3688,45 +3688,50 @@ def q_lineitem_q3(sf_dir: str):
 
     np_ = join_partitions(None)
 
-    cust = ray.data.read_parquet(
+    # customer scales with the corpus (TPC-H: 150 K × sf) — the segment
+    # membership reaches orders through a PARTITIONED custkey join, not
+    # a driver-collected key set
+    seg_cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_custkey": df.loc[
+                    df["c_mktsegment"] == _Q3_SEGMENT, "c_custkey"
+                ].astype("int64")
+            }
+        ),
+        batch_format="pandas",
     )
-    seg_keys = frozenset(
-        int(k)
-        for b in cust.map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "c_custkey": df.loc[
-                        df["c_mktsegment"] == _Q3_SEGMENT, "c_custkey"
-                    ].astype("int64")
-                }
-            ),
-            batch_format="pandas",
-        ).iter_batches(batch_format="pandas", batch_size=None)
-        for k in b["c_custkey"]
-    )
-    seg_ref = ray.put(seg_keys)
 
     cutoff = pd.Timestamp(_Q3_CUTOFF)
 
     def orders_filter(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(seg_ref)
-        m = (df["o_orderdate"] < cutoff) & df["o_custkey"].astype(
-            "int64"
-        ).isin(keys)
-        out = df[m]
+        out = df[df["o_orderdate"] < cutoff]
         return pd.DataFrame(
             {
+                "o_custkey": out["o_custkey"].astype("int64"),
                 "l_orderkey": out["o_orderkey"].astype("int64"),
                 "o_orderdate": out["o_orderdate"].dt.strftime("%Y-%m-%d"),
                 "o_orderpriority": out["o_orderpriority"].astype("string"),
             }
         )
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-    ).map_batches(orders_filter, batch_format="pandas")
+    orders = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=[
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",
+            ],
+        )
+        .map_batches(orders_filter, batch_format="pandas")
+    )
+    orders = heal_schema(orders, np_).join(
+        heal_schema(seg_cust, np_), "inner", np_, on=("o_custkey",)
+    ).map_batches(
+        lambda df: df[["l_orderkey", "o_orderdate", "o_orderpriority"]],
+        batch_format="pandas",
+    )
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         m = df["l_shipdate"] > cutoff
@@ -4024,33 +4029,35 @@ def q_orders_skyline(sf_dir: str):
     strictly better in one.  The multi-criteria shortlist operator
     relational engines lack natively.
 
-    Scale shape: orders tag their segment via a broadcast custkey map
-    (one dim column), then ONE segment-bucketed pass computes each
-    segment's skyline with the sort-scan rule (sort by price desc,
-    date desc; keep rows whose date strictly exceeds the running max;
-    equal-point duplicates all survive, matching the NOT EXISTS
-    semantics).  Prices compare in exact integer cents."""
+    Scale shape: orders meet their segment through a PARTITIONED
+    custkey hash join (customer scales with the corpus — a driver dict
+    would be a corpus-sized broadcast), then ONE segment-bucketed pass
+    computes each segment's skyline with the sort-scan rule (sort by
+    price desc, date desc; keep rows whose date strictly exceeds the
+    running max; equal-point duplicates all survive, matching the NOT
+    EXISTS semantics).  Prices compare in exact integer cents."""
     import ray
 
-    from ..util import bucket_agg
+    from ..util import bucket_agg, heal_schema, join_partitions
 
-    cust = ray.data.read_parquet(
+    np_ = join_partitions(None)
+    seg = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    seg_map = dict(
-        zip(cust["c_custkey"].astype("int64"), cust["c_mktsegment"])
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_custkey": df["c_custkey"].astype("int64"),
+                "segment": df["c_mktsegment"].astype("string"),
+            }
+        ),
+        batch_format="pandas",
     )
-    seg_ref = ray.put(seg_map)
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(seg_ref)
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "o_orderkey": df["o_orderkey"].astype("int64"),
-                "segment": pd.array(
-                    [m.get(int(k), "") for k in df["o_custkey"]],
-                    dtype="string",
-                ),
+                "o_custkey": df["o_custkey"].astype("int64"),
                 "price_cents": np.rint(
                     df["o_totalprice"].to_numpy("float64") * 100.0
                 ).astype("int64"),
@@ -4058,10 +4065,16 @@ def q_orders_skyline(sf_dir: str):
             }
         )
 
-    orders = ray.data.read_parquet(
+    o = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
-    ).map_batches(tag, batch_format="pandas")
+    ).map_batches(proj, batch_format="pandas")
+    orders = heal_schema(o, np_).join(
+        heal_schema(seg, np_), "inner", np_, on=("o_custkey",)
+    ).map_batches(
+        lambda df: df[["o_orderkey", "segment", "price_cents", "odate"]],
+        batch_format="pandas",
+    )
 
     def skyline(df: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -4135,9 +4148,10 @@ def q_lineitem_q18(sf_dir: str):
     Scale shape: per-order quantity partials combine inside each batch,
     reduce through ONE orderkey-bucketed sum, and the HAVING filter
     prunes there — only qualifying orders (rare by construction) flow
-    into the joins; orders metadata joins partitioned, the customer
-    names of qualifying orders resolve against a broadcast dim map.
-    Quantities and prices are exact integers."""
+    into the joins; orders metadata joins partitioned, and customer
+    names resolve through a pruned, filtered dim read for the ≤ 100
+    FINAL rows only (customer scales with the corpus — never a driver
+    dict).  Quantities and prices are exact integers."""
     import ray
 
     from ..util import bucket_sum, heal_schema, join_partitions
@@ -4168,12 +4182,6 @@ def q_lineitem_q18(sf_dir: str):
         batch_format="pandas",
     )
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).to_pandas()
-    cmap = dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"]))
-    cref = ray.put(cmap)
-
     def orders_proj(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -4195,15 +4203,7 @@ def q_lineitem_q18(sf_dir: str):
         heal_schema(orders, np_), "inner", np_, on=("o_orderkey",)
     )
 
-    def name(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(cref)
-        out = df.copy()
-        out["c_name"] = pd.array(
-            [m.get(int(k), "") for k in df["o_custkey"]], dtype="string"
-        )
-        return out
-
-    res = j.map_batches(name, batch_format="pandas").to_pandas()
+    res = j.to_pandas()
     if res.empty or "o_orderkey" not in res.columns:
         return pd.DataFrame(
             {
@@ -4219,6 +4219,20 @@ def q_lineitem_q18(sf_dir: str):
         ["price_cents", "o_orderkey"], ascending=[False, True],
         ignore_index=True,
     ).head(100)
+    # resolve names for the ≤ 100 FINAL rows only: a pruned, filtered
+    # dim read (customer scales with the corpus — never a driver dict)
+    want = sorted(set(int(k) for k in res["o_custkey"]))
+    names = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        .filter(expr=f"c_custkey in {want}")
+        .to_pandas()
+    )
+    nm = dict(zip(names["c_custkey"].astype("int64"), names["c_name"]))
+    res["c_name"] = pd.array(
+        [nm.get(int(k), "") for k in res["o_custkey"]], dtype="string"
+    )
     return res[
         ["c_name", "o_custkey", "o_orderkey", "odate", "price_cents", "sum_qty"]
     ].astype(
@@ -4598,11 +4612,17 @@ def q_brand_hhi(sf_dir: str):
 
     from ..util import bucket_sum
 
-    part = ray.data.read_parquet(
+    brands = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
-    ).to_pandas()
-    bmap = dict(zip(part["p_partkey"].astype("int64"), part["p_brand"]))
-    bref = ray.put(bmap)
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "p": df["p_partkey"].astype("int64"),
+                "brand": df["p_brand"].astype("string"),
+            }
+        ),
+        batch_format="pandas",
+    )
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
@@ -4619,18 +4639,24 @@ def q_brand_hhi(sf_dir: str):
         )
         return p.groupby("p", as_index=False, sort=False).sum()
 
+    from ..util import heal_schema, join_partitions
+
+    np_ = join_partitions(None)
     per_part = bucket_sum(
         li.map_batches(partial, batch_format="pandas"), ["p"], ["q"]
     )
+    # part scales with the corpus (TPC-H: 200 K × sf) — the brand
+    # column reaches the per-part totals through a PARTITIONED join on
+    # partkey (key-scale rows both sides), not a driver dict
+    joined = heal_schema(per_part, np_).join(
+        heal_schema(brands, np_), "inner", np_, on=("p",)
+    )
 
     def brandify(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(bref)
         q = df["q"].astype("int64")
         return pd.DataFrame(
             {
-                "brand": pd.array(
-                    [m.get(int(k), "") for k in df["p"]], dtype="string"
-                ),
+                "brand": df["brand"].astype("string"),
                 "n_parts": pd.Series(1, index=df.index, dtype="int64"),
                 "sum_qty": q,
                 "sum_qty_sq": q * q,
@@ -4638,7 +4664,7 @@ def q_brand_hhi(sf_dir: str):
         )
 
     return bucket_sum(
-        per_part.map_batches(brandify, batch_format="pandas"),
+        joined.map_batches(brandify, batch_format="pandas"),
         ["brand"],
         ["n_parts", "sum_qty", "sum_qty_sq"],
         num_buckets=16,
