@@ -4363,21 +4363,28 @@ def q_lineitem_q14(sf_dir: str):
     ONE IEEE-exact division (the lineitem_q1 convention), so the oracle
     hashes bit-identically.
 
-    Scale shape: the part→is-promo flag broadcasts via ray.put (dim
-    table); lineitem filters to the month and reduces to two integers
-    per batch map-side; the driver adds |blocks| scalar pairs.  No
-    shuffle, no row-scale join."""
+    Scale shape: part scales with the corpus, so the is-promo flag
+    reaches the month's line items through a PARTITIONED partkey hash
+    join (lineitem pre-shrunk by the ship-month filter and pre-reduced
+    to per-partkey revenue pairs inside each batch — the join moves
+    key-scale rows); the joined pairs reduce to two integers per block
+    and the driver adds |blocks| scalar pairs."""
     import ray
 
-    ds_part = ray.data.read_parquet(
+    from ..util import bucket_sum, heal_schema, join_partitions
+
+    np_ = join_partitions(None)
+    flags = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-    ).to_pandas()
-    promo = np.sort(
-        ds_part.loc[ds_part["p_type"] == "PROMO", "p_partkey"]
-        .astype("int64")
-        .to_numpy()
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "p": df["p_partkey"].astype("int64"),
+                "is_promo": (df["p_type"] == "PROMO").astype("int64"),
+            }
+        ),
+        batch_format="pandas",
     )
-    pref = ray.put(promo)
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -4385,7 +4392,6 @@ def q_lineitem_q14(sf_dir: str):
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ps = ray.get(pref)
         m = (df["l_shipdate"].dt.year == _Q14_YEAR) & (
             df["l_shipdate"].dt.month == _Q14_MONTH
         )
@@ -4396,16 +4402,39 @@ def q_lineitem_q14(sf_dir: str):
         disc = np.rint(d["l_discount"].to_numpy("float64") * 100.0).astype(
             "int64"
         )
-        rev = cents * (100 - disc)
-        is_promo = np.isin(d["l_partkey"].astype("int64").to_numpy(), ps)
+        part = pd.DataFrame(
+            {
+                "p": d["l_partkey"].astype("int64").to_numpy(),
+                "rev": cents * (100 - disc),
+            }
+        )
+        return part.groupby("p", as_index=False, sort=False).sum()
+
+    per_part = bucket_sum(
+        li.map_batches(partial, batch_format="pandas"), ["p"], ["rev"]
+    )
+    joined = heal_schema(per_part, np_).join(
+        heal_schema(flags, np_), "inner", np_, on=("p",)
+    )
+
+    def reduce_pair(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["rev"].astype("int64")
+        promo = rev[df["is_promo"].astype("int64") == 1]
         return pd.DataFrame(
             {
-                "promo_cp": pd.array([int(rev[is_promo].sum())], dtype="int64"),
+                "promo_cp": pd.array([int(promo.sum())], dtype="int64"),
                 "total_cp": pd.array([int(rev.sum())], dtype="int64"),
             }
         )
 
-    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = joined.map_batches(reduce_pair, batch_format="pandas").to_pandas()
+    if parts.empty or "promo_cp" not in parts.columns:
+        parts = pd.DataFrame(
+            {
+                "promo_cp": pd.Series(dtype="int64"),
+                "total_cp": pd.Series(dtype="int64"),
+            }
+        )
     promo_cp = int(parts["promo_cp"].sum())
     total_cp = int(parts["total_cp"].sum())
     return pd.DataFrame(
